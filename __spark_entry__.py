@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries map 1:1 to SURVEY.md §2's operator inventory; oracle SQL lives in
+``flink_recommendation_system_spark.oracles`` so Spark code and oracle stay
+side-by-side reviewable.
 """
 
 from __future__ import annotations
@@ -13,26 +16,89 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_recommendation_system_spark import oracles
+from flink_recommendation_system_spark.operators import graph as G
+from flink_recommendation_system_spark.plans.recommendations import (
+    user_recommendations,
+)
+from flink_recommendation_system_spark.plans.top_products import top_products
+from flink_recommendation_system_spark.sources.tables import reviews_from_events
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: batch layer A (top products) on sf0.001."""
+    return top_products(reviews_from_events(spark, SF0001))
+
+
+# --- reference-parity queries (SURVEY.md §2) --------------------------------
+
+
+def _q_top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_products(reviews_from_events(spark, sf_dir))
+
+
+def _q_good_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    r = reviews_from_events(spark, sf_dir)
+    return r.filter((F.col("user_id") < 1000) & (F.col("rating") > 3.0))
+
+
+def _liked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.good_reviews(reviews_from_events(spark, sf_dir))
+
+
+def _q_co_review_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.co_review_edges(_liked(spark, sf_dir))
+
+
+def _q_graph_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.induced_vertices(G.undirected(G.co_review_edges(_liked(spark, sf_dir))))
+
+
+def _q_undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
+
+
+def _q_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.label_propagation(
+        G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
+    )
+
+
+def _q_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.community_sizes(_q_lpa_labels(spark, sf_dir))
+
+
+def _q_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_recommendations(reviews_from_events(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "top_products": _q_top_products,
+        "good_ratings": _q_good_ratings,
+        "co_review_edges": _q_co_review_edges,
+        "graph_vertices": _q_graph_vertices,
+        "undirected_edges": _q_undirected_edges,
+        "lpa_labels": _q_lpa_labels,
+        "community_sizes": _q_community_sizes,
+        "user_recommendations": _q_user_recommendations,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``."""
+    return {
+        "top_products": oracles.TOP_PRODUCTS_SQL,
+        "good_ratings": oracles.GOOD_RATINGS_SQL,
+        "co_review_edges": oracles.CO_REVIEW_EDGES_SQL,
+        "graph_vertices": oracles.GRAPH_VERTICES_SQL,
+        "undirected_edges": oracles.UNDIRECTED_EDGES_SQL,
+        "lpa_labels": oracles.LPA_LABELS_SQL,
+        "community_sizes": oracles.COMMUNITY_SIZES_SQL,
+        "user_recommendations": oracles.USER_RECOMMENDATIONS_SQL,
+    }

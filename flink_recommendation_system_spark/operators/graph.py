@@ -1,0 +1,137 @@
+"""Graph operators (SURVEY.md §2.7) — vertices/edges as DataFrames.
+
+The reference uses Flink Gelly (`Graph<Long,Long,Double>`,
+Recommendations.java:116-134; gelly dep pom.xml:73-77). We model a graph as
+two DataFrames — ``edges(src, dst)`` and ``vertices(id, ...)`` — and express
+every graph step as joins/aggregations so Catalyst plans them (GraphFrames
+does the same; we hand-roll to stay dependency-free, SURVEY.md §7).
+
+Scale notes (100 TB): the all-pairs co-review expansion (A3) is the skew
+hazard — one product with 10⁴ reviewers yields 5×10⁷ pairs in a single group
+(SURVEY.md §4 "Skew"). ``co_review_edges`` therefore supports a reviewer cap
+(top-N reviewers per product by recency proxy) which bounds per-product
+output to C(cap, 2); AQE skew-join splitting handles residual imbalance in
+the self-join formulation. The LPA loop localCheckpoints per iteration to
+truncate lineage — without it the plan doubles per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GOOD_RATING_THRESHOLD = 3.0  # Recommendations.java:172-176
+BATCH_USER_CUTOFF = 1000  # Recommendations.java:153
+LPA_ITERATIONS = 5  # Recommendations.java:105
+
+
+def good_reviews(
+    reviews: DataFrame,
+    user_cutoff: int = BATCH_USER_CUTOFF,
+    rating_threshold: float = GOOD_RATING_THRESHOLD,
+) -> DataFrame:
+    """Filters F1+F2 (Recommendations.java:153-154): users below the batch
+    cutoff who rated the product above the 'good' threshold. Returns the
+    distinct (user_id, product_id) bipartite 'liked' relation.
+    """
+    return (
+        reviews.filter(F.col("user_id") < user_cutoff)
+        .filter(F.col("rating") > rating_threshold)
+        .select("user_id", "product_id")
+        .distinct()
+    )
+
+
+def co_review_edges(
+    liked: DataFrame, max_reviewers_per_product: int | None = None
+) -> DataFrame:
+    """All unordered pairs of users who liked the same product — the
+    reference's `CreateSimilarUserEdges` group-reduce
+    (Recommendations.java:157-170) + `.distinct()` (:125).
+
+    Spark-first: a self-equi-join on product_id with ``src < dst`` (SURVEY.md
+    §2.3 A3 option a) — Catalyst picks hash/broadcast strategy and AQE splits
+    skewed keys, vs. a single-task hotspot in the group-reduce formulation.
+
+    ``max_reviewers_per_product`` caps the per-product reviewer set (top-N by
+    user_id for determinism) so pair blowup is bounded at scale.
+    """
+    if max_reviewers_per_product is not None:
+        w = Window.partitionBy("product_id").orderBy(F.col("user_id").asc())
+        liked = (
+            liked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_reviewers_per_product)
+            .drop("_rn")
+        )
+    a = liked.alias("a")
+    b = liked.alias("b")
+    return (
+        a.join(b, "product_id")
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Edge set union with its reversal — Gelly ``getUndirected()``
+    (Recommendations.java:121; SURVEY.md §2.6 U1). Input is assumed deduped;
+    with src<dst pairs the two directions never collide, so no re-distinct.
+    """
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def induced_vertices(edges: DataFrame) -> DataFrame:
+    """Vertex set induced from edge endpoints — ``Graph.fromDataSet``
+    (Recommendations.java:116-122,128-134; SURVEY.md §2.4 J2).
+
+    Expects *undirected* (both-direction) edges, so distinct src suffices.
+    """
+    return edges.select(F.col("src").alias("id")).distinct()
+
+
+def label_propagation(
+    undirected_edges: DataFrame, iterations: int = LPA_ITERATIONS
+) -> DataFrame:
+    """Community detection — Gelly ``LabelPropagation(5)``
+    (Recommendations.java:100-106), hand-rolled as a driver-side loop of
+    DataFrame iterations (SURVEY.md §2.7 G3).
+
+    Semantics per superstep (synchronous): every vertex adopts the most
+    frequent label among its neighbors' *previous* labels; ties break toward
+    the larger label (Gelly's tie-break). Initial label = vertex id — unique
+    per vertex by construction, equivalent to the reference's
+    ``zipWithUniqueId`` initialization (SURVEY.md §7 'semantic deltas').
+
+    Returns ``(id, label)``. Each iteration is join → groupBy → window argmax;
+    ``localCheckpoint`` truncates lineage between supersteps.
+    """
+    edges = undirected_edges.select("src", "dst").localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").desc())
+    for _ in range(iterations):
+        labels = (
+            edges.join(labels, edges["src"] == labels["id"], "inner")
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def community_sizes(labels: DataFrame) -> DataFrame:
+    """`SELECT label, COUNT(*) GROUP BY label` — the reference's diagnostic
+    group-reduce (Recommendations.java:83-98; SURVEY.md §2.3 A2).
+    """
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))

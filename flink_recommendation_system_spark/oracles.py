@@ -1,0 +1,151 @@
+"""ANSI-SQL oracle equivalents (DuckDB) for the engine's queries.
+
+The driver runs each ``__spark_entry__.queries()`` entry AND the matching SQL
+here side-by-side on the same parquet tables and hash-compares the results
+(row count + schema + order-insensitive value hash). Column names/types must
+match the Spark output exactly.
+
+Determinism rules shared with the Spark side:
+- review derivation uses only exact operations (floor, integer modulo) — see
+  ``sources.tables.reviews_from_events``;
+- double aggregates are rounded (6 dp) in BOTH engines so summation order
+  cannot flip the hash;
+- every top-k has a full deterministic tie-break.
+
+The LPA oracle unrolls the 5 synchronous supersteps as chained CTEs — the
+whole collaborative-filtering pipeline (Recommendations.java:22-81) is
+therefore hash-checkable, not just rows-only.
+"""
+
+from __future__ import annotations
+
+# Mirror of sources.tables.reviews_from_events (see its docstring).
+REVIEWS_CTE = """
+reviews AS (
+    SELECT
+        CAST(user_id AS BIGINT) AS user_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+        CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts
+    FROM events
+)
+""".strip()
+
+# F1+F2 distinct 'liked' relation — operators.graph.good_reviews.
+LIKED_CTE = """
+liked AS (
+    SELECT DISTINCT user_id, product_id
+    FROM reviews
+    WHERE user_id < 1000 AND rating > 3.0
+)
+""".strip()
+
+# A3 + U1: co-review pairs and their undirected (both-direction) edge set.
+EDGES_CTES = """
+pairs AS (
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM liked a
+    JOIN liked b ON a.product_id = b.product_id AND a.user_id < b.user_id
+),
+edges AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM pairs
+)
+""".strip()
+
+
+def lpa_ctes(iterations: int = 5) -> str:
+    """Unrolled synchronous label propagation (Gelly LabelPropagation
+    semantics: most frequent neighbor label, ties to the larger label;
+    Recommendations.java:100-106). ``l0`` = vertex id as initial label;
+    final CTE is ``l{iterations}`` with columns (id, label).
+    """
+    parts = ["l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""l{i} AS (
+    SELECT id, label FROM (
+        SELECT e.dst AS id, l.label AS label,
+               row_number() OVER (
+                   PARTITION BY e.dst
+                   ORDER BY count(*) DESC, l.label DESC
+               ) AS rn
+        FROM edges e
+        JOIN l{i - 1} l ON e.src = l.id
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def with_reviews(body: str) -> str:
+    return f"WITH {REVIEWS_CTE}\n{body}"
+
+
+def graph_prefix(iterations: int = 5) -> str:
+    """WITH-clause prefix: reviews → liked → pairs/edges → l0..lN."""
+    return (
+        f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n{lpa_ctes(iterations)}"
+    )
+
+
+TOP_PRODUCTS_SQL = with_reviews(
+    """
+SELECT product_id,
+       round(avg(rating), 6) AS avg_rating,
+       count(*) AS review_cnt
+FROM reviews
+GROUP BY product_id
+HAVING count(*) > 10
+ORDER BY avg_rating DESC, product_id ASC
+LIMIT 20
+"""
+)
+
+GOOD_RATINGS_SQL = with_reviews(
+    """
+SELECT user_id, product_id, rating, ts
+FROM reviews
+WHERE user_id < 1000 AND rating > 3.0
+"""
+)
+
+CO_REVIEW_EDGES_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES}\n"
+    "SELECT src, dst FROM pairs"
+)
+
+GRAPH_VERTICES_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES}\n"
+    "SELECT DISTINCT src AS id FROM edges"
+)
+
+UNDIRECTED_EDGES_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES}\n"
+    "SELECT src, dst FROM edges"
+)
+
+LPA_LABELS_SQL = f"{graph_prefix(5)}\nSELECT id, label FROM l5"
+
+COMMUNITY_SIZES_SQL = (
+    f"{graph_prefix(5)}\n"
+    "SELECT label, count(*) AS community_size FROM l5 GROUP BY label"
+)
+
+USER_RECOMMENDATIONS_SQL = (
+    f"{graph_prefix(5)},\n"
+    """candidates AS (
+    SELECT DISTINCT a.id AS user_id, g.product_id
+    FROM l5 a
+    JOIN l5 b ON a.label = b.label
+    JOIN liked g ON g.user_id = b.id
+)
+SELECT c.user_id, c.product_id
+FROM candidates c
+WHERE NOT EXISTS (
+    SELECT 1 FROM liked o
+    WHERE o.user_id = c.user_id AND o.product_id = c.product_id
+)"""
+)

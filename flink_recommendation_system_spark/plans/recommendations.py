@@ -1,0 +1,73 @@
+"""Batch layer B — collaborative filtering via community detection.
+
+Reference: Recommendations.java:22-81 — good ratings → user-user co-review
+graph → Gelly LabelPropagation(5) → for each user, products liked by their
+community that they have not liked themselves → Redis
+`UserRecommendations:{u}`.
+
+Spark-first design (SURVEY.md §3.2): the reference collects everything to the
+driver and expands recommendations in triple-nested Java loops
+(Recommendations.java:40-77). Here the whole pipeline stays in DataFrames:
+
+    liked = good_reviews(reviews)                     # F1, F2
+    edges = co_review_edges(liked)                    # A3 (skew-capped)
+    labels = label_propagation(undirected(edges), 5)  # G3
+    recs   = community expansion (J4) − own (J3 anti-join)
+
+Scale notes (100 TB): only the 5 superstep barriers touch the driver (loop
+control, not data). The community-expansion join `labels ⨝ labels on label`
+can blow up on a giant community; at scale, cap community fan-out the same
+way co_review_edges caps reviewers. The anti-join is a shuffle on
+(user_id, product_id) — co-partitioned with the candidate join's output so
+AQE can reuse the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.graph import (
+    LPA_ITERATIONS,
+    co_review_edges,
+    good_reviews,
+    label_propagation,
+    undirected,
+)
+
+
+def user_recommendations(
+    reviews: DataFrame,
+    iterations: int = LPA_ITERATIONS,
+    max_reviewers_per_product: int | None = None,
+) -> DataFrame:
+    """Full batch-B pipeline: returns ``(user_id, product_id)`` — products
+    liked by the user's community minus the user's own liked products
+    (Recommendations.java:68-77; anti-join semantics at :74).
+    """
+    liked = good_reviews(reviews)
+    edges = co_review_edges(liked, max_reviewers_per_product)
+    labels = label_propagation(undirected(edges), iterations)
+
+    members = labels.alias("a").join(labels.alias("b"), "label").select(
+        F.col("a.id").alias("user_id"), F.col("b.id").alias("member_id")
+    )
+    candidates = (
+        members.join(
+            liked.select(
+                F.col("user_id").alias("member_id"),
+                "product_id",
+            ),
+            "member_id",
+        )
+        .select("user_id", "product_id")
+        .distinct()
+    )
+    return candidates.join(liked, ["user_id", "product_id"], "left_anti")
+
+
+def publish_user_recommendations(df: DataFrame, path: str) -> None:
+    """Overwrite-on-publish ≡ the reference's delete-then-SADD Redis MULTI
+    (Recommendations.java:58-77; SURVEY.md §2.1 S7).
+    """
+    df.write.mode("overwrite").parquet(path)
