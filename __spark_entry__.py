@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_recommendation_system_spark import oracles
 from flink_recommendation_system_spark.operators import graph as G
+from flink_recommendation_system_spark.plans import relational_queries
 from flink_recommendation_system_spark.plans.recommendations import (
     user_recommendations,
 )
@@ -76,9 +77,13 @@ def _q_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_recommendations(reviews_from_events(spark, sf_dir))
 
 
+# Extension suites: each module exports QUERIES: name → (spark_fn, sql|None).
+_SUITES = [relational_queries.QUERIES]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_products": _q_top_products,
         "good_ratings": _q_good_ratings,
         "co_review_edges": _q_co_review_edges,
@@ -88,11 +93,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_sizes": _q_community_sizes,
         "user_recommendations": _q_user_recommendations,
     }
+    for suite in _SUITES:
+        for name, (fn, _sql) in suite.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``."""
-    return {
+    """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``.
+
+    Keys absent here (non-SQL-expressible ops) get the driver's weaker
+    rows-only check.
+    """
+    out = {
         "top_products": oracles.TOP_PRODUCTS_SQL,
         "good_ratings": oracles.GOOD_RATINGS_SQL,
         "co_review_edges": oracles.CO_REVIEW_EDGES_SQL,
@@ -102,3 +115,8 @@ def oracle_sql() -> dict[str, str]:
         "community_sizes": oracles.COMMUNITY_SIZES_SQL,
         "user_recommendations": oracles.USER_RECOMMENDATIONS_SQL,
     }
+    for suite in _SUITES:
+        for name, (_fn, sql) in suite.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,176 @@
+"""Relational operator library (SURVEY.md §2.2-2.6, §2.9, §2.11).
+
+Named, composable wrappers over the DataFrame API for every relational
+operator the reference implements — filters, projections, string parsing,
+aggregations with HAVING, the full join family (the reference only has
+inner + anti; we expose semi/outer too since any user of a query engine
+needs them), set ops, global top-k, and deterministic sampling/splits.
+
+All of these compile to pure Catalyst plans: predicate pushdown, column
+pruning, partial aggregation, and join-strategy selection (broadcast vs
+sort-merge, AQE-switched) come for free. Nothing here drops to Python
+execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- projections / filters / scalar expressions (§2.2, §2.9) ---------------
+
+
+def numeric_filter(df: DataFrame, column: str, op: str, value: float) -> DataFrame:
+    """Comparison filters F1-F4 (Recommendations.java:153,174;
+    ProductReviewAggregation.java:48; spliter.py:22)."""
+    c = F.col(column)
+    ops = {"<": c < value, "<=": c <= value, ">": c > value, ">=": c >= value, "=": c == value}
+    return df.filter(ops[op])
+
+
+def to_edges(reviews: DataFrame) -> DataFrame:
+    """P1 structural rename (Recommendations.java:29-33): review tuple →
+    weighted bipartite edge (src=user, dst=product, weight=rating)."""
+    return reviews.select(
+        F.col("user_id").alias("src"),
+        F.col("product_id").alias("dst"),
+        F.col("rating").alias("weight"),
+    )
+
+
+def to_kv_strings(ratings: DataFrame) -> DataFrame:
+    """Encode (user_id, product_id, rating) as the reference's Redis member
+    string `"productId:rating"` (RealTimeRecommendations.java:81,86)."""
+    return ratings.select(
+        "user_id",
+        F.concat_ws(
+            ":", F.col("product_id").cast("string"), F.col("rating").cast("string")
+        ).alias("member"),
+    )
+
+
+def parse_kv_strings(members: DataFrame) -> DataFrame:
+    """P4 string parse (Recommendations.java:142-149;
+    ProductReviewAggregation.java:72-78): `"productId:rating"` →
+    (product_id LONG, rating DOUBLE) via split + cast."""
+    parts = F.split(F.col("member"), ":")
+    return members.select(
+        "user_id",
+        F.element_at(parts, 1).cast("long").alias("product_id"),
+        F.element_at(parts, 2).cast("double").alias("rating"),
+    )
+
+
+# --- aggregations (§2.3) ----------------------------------------------------
+
+
+def group_avg_having(
+    df: DataFrame, key: str, value: str, min_count: int
+) -> DataFrame:
+    """A1 (ProductReviewAggregation.java:37-51): AVG per key with a HAVING
+    count filter; Catalyst plans partial+final aggregation automatically."""
+    return (
+        df.groupBy(key)
+        .agg(
+            F.round(F.avg(value), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > min_count)
+    )
+
+
+def set_union_agg(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A5 (Recommendations.java:68-77): repeated SADD ≡ collect_set. The
+    array is sorted so downstream hashing is deterministic."""
+    return df.groupBy(key).agg(
+        F.array_sort(F.collect_set(value)).alias(f"{value}_set")
+    )
+
+
+# --- joins (§2.4) -----------------------------------------------------------
+
+
+def equi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """J1/J4 inner equi-join; Catalyst/AQE pick broadcast vs shuffle."""
+    return left.join(right, on)
+
+
+def broadcast_join(fact: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Dimension-table join with an explicit broadcast hint — at 100 TB the
+    fact side must never shuffle for a small-dim join."""
+    return fact.join(F.broadcast(dim), on)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """LEFT SEMI — rows of left with a match in right (EXISTS)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """J3 LEFT ANTI (Recommendations.java:71-75): rows of left without a
+    match in right (NOT EXISTS)."""
+    return left.join(right, on, "left_anti")
+
+
+def left_outer_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    """LEFT OUTER — the shape of the stream-side lookup with fallback (J5):
+    unmatched rows survive with nulls for COALESCE downstream."""
+    return left.join(right, on, "left")
+
+
+# --- sorts / limits / top-k (§2.5) -----------------------------------------
+
+
+def top_k(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """O1 global top-k (ProductReviewAggregation.java:51 intended
+    semantics): orderBy+limit compiles to TakeOrderedAndProject — per-
+    partition heap of k rows + single merge, no total sort. Callers must
+    pass a total order (tie-break) for deterministic results."""
+    return df.orderBy(*order).limit(k)
+
+
+def capped_sorted_array(col: Column, cap: int) -> Column:
+    """F5+O2 (RealTimeRecommendations.java:106-110): drop nulls, cap at
+    ``cap`` elements. Reference order is Java-Set arbitrary; we sort first
+    for deterministic semantics (SURVEY.md §7)."""
+    return F.slice(
+        F.array_sort(F.filter(col, lambda x: x.isNotNull())), 1, cap
+    )
+
+
+# --- set operations (§2.6) --------------------------------------------------
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1-style set union (Gelly edge-set semantics)."""
+    return a.union(b).distinct()
+
+
+# --- sampling / dataset utilities (§2.11) ----------------------------------
+
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant (public domain)
+
+
+def deterministic_split(
+    df: DataFrame, key: str, frac_permille: int
+) -> tuple[DataFrame, DataFrame]:
+    """X1 (spliter.py:24-25) re-expressed reproducibly: the reference uses
+    pandas ``sample(frac, random_state=200)`` + complement; engine-portable
+    equivalent is a multiplicative-hash bucket on the key — exact integer
+    arithmetic, so any engine (and the DuckDB oracle) derives the same
+    split. Returns (selected, complement).
+    """
+    bucket = (F.col(key) * F.lit(_KNUTH)) % F.lit(1000)
+    return (
+        df.filter(bucket < frac_permille),
+        df.filter(bucket >= frac_permille),
+    )
+
+
+def random_split(
+    df: DataFrame, fractions: list[float], seed: int = 200
+) -> list[DataFrame]:
+    """X1 literal form: seeded random split (pandas `random_state=200`,
+    spliter.py:24). Seed-stable within Spark but not across engines — use
+    ``deterministic_split`` when cross-engine reproducibility matters."""
+    return df.randomSplit(fractions, seed=seed)

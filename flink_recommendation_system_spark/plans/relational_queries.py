@@ -1,0 +1,379 @@
+"""Relational-operator query suite over the driver's TPC-H-ish tables.
+
+Exercises the §2.2-2.6/§2.9/§2.11 operator inventory as realistic analytical
+queries (SURVEY.md §5.5: the reference has no TPC suite, so joins/aggs/top-k
+are validated TPC-H-style against the DuckDB oracle).
+
+Each entry in ``QUERIES`` is ``name → (spark_fn, oracle_sql | None)``;
+``__spark_entry__`` flattens these into the driver contract.
+
+Cross-engine determinism: timestamps are epoch-nanos LongType on the Spark
+side (see sources.tables.load_table); comparisons/outputs use exact integer
+arithmetic, money sums round to 2 dp, averages to 4 dp, and every top-k
+carries a full tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import (
+    anti_join,
+    deterministic_split,
+    parse_kv_strings,
+    semi_join,
+    set_union_agg,
+    to_kv_strings,
+    top_k,
+)
+from ..sources.tables import load_table, reviews_from_events
+
+
+# lineitem/orders store TIMESTAMP(MILLIS) → TIMESTAMP_NTZ in Spark, plain
+# TIMESTAMP in DuckDB; midnight-date literals compare identically. (Only
+# `events.ts` is TIMESTAMP(NANOS) → LongType, handled in sources.tables.)
+Q1_CUTOFF = "1998-09-02 00:00:00"
+Q3_DATE = "1998-03-15 00:00:00"
+
+
+def _ts_ntz(lit: str) -> F.Column:
+    return F.expr(f"TIMESTAMP_NTZ '{lit}'")
+
+
+# --- Q1-style pricing summary (A1 aggregation breadth) ----------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _ts_ntz(Q1_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority (3-way join + agg + top-k) ------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts_ntz(Q3_DATE)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts_ntz(Q3_DATE)
+    )
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).join(cust, orders["o_custkey"] == cust["c_custkey"])
+    agg = joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return top_k(agg, 10, F.col("revenue").desc(), F.col("o_orderkey").asc())
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style multi-join: revenue by nation in one region -------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region with the
+    customer-nation = supplier-nation constraint — the join-reordering /
+    broadcast showcase. nation+region are broadcast; Catalyst reorders the
+    rest and AQE fixes skew at runtime."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "REGION_0"
+    )
+    nr = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nr), supp["s_nationkey"] == nr["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'REGION_0'
+GROUP BY n_name
+"""
+
+
+# --- join-family breadth ----------------------------------------------------
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + COALESCE-style count — the J5 lookup shape in batch
+    form: unmatched customers keep 0."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    return (
+        cust.join(orders, ["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --- window functions / per-group top-k -------------------------------------
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rn
+    FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --- set ops ----------------------------------------------------------------
+
+
+def q_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-distinct of nation keys present in customer or supplier (U1/U3
+    set semantics on tables)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+ACTIVE_NATIONS_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- string parse round-trip (P4/S6 encoding) -------------------------------
+
+
+def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode reviews as the reference's Redis member strings
+    `"productId:rating"` and parse back (P4) — exercises concat_ws, split,
+    element_at, casts."""
+    reviews = reviews_from_events(spark, sf_dir)
+    return parse_kv_strings(to_kv_strings(reviews))
+
+
+KV_ROUNDTRIP_SQL = """
+WITH kv AS (
+    SELECT user_id,
+           concat(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR),
+                  ':',
+                  CAST(CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS VARCHAR)
+           ) AS member
+    FROM events
+)
+SELECT user_id,
+       CAST(split_part(member, ':', 1) AS BIGINT) AS product_id,
+       CAST(split_part(member, ':', 2) AS DOUBLE) AS rating
+FROM kv
+"""
+
+
+# --- collect_set aggregation (A5) ------------------------------------------
+
+
+def q_user_product_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    liked = reviews_from_events(spark, sf_dir).select("user_id", "product_id")
+    return set_union_agg(liked, "user_id", "product_id")
+
+
+USER_PRODUCT_SETS_SQL = """
+WITH reviews AS (
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id
+    FROM events
+)
+SELECT user_id, list_sort(list(DISTINCT product_id)) AS product_id_set
+FROM reviews GROUP BY user_id
+"""
+
+
+# --- deterministic split (X1) -----------------------------------------------
+
+
+def q_split_db_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'database seed' side of the spliter.py split (80%), via the
+    engine-portable multiplicative-hash bucket."""
+    reviews = reviews_from_events(spark, sf_dir)
+    db, _stream = deterministic_split(reviews, "user_id", 800)
+    return db
+
+
+SPLIT_DB_PART_SQL = """
+WITH reviews AS (
+    SELECT
+        CAST(user_id AS BIGINT) AS user_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+        CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts
+    FROM events
+)
+SELECT * FROM reviews WHERE (user_id * 2654435761) % 1000 < 800
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
+    "shipping_priority": (q_shipping_priority, SHIPPING_PRIORITY_SQL),
+    "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL),
+    "customers_with_orders": (q_customers_with_orders, CUSTOMERS_WITH_ORDERS_SQL),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "customer_order_counts": (q_customer_order_counts, CUSTOMER_ORDER_COUNTS_SQL),
+    "revenue_by_nation": (q_revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "top_orders_per_customer": (
+        q_top_orders_per_customer,
+        TOP_ORDERS_PER_CUSTOMER_SQL,
+    ),
+    "active_nations": (q_active_nations, ACTIVE_NATIONS_SQL),
+    "kv_roundtrip": (q_kv_roundtrip, KV_ROUNDTRIP_SQL),
+    "user_product_sets": (q_user_product_sets, USER_PRODUCT_SETS_SQL),
+    "split_db_part": (q_split_db_part, SPLIT_DB_PART_SQL),
+}
