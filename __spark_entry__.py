@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_recommendation_system_spark import oracles
 from flink_recommendation_system_spark.operators import graph as G
-from flink_recommendation_system_spark.plans import relational_queries
+from flink_recommendation_system_spark.plans import (
+    llm_pipeline_queries,
+    relational_queries,
+)
 from flink_recommendation_system_spark.plans.recommendations import (
     user_recommendations,
 )
@@ -78,7 +81,7 @@ def _q_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Extension suites: each module exports QUERIES: name → (spark_fn, sql|None).
-_SUITES = [relational_queries.QUERIES]
+_SUITES = [relational_queries.QUERIES, llm_pipeline_queries.QUERIES]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

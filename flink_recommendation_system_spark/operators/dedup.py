@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §7 M4): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Scale design:
+- exact dedup shuffles a constant-size hash key, never the document body;
+- MinHash/LSH turns the quadratic all-pairs problem into a band-bucket
+  equi-join (candidate pairs only), the standard 100 TB-safe shape;
+- SimHash is computed entirely with JVM higher-order array functions (no
+  Python in the hot path); near-dup = small Hamming distance on a 64-bit
+  signature, again an equi-join on bucketed prefixes if needed;
+- brute-force n-gram Jaccard is kept as the *oracle-checkable baseline* and
+  is intentionally bounded (same-lang blocking) — at scale you run the LSH
+  variant and use this only to validate recall on samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup_keys(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical representative per exact-duplicate cluster: group on
+    sha256(text), keep the smallest doc_id (deterministic winner).
+    Output: (doc_id, text_hash)."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_hash")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents with exact-duplicate bodies removed (keep min doc_id)."""
+    keys = exact_dedup_keys(docs, text_col).select("doc_id")
+    return docs.join(keys, "doc_id", "left_semi")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.6, block_col: str = "lang"
+) -> DataFrame:
+    """Near-duplicate pairs by Jaccard similarity of distinct-token sets,
+    blocked on ``block_col`` (same-language candidates only) — the exact,
+    quadratic baseline. Output: (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    toks = (
+        docs.select(
+            F.col("doc_id"),
+            F.col(block_col).alias("_block"),
+            F.array_distinct(tokens("text")).alias("toks"),
+        )
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        a.join(b, F.col("a._block") == F.col("b._block"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+# Fixed random-ish odd multipliers for the universal-hash family
+# h_i(x) = (a_i * x + b_i) mod 2^61-1 over a base xxhash64 of the shingle.
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    # Deterministic LCG-generated (a, b) pairs; no runtime randomness.
+    # Domains sized so h*a+b never overflows int64 (h < 2^32, a < 2^30,
+    # b < 2^61 → h*a+b < 2^62 + 2^61 < 2^63).
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % (1 << 30)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE61
+        params.append((a | 1, b))
+    return params
+
+
+def char_shingles(col: str | Column, n: int = 5) -> Column:
+    """Character n-gram shingle set of the text (distinct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 5
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of each universal
+    hash of xxhash64(shingle). Entirely JVM-side: shingling and the min-
+    reduction are higher-order array functions — no shuffle at all for the
+    signature computation. Output: (doc_id, sig ARRAY<BIGINT>)."""
+    sh = char_shingles("text", shingle_n)
+    base = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1)))
+    def min_hash(a: int, b: int):
+        return F.array_min(
+            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61))
+        )
+
+    sig = F.array(*[min_hash(a, b) for a, b in _hash_params(num_hashes)])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (rows =
+    num_hashes/bands), bucket-join on (band_idx, band_hash), then verify
+    candidates with the estimated Jaccard (fraction of equal signature
+    components). Output: (a_id, b_id, est_jaccard), a_id < b_id.
+
+    This is the scale path: no quadratic pair generation — candidate pairs
+    come from an equi-join on band buckets.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n).localCheckpoint()
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("sig"), i * rows + 1, rows)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    ).select("doc_id", "band_idx", F.hash("band").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side: per token an
+    xxhash64; per bit position, sum of ±1 contributions across tokens; the
+    signature packs the sign bits. Output: (doc_id, simhash BIGINT).
+    """
+    toks = F.array_distinct(tokens("text"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # Spark's shift functions take a Python-int bit count, so the 64 bit
+    # positions are unrolled statically — still one JVM expression tree.
+    def bit_sum(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    sig = None
+    for b in range(64):
+        # bit 63 is the sign bit of the packed long: add -2^63 (two's
+        # complement) instead of the unrepresentable +2^63 literal.
+        weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        bit = F.when(bit_sum(b) > 0, weight).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    out = None
+    for i in range(64):
+        term = F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1))
+        out = term if out is None else out + term
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation
+    blocks on 16-bit signature quadrants (a pair within Hamming ≤ 3 of a
+    64-bit signature must agree exactly on ≥1 of 4 quadrants — pigeonhole),
+    so this is bucket-equi-join shaped, not quadratic."""
+    sigs = simhash(docs).localCheckpoint()
+    quads = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("quad_idx", "quad"),
+    )
+    a = quads.alias("a")
+    b = quads.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.quad_idx") == F.col("b.quad_idx"))
+            & (F.col("a.quad") == F.col("b.quad"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

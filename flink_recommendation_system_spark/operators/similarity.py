@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M4).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline and
+  the re-rank stage. Dot products via `zip_with`/`aggregate` (JVM higher-
+  order functions, no Python). The query set is broadcast; the corpus is
+  never shuffled — each partition scores its slice and a global
+  TakeOrdered merges per-query heaps.
+- ``lsh_topk``: sign-random-projection LSH bucketing (deterministic seeded
+  hyperplanes) + exact re-rank within buckets — the approximate scale path:
+  candidate generation is an equi-join on bucket signature, turning
+  O(Q×N) into O(Q×bucket).
+
+Embeddings are `array<float>`; all math is done in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` rows per ``queries`` row.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank 1..k, excluding
+    self-matches. Deterministic: rounds the score to 6 dp *before* ranking
+    and breaks ties on neighbor_id, so the result is engine-independent.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    # Broadcast the (small) query side and stream the corpus past it; the
+    # corpus never shuffles. crossJoin(broadcast) → BroadcastNestedLoopJoin.
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- deterministic sign-random-projection LSH -------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (LCG → uniform in [-1, 1]); pure
+    Python constants baked into the plan, identical on every run/engine."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection signature: bit i = sign(vec · plane_i),
+    packed into a BIGINT (n_planes ≤ 63)."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(w) for w in plane])) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-bucket join then exact re-rank within
+    the bucket. Recall < 1 by design; pair with ``cosine_topk`` on samples
+    to validate. Same output shape as ``cosine_topk``."""
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        srp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id) via SRP-bucket
+    candidate join + exact cosine verify — near-identical vectors land in
+    the same bucket with high probability."""
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        srp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("a_id"),
+            F.col("b.vid").alias("b_id"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §7 M4; BASELINE.json north star).
+
+All hot-path logic is built-in `pyspark.sql.functions` (JVM-side, codegen),
+no Python UDFs: tokenization is `split`, counting is higher-order array
+functions, fingerprinting is built-in hash functions. At 100 TB these run
+inside whole-stage codegen with predicate pushdown intact.
+
+Operates on the `documents` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Small public stopword set (subset of the classic English list).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# Marker tokens for the n-gram/keyword language-ID heuristic. Deliberately
+# tiny and deterministic — the point is the *operator shape* (explode →
+# marker join → per-doc argmax), which is how a real lexicon-based LID runs
+# at scale. Ties break toward the lexicographically smaller language code.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization as a column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def bpe_ish_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish sub-word proxy: split on whitespace AND punctuation
+    boundaries, keeping alphanumeric runs — the regex-level approximation
+    of byte-pair pretokenization (GPT-2 style pretokenizer splits on
+    \\w/\\W boundaries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    arr = F.split(c, "[^a-zA-Z0-9]+")
+    return F.filter(arr, lambda x: x != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: str | Column = "text") -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality scoring: token count, mean token length,
+    stopword ratio, and a composite quality score. Mirrors the classic
+    C4/Gopher-style length+stopword heuristics, all JVM-side."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+        / n_tok,
+        6,
+    )
+    sw_ratio = F.round(stopword_count("text") / n_tok, 6)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        # Quality: long enough, not stopword-soup. Deterministic integer
+        # rules so oracles agree exactly.
+        (
+            (n_tok >= 10).cast("int")
+            + (F.col("n_chars") >= 50).cast("int")
+            + (stopword_count("text") > 0).cast("int")
+        ).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Lexicon-based language ID: explode tokens, join the marker lexicon,
+    argmax hits per document (ties → smaller lang code), docs with no
+    marker hits → 'und'.
+
+    Scale shape: the lexicon is broadcast (tiny dim table); the token
+    explode is map-side; one shuffle on doc_id for the argmax.
+    """
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, m) for lang, ms in LANG_MARKERS.items() for m in ms],
+        ["pred_lang", "marker"],
+    )
+    hits = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .join(F.broadcast(markers), F.col("tok") == F.col("marker"))
+        .groupBy("doc_id", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("pred_lang").asc()
+    )
+    best = hits.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
+        )
+    )
+
+
+def normalized(col: str | Column = "text") -> Column:
+    """Normalization for fingerprinting: lowercase, strip non-alphanumerics
+    (keeping spaces), collapse runs of spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text — the constant-size
+    key used for exact-dup clustering at scale (shuffle on a 16-byte key
+    instead of the full document)."""
+    return docs.select(
+        "doc_id", F.md5(normalized("text")).alias("fingerprint")
+    )

@@ -1,0 +1,283 @@
+"""LLM-training-data pipeline query suite: dedup, text analysis,
+similarity search, multimodal (SURVEY.md §7 M4; BASELINE.json north star).
+
+Entries: ``name → (spark_fn, oracle_sql | None)``. SQL oracles exist for
+everything expressible in portable SQL; the LSH/MinHash/SimHash/mapInPandas
+paths are rows-only here (their correctness is covered by invariant tests in
+tests/test_llm_ops.py, e.g. LSH recall vs the exact oracle-checked baseline).
+
+Cross-engine notes:
+- DuckDB's `list_cosine_similarity` accumulates in float32 → NOT used;
+  oracles spell out `list_dot_product / (sqrt·sqrt)`, which matches Spark's
+  double-accumulated `zip_with/aggregate` bit-for-bit (verified).
+- DuckDB `regexp_replace` needs the 'g' flag to match Spark's replace-all.
+- Jaccard = int/int division → IEEE-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources.tables import load_table
+
+N_QUERY_VECS = 10  # vec_id < 10 are the similarity-search query set
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(T.bpe_ish_tokens("text")).alias("n_subword_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x != ''))
+           AS n_subword_tokens
+FROM documents
+"""
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_stats(_docs(spark, sf_dir))
+
+
+_SW = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+QUALITY_STATS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           string_split(text, ' ') AS toks,
+           len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
+    FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(list_sum(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)))
+             / len(toks), 6) AS mean_token_len,
+       round(CAST(sw AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END
+        + CASE WHEN sw > 0 THEN 1 ELSE 0 END) AS quality_score
+FROM t
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(_docs(spark, sf_dir))
+
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{m}')" for lang, ms in T.LANG_MARKERS.items() for m in ms
+)
+LANGUAGE_ID_SQL = f"""
+WITH markers(pred_lang, marker) AS (VALUES {_MARKER_VALUES}),
+hits AS (
+    SELECT d.doc_id, m.pred_lang, count(*) AS hits
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) d
+    JOIN markers m ON d.tok = m.marker
+    GROUP BY d.doc_id, m.pred_lang
+),
+best AS (
+    SELECT doc_id, pred_lang FROM (
+        SELECT doc_id, pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, pred_lang ASC) AS rn
+        FROM hits
+    ) WHERE rn = 1
+)
+SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def q_exact_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_keys(_docs(spark, sf_dir))
+
+
+EXACT_DEDUP_KEYS_SQL = """
+SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+NGRAM_JACCARD_SQL = """
+WITH t AS (
+    SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.6
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (scale path) — rows-only check here;
+    recall vs the exact Jaccard baseline is asserted in tests."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming≤3 near-dups via quadrant blocking — rows-only."""
+    return D.simhash_near_dups(_docs(spark, sf_dir))
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
+    )
+
+
+# DuckDB's list_dot_product accumulates in float32; this explicit
+# double-cast left-fold matches Spark's zip_with/aggregate bit-for-bit.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) "
+        f"* sqrt({_dot_sql(b, b)})), 6)"
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_cosine_sql('q.qv', 'e.embedding')} AS cosine_sim
+    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (scale path) — rows-only; recall vs
+    cosine_topk asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    return S.lsh_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.9) — the oracle-checked
+    baseline for the LSH variant. Threshold low enough to yield rows on
+    random synthetic embeddings."""
+    emb = _emb(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(
+                S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.9)
+    )
+
+
+EMBEDDING_NEAR_DUPS_SQL = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.9
+"""
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (deterministic
+    fake decoder — see operators.multimodal). Rows-only check; exact values
+    asserted in tests."""
+    assets = M.synthesize_assets(_docs(spark, sf_dir))
+    return M.extract_features(assets, fake_decode=True)
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.synthesize_assets(_docs(spark, sf_dir))
+    return M.frame_sample_plan(assets, every_n=10)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS asset_id,
+       unnest(generate_series(0, greatest(strlen(text) // 1024, 0), 10))
+           AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
+    "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
+    "language_id": (q_language_id, LANGUAGE_ID_SQL),
+    "fingerprints": (q_fingerprints, FINGERPRINTS_SQL),
+    "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
+    "cosine_topk": (q_cosine_topk, COSINE_TOPK_SQL),
+    "lsh_topk": (q_lsh_topk, None),
+    "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
+    "multimodal_features": (q_multimodal_features, None),
+    "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),
+}
