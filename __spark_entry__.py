@@ -80,6 +80,17 @@ def _q_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_recommendations(reviews_from_events(spark, sf_dir))
 
 
+def _q_serving_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_recommendation_system_spark.streaming.pipeline import (
+        enrich_with_recommendations,
+    )
+
+    reviews = reviews_from_events(spark, sf_dir)
+    recs = user_recommendations(reviews)
+    top = top_products(reviews).select("product_id")
+    return enrich_with_recommendations(reviews, recs, top)
+
+
 # Extension suites: each module exports QUERIES: name → (spark_fn, sql|None).
 _SUITES = [relational_queries.QUERIES, llm_pipeline_queries.QUERIES]
 
@@ -95,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_labels": _q_lpa_labels,
         "community_sizes": _q_community_sizes,
         "user_recommendations": _q_user_recommendations,
+        "serving_snapshot": _q_serving_snapshot,
     }
     for suite in _SUITES:
         for name, (fn, _sql) in suite.items():
@@ -117,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_labels": oracles.LPA_LABELS_SQL,
         "community_sizes": oracles.COMMUNITY_SIZES_SQL,
         "user_recommendations": oracles.USER_RECOMMENDATIONS_SQL,
+        "serving_snapshot": oracles.SERVING_SNAPSHOT_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -134,6 +134,49 @@ COMMUNITY_SIZES_SQL = (
     "SELECT label, count(*) AS community_size FROM l5 GROUP BY label"
 )
 
+# Speed-layer serving snapshot (RealTimeRecommendations.java:89-124 as a
+# batch query): every user seen in the stream gets their model recs, falling
+# back to global top-products, sorted + capped at 20, ids stringified.
+SERVING_SNAPSHOT_SQL = (
+    f"{graph_prefix(5)},\n"
+    """candidates AS (
+    SELECT DISTINCT a.id AS user_id, g.product_id
+    FROM l5 a
+    JOIN l5 b ON a.label = b.label
+    JOIN liked g ON g.user_id = b.id
+),
+recs AS (
+    SELECT c.user_id, c.product_id
+    FROM candidates c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM liked o
+        WHERE o.user_id = c.user_id AND o.product_id = c.product_id
+    )
+),
+user_rec_lists AS (
+    SELECT user_id,
+           list_sort(list(DISTINCT CAST(product_id AS VARCHAR))) AS recs
+    FROM recs GROUP BY user_id
+),
+top AS (
+    SELECT product_id FROM (
+        SELECT product_id, round(avg(rating), 6) AS ar, count(*) AS cnt
+        FROM reviews GROUP BY product_id HAVING count(*) > 10
+        ORDER BY ar DESC, product_id ASC LIMIT 20
+    )
+),
+top_list AS (
+    SELECT list_sort(list(CAST(product_id AS VARCHAR))) AS top_recs FROM top
+),
+users AS (SELECT DISTINCT user_id FROM reviews)
+SELECT u.user_id,
+       (CASE WHEN l.recs IS NOT NULL THEN l.recs ELSE t.top_recs END)[1:20]
+           AS recommended_products
+FROM users u
+LEFT JOIN user_rec_lists l ON u.user_id = l.user_id
+CROSS JOIN top_list t"""
+)
+
 USER_RECOMMENDATIONS_SQL = (
     f"{graph_prefix(5)},\n"
     """candidates AS (

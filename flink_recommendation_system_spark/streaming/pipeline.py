@@ -1,0 +1,193 @@
+"""Speed layer — real-time recommendation serving.
+
+Reference: RealTimeRecommendations.java:34-71 — consume JSON `Review` events
+from Kafka topic `Reviews`; per event (a) SADD the rating into Redis
+`userRatings:{u}` and (b) look up `UserRecommendations:{u}` with fallback to
+`topProducts`, cap at 20, emit `{userId, recommendedProducts}` JSON to topic
+`Output`.
+
+Spark-first re-architecture (SURVEY.md §3.3):
+- per-record Redis RPC (RichMapFunction, :89-124) → **stream-static left
+  join** against the model tables + `coalesce` fallback to a broadcast
+  top-products array. Spark re-plans stream-static joins every micro-batch,
+  so a republished model is picked up automatically — same freshness
+  contract as "read Redis on every event", without the per-record RPC.
+- the dual Redis+Kafka sink DAG (:49-68) → one `foreachBatch` doing both
+  writes per micro-batch (T3); SADD idempotence → dedup-on-write.
+- JSON wire format via `from_json`/`to_json` with the REVIEW/OUTPUT schemas
+  (T5; ReviewDeserialization.java:15-17, KafkaOutputSerialization.java:10-19).
+
+Scale notes (100 TB/day stream): the static side is re-read per batch —
+keep model tables compact parquet; the join broadcasts the model when small
+(AQE), else shuffles only the micro-batch. `maxFilesPerTrigger` /
+`maxOffsetsPerTrigger` bound batch size; watermark supports future
+event-time windows (the reference's watermark is vestigial, T1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import REVIEW_JSON_SCHEMA
+
+MAX_RECOMMENDATION_SIZE = 20  # RealTimeRecommendations.java:35
+
+
+def parse_review_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka/file wire bytes → review rows (ReviewDeserialization.java:15-27
+    → `from_json` with the explicit schema). Maps the wire's camelCase to
+    engine column names."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), REVIEW_JSON_SCHEMA).alias("r")
+    )
+    return parsed.select(
+        F.col("r.userId").alias("user_id"),
+        F.col("r.productId").alias("product_id"),
+        F.col("r.review").alias("rating"),
+        F.col("r.timestamp").alias("ts"),
+    )
+
+
+def read_review_stream_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based replay source: a directory of JSON-lines files, each line
+    one wire-format review — the test/demo stand-in for the Kafka topic
+    (kafka_stream_generator.py:27-41 replays CSV rows the same way).
+    ``maxFilesPerTrigger`` is the replay throttle (T4)."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return parse_review_json(raw)
+
+
+def read_review_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "Reviews",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (S4; RealTimeRecommendations.java:40-48). Requires the
+    spark-sql-kafka package on the classpath; not exercised in tests (no
+    broker in this container) but the plan construction is identical to the
+    file source after `parse_review_json`."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_review_json(raw)
+
+
+def enrich_with_recommendations(
+    reviews: DataFrame,
+    user_recommendations: DataFrame,
+    top_products: DataFrame,
+    cap: int = MAX_RECOMMENDATION_SIZE,
+) -> DataFrame:
+    """The J5 lookup join, declaratively: distinct users in the (micro-)batch
+    left-join the per-user model; users missing from the model fall back to
+    the global top-products list; result capped at ``cap``
+    (RealTimeRecommendations.java:89-124, fallback at :104, cap at :109).
+
+    Works identically on a static batch or inside ``foreachBatch``. Product
+    ids are stringified (KafkaOutput.java:7 carries Set<String>); the array
+    is sorted before capping for deterministic semantics (SURVEY.md §7).
+
+    Returns (user_id, recommended_products ARRAY<STRING>).
+    """
+    user_recs = (
+        user_recommendations.groupBy("user_id")
+        .agg(
+            F.collect_set(F.col("product_id").cast("string")).alias("recs")
+        )
+    )
+    top_arr = top_products.select(
+        F.collect_set(F.col("product_id").cast("string")).alias("top_recs")
+    )
+    return (
+        reviews.select("user_id")
+        .distinct()
+        .join(user_recs, "user_id", "left")
+        .crossJoin(F.broadcast(top_arr))
+        .select(
+            "user_id",
+            F.slice(
+                F.array_sort(
+                    F.coalesce(
+                        F.col("recs"),
+                        F.col("top_recs"),
+                        F.array().cast("array<string>"),
+                    )
+                ),
+                1,
+                cap,
+            ).alias("recommended_products"),
+        )
+    )
+
+
+def to_output_json(enriched: DataFrame) -> DataFrame:
+    """Engine rows → Kafka `Output` topic wire format
+    (KafkaOutputSerialization.java:10-19): JSON
+    `{"userId": ..., "recommendedProducts": [...]}` in a `value` column."""
+    return enriched.select(
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("userId"),
+                F.col("recommended_products").alias("recommendedProducts"),
+            )
+        ).alias("value")
+    )
+
+
+def start_speed_layer(
+    reviews_stream: DataFrame,
+    user_recommendations_path: str,
+    top_products_path: str,
+    user_ratings_out: str,
+    output_out: str,
+    checkpoint_dir: str,
+):
+    """Wire the full speed layer: one micro-batch does both sinks (T3) —
+    (a) append new ratings to the `user_ratings` table (S6: Redis SADD →
+    dedup-on-write append) and (b) emit enriched recommendations as JSON
+    (S5). The model tables are re-read *inside* foreachBatch, so each batch
+    sees the latest published model — the reference's per-event-Redis-read
+    freshness contract.
+
+    Returns the StreamingQuery.
+    """
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # (a) persist ratings with SADD semantics: globally idempotent, so
+        # dedup within the batch AND against the already-persisted table
+        # (anti-join on the full set key). With a Delta/Iceberg table this
+        # would be a MERGE; on plain parquet the anti-join is the portable
+        # equivalent (the batch side is small; the existing side is pruned
+        # to the join keys by column pruning).
+        new_ratings = batch.select("user_id", "product_id", "rating").distinct()
+        try:
+            existing = spark.read.parquet(user_ratings_out)
+            new_ratings = new_ratings.join(
+                existing, ["user_id", "product_id", "rating"], "left_anti"
+            )
+        except Exception:
+            pass  # first batch: table does not exist yet
+        new_ratings.write.mode("append").parquet(user_ratings_out)
+        # (b) enrich against the latest model snapshot and emit
+        user_recs = spark.read.parquet(user_recommendations_path)
+        top = spark.read.parquet(top_products_path)
+        enriched = enrich_with_recommendations(batch, user_recs, top)
+        to_output_json(enriched).write.mode("append").parquet(output_out)
+
+    return (
+        reviews_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
