@@ -108,23 +108,33 @@ def label_propagation(
     per vertex by construction, equivalent to the reference's
     ``zipWithUniqueId`` initialization (SURVEY.md §7 'semantic deltas').
 
-    Returns ``(id, label)``. Each iteration is join → groupBy → window argmax;
-    ``localCheckpoint`` truncates lineage between supersteps.
+    Returns ``(id, label)``. Each iteration is join → count per (id, label)
+    → ``max_by`` argmax; ``localCheckpoint`` truncates lineage between
+    supersteps.
+
+    Physical design: the argmax is ``max_by(label, struct(cnt, label))`` —
+    struct ordering is (count, label) lexicographic, exactly the Gelly
+    tie-break — instead of a window ``row_number``: both aggregations get
+    map-side partial aggregation and there is NO sort anywhere in the loop.
+    The (big) edge relation is shuffled to its join distribution once per
+    iteration while only the (small) label relation changes.
     """
     edges = undirected_edges.select("src", "dst").localCheckpoint()
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("label").desc())
     for _ in range(iterations):
         labels = (
             edges.join(labels, edges["src"] == labels["id"], "inner")
             .select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", "label")
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), F.col("label"))
+                ).alias("label")
+            )
             .localCheckpoint()
         )
     return labels

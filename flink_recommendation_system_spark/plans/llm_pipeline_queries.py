@@ -135,7 +135,7 @@ FROM documents GROUP BY sha256(text)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
 NGRAM_JACCARD_SQL = """
@@ -148,7 +148,7 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
 FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.6
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
 """
 
 
@@ -218,15 +218,20 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline for the LSH variant. Threshold low enough to yield rows on
     random synthetic embeddings."""
     emb = _emb(spark, sf_dir)
-    a = emb.alias("a")
-    b = emb.alias("b")
+    v = emb.select(
+        "vec_id", "embedding", S._norm(F.col("embedding")).alias("nrm")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
             F.round(
-                S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                S._dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.9)

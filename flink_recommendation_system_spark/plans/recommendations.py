@@ -45,7 +45,11 @@ def user_recommendations(
     liked by the user's community minus the user's own liked products
     (Recommendations.java:68-77; anti-join semantics at :74).
     """
-    liked = good_reviews(reviews)
+    # `liked` feeds three consumers (edge build, candidate expansion, the
+    # anti-join); materialize once instead of re-running scan+filter+distinct
+    # per consumer. At warehouse scale this would be a persisted intermediate
+    # table; localCheckpoint is the in-session equivalent.
+    liked = good_reviews(reviews).localCheckpoint()
     edges = co_review_edges(liked, max_reviewers_per_product)
     labels = label_propagation(undirected(edges), iterations)
 
