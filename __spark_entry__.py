@@ -21,6 +21,7 @@ from flink_recommendation_system_spark.operators import graph as G
 from flink_recommendation_system_spark.plans import (
     llm_pipeline_queries,
     relational_queries,
+    streaming_queries,
 )
 from flink_recommendation_system_spark.plans.recommendations import (
     user_recommendations,
@@ -92,7 +93,11 @@ def _q_serving_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Extension suites: each module exports QUERIES: name → (spark_fn, sql|None).
-_SUITES = [relational_queries.QUERIES, llm_pipeline_queries.QUERIES]
+_SUITES = [
+    relational_queries.QUERIES,
+    llm_pipeline_queries.QUERIES,
+    streaming_queries.QUERIES,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

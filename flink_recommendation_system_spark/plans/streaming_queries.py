@@ -1,0 +1,77 @@
+"""Windowed / event-time query suite over the `events` stream table.
+
+These are the streaming-native extensions (SURVEY.md §2.8 notes the
+reference has none): tumbling-window stats and gap-based session windows,
+defined once in ``streaming.windows`` and validated here in batch mode
+against integer-arithmetic DuckDB oracles. The same functions run under
+``readStream`` + watermark (tests/test_streaming_windows.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from ..streaming.windows import session_window_stats, tumbling_window_stats
+
+TUMBLE_SEC = 3600
+SESSION_GAP_SEC = 1800
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_stats(
+        load_table(spark, sf_dir, "events"), width_sec=TUMBLE_SEC
+    )
+
+
+EVENT_WINDOWS_SQL = f"""
+WITH e AS (
+    SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, event_type, value
+    FROM events
+)
+SELECT (s // {TUMBLE_SEC}) * {TUMBLE_SEC} AS win_start_sec,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM e
+GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_stats(
+        load_table(spark, sf_dir, "events"), gap_sec=SESSION_GAP_SEC
+    )
+
+
+# Gap-based sessionization as an islands-and-gaps window query. Spark's
+# session_window merges [t1, t1+gap) with [t2, t2+gap) iff t2 < t1+gap, so a
+# NEW session starts exactly when the gap is >= SESSION_GAP_SEC.
+USER_SESSIONS_SQL = f"""
+WITH e AS (
+    SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+m AS (
+    SELECT user_id, s,
+           CASE WHEN lag(s) OVER w IS NULL
+                     OR s - lag(s) OVER w >= {SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY s)
+),
+g AS (
+    SELECT user_id, s,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM m
+)
+SELECT min(s) AS session_start_sec, user_id, count(*) AS n_events
+FROM g GROUP BY user_id, sess_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "event_windows": (q_event_windows, EVENT_WINDOWS_SQL),
+    "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
+}

@@ -1,0 +1,84 @@
+"""Event-time windowed aggregation with watermark-based late-data handling.
+
+The reference carries a watermark but never consumes it — no windows, no
+stateful aggregation exist there (SURVEY.md §2.8 "Not implemented"). A real
+stream engine needs them, so this module adds the standard set as
+extensions, each expressed once and runnable in batch (oracle-checkable)
+and streaming (watermark + state) modes:
+
+- tumbling-window counts/sums per event type;
+- sliding windows (via ``F.window`` slideDuration);
+- session windows (gap-based, ``F.session_window``).
+
+Scale notes: windowed aggregation shuffles on (window, key) with map-side
+partial aggregation; the watermark bounds state size — without it a 100 TB
+stream accumulates unbounded window state. ``withWatermark`` + append mode
+emits each window exactly once when it finalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+
+def events_with_event_time(events: DataFrame) -> DataFrame:
+    """events.ts is epoch-nanos LongType (see sources.tables.load_table);
+    derive a proper TIMESTAMP event-time column plus exact epoch seconds."""
+    sec = F.expr(f"CAST(ts DIV {NS} AS BIGINT)")
+    return events.withColumn("ts_sec", sec).withColumn(
+        "event_time", F.timestamp_seconds(sec)
+    )
+
+
+def tumbling_window_stats(
+    events: DataFrame, width_sec: int = 3600, watermark: str | None = None
+) -> DataFrame:
+    """Per (tumbling window, event_type): event count and value sum.
+
+    Output uses exact integer window bounds (``win_start_sec``) so the
+    DuckDB oracle can reproduce it with integer arithmetic — the TIMESTAMP
+    window struct stays internal.
+    """
+    e = events_with_event_time(events)
+    if watermark is not None:
+        e = e.withWatermark("event_time", watermark)
+    win = F.window("event_time", f"{width_sec} seconds")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap_sec: int = 1800, watermark: str | None = None
+) -> DataFrame:
+    """Per-user session windows (gap-close after ``gap_sec`` of silence):
+    session start + event count. The canonical stateful-streaming operator
+    the reference lacks."""
+    e = events_with_event_time(events)
+    if watermark is not None:
+        e = e.withWatermark("event_time", watermark)
+    win = F.session_window("event_time", f"{gap_sec} seconds")
+    return (
+        e.groupBy(win, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias(
+                "session_start_sec"
+            ),
+            "user_id",
+            "n_events",
+        )
+    )

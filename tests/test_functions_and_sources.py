@@ -1,0 +1,94 @@
+"""Coverage for the UDF extension surface (§2.10), CSV source/sink (S1/S9),
+and the seeded random split (X1 literal form)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.functions import (
+    cosine_pairs_pandas,
+    rating_zscore,
+)
+from flink_recommendation_system_spark.functions.pandas_fns import (
+    top_k_per_group_pandas,
+)
+from flink_recommendation_system_spark.operators.relational import random_split
+from flink_recommendation_system_spark.operators.similarity import cosine
+from flink_recommendation_system_spark.sources.tables import (
+    load_csv_reviews,
+    load_table,
+    reviews_from_events,
+)
+from tests.conftest import SF0001
+
+
+def test_rating_zscore_pandas_udf(spark):
+    reviews = reviews_from_events(spark, SF0001)
+    z = rating_zscore(reviews)
+    rows = z.filter(F.col("product_id") == 0).collect()
+    vals = [r["rating"] for r in rows]
+    mean = sum(vals) / len(vals)
+    std = math.sqrt(sum((v - mean) ** 2 for v in vals) / len(vals))
+    for r in rows:
+        expected = (r["rating"] - mean) / (std if std else 1.0)
+        assert abs(r["rating_z"] - expected) < 1e-9
+
+
+def test_cosine_pairs_pandas_close_to_jvm(spark):
+    emb = load_table(spark, SF0001, "embeddings").limit(50)
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.embedding").alias("a_vec"),
+            F.col("b.embedding").alias("b_vec"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("jvm_cos"),
+        )
+    )
+    out = cosine_pairs_pandas(pairs).collect()
+    for r in out:
+        assert abs(r["cosine_sim"] - r["jvm_cos"]) < 1e-9
+
+
+def test_top_k_per_group_applyinpandas(spark):
+    orders = load_table(spark, SF0001, "orders")
+    got = top_k_per_group_pandas(orders, "o_custkey", "o_totalprice", 3)
+    w_expected = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .collect()
+    )
+    mx = {r["o_custkey"]: r["mx"] for r in w_expected}
+    by_cust: dict = {}
+    for r in got.collect():
+        by_cust.setdefault(r["o_custkey"], []).append(r["o_totalprice"])
+    for cust, vals in by_cust.items():
+        assert len(vals) <= 3
+        assert max(vals) == mx[cust]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    """S1/S9: the reference's CSV contract `(UserId,ProductId,Review,
+    Timestamp)` without header (spliter.py:19,32-33)."""
+    reviews = reviews_from_events(spark, SF0001).limit(100)
+    path = str(tmp_path / "reviews_csv")
+    reviews.write.csv(path)  # no header, like spliter.py index=False
+    back = load_csv_reviews(spark, path)
+    assert back.schema == reviews.schema
+    assert back.count() == 100
+    assert back.exceptAll(reviews).count() == 0
+
+
+def test_random_split_invariants(spark):
+    """X1 (spliter.py:24-25): seeded split — parts are disjoint and cover
+    the input; same seed reproduces exactly."""
+    reviews = reviews_from_events(spark, SF0001).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    a1, b1 = random_split(reviews, [0.8, 0.2], seed=200)
+    a2, b2 = random_split(reviews, [0.8, 0.2], seed=200)
+    assert a1.count() + b1.count() == reviews.count()
+    assert a1.join(b1, "rid", "left_semi").count() == 0
+    assert a1.exceptAll(a2).count() == 0 and b1.exceptAll(b2).count() == 0

@@ -1,0 +1,80 @@
+"""Windowed aggregation in real streaming mode: file-source replay with
+watermark; completed windows must equal the batch-mode result (the same
+function, which is itself oracle-checked via the driver contract)."""
+
+from __future__ import annotations
+
+from flink_recommendation_system_spark.sources.tables import load_table
+from flink_recommendation_system_spark.streaming.windows import (
+    tumbling_window_stats,
+)
+from tests.conftest import SF0001
+
+
+def test_streaming_tumbling_windows_match_batch(spark, tmp_path):
+    events = load_table(spark, SF0001, "events")
+    # replay input: the same events as parquet split across files
+    src = str(tmp_path / "events_in")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = tumbling_window_stats(stream, width_sec=3600, watermark="0 seconds")
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_agg")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["win_start_sec"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    expected = {
+        (r["win_start_sec"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in tumbling_window_stats(events, width_sec=3600).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_append_mode_emits_finalized_windows(spark, tmp_path):
+    """Append mode + watermark: all windows strictly below the final
+    watermark are emitted exactly once."""
+    events = load_table(spark, SF0001, "events")
+    src = str(tmp_path / "events_in2")
+    events.orderBy("ts").coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = tumbling_window_stats(stream, width_sec=3600, watermark="1 hour")
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from win_append").collect()
+    keys = [(r["win_start_sec"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys)), "a finalized window was emitted twice"
+    # emitted rows must agree with the batch computation
+    expected = {
+        (r["win_start_sec"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in tumbling_window_stats(events, width_sec=3600).collect()
+    }
+    for r in rows:
+        assert expected[(r["win_start_sec"], r["event_type"])] == (
+            r["n_events"],
+            r["value_sum"],
+        )
