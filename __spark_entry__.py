@@ -81,6 +81,17 @@ def _q_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_recommendations(reviews_from_events(spark, sf_dir))
 
 
+def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS counterpart of the LPA recommender — rows-only check
+    (iterative factorization is not SQL-expressible; invariants in
+    tests/test_mllib_variants.py)."""
+    from flink_recommendation_system_spark.plans.als_recommendations import (
+        als_user_recommendations,
+    )
+
+    return als_user_recommendations(reviews_from_events(spark, sf_dir))
+
+
 def _q_serving_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_recommendation_system_spark.streaming.pipeline import (
         enrich_with_recommendations,
@@ -112,6 +123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_sizes": _q_community_sizes,
         "user_recommendations": _q_user_recommendations,
         "serving_snapshot": _q_serving_snapshot,
+        "als_recommendations": _q_als_recommendations,
+        # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
+        # deliberately NOT registered: approxSimilarityJoin on this corpus
+        # (word-soup docs where most pairs collide in some hash table) is
+        # >40× slower than the hand-rolled banded MinHash registered above,
+        # which covers the same capability in the driver contract. They
+        # remain tested library operators (tests/test_mllib_variants.py).
     }
     for suite in _SUITES:
         for name, (fn, _sql) in suite.items():
