@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_recommendation_system_spark import oracles
 from flink_recommendation_system_spark.operators import graph as G
 from flink_recommendation_system_spark.plans import (
+    analytics_queries,
     llm_pipeline_queries,
     relational_queries,
     streaming_queries,
@@ -81,6 +82,12 @@ def _q_user_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_recommendations(reviews_from_events(spark, sf_dir))
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.connected_components(
+        G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
+    )
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -108,6 +115,7 @@ _SUITES = [
     relational_queries.QUERIES,
     llm_pipeline_queries.QUERIES,
     streaming_queries.QUERIES,
+    analytics_queries.QUERIES,
 ]
 
 
@@ -123,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_sizes": _q_community_sizes,
         "user_recommendations": _q_user_recommendations,
         "serving_snapshot": _q_serving_snapshot,
+        "connected_components": _q_connected_components,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -153,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "community_sizes": oracles.COMMUNITY_SIZES_SQL,
         "user_recommendations": oracles.USER_RECOMMENDATIONS_SQL,
         "serving_snapshot": oracles.SERVING_SNAPSHOT_SQL,
+        "connected_components": oracles.CONNECTED_COMPONENTS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

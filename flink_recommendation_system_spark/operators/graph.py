@@ -140,6 +140,54 @@ def label_propagation(
     return labels
 
 
+def connected_components(
+    undirected_edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every vertex
+    repeatedly adopts min(own label, neighbors' labels) until fixpoint
+    (early-exit when an iteration changes nothing). Returns (id, component)
+    where component = min vertex id in the component.
+
+    The second iterative graph operator (beyond LPA) a graph workload needs;
+    same physical shape: join → partial-aggregated min → localCheckpoint,
+    driver only orchestrates the loop. For web-scale graphs the large-star/
+    small-star variant halves the iteration count; min-propagation converges
+    in O(diameter) which is ≤ 5 on co-review-style graphs.
+    """
+    edges = undirected_edges.select("src", "dst").localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"], "inner")
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def community_sizes(labels: DataFrame) -> DataFrame:
     """`SELECT label, COUNT(*) GROUP BY label` — the reference's diagnostic
     group-reduce (Recommendations.java:83-98; SURVEY.md §2.3 A2).

@@ -134,6 +134,20 @@ COMMUNITY_SIZES_SQL = (
     "SELECT label, count(*) AS community_size FROM l5 GROUP BY label"
 )
 
+# Connected components = min vertex id reachable from each vertex; the
+# recursive CTE computes the reachability closure (fine at oracle scale;
+# the Spark side uses iterative min-propagation which scales linearly).
+CONNECTED_COMPONENTS_SQL = (
+    f"WITH RECURSIVE {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n"
+    """reach(id, r) AS (
+    SELECT src AS id, src AS r FROM edges
+    UNION
+    SELECT e.dst AS id, reach.r AS r
+    FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+)
+
 # Speed-layer serving snapshot (RealTimeRecommendations.java:89-124 as a
 # batch query): every user seen in the stream gets their model recs, falling
 # back to global top-products, sorted + capped at 20, ids stringified.

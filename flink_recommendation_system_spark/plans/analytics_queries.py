@@ -1,0 +1,184 @@
+"""Second relational/analytical suite: multi-level aggregation (ROLLUP),
+distinct-count aggregates (exact + HLL sketch), EXISTS-correlated counts,
+conditional aggregation, and decile statistics — rounding out the §2.3/§2.9
+surface with the aggregate shapes any warehouse workload needs.
+
+Entries: ``name → (spark_fn, oracle_sql | None)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, order priority): per-pair, per-nation subtotal,
+    and grand total in one pass (partial-aggregated grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        base.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT n_name, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregates per part type (supplier diversity)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+PART_TYPE_STATS_SQL = """
+SELECT p_type,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+def q_approx_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct count (approx_count_distinct) per part brand —
+    the constant-memory sketch a 100 TB distinct-count uses. Rows-only in
+    the driver (HLL estimates are engine-specific); accuracy vs the exact
+    count is asserted in tests."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+                "approx_orders"
+            )
+        )
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders with at least one lineitem (EXISTS semi-join),
+    counted by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-based conditional aggregation (pivot-style) in one scan: per
+    nation, revenue split by high/low order value."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    hi = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).otherwise(
+        F.lit(0.0)
+    )
+    lo = F.when(F.col("o_totalprice") <= 100000, F.col("o_totalprice")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(hi), 2).alias("rev_high"),
+            F.round(F.sum(lo), 2).alias("rev_low"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order"),
+        )
+    )
+
+
+CONDITIONAL_AGG_SQL = """
+SELECT n_name,
+       round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0.0 END), 2)
+           AS rev_high,
+       round(sum(CASE WHEN o_totalprice <= 100000 THEN o_totalprice ELSE 0.0 END), 2)
+           AS rev_low,
+       round(avg(o_totalprice), 4) AS avg_order
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile of customers by account balance + per-decile stats —
+    the ranking-window + re-aggregation shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    with_decile = cust.withColumn("decile", F.ntile(10).over(w))
+    return with_decile.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        F.round(F.min("c_acctbal"), 2).alias("min_balance"),
+    )
+
+
+CUSTOMER_DECILES_SQL = """
+SELECT decile,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_balance,
+       round(min(c_acctbal), 2) AS min_balance
+FROM (
+    SELECT c_acctbal,
+           ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+    FROM customer
+)
+GROUP BY decile
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "revenue_rollup": (q_revenue_rollup, REVENUE_ROLLUP_SQL),
+    "part_type_stats": (q_part_type_stats, PART_TYPE_STATS_SQL),
+    "approx_supplier_counts": (q_approx_supplier_counts, None),
+    "order_priority_counts": (q_order_priority_counts, ORDER_PRIORITY_COUNTS_SQL),
+    "conditional_agg": (q_conditional_agg, CONDITIONAL_AGG_SQL),
+    "customer_deciles": (q_customer_deciles, CUSTOMER_DECILES_SQL),
+}
