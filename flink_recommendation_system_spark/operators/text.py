@@ -67,7 +67,7 @@ def quality_stats(docs: DataFrame) -> DataFrame:
     sw_ratio = F.round(stopword_count("text") / n_tok, 6)
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
         sw_ratio.alias("stopword_ratio"),
         # Quality: long enough, not stopword-soup. Deterministic integer

@@ -152,7 +152,7 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranking-window + re-aggregation shape."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    with_decile = cust.withColumn("decile", F.ntile(10).over(w))
+    with_decile = cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
     return with_decile.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),

@@ -40,10 +40,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # counts cast to long: Spark size() is 32-bit, DuckDB len() is BIGINT
     return _docs(spark, sf_dir).select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        F.size(T.bpe_ish_tokens("text")).alias("n_subword_tokens"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_subword_tokens"),
     )
 
 
