@@ -83,6 +83,25 @@ def read_review_stream_kafka(
     return parse_review_json(raw)
 
 
+def write_output_kafka(
+    enriched: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "Output",
+    checkpoint_dir: str = "/tmp/ckpt-output",
+):
+    """Kafka sink (S5; RealTimeRecommendations.java:58-68): serialized via
+    ``to_output_json``. Requires the spark-sql-kafka package; file-sink
+    parity path is exercised in tests instead (no broker in container)."""
+    return (
+        to_output_json(enriched)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def enrich_with_recommendations(
     reviews: DataFrame,
     user_recommendations: DataFrame,
