@@ -174,8 +174,79 @@ GROUP BY decile
 """
 
 
+def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90/p99) of order value per priority —
+    Spark `percentile` and DuckDB `quantile_cont` share linear
+    interpolation, so values match exactly after rounding."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORDER_VALUE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_nations_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: nation keys present in BOTH customer and supplier
+    (complement of the union coverage in `active_nations`)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+NATIONS_IN_BOTH_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_customer_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: regexp_extract the numeric suffix of the
+    customer name, upper-case prefix, LIKE-style filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").like("%1%"))
+        .select(
+            "c_custkey",
+            F.upper(F.col("c_name")).alias("name_upper"),
+            F.regexp_extract("c_name", r"(\d+)$", 1).cast("long").alias(
+                "name_num"
+            ),
+            F.length("c_name").cast("long").alias("name_len"),
+        )
+    )
+
+
+CUSTOMER_NAME_PARSE_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) AS name_num,
+       CAST(strlen(c_name) AS BIGINT) AS name_len
+FROM customer
+WHERE c_name LIKE '%1%'
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "revenue_rollup": (q_revenue_rollup, REVENUE_ROLLUP_SQL),
+    "order_value_quantiles": (q_order_value_quantiles, ORDER_VALUE_QUANTILES_SQL),
+    "nations_in_both": (q_nations_in_both, NATIONS_IN_BOTH_SQL),
+    "customer_name_parse": (q_customer_name_parse, CUSTOMER_NAME_PARSE_SQL),
     "part_type_stats": (q_part_type_stats, PART_TYPE_STATS_SQL),
     "approx_supplier_counts": (q_approx_supplier_counts, None),
     "order_priority_counts": (q_order_priority_counts, ORDER_PRIORITY_COUNTS_SQL),
