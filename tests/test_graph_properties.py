@@ -1,0 +1,103 @@
+"""Property/invariant tests for the graph pipelines (SURVEY.md §5.3;
+FIXTURES.md §1 graph-shape requirements): hand-built graphs with known
+community ground truth, plus hypothesis-generated review sets for the
+recommendation invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators import graph as G
+from flink_recommendation_system_spark.plans.recommendations import (
+    user_recommendations,
+)
+
+
+def _reviews_df(spark, rows):
+    return spark.createDataFrame(
+        [(u, p, r, 0) for (u, p, r) in rows],
+        ["user_id", "product_id", "rating", "ts"],
+    )
+
+
+def test_lpa_two_disjoint_cliques_yield_two_communities(spark):
+    """FIXTURES.md §1: two disjoint reviewer cliques (users co-reviewing
+    well-rated products, no cross-products) → exactly 2 communities, each
+    clique label-uniform; an isolated user (no shared products) is absent
+    from the graph entirely."""
+    clique_a = [(u, p, 5.0) for u in (1, 2, 3, 4) for p in (100, 101)]
+    clique_b = [(u, p, 5.0) for u in (10, 11, 12, 13) for p in (200, 201)]
+    isolated = [(99, 999, 5.0)]
+    reviews = _reviews_df(spark, clique_a + clique_b + isolated)
+
+    liked = G.good_reviews(reviews)
+    labels = G.label_propagation(G.undirected(G.co_review_edges(liked)))
+    got = {r["id"]: r["label"] for r in labels.collect()}
+
+    assert set(got) == {1, 2, 3, 4, 10, 11, 12, 13}  # isolated user absent
+    labels_a = {got[u] for u in (1, 2, 3, 4)}
+    labels_b = {got[u] for u in (10, 11, 12, 13)}
+    assert len(labels_a) == 1 and len(labels_b) == 1
+    assert labels_a != labels_b
+
+
+def test_lpa_labels_form_partition_of_vertices(spark):
+    clique = [(u, 100, 5.0) for u in range(1, 6)]
+    chain = [(u, 200 + u, 4.5) for u in range(20, 24)] + [
+        (u + 1, 200 + u, 4.5) for u in range(20, 24)
+    ]
+    reviews = _reviews_df(spark, clique + chain)
+    liked = G.good_reviews(reviews)
+    edges = G.undirected(G.co_review_edges(liked))
+    labels = G.label_propagation(edges)
+    vertex_ids = {r["id"] for r in G.induced_vertices(edges).collect()}
+    label_rows = labels.collect()
+    assert {r["id"] for r in label_rows} == vertex_ids  # exactly one label each
+    assert len(label_rows) == len(vertex_ids)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),  # user
+            st.integers(min_value=1, max_value=6),  # product
+            st.sampled_from([1.0, 2.0, 3.0, 4.0, 5.0]),
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_recommendations_invariants(spark, rows):
+    """For arbitrary small review sets: (1) a user is never recommended a
+    product they already liked (Recommendations.java:74 semantics); (2)
+    every recommendation is liked by someone in the user's community."""
+    reviews = _reviews_df(spark, rows)
+    recs = user_recommendations(reviews).collect()
+    liked = {
+        (r["user_id"], r["product_id"])
+        for r in G.good_reviews(reviews).collect()
+    }
+    liked_products_by_user: dict = {}
+    for u, p in liked:
+        liked_products_by_user.setdefault(u, set()).add(p)
+
+    labels = {
+        r["id"]: r["label"]
+        for r in G.label_propagation(
+            G.undirected(G.co_review_edges(G.good_reviews(reviews)))
+        ).collect()
+    }
+    for r in recs:
+        u, p = r["user_id"], r["product_id"]
+        assert (u, p) not in liked  # never recommend own liked product
+        community = {v for v, l in labels.items() if l == labels[u]}
+        assert any(
+            p in liked_products_by_user.get(member, set()) for member in community
+        )
