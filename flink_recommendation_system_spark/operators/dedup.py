@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -46,6 +46,14 @@ def ngram_jaccard_pairs(
     """Near-duplicate pairs by Jaccard similarity of distinct-token sets,
     blocked on ``block_col`` (same-language candidates only) — the exact,
     quadratic baseline. Output: (a_id, b_id, jaccard) with a_id < b_id.
+
+    Adaptive fast path: when the corpus vocabulary fits in 64 distinct
+    tokens, each document's token set is packed into ONE 64-bit mask
+    (bit id = rank of the token in sorted vocab — engine-independent), and
+    per-pair work collapses to `bit_count(a & b)` — constant-time integer
+    ops instead of hashing two arrays. Values are identical (same distinct-
+    token Jaccard), so the oracle is unaffected. Vocabulary discovery is a
+    tiny driver-side count, the same adaptive-planning trade AQE makes.
     """
     toks = (
         docs.select(
@@ -55,6 +63,49 @@ def ngram_jaccard_pairs(
         )
         .withColumn("sz", F.size("toks"))
     )
+    vocab = (
+        toks.select(F.explode("toks").alias("tok"))
+        .distinct()
+        .withColumn(
+            "bit_id",
+            F.row_number().over(Window.orderBy(F.col("tok").asc())) - 1,
+        )
+    )
+    vocab_size = vocab.count()
+    if vocab_size <= 64:
+        masks = (
+            toks.select("doc_id", "_block", "sz", F.explode("toks").alias("tok"))
+            .join(F.broadcast(vocab), "tok")
+            .groupBy("doc_id", "_block", "sz")
+            .agg(
+                # bits are unique per doc (distinct tokens) → sum == OR
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit_id)")).alias(
+                    "mask"
+                )
+            )
+        )
+        a = masks.alias("a")
+        b = masks.alias("b")
+        inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask"))).cast(
+            "long"
+        )
+        union = F.col("a.sz") + F.col("b.sz") - inter
+        jac = F.round(inter.cast("double") / union, 6)
+        size_ok = (
+            F.least(F.col("a.sz"), F.col("b.sz")).cast("double")
+            >= F.greatest(F.col("a.sz"), F.col("b.sz")) * threshold
+        )
+        return (
+            a.join(b, F.col("a._block") == F.col("b._block"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(size_ok)
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     a = toks.alias("a")
     b = toks.alias("b")
     # One set op per pair: |A∪B| = |A|+|B|-|A∩B| (toks are distinct), so
