@@ -59,13 +59,18 @@ def cosine_topk(
     and breaks ties on neighbor_id, so the result is engine-independent.
     """
     # Norms are computed once per vector, not once per pair — the pair
-    # scoring then costs a single unrolled dot product.
+    # scoring then costs a single dot product.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    # The corpus side drives parallelism of the broadcast nested-loop join;
+    # a small parquet file scans as 1 partition, which would serialize the
+    # whole O(Q×N) scoring on one core — spread it first. (At real scale
+    # the corpus is many splits and this is a no-op cost-wise.)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),

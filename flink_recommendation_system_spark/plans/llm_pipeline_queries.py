@@ -222,7 +222,9 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", "embedding", S._norm(F.col("embedding")).alias("nrm")
     )
-    a = v.alias("a")
+    # Spread the streamed side of the nested-loop self-join: a small
+    # single-file corpus otherwise scores all O(N²) pairs on one core.
+    a = v.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
