@@ -1,0 +1,59 @@
+"""Stream-stream joins and streaming deduplication — the remaining
+Structured-Streaming operator families (beyond the reference's surface,
+which has neither; SURVEY.md §2.8 "Not implemented").
+
+- ``stream_stream_join``: inner join of two event streams on a key with an
+  event-time range bound. Both sides carry watermarks so the state store
+  can evict rows whose match window has passed — without the time bound a
+  stream-stream join's state grows forever.
+- ``dedup_stream``: watermarked `dropDuplicates` — exactly-once event
+  delivery semantics over an at-least-once transport, state bounded by the
+  watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "event_time",
+    right_time: str = "event_time",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Inner stream-stream equi-join on ``key`` where the right event
+    occurs within [left_time, left_time + max_lag]. Column names on the
+    right are suffixed `_r`."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    rw = rw.select(
+        *[F.col(c).alias(f"{c}_r") for c in rw.columns]
+    )
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_time}_r") >= F.col(left_time))
+        & (
+            F.col(f"{right_time}_r")
+            <= F.col(left_time) + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming deduplication on ``keys``: duplicates arriving
+    within the watermark horizon are dropped exactly once; state for old
+    keys is evicted as the watermark advances."""
+    return stream.withWatermark(time_col, watermark).dropDuplicates(
+        keys + [time_col]
+    )
