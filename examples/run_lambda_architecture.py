@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end demo of the full lambda architecture — the three reference
+pipelines (SURVEY.md §3) run against the driver testdata:
+
+1. batch layer A: top products  → publishes `top_products`
+2. batch layer B: LPA collaborative filtering → publishes `user_recommendations`
+3. speed layer: replay the review stream, enrich per user with fallback,
+   emit wire-format JSON + maintain the `user_ratings` table idempotently
+
+Usage: python examples/run_lambda_architecture.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_recommendation_system_spark.plans.recommendations import (
+    publish_user_recommendations,
+    user_recommendations,
+)
+from flink_recommendation_system_spark.plans.top_products import (
+    publish_top_products,
+    top_products,
+)
+from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.sources.tables import reviews_from_events
+from flink_recommendation_system_spark.streaming.pipeline import (
+    read_review_stream_json,
+    start_speed_layer,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="lambda-")
+    spark = get_spark("lambda-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reviews = reviews_from_events(spark, sf_dir)
+
+    # --- batch layer A ---
+    top = top_products(reviews)
+    publish_top_products(top.select("product_id"), f"{out}/top_products")
+    print(f"[batch A] top products published: {top.count()} rows")
+
+    # --- batch layer B ---
+    recs = user_recommendations(reviews)
+    publish_user_recommendations(recs, f"{out}/user_recommendations")
+    print(f"[batch B] user recommendations published: {recs.count()} rows")
+
+    # --- speed layer: replay the reviews as a JSON wire stream ---
+    stream_in = f"{out}/stream_in"
+    os.makedirs(stream_in, exist_ok=True)
+    rows = reviews.limit(500).collect()
+    for i in range(3):
+        with open(f"{stream_in}/part-{i}.json", "w") as f:
+            for r in rows[i::3]:
+                f.write(
+                    json.dumps(
+                        {
+                            "userId": r["user_id"],
+                            "productId": r["product_id"],
+                            "review": r["rating"],
+                            "timestamp": r["ts"],
+                        }
+                    )
+                    + "\n"
+                )
+    q = start_speed_layer(
+        read_review_stream_json(spark, stream_in),
+        f"{out}/user_recommendations",
+        f"{out}/top_products",
+        f"{out}/user_ratings",
+        f"{out}/output",
+        f"{out}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    served = spark.read.parquet(f"{out}/output")
+    ratings = spark.read.parquet(f"{out}/user_ratings")
+    print(f"[speed] served {served.count()} recommendation messages; "
+          f"{ratings.count()} distinct ratings persisted")
+    print(f"[speed] sample output: {served.first()['value'][:100]}")
+    print(f"artifacts in {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
