@@ -255,6 +255,26 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_pipeline(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Production near-dup ordering: **exact dedup first, MinHash second.**
+
+    LSH candidate generation is quadratic in exact-duplicate cluster size
+    (measured: a corpus of 10 exact copies exploded candidates 30,000×,
+    PERFORMANCE.md), while exact dedup is a single constant-size-key
+    shuffle. Running it first bounds the near-dup candidate set to the
+    distinct corpus. Output: (a_id, b_id, est_jaccard) over exact-dedup
+    survivors (cluster representatives, min doc_id).
+    """
+    survivors = exact_dedup(docs)
+    return minhash_lsh_pairs(survivors, num_hashes, bands, shingle_n, threshold)
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -159,6 +159,12 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup → MinHash-LSH on survivors (the scale-correct ordering;
+    see PERFORMANCE.md) — rows-only."""
+    return D.near_dup_pipeline(_docs(spark, sf_dir))
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming≤3 near-dups via quadrant blocking — rows-only."""
     return D.simhash_near_dups(_docs(spark, sf_dir))
@@ -282,6 +288,7 @@ QUERIES: dict[str, tuple] = {
     "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),
+    "near_dup_pipeline": (q_near_dup_pipeline, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "cosine_topk": (q_cosine_topk, COSINE_TOPK_SQL),
     "lsh_topk": (q_lsh_topk, None),

@@ -115,3 +115,24 @@ def test_exact_dedup_removes_planted_duplicates(spark):
     assert deduped.count() == n
     # winners are the minimum doc_id of each cluster → original ids survive
     assert deduped.filter(F.col("doc_id") >= 10000).count() == 0
+
+
+def test_near_dup_pipeline_collapses_exact_clusters(spark):
+    """Replicating the corpus 5x must leave the near-dup candidate set
+    unchanged (replicas collapse in the exact-dedup stage) — the property
+    that makes this ordering scale-correct."""
+    docs = _docs(spark).limit(30)
+    replicated = docs
+    for i in range(1, 5):
+        replicated = replicated.union(
+            docs.withColumn("doc_id", F.col("doc_id") + 10000 * i)
+        )
+    base = {
+        (r["a_id"], r["b_id"])
+        for r in D.near_dup_pipeline(docs, threshold=0.5).collect()
+    }
+    rep = {
+        (r["a_id"], r["b_id"])
+        for r in D.near_dup_pipeline(replicated, threshold=0.5).collect()
+    }
+    assert rep == base  # representatives are min doc_id → original ids
