@@ -179,6 +179,86 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
+    quantizer partitions the corpus into ``n_clusters`` cells; each query
+    probes its ``n_probe`` nearest centroids and exact-re-ranks only those
+    cells — the FAISS-IVF shape, expressed as DataFrame joins.
+
+    Scale shape: corpus cell assignment is one pass; the probe step is an
+    equi-join on cell id, so per-query work is O(probed fraction of the
+    corpus) instead of O(N). Same output columns as ``cosine_topk``; recall
+    < 1 by design (validated against the exact baseline in tests).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = corpus.sparkSession
+    feats = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "c_vec", "c_norm", "cell"
+    )
+
+    # centroid table (tiny) → each query scores all centroids, keeps n_probe
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_dist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "centroid_dist",
+            -_dot(F.col("q_vec"), F.col("centroid")),  # max cosine ≈ min -dot
+        )
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", "q_norm", "cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.99,

@@ -220,6 +220,63 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer, probe 4/16 cells) approximate top-k —
+    rows-only; recall vs the exact baseline asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    return S.ivf_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning gate: keep documents passing all three
+    quality heuristics, attach predicted language — the filter a corpus
+    pipeline applies before tokenization/dedup."""
+    docs = _docs(spark, sf_dir)
+    stats = T.quality_stats(docs).select("doc_id", "quality_score")
+    lang = T.language_id(docs)
+    return (
+        docs.join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("quality_score") == 3)
+        .select("doc_id", "lang", "pred_lang", "n_chars")
+    )
+
+
+CLEAN_CORPUS_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
+    FROM documents
+),
+q AS (
+    SELECT doc_id FROM t
+    JOIN documents USING (doc_id)
+    WHERE n_tok >= 10 AND n_chars >= 50 AND sw > 0
+),
+markers(pred_lang, marker) AS (VALUES {_MARKER_VALUES}),
+hits AS (
+    SELECT d.doc_id, m.pred_lang, count(*) AS hits
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents) d
+    JOIN markers m ON d.tok = m.marker
+    GROUP BY d.doc_id, m.pred_lang
+),
+best AS (
+    SELECT doc_id, pred_lang FROM (
+        SELECT doc_id, pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, pred_lang ASC) AS rn
+        FROM hits
+    ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'und') AS pred_lang, d.n_chars
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
 def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ 0.9) — the oracle-checked
     baseline for the LSH variant. Threshold low enough to yield rows on
@@ -292,6 +349,8 @@ QUERIES: dict[str, tuple] = {
     "simhash_near_dups": (q_simhash_near_dups, None),
     "cosine_topk": (q_cosine_topk, COSINE_TOPK_SQL),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
     "multimodal_features": (q_multimodal_features, None),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),

@@ -136,3 +136,25 @@ def test_near_dup_pipeline_collapses_exact_clusters(spark):
         for r in D.near_dup_pipeline(replicated, threshold=0.5).collect()
     }
     assert rep == base  # representatives are min doc_id → original ids
+
+
+def test_ivf_topk_scores_correct_and_decent_recall(spark):
+    """IVF results must be exactly-scored corpus vectors; probing 4 of 16
+    cells should recover a reasonable share of the true top-5."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivf = S.ivf_topk(queries, emb, k=5).collect()
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in S.cosine_topk(queries, emb, k=10_000).collect()
+    }
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact_all
+        assert abs(exact_all[key] - r["cosine_sim"]) < 1e-9
+    exact5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(queries, emb, k=5).collect()
+    }
+    hit = len(exact5 & {(r["query_id"], r["neighbor_id"]) for r in ivf})
+    assert hit > 0  # non-flaky lower bound; typical recall is far higher
