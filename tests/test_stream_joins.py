@@ -85,8 +85,12 @@ def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # watermark must exceed the fixture's full time span (~41 days):
+    # rows older than the watermark are dropped as LATE, not as duplicates,
+    # and the replay files are unordered — a short watermark makes this
+    # test depend on file processing order.
     q = (
-        dedup_stream(stream, ["event_id"], watermark="10 hours")
+        dedup_stream(stream, ["event_id"], watermark="2000 hours")
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("dedup_out")

@@ -154,3 +154,32 @@ def test_review_json_parse_handles_malformed_lines(spark):
     # malformed → nulls, not exceptions (PERMISSIVE from_json)
     assert parsed[1]["user_id"] is None
     assert parsed[2]["user_id"] is None
+
+
+def test_streaming_top_products_refresh_converges_to_batch(spark, tmp_path):
+    """After replaying the full review stream, the continuously-refreshed
+    model must equal the batch top_products result exactly."""
+    from flink_recommendation_system_spark.streaming.model_refresh import (
+        start_top_products_refresh,
+    )
+
+    reviews = reviews_from_events(spark, SF0001)
+    stream_dir = _write_stream_files(tmp_path, reviews, n_files=4)
+    model_path = str(tmp_path / "top_model")
+
+    stream = read_review_stream_json(spark, stream_dir, max_files_per_trigger=1)
+    q = start_top_products_refresh(
+        stream, model_path, str(tmp_path / "ckpt_model")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["product_id"], r["avg_rating"], r["review_cnt"])
+        for r in spark.read.parquet(model_path).collect()
+    }
+    expected = {
+        (r["product_id"], r["avg_rating"], r["review_cnt"])
+        for r in top_products(reviews).collect()
+    }
+    assert got == expected
