@@ -12,9 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
-from ..streaming.windows import session_window_stats, tumbling_window_stats
+from ..streaming.windows import (
+    session_window_stats,
+    sliding_window_stats,
+    tumbling_window_stats,
+)
 
 TUMBLE_SEC = 3600
+SLIDE_WIDTH_SEC = 7200
+SLIDE_SEC = 3600
 SESSION_GAP_SEC = 1800
 
 
@@ -35,6 +41,35 @@ SELECT (s // {TUMBLE_SEC}) * {TUMBLE_SEC} AS win_start_sec,
        round(sum(value), 2) AS value_sum
 FROM e
 GROUP BY 1, 2
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_stats(
+        load_table(spark, sf_dir, "events"),
+        width_sec=SLIDE_WIDTH_SEC,
+        slide_sec=SLIDE_SEC,
+    )
+
+
+# Each event at second s falls into width/slide = 2 windows whose starts
+# are the slide-grid points in (s - width, s]: floor(s/slide)*slide and
+# that minus slide.
+SLIDING_WINDOWS_SQL = f"""
+WITH e AS (
+    SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, event_type
+    FROM events
+),
+expanded AS (
+    SELECT unnest([ (s // {SLIDE_SEC}) * {SLIDE_SEC},
+                    (s // {SLIDE_SEC}) * {SLIDE_SEC} - {SLIDE_SEC} ])
+               AS win_start_sec,
+           event_type
+    FROM e
+)
+SELECT win_start_sec, event_type, count(*) AS n_events
+FROM expanded
+GROUP BY win_start_sec, event_type
 """
 
 
@@ -73,5 +108,6 @@ FROM g GROUP BY user_id, sess_id
 
 QUERIES: dict[str, tuple] = {
     "event_windows": (q_event_windows, EVENT_WINDOWS_SQL),
+    "sliding_windows": (q_sliding_windows, SLIDING_WINDOWS_SQL),
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
 }

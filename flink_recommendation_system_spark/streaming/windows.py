@@ -61,6 +61,30 @@ def tumbling_window_stats(
     )
 
 
+def sliding_window_stats(
+    events: DataFrame,
+    width_sec: int = 7200,
+    slide_sec: int = 3600,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per (sliding window, event_type) counts — each event contributes to
+    ``width/slide`` overlapping windows. Same exact-integer output contract
+    as the tumbling variant."""
+    e = events_with_event_time(events)
+    if watermark is not None:
+        e = e.withWatermark("event_time", watermark)
+    win = F.window("event_time", f"{width_sec} seconds", f"{slide_sec} seconds")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_window_stats(
     events: DataFrame, gap_sec: int = 1800, watermark: str | None = None
 ) -> DataFrame:
