@@ -242,7 +242,118 @@ WHERE c_name LIKE '%1%'
 """
 
 
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front end: the top-products pipeline written as
+    Spark SQL text over registered views — everything the DataFrame API
+    queries do is equally available to SQL users (the reference has no SQL
+    surface at all; Catalyst gives it for free)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        WITH reviews AS (
+            SELECT user_id,
+                   CAST(get_json_object(props, '$.k') AS BIGINT) AS product_id,
+                   CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+            FROM events_v
+        )
+        SELECT product_id,
+               round(avg(rating), 6) AS avg_rating,
+               count(*) AS review_cnt
+        FROM reviews
+        GROUP BY product_id
+        HAVING count(*) > 10
+        ORDER BY avg_rating DESC, product_id ASC
+        LIMIT 20
+        """
+    )
+
+
+SQL_SURFACE_SQL = """
+WITH reviews AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+    FROM events
+)
+SELECT product_id,
+       round(avg(rating), 6) AS avg_rating,
+       count(*) AS review_cnt
+FROM reviews
+GROUP BY product_id
+HAVING count(*) > 10
+ORDER BY avg_rating DESC, product_id ASC
+LIMIT 20
+"""
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, orderpriority): all four grouping-set
+    combinations in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram extraction + global top-50 — n-gram statistics for
+    text-corpus analysis (explode of a zipped-with-shifted token array)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # sequence(1, 0) would be a DESCENDING range in Spark, so guard docs
+    # with fewer than two tokens explicitly.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(F.explode(bigrams).alias("bigram"))
+    return (
+        exploded.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+TOP_BIGRAMS_SQL = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+bigrams AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> concat(t[i], ' ', t[i + 1]))) AS bigram
+    FROM toks
+)
+SELECT bigram, count(*) AS cnt
+FROM bigrams
+GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "sql_surface": (q_sql_surface, SQL_SURFACE_SQL),
+    "revenue_cube": (q_revenue_cube, REVENUE_CUBE_SQL),
+    "top_bigrams": (q_top_bigrams, TOP_BIGRAMS_SQL),
     "revenue_rollup": (q_revenue_rollup, REVENUE_ROLLUP_SQL),
     "order_value_quantiles": (q_order_value_quantiles, ORDER_VALUE_QUANTILES_SQL),
     "nations_in_both": (q_nations_in_both, NATIONS_IN_BOTH_SQL),
