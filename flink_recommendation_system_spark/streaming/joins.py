@@ -45,6 +45,35 @@ def stream_stream_join(
     return lw.join(rw, cond, "inner")
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "event_time",
+    right_time: str = "event_time",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like ``stream_stream_join`` but left
+    rows with no match within the time bound are emitted null-padded — only
+    once the watermark has passed their match window (the engine must be
+    sure no future right row can still match). Late-arriving left rows near
+    the end of a bounded replay therefore stay unemitted: that is the
+    correct semantics, not data loss."""
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark)
+    rw = rw.select(*[F.col(c).alias(f"{c}_r") for c in rw.columns])
+    cond = (
+        (F.col(key) == F.col(f"{key}_r"))
+        & (F.col(f"{right_time}_r") >= F.col(left_time))
+        & (
+            F.col(f"{right_time}_r")
+            <= F.col(left_time) + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    return lw.join(rw, cond, "left_outer")
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

