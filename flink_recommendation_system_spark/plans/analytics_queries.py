@@ -350,8 +350,37 @@ LIMIT 50
 """
 
 
+def q_customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax aggregation (`max_by`): each customer's most recent order and
+    its value, tie-broken by order key — one aggregation pass, no window
+    sort. The oracle states the same result via a row_number window; result
+    equality is what the gate checks, not implementation."""
+    orders = load_table(spark, sf_dir, "orders")
+    tie = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", tie).alias("latest_orderkey"),
+        F.round(F.max_by("o_totalprice", tie), 2).alias("latest_totalprice"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+CUSTOMER_LATEST_ORDER_SQL = """
+SELECT o_custkey, latest_orderkey, latest_totalprice, n_orders FROM (
+    SELECT o_custkey,
+           o_orderkey AS latest_orderkey,
+           round(o_totalprice, 2) AS latest_totalprice,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sql_surface": (q_sql_surface, SQL_SURFACE_SQL),
+    "customer_latest_order": (q_customer_latest_order, CUSTOMER_LATEST_ORDER_SQL),
     "revenue_cube": (q_revenue_cube, REVENUE_CUBE_SQL),
     "top_bigrams": (q_top_bigrams, TOP_BIGRAMS_SQL),
     "revenue_rollup": (q_revenue_rollup, REVENUE_ROLLUP_SQL),
