@@ -106,7 +106,53 @@ FROM g GROUP BY user_id, sess_id
 """
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's most recent
+    prior (ts <=) purchase value. Spark has no built-in as-of join — this is
+    the union+window composition (operators/asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN, pinning the semantics independently."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "s"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "s")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", left_ts="s", right_ts="s",
+        value_cols=["value"],
+    )
+
+
+ASOF_CLICK_PURCHASE_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+clicks AS (SELECT event_id, user_id, s FROM ev WHERE event_type = 'click'),
+purch AS (
+    SELECT user_id, s, arg_max(value, event_id) AS value
+    FROM ev WHERE event_type = 'purchase'
+    GROUP BY user_id, s
+)
+SELECT c.user_id, c.event_id, c.s,
+       p.value AS value_asof, p.s AS s_asof
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.s >= p.s
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "asof_click_purchase": (q_asof_click_purchase, ASOF_CLICK_PURCHASE_SQL),
     "event_windows": (q_event_windows, EVENT_WINDOWS_SQL),
     "sliding_windows": (q_sliding_windows, SLIDING_WINDOWS_SQL),
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
