@@ -151,8 +151,42 @@ ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.s >= p.s
 """
 
 
+def q_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: pairs of events by the same user within one hour of
+    each other (bucketed equi-join, operators/rangejoin.py). Oracle is the
+    plain inequality join — exact at oracle scale."""
+    from pyspark.sql import functions as F
+
+    from ..operators.rangejoin import bounded_diff_self_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    )
+    return bounded_diff_self_join(
+        ev, key="user_id", ts_col="s", id_col="event_id", delta=3600
+    )
+
+
+EVENTS_WITHIN_HOUR_SQL = """
+WITH e AS (
+    SELECT event_id, user_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+)
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       a.s AS a_ts, b.s AS b_ts
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(a.s - b.s) <= 3600
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "asof_click_purchase": (q_asof_click_purchase, ASOF_CLICK_PURCHASE_SQL),
+    "events_within_hour": (q_events_within_hour, EVENTS_WITHIN_HOUR_SQL),
     "event_windows": (q_event_windows, EVENT_WINDOWS_SQL),
     "sliding_windows": (q_sliding_windows, SLIDING_WINDOWS_SQL),
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
