@@ -184,9 +184,55 @@ FROM e a JOIN e b
 """
 
 
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: the daily aggregate is computed
+    FROM the hourly aggregate (sums of sums, counts of counts), not from
+    raw events — the continuous-aggregate pattern where each resolution
+    feeds the next, so the raw table is scanned once no matter how many
+    resolutions exist. Exact-integer bucket arithmetic keeps the oracle
+    bit-equal."""
+    from pyspark.sql import functions as F
+
+    hourly = tumbling_window_stats(
+        load_table(spark, sf_dir, "events"), width_sec=TUMBLE_SEC
+    )
+    day = (F.col("win_start_sec") - F.col("win_start_sec") % 86400).alias(
+        "day_start_sec"
+    )
+    return (
+        hourly.groupBy(day, "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 2).alias("value_sum"),
+        )
+    )
+
+
+DAILY_ROLLUP_SQL = f"""
+WITH e AS (
+    SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, event_type, value
+    FROM events
+),
+hourly AS (
+    SELECT (s // {TUMBLE_SEC}) * {TUMBLE_SEC} AS win_start_sec,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM e GROUP BY 1, 2
+)
+SELECT win_start_sec - win_start_sec % 86400 AS day_start_sec,
+       event_type,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(sum(value_sum), 2) AS value_sum
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "asof_click_purchase": (q_asof_click_purchase, ASOF_CLICK_PURCHASE_SQL),
     "events_within_hour": (q_events_within_hour, EVENTS_WITHIN_HOUR_SQL),
+    "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),
     "event_windows": (q_event_windows, EVENT_WINDOWS_SQL),
     "sliding_windows": (q_sliding_windows, SLIDING_WINDOWS_SQL),
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
