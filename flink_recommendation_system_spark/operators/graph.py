@@ -24,6 +24,13 @@ GOOD_RATING_THRESHOLD = 3.0  # Recommendations.java:172-176
 BATCH_USER_CUTOFF = 1000  # Recommendations.java:153
 LPA_ITERATIONS = 5  # Recommendations.java:105
 
+# Default skew guard: bounds per-product pair fan-out to C(cap, 2) at scale.
+# Chosen above BATCH_USER_CUTOFF (the reference's user filter bounds distinct
+# reviewers per product to < 1000), so with reference semantics the cap NEVER
+# binds — oracles stay pinned at every SF — while a hot key on a 100 TB corpus
+# is still bounded. Pass None explicitly to uncap.
+MAX_REVIEWERS_PER_PRODUCT = 1024
+
 
 def good_reviews(
     reviews: DataFrame,
@@ -43,7 +50,8 @@ def good_reviews(
 
 
 def co_review_edges(
-    liked: DataFrame, max_reviewers_per_product: int | None = None
+    liked: DataFrame,
+    max_reviewers_per_product: int | None = MAX_REVIEWERS_PER_PRODUCT,
 ) -> DataFrame:
     """All unordered pairs of users who liked the same product — the
     reference's `CreateSimilarUserEdges` group-reduce
@@ -54,7 +62,10 @@ def co_review_edges(
     skewed keys, vs. a single-task hotspot in the group-reduce formulation.
 
     ``max_reviewers_per_product`` caps the per-product reviewer set (top-N by
-    user_id for determinism) so pair blowup is bounded at scale.
+    user_id for determinism) so pair blowup is bounded at scale. The default
+    is on (``MAX_REVIEWERS_PER_PRODUCT``) but sized above the reference's
+    user cutoff, so it never alters reference semantics; pass ``None`` to
+    uncap.
     """
     if max_reviewers_per_product is not None:
         w = Window.partitionBy("product_id").orderBy(F.col("user_id").asc())

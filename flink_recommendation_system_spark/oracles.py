@@ -184,8 +184,9 @@ top_list AS (
 ),
 users AS (SELECT DISTINCT user_id FROM reviews)
 SELECT u.user_id,
-       (CASE WHEN l.recs IS NOT NULL THEN l.recs ELSE t.top_recs END)[1:20]
-           AS recommended_products
+       array_to_string(
+           (CASE WHEN l.recs IS NOT NULL THEN l.recs ELSE t.top_recs END)[1:20],
+           ',') AS recommended_products
 FROM users u
 LEFT JOIN user_rec_lists l ON u.user_id = l.user_id
 CROSS JOIN top_list t"""

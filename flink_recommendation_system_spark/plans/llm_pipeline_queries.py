@@ -317,10 +317,48 @@ WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.9
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (deterministic
-    fake decoder — see operators.multimodal). Rows-only check; exact values
-    asserted in tests."""
+    fake decoder — see operators.multimodal).
+
+    Driver-gate shape: the feature vector's values are integral doubles
+    (byte-stat fake decoder), so the registered query casts them to longs
+    and joins to a CSV string the harness can hash; since the corpus is
+    pure ASCII the oracle recomputes the same byte stats in DuckDB —
+    a full value check on the mapInPandas path."""
     assets = M.synthesize_assets(_docs(spark, sf_dir))
-    return M.extract_features(assets, fake_decode=True)
+    feats = M.extract_features(assets, fake_decode=True)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("long").cast("string"))
+        ).alias("features"),
+    )
+
+
+# The fake decoder emits [len, sum(bytes) % 997, max(byte), min(byte)] over
+# the utf-8 payload; text is pure ASCII in the test corpus (verified:
+# strlen == length for all rows at sf0.01/sf0.1), so ord-per-char == byte.
+MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+    SELECT doc_id,
+           strlen(text) AS n,
+           list_transform(range(1, strlen(text) + 1),
+                          i -> ord(substr(text, i, 1))) AS bytes
+    FROM documents
+)
+SELECT doc_id AS asset_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN n = 0 THEN '0,0,0,0'
+            ELSE concat_ws(',',
+                 CAST(n AS BIGINT),
+                 CAST(list_sum(bytes) % 997 AS BIGINT),
+                 CAST(list_max(bytes) AS BIGINT),
+                 CAST(list_min(bytes) AS BIGINT))
+       END AS features
+FROM b
+"""
 
 
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,6 +390,6 @@ QUERIES: dict[str, tuple] = {
     "ivf_topk": (q_ivf_topk, None),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, MULTIMODAL_FEATURES_SQL),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),
 }

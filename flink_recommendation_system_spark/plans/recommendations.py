@@ -16,30 +16,41 @@ driver and expands recommendations in triple-nested Java loops
 
 Scale notes (100 TB): only the 5 superstep barriers touch the driver (loop
 control, not data). The community-expansion join `labels ⨝ labels on label`
-can blow up on a giant community; at scale, cap community fan-out the same
-way co_review_edges caps reviewers. The anti-join is a shuffle on
+can blow up on a giant community; ``max_community_fanout`` (on by default)
+caps the contributing side the same way co_review_edges caps reviewers,
+bounding the join at |C|·cap instead of |C|². The anti-join is a shuffle on
 (user_id, product_id) — co-partitioned with the candidate join's output so
 AQE can reuse the exchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import (
     LPA_ITERATIONS,
+    MAX_REVIEWERS_PER_PRODUCT,
     co_review_edges,
     good_reviews,
     label_propagation,
     undirected,
 )
 
+# Default fan-out guard for the community-expansion self-join: each user draws
+# candidates from at most this many community members (lowest ids first, for
+# determinism). Like MAX_REVIEWERS_PER_PRODUCT it is sized above the
+# reference's user cutoff (communities can't exceed 1000 members under
+# reference semantics), so oracles stay pinned while a mega-community at
+# 100 TB can't produce an unbounded |C|² join. Pass None to uncap.
+MAX_COMMUNITY_FANOUT = 1024
+
 
 def user_recommendations(
     reviews: DataFrame,
     iterations: int = LPA_ITERATIONS,
-    max_reviewers_per_product: int | None = None,
+    max_reviewers_per_product: int | None = MAX_REVIEWERS_PER_PRODUCT,
+    max_community_fanout: int | None = MAX_COMMUNITY_FANOUT,
 ) -> DataFrame:
     """Full batch-B pipeline: returns ``(user_id, product_id)`` — products
     liked by the user's community minus the user's own liked products
@@ -53,7 +64,15 @@ def user_recommendations(
     edges = co_review_edges(liked, max_reviewers_per_product)
     labels = label_propagation(undirected(edges), iterations)
 
-    members = labels.alias("a").join(labels.alias("b"), "label").select(
+    contributors = labels
+    if max_community_fanout is not None:
+        w = Window.partitionBy("label").orderBy(F.col("id").asc())
+        contributors = (
+            labels.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_community_fanout)
+            .drop("_rn")
+        )
+    members = labels.alias("a").join(contributors.alias("b"), "label").select(
         F.col("a.id").alias("user_id"), F.col("b.id").alias("member_id")
     )
     candidates = (

@@ -320,7 +320,16 @@ FROM kv
 
 def q_user_product_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     liked = reviews_from_events(spark, sf_dir).select("user_id", "product_id")
-    return set_union_agg(liked, "user_id", "product_id")
+    sets = set_union_agg(liked, "user_id", "product_id")
+    # Driver-gate shape: ARRAY columns break the harness canonicalizer, so
+    # the registered query joins the numerically-sorted set to a CSV string;
+    # set_union_agg keeps the array API for library users.
+    return sets.select(
+        "user_id",
+        F.concat_ws(
+            ",", F.transform("product_id_set", lambda x: x.cast("string"))
+        ).alias("product_id_set"),
+    )
 
 
 USER_PRODUCT_SETS_SQL = """
@@ -328,7 +337,8 @@ WITH reviews AS (
     SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id
     FROM events
 )
-SELECT user_id, list_sort(list(DISTINCT product_id)) AS product_id_set
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT product_id)), ',') AS product_id_set
 FROM reviews GROUP BY user_id
 """
 

@@ -101,3 +101,60 @@ def test_recommendations_invariants(spark, rows):
         assert any(
             p in liked_products_by_user.get(member, set()) for member in community
         )
+
+
+# --- default-on scale guards (VERDICT r01 "What's wrong" #2) ----------------
+
+
+def test_reviewer_cap_bounds_hot_product_pairs(spark):
+    """One hot product with 100 reviewers: uncapped emits C(100,2) pairs;
+    cap=10 emits exactly C(10,2) (the 10 lowest user ids). This is the
+    single-task blowup hazard from Recommendations.java:157-170."""
+    hot = [(u, 7, 5.0) for u in range(1, 101)]
+    liked = G.good_reviews(_reviews_df(spark, hot))
+
+    assert G.co_review_edges(liked, max_reviewers_per_product=None).count() == 4950
+    capped = G.co_review_edges(liked, max_reviewers_per_product=10)
+    rows = capped.collect()
+    assert len(rows) == 45
+    assert {r["src"] for r in rows} | {r["dst"] for r in rows} == set(range(1, 11))
+
+
+def test_default_caps_never_bind_under_reference_semantics(spark):
+    """The default caps exceed BATCH_USER_CUTOFF, so capped == uncapped for
+    any input that went through the reference's user filter — the invariant
+    that keeps every oracle pinned while the guard ships on."""
+    rows = [(u % 37, p, 5.0) for u in range(200) for p in (1, 2, 3)]
+    reviews = _reviews_df(spark, rows)
+
+    liked = G.good_reviews(reviews)
+    assert sorted(
+        G.co_review_edges(liked).collect()
+    ) == sorted(G.co_review_edges(liked, max_reviewers_per_product=None).collect())
+    assert sorted(user_recommendations(reviews).collect()) == sorted(
+        user_recommendations(
+            reviews, max_reviewers_per_product=None, max_community_fanout=None
+        ).collect()
+    )
+
+
+def test_community_fanout_cap_bounds_expansion(spark):
+    """A single 20-member community with fan-out cap 5: every user's
+    candidates come only from the 5 lowest-id members, so no recommendation
+    can originate from a product liked exclusively by members 6..20."""
+    # one clique product shared by all 20 users, plus one exclusive product
+    # per user (liked only by that user) that the cap should fence off.
+    rows = [(u, 999, 5.0) for u in range(1, 21)]
+    rows += [(u, 1000 + u, 5.0) for u in range(1, 21)]
+    reviews = _reviews_df(spark, rows)
+
+    recs = user_recommendations(reviews, max_community_fanout=5).collect()
+    assert recs, "community members should still receive recommendations"
+    # contributors are members 1..5 → only their exclusive products spread
+    assert {r["product_id"] for r in recs} == {1000 + u for u in range(1, 6)}
+
+    uncapped = user_recommendations(reviews, max_community_fanout=None).collect()
+    assert {r["product_id"] for r in uncapped} == {
+        1000 + u for u in range(1, 21)
+    }
+    assert len(recs) < len(uncapped)
