@@ -282,30 +282,45 @@ def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over whitespace tokens, fully JVM-side: per token an
     xxhash64; per bit position, sum of ±1 contributions across tokens; the
     signature packs the sign bits. Output: (doc_id, simhash BIGINT).
-    """
-    toks = F.array_distinct(tokens("text"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    # Spark's shift functions take a Python-int bit count, so the 64 bit
-    # positions are unrolled statically — still one JVM expression tree.
-    def bit_sum(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
+    Physical design (same explode+codegen pattern as ``minhash_signatures``):
+    explode distinct tokens to rows, evaluate the 64 per-bit ±1 contributions
+    as plain codegen column expressions, and partial-aggregate one ``sum``
+    per bit. The previous form — 64 higher-order ``F.aggregate`` folds over
+    the token array — is CodegenFallback (interpreted per element per bit);
+    this form stays inside whole-stage codegen and ships 64 longs per doc
+    through the shuffle regardless of document size. ``explode_outer`` keeps
+    token-less documents (their contributions are 0 → signature 0, matching
+    the fold-over-empty-array semantics).
+    """
+    toked = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(tokens("text"))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    def contrib(b: int):
+        return (
+            F.when(F.col("tok").isNull(), 0)
+            .when(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                1,
+            )
+            .otherwise(-1)
         )
 
+    agg = toked.groupBy("doc_id").agg(
+        *[F.sum(contrib(b)).alias(f"s{b}") for b in range(64)]
+    )
     sig = None
     for b in range(64):
         # bit 63 is the sign bit of the packed long: add -2^63 (two's
         # complement) instead of the unrepresentable +2^63 literal.
         weight = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
-        bit = F.when(bit_sum(b) > 0, weight).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"s{b}") > 0, weight).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = bit if sig is None else sig + bit
-    return docs.select("doc_id", sig.alias("simhash"))
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
