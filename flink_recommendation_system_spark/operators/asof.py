@@ -8,7 +8,11 @@ tier (a)): tag and union both sides, then a per-key window running
 ``last(..., ignorenulls=True)`` ordered by (ts, side) — right rows sort
 before left rows at equal timestamps, giving the standard inclusive
 (``<=``) as-of semantics. One shuffle on the key, one window sort; no
-range-explosion, no per-row lookups.
+range-explosion, no per-row lookups. All carried columns travel as ONE
+struct through a single ``last`` so every as-of field comes from the same
+matched right row — per-column ``last`` calls would silently mix rows
+whenever a right-side value column is legitimately NULL (DuckDB ASOF JOIN
+carries the whole row; so must we).
 
 Scale notes: state per key is a single carried value (the window function
 streams); skewed keys behave like any window partition — salt the key and
@@ -21,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -41,36 +46,38 @@ def asof_join(
     (ties would otherwise be nondeterministic).
     """
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{right_ts}{suffix}"]
-
-    l_tagged = left.select(
-        "*",
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n)
-          for c, n in zip(value_cols, carried[:-1])],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(carried[-1]),
+    carry_type = StructType(
+        [
+            StructField(n, right.schema[c].dataType)
+            for c, n in zip(value_cols, carried[:-1])
+        ]
+        + [StructField(carried[-1], right.schema[right_ts].dataType)]
     )
+
     left_only_cols = [c for c in left.columns if c != key]
-    r_tagged = right.select(
+    # align the union schemas: left contributes its own ts as the sort key
+    # and a NULL carry struct (skipped by last(ignorenulls)); right rows
+    # carry ALL their as-of fields in one non-null struct, so the window
+    # can never stitch together fields from different right rows.
+    l_u = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_rts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(carry_type).alias("_carry"),
+        *left_only_cols,
+    )
+    r_u = right.select(
         F.col(key),
         F.col(right_ts).alias("_rts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(n) for c, n in zip(value_cols, carried[:-1])],
-        F.col(right_ts).alias(carried[-1]),
-    )
-    # align the union schemas: left contributes its own ts as the sort key
-    l_u = l_tagged.select(
-        F.col(key),
-        F.col(left_ts).alias("_rts"),
-        "_side",
-        *carried,
-        *left_only_cols,
-    )
-    r_u = r_tagged.select(
-        F.col(key),
-        "_rts",
-        "_side",
-        *carried,
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only_cols],
+        F.struct(
+            *[F.col(c).alias(n) for c, n in zip(value_cols, carried[:-1])],
+            F.col(right_ts).alias(carried[-1]),
+        ).alias("_carry"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_only_cols
+        ],
     )
     unioned = l_u.unionByName(r_u)
 
@@ -81,11 +88,12 @@ def asof_join(
     )
     filled = unioned.select(
         key,
-        "_rts",
         "_side",
         *left_only_cols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_carry", ignorenulls=True).over(w).alias("_carry"),
     )
     return filled.filter(F.col("_side") == 1).select(
-        key, *left_only_cols, *carried
+        key,
+        *left_only_cols,
+        *[F.col("_carry").getField(n).alias(n) for n in carried],
     )
