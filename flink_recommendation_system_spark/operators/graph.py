@@ -17,6 +17,8 @@ truncate lineage — without it the plan doubles per superstep.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,8 +108,30 @@ def induced_vertices(edges: DataFrame) -> DataFrame:
     return edges.select(F.col("src").alias("id")).distinct()
 
 
+def _truncate_lineage(df: DataFrame, mode: str) -> DataFrame:
+    """Cut the plan lineage between iterative supersteps.
+
+    ``mode``: ``"local"`` → ``localCheckpoint`` (executor-local blocks; fast
+    but non-replicated — an executor loss mid-loop kills the job);
+    ``"reliable"`` → ``checkpoint`` to the configured checkpoint directory
+    (survives executor loss — what a real cluster run wants); ``"auto"`` →
+    reliable iff ``sparkContext.setCheckpointDir`` has been called, local
+    otherwise.
+    """
+    if mode == "auto":
+        sc = df.sparkSession.sparkContext
+        mode = "reliable" if sc.getCheckpointDir() else "local"
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "local":
+        return df.localCheckpoint()
+    raise ValueError(f"unknown checkpoint mode {mode!r}")
+
+
 def label_propagation(
-    undirected_edges: DataFrame, iterations: int = LPA_ITERATIONS
+    undirected_edges: DataFrame,
+    iterations: int = LPA_ITERATIONS,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Community detection — Gelly ``LabelPropagation(5)``
     (Recommendations.java:100-106), hand-rolled as a driver-side loop of
@@ -129,13 +153,18 @@ def label_propagation(
     map-side partial aggregation and there is NO sort anywhere in the loop.
     The (big) edge relation is shuffled to its join distribution once per
     iteration while only the (small) label relation changes.
+
+    ``checkpoint`` selects the lineage-truncation tier per superstep — see
+    ``_truncate_lineage``.
     """
-    edges = undirected_edges.select("src", "dst").localCheckpoint()
+    edges = _truncate_lineage(
+        undirected_edges.select("src", "dst"), checkpoint
+    )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
     for _ in range(iterations):
-        labels = (
+        labels = _truncate_lineage(
             edges.join(labels, edges["src"] == labels["id"], "inner")
             .select(F.col("dst").alias("id"), "label")
             .groupBy("id", "label")
@@ -145,57 +174,87 @@ def label_propagation(
                 F.max_by(
                     "label", F.struct(F.col("cnt"), F.col("label"))
                 ).alias("label")
-            )
-            .localCheckpoint()
+            ),
+            checkpoint,
         )
     return labels
 
 
 def connected_components(
-    undirected_edges: DataFrame, max_iterations: int = 20
+    undirected_edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint: str = "auto",
+    convergence_check_interval: int = 3,
+    on_no_convergence: str = "warn",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every vertex
-    repeatedly adopts min(own label, neighbors' labels) until fixpoint
-    (early-exit when an iteration changes nothing). Returns (id, component)
-    where component = min vertex id in the component.
+    repeatedly adopts min(own label, neighbors' labels) until fixpoint.
+    Returns (id, component) where component = min vertex id in the component.
 
     The second iterative graph operator (beyond LPA) a graph workload needs;
-    same physical shape: join → partial-aggregated min → localCheckpoint,
-    driver only orchestrates the loop. For web-scale graphs the large-star/
-    small-star variant halves the iteration count; min-propagation converges
-    in O(diameter) which is ≤ 5 on co-review-style graphs.
+    same physical shape: join → partial-aggregated min → lineage truncation
+    (see ``_truncate_lineage``; ``checkpoint`` as in LPA), driver only
+    orchestrates the loop. For web-scale graphs the large-star/small-star
+    variant halves the iteration count; min-propagation converges in
+    O(diameter) which is ≤ 5 on co-review-style graphs.
+
+    Convergence is checked every ``convergence_check_interval`` iterations
+    rather than every iteration — per-vertex components are monotonically
+    non-increasing, so "state unchanged across the whole window" ⇔ fixpoint,
+    and the driver launches ~1/k of the comparison jobs. If the loop
+    exhausts ``max_iterations`` without reaching the fixpoint the result is
+    WRONG for graphs of diameter > max_iterations; ``on_no_convergence``
+    picks ``"warn"`` (UserWarning) or ``"raise"`` (RuntimeError).
     """
-    edges = undirected_edges.select("src", "dst").localCheckpoint()
+    if convergence_check_interval < 1:
+        raise ValueError("convergence_check_interval must be >= 1")
+    edges = _truncate_lineage(
+        undirected_edges.select("src", "dst"), checkpoint
+    )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
-    for _ in range(max_iterations):
+    reference = labels  # state at the last convergence check
+    converged = False
+    for i in range(1, max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"], "inner")
             .select(F.col("dst").alias("id"), "component")
             .groupBy("id")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        labels = _truncate_lineage(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+            ),
+            checkpoint,
+        )
+        if i % convergence_check_interval == 0 or i == max_iterations:
+            changed = (
+                labels.alias("n")
+                .join(reference.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
             )
-            .localCheckpoint()
+            if changed == 0:
+                converged = True
+                break
+            reference = labels
+    if not converged:
+        msg = (
+            f"connected_components stopped after max_iterations="
+            f"{max_iterations} without reaching a fixpoint; components are "
+            f"incomplete for graphs of diameter > {max_iterations}. "
+            "Raise max_iterations."
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if on_no_convergence == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
     return labels
 
 

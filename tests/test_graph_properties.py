@@ -103,6 +103,50 @@ def test_recommendations_invariants(spark, rows):
         )
 
 
+# --- iterative-op hardening: checkpoint tiers, convergence ------------------
+
+
+def _path_edges(spark, n):
+    """Undirected path 1-2-...-n (diameter n-1)."""
+    pairs = [(i, i + 1) for i in range(1, n)]
+    return spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+
+
+def test_iterative_ops_reliable_checkpoint_mode(spark, tmp_path):
+    """LPA and CC produce identical results under localCheckpoint and
+    reliable checkpoint(dir) lineage truncation."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = _path_edges(spark, 6)
+    for fn in (G.label_propagation, G.connected_components):
+        local = sorted(fn(edges, checkpoint="local").collect())
+        reliable = sorted(fn(edges, checkpoint="reliable").collect())
+        auto = sorted(fn(edges).collect())  # auto → reliable (dir is set)
+        assert local == reliable == auto
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """A path graph of diameter 7 cannot converge in 2 min-propagation
+    iterations: the operator must not silently return truncated components
+    (ADVICE r01)."""
+    import pytest
+
+    edges = _path_edges(spark, 8)
+    with pytest.warns(UserWarning, match="without reaching a fixpoint"):
+        out = G.connected_components(edges, max_iterations=2)
+    assert out.select("component").distinct().count() > 1  # truncated indeed
+
+    with pytest.raises(RuntimeError, match="without reaching a fixpoint"):
+        G.connected_components(
+            edges, max_iterations=2, on_no_convergence="raise"
+        )
+
+    # ...and with enough iterations it converges quietly to one component.
+    full = G.connected_components(edges, max_iterations=10)
+    assert full.select("component").distinct().count() == 1
+
+
 # --- default-on scale guards (VERDICT r01 "What's wrong" #2) ----------------
 
 
