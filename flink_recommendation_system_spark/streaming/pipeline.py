@@ -63,6 +63,39 @@ def read_review_stream_json(
     return parse_review_json(raw)
 
 
+KAFKA_FORMAT = "kafka"
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = "Reviews",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """Option map for the Spark Kafka *source* (S4). Kept as data (not
+    inlined builder calls) so tests can pin the exact option names the
+    spark-sql-kafka connector requires — a typo here would otherwise only
+    surface on a live broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str = "Output",
+    checkpoint_dir: str = "/tmp/ckpt-output",
+) -> dict[str, str]:
+    """Option map for the Spark Kafka *sink* (S5); see
+    ``kafka_source_options`` for why this is a separate data function."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def read_review_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -70,14 +103,12 @@ def read_review_stream_kafka(
     starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Kafka source (S4; RealTimeRecommendations.java:40-48). Requires the
-    spark-sql-kafka package on the classpath; not exercised in tests (no
-    broker in this container) but the plan construction is identical to the
-    file source after `parse_review_json`."""
+    spark-sql-kafka package on the classpath; the option plumbing is
+    pinned by tests (no broker in this container) and the plan is identical
+    to the file source after `parse_review_json`."""
     raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        spark.readStream.format(KAFKA_FORMAT)
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
     )
     return parse_review_json(raw)
@@ -94,10 +125,8 @@ def write_output_kafka(
     parity path is exercised in tests instead (no broker in container)."""
     return (
         to_output_json(enriched)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .writeStream.format(KAFKA_FORMAT)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_dir))
         .start()
     )
 
