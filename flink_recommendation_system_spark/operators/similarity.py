@@ -179,27 +179,32 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
+class IVFIndex:
+    """A fitted IVF index: the cell-assigned corpus plus the (tiny) centroid
+    table. Built once by ``ivf_fit``, probed many times by ``ivf_probe`` —
+    the served-ANN shape (in production the assignment lives as a parquet
+    table partitioned by cell and the centroids as a broadcast side file;
+    re-fitting per query, as the old single-call API did, throws away the
+    expensive KMeans pass)."""
+
+    def __init__(self, assigned: DataFrame, centroids: DataFrame):
+        self.assigned = assigned
+        self.centroids = centroids
+
+
+def ivf_fit(
     corpus: DataFrame,
-    k: int = 5,
     n_clusters: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
-    quantizer partitions the corpus into ``n_clusters`` cells; each query
-    probes its ``n_probe`` nearest centroids and exact-re-ranks only those
-    cells — the FAISS-IVF shape, expressed as DataFrame joins.
-
-    Scale shape: corpus cell assignment is one pass; the probe step is an
-    equi-join on cell id, so per-query work is O(probed fraction of the
-    corpus) instead of O(N). Same output columns as ``cosine_topk``; recall
-    < 1 by design (validated against the exact baseline in tests).
-    """
+) -> IVFIndex:
+    """Fit the IVF coarse quantizer: seeded KMeans over the corpus, corpus
+    rows assigned to their nearest-centroid cell. The assignment is
+    materialized (localCheckpoint) so repeated probes never re-run the
+    KMeans transform."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
     feats = corpus.select(
@@ -210,15 +215,31 @@ def ivf_topk(
     )
     km = KMeans(k=n_clusters, seed=42, featuresCol="features", predictionCol="cell")
     model = km.fit(feats)
-    assigned = model.transform(feats).select(
-        "neighbor_id", "c_vec", "c_norm", "cell"
+    assigned = (
+        model.transform(feats)
+        .select("neighbor_id", "c_vec", "c_norm", "cell")
+        .localCheckpoint()
     )
-
-    # centroid table (tiny) → each query scores all centroids, keeps n_probe
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
+    return IVFIndex(assigned, centroids)
+
+
+def ivf_probe(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a fitted ``IVFIndex``: each query scores all centroids, keeps
+    its ``n_probe`` nearest cells, and exact-re-ranks only those cells via
+    an equi-join on cell id — per-query work is O(probed fraction of the
+    corpus) instead of O(N). Same output columns as ``cosine_topk``."""
+    assigned, centroids = index.assigned, index.centroids
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -257,6 +278,23 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot IVF (inverted-file) approximate top-k — ``ivf_fit`` +
+    ``ivf_probe`` in a single call, the FAISS-IVF shape as DataFrame joins.
+    Recall < 1 by design (validated against the exact baseline in tests).
+    For repeated query batches, fit once and probe many instead."""
+    index = ivf_fit(corpus, n_clusters, id_col, vec_col)
+    return ivf_probe(index, queries, k, n_probe, id_col, vec_col)
 
 
 def embedding_near_dups(

@@ -158,3 +158,23 @@ def test_ivf_topk_scores_correct_and_decent_recall(spark):
     }
     hit = len(exact5 & {(r["query_id"], r["neighbor_id"]) for r in ivf})
     assert hit > 0  # non-flaky lower bound; typical recall is far higher
+
+
+def test_ivf_fit_once_probe_many(spark):
+    """The fit/probe split (served-ANN shape): one fitted index answers
+    multiple query batches, and its results equal the one-shot API's."""
+    emb = _emb(spark)
+    index = S.ivf_fit(emb, n_clusters=16)
+    batch1 = emb.filter(F.col("vec_id") < 5)
+    batch2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+
+    got = sorted(
+        tuple(r)
+        for r in S.ivf_probe(index, batch1, k=5).collect()
+        + S.ivf_probe(index, batch2, k=5).collect()
+    )
+    one_shot = sorted(
+        tuple(r)
+        for r in S.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).collect()
+    )
+    assert got == one_shot
