@@ -156,6 +156,43 @@ def test_review_json_parse_handles_malformed_lines(spark):
     assert parsed[2]["user_id"] is None
 
 
+def test_replay_generator_events_match_batch_reviews(spark, tmp_path):
+    """The throttled replay generator (examples/replay_generator.py — the
+    producer-script counterpart of the reference's 1-event/s Kafka
+    generator) must emit wire events that parse back to exactly the
+    batch-derived review rows, one file per event."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.replay_generator import generate
+
+    out_dir = str(tmp_path / "replayed")
+    n = generate(SF0001, out_dir, rate=0, limit=25)  # rate=0 → no throttle
+    assert n == 25
+    assert len(os.listdir(out_dir)) == 25  # one complete file per event
+
+    stream = read_review_stream_json(spark, out_dir, max_files_per_trigger=5)
+    sink = str(tmp_path / "parsed")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    expected_all = {
+        tuple(r)
+        for r in reviews_from_events(spark, SF0001)
+        .select("user_id", "product_id", "rating", "ts")
+        .collect()
+    }
+    assert len(got) == 25
+    assert got <= expected_all
+
+
 def test_streaming_top_products_refresh_converges_to_batch(spark, tmp_path):
     """After replaying the full review stream, the continuously-refreshed
     model must equal the batch top_products result exactly."""
