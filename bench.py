@@ -6,9 +6,11 @@
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + count-style collect of the
-result), which is the honest unit — a lazy DataFrame costs nothing until
-acted on.
+Each query is timed end-to-end and FULLY evaluated: the timing action hashes
+every output column into one aggregate instead of ``count()``-ing, because
+Catalyst prunes projection-only expressions under ``count()`` — a query
+whose cost lives in its projected columns (fingerprints, token stats,
+signatures) would otherwise measure little more than the scan.
 """
 
 from __future__ import annotations
@@ -17,6 +19,18 @@ import json
 import os
 import sys
 import time
+
+
+def _force_full_evaluation(df) -> None:
+    """Evaluate every output column of ``df``, returning one tiny row to the
+    driver: XOR-fold of xxhash64 over all columns (XOR, unlike sum, cannot
+    overflow under ANSI mode). Unlike ``count()``, Catalyst cannot prune any
+    output expression — the whole projection is paid."""
+    from pyspark.sql import functions as F
+
+    df.select(F.xxhash64(*df.columns).alias("_h")).agg(
+        F.expr("bit_xor(_h)")
+    ).collect()
 
 
 def main() -> None:
@@ -40,7 +54,7 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        df.count()
+        _force_full_evaluation(df)
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_all, 3)
 
