@@ -20,6 +20,7 @@ from flink_recommendation_system_spark import oracles
 from flink_recommendation_system_spark.operators import graph as G
 from flink_recommendation_system_spark.plans import (
     analytics_queries,
+    itemcf,
     llm_pipeline_queries,
     relational_queries,
     streaming_queries,
@@ -125,6 +126,7 @@ _SUITES = [
     llm_pipeline_queries.QUERIES,
     streaming_queries.QUERIES,
     analytics_queries.QUERIES,
+    itemcf.QUERIES,
 ]
 
 
