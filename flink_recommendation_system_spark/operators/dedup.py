@@ -209,19 +209,8 @@ def minhash_lsh_pairs(
     This is the scale path: no quadratic pair generation — candidate pairs
     come from an equi-join on band buckets.
     """
-    rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n).localCheckpoint()
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("sig"), i * rows + 1, rows)
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band"),
-    ).select("doc_id", "band_idx", F.hash("band").alias("band_hash"))
+    banded = _banded(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -236,6 +225,30 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    return _verify_pairs(cand, sigs, num_hashes, threshold)
+
+
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per signature band."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("sig"), i * rows + 1, rows)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    ).select("doc_id", "band_idx", F.hash("band").alias("band_hash"))
+
+
+def _verify_pairs(
+    cand: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Attach the estimated Jaccard (fraction of equal signature components)
+    to candidate (a_id, b_id) pairs and keep those above threshold."""
     sa = sigs.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("sig_b"))
     est = (
@@ -253,6 +266,72 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def publish_minhash_signatures(
+    docs: DataFrame, path: str, num_hashes: int = 32, shingle_n: int = 5
+) -> None:
+    """Persist the corpus signature store — the state an incremental
+    near-dup pipeline carries between ingestion batches. At 100 TB this is
+    the whole point: signatures are num_hashes longs per doc (vs the raw
+    bodies), and new batches pair against THIS table instead of re-pairing
+    the corpus."""
+    minhash_signatures(docs, num_hashes, shingle_n).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs *introduced by a new ingestion batch* against an
+    existing corpus signature store (``publish_minhash_signatures`` /
+    ``minhash_signatures`` output): candidates are (new × store) ∪
+    (new × new) — store × store is never re-paired, because those pairs were
+    emitted when their docs arrived. This is the continuous-ingestion shape:
+    per-batch cost scales with the batch and its collisions, not the corpus.
+
+    Contract: ``new_docs`` ids are disjoint from the store's. Output:
+    (a_id, b_id, est_jaccard) with a_id < b_id, identical values to running
+    ``minhash_lsh_pairs`` on the full corpus and keeping pairs that touch a
+    new doc (asserted in tests).
+    """
+    new_sigs = minhash_signatures(
+        new_docs, num_hashes, shingle_n
+    ).localCheckpoint()
+    nb = _banded(new_sigs, num_hashes, bands)
+    sb = _banded(store_sigs, num_hashes, bands)
+
+    band_keys = ["band_idx", "band_hash"]
+    cross = (
+        nb.alias("a")
+        .join(sb.alias("b"), band_keys)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),
+        )
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            band_keys,
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+    )
+    cand = cross.unionByName(within).distinct()
+    all_sigs = store_sigs.select("doc_id", "sig").unionByName(
+        new_sigs.select("doc_id", "sig")
+    )
+    return _verify_pairs(cand, all_sigs, num_hashes, threshold)
 
 
 def near_dup_pipeline(

@@ -160,6 +160,33 @@ def test_ivf_topk_scores_correct_and_decent_recall(spark):
     assert hit > 0  # non-flaky lower bound; typical recall is far higher
 
 
+def test_incremental_minhash_matches_full_corpus_delta(spark, tmp_path):
+    """Incremental contract: pairing a new batch against the persisted
+    signature store yields EXACTLY the full-corpus pairs that touch a new
+    doc — same ids, same est_jaccard — without ever re-pairing the store."""
+    docs = _docs(spark)
+    split_id = 40
+    old = docs.filter(F.col("doc_id") < split_id)
+    new = docs.filter(F.col("doc_id") >= split_id)
+
+    store_path = str(tmp_path / "sig_store")
+    D.publish_minhash_signatures(old, store_path)
+    store = spark.read.parquet(store_path)
+
+    inc = {
+        (r["a_id"], r["b_id"], r["est_jaccard"])
+        for r in D.incremental_minhash_pairs(new, store).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (r["a_id"], r["b_id"], r["est_jaccard"])
+        for r in D.minhash_lsh_pairs(docs).collect()
+        if r["a_id"] in new_ids or r["b_id"] in new_ids
+    }
+    assert inc == expected
+    assert expected  # the fixture actually exercises both pair classes
+
+
 def test_ivf_fit_once_probe_many(spark):
     """The fit/probe split (served-ANN shape): one fitted index answers
     multiple query batches, and its results equal the one-shot API's."""
