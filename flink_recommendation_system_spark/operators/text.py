@@ -130,3 +130,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalized("text")).alias("fingerprint")
     )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, top_k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-``top_k`` terms by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the sklearn smoothing so unseen-term
+    idf stays finite). Output: (doc_id, term, tf, tfidf, rank), ties to the
+    lexicographically smaller term. SURVEY.md §7 M4 names MLlib's HashingTF/
+    IDF here; this hand-rolled form is preferred because it is exact (no
+    feature hashing collisions) and fully oracle-checkable in SQL.
+
+    Scale shape: explode → partial-agg term counts (shuffle bounded by
+    distinct (doc, term)); document frequencies join on term — left to
+    Catalyst/AQE, since the vocabulary of a 100 TB corpus is NOT
+    broadcastable; the single-row corpus count is. tfidf is rounded to 6 dp
+    BEFORE ranking in both engines so ulp noise in ``ln`` cannot flip ranks.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -312,6 +312,39 @@ WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.9
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms — fully value-checked (exact counts, ln
+    rounded to 6 dp before ranking in both engines)."""
+    return T.tf_idf_top_terms(_docs(spark, sf_dir), top_k=5)
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH toks AS (
+    SELECT doc_id, t AS term
+    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    WHERE t <> ''
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+    ) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -389,6 +422,7 @@ QUERIES: dict[str, tuple] = {
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
+    "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_FEATURES_SQL),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),

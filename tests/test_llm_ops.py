@@ -160,6 +160,32 @@ def test_ivf_topk_scores_correct_and_decent_recall(spark):
     assert hit > 0  # non-flaky lower bound; typical recall is far higher
 
 
+def test_tfidf_distinctive_term_outranks_ubiquitous_term(spark):
+    """A term appearing in every doc (idf floor) must rank below a term
+    unique to one doc with the same tf."""
+    from flink_recommendation_system_spark.operators.text import (
+        tf_idf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra"),
+            (2, "common common common"),
+            (3, "common yak"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"])
+        for r in tf_idf_top_terms(docs, top_k=2).collect()
+    }
+    # idf('common') = ln(4/4)+1 = 1 (floor); unique terms get ln(4/2)+1
+    assert out[(1, 1)] == ("zebra", 1)   # 1.693 beats common's 1.0
+    assert out[(1, 2)] == ("common", 1)
+    assert out[(3, 1)] == ("yak", 1)
+    assert out[(2, 1)] == ("common", 3)  # only term present, tfidf = 3.0
+
+
 def test_incremental_minhash_matches_full_corpus_delta(spark, tmp_path):
     """Incremental contract: pairing a new batch against the persisted
     signature store yields EXACTLY the full-corpus pairs that touch a new
