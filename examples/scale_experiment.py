@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""N× scale-up experiment for the round-2 operators (PERFORMANCE.md
+"Measured 10× scale-up"): replicate the sf0.1 inputs with shifted,
+disjoint ids — so the workload grows N× without changing per-entity
+density — and time each operator fully evaluated at 1× and N×.
+
+Covered here: TF-IDF (vocabulary-join path), item-based co-occurrence CF
+(two-hop sparse product), incremental MinHash (new-batch-vs-store pairing).
+
+Usage: python examples/scale_experiment.py [sf_dir] [n]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators import dedup as D
+from flink_recommendation_system_spark.operators.graph import good_reviews
+from flink_recommendation_system_spark.operators.text import tf_idf_top_terms
+from flink_recommendation_system_spark.plans.itemcf import item_cooccurrence
+from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.sources.tables import (
+    load_table,
+    reviews_from_events,
+)
+
+
+def force(df: DataFrame) -> int:
+    out = df.select(F.xxhash64(*df.columns).alias("_h")).agg(
+        F.expr("bit_xor(_h)"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    return out[0]["n"]
+
+
+def replicate(df: DataFrame, n: int, shifts: dict[str, int]) -> DataFrame:
+    """Union n copies with each id column shifted per replica — replicas are
+    disjoint, so entity-level density (tokens/doc, likes/user) is unchanged
+    and scaling should be ~linear for well-shaped plans."""
+    parts = [df]
+    for i in range(1, n):
+        rep = df
+        for col, step in shifts.items():
+            rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint()
+
+
+def timed(label: str, fn) -> None:
+    t0 = time.time()
+    n = fn()
+    print(f"{label:44s} {time.time() - t0:7.2f} s  ({n} rows)")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = get_spark("scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = load_table(spark, sf_dir, "documents").localCheckpoint()
+    docsN = replicate(docs1, n, {"doc_id": 1_000_000})
+    liked1 = good_reviews(reviews_from_events(spark, sf_dir)).localCheckpoint()
+    likedN = replicate(liked1, n, {"user_id": 10_000, "product_id": 1_000_000})
+
+    def itemcf_on(liked):
+        cooc = item_cooccurrence(liked)
+        scores = (
+            liked.join(cooc, liked["product_id"] == cooc["i"])
+            .groupBy("user_id", F.col("j"))
+            .agg(F.sum("cooc").alias("score"))
+        )
+        return lambda: force(scores)
+
+    def incr_minhash_on(docs):
+        # newest ~10% of each replica arrives as the ingestion batch
+        new = docs.filter(F.col("doc_id") % 1_000_000 >= 4500)
+        old = docs.filter(F.col("doc_id") % 1_000_000 < 4500)
+        store = D.minhash_signatures(old).localCheckpoint()
+        return lambda: force(D.incremental_minhash_pairs(new, store))
+
+    timed("tfidf_top_terms 1x", lambda: force(tf_idf_top_terms(docs1)))
+    timed(f"tfidf_top_terms {n}x", lambda: force(tf_idf_top_terms(docsN)))
+    timed("itemcf cooc+score 1x", itemcf_on(liked1))
+    timed(f"itemcf cooc+score {n}x", itemcf_on(likedN))
+    timed("incremental_minhash (10% batch) 1x", incr_minhash_on(docs1))
+    timed(f"incremental_minhash (10% batch) {n}x", incr_minhash_on(docsN))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
