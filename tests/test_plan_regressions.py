@@ -1,0 +1,66 @@
+"""Physical-plan regression pins for the PERFORMANCE.md plan-audit claims:
+predicate pushdown reaching the parquet scan, column pruning, top-k
+compiling to TakeOrderedAndProject, broadcast dimension joins, and the
+iterative-loop broadcast. A refactor that silently loses one of these would
+pass value checks but regress badly at 100 TB — these tests make the plan
+shape itself part of the contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators import graph as G
+from flink_recommendation_system_spark.plans.relational_queries import (
+    q_pricing_summary,
+    q_revenue_by_nation,
+)
+from flink_recommendation_system_spark.plans.top_products import top_products
+from flink_recommendation_system_spark.sources.tables import reviews_from_events
+from tests.conftest import SF0001
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(q_pricing_summary(spark, SF0001))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:3000]
+    # column pruning: the 16-column lineitem scan must not read l_comment
+    assert "l_comment" not in plan
+
+
+def test_top_products_compiles_to_take_ordered(spark):
+    plan = _plan(top_products(reviews_from_events(spark, SF0001)))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # events has 6 columns; the query needs only value/props
+    assert "ReadSchema" in plan and "event_type" not in plan
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(q_revenue_by_nation(spark, SF0001))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_superstep_broadcasts_small_label_side(spark):
+    """With a reference-sized vertex set the per-iteration join must be a
+    BroadcastHashJoin (edges never exchange inside the loop)."""
+    liked = G.good_reviews(reviews_from_events(spark, SF0001))
+    edges = G.undirected(G.co_review_edges(liked)).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    step = (
+        edges.join(F.broadcast(labels), edges["src"] == labels["id"], "inner")
+        .select(F.col("dst").alias("id"), "label")
+        .groupBy("id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    plan = _plan(step)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
