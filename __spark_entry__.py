@@ -89,6 +89,14 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC — O(log² n) rounds, diameter-independent;
+    same output contract (and oracle) as the min-propagation form."""
+    return G.connected_components_star(
+        G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
+    )
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -143,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_recommendations": _q_user_recommendations,
         "serving_snapshot": _q_serving_snapshot,
         "connected_components": _q_connected_components,
+        "connected_components_star": _q_connected_components_star,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -174,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "user_recommendations": oracles.USER_RECOMMENDATIONS_SQL,
         "serving_snapshot": oracles.SERVING_SNAPSHOT_SQL,
         "connected_components": oracles.CONNECTED_COMPONENTS_SQL,
+        # same output contract as the min-propagation form → same oracle
+        "connected_components_star": oracles.CONNECTED_COMPONENTS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

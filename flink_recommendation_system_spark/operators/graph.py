@@ -281,6 +281,113 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    undirected_edges: DataFrame,
+    max_rounds: int = 25,
+    checkpoint: str = "auto",
+    on_no_convergence: str = "warn",
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation — the
+    web-scale algorithm (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): converges in O(log² n) rounds *independent of
+    graph diameter*, where plain min-propagation needs O(diameter)
+    iterations. Same output contract as ``connected_components``:
+    (id, component), component = min vertex id (equality asserted in tests).
+
+    Per round, the edge set itself is rewritten toward a star per component:
+
+    - **large-star**: every node points its larger neighbors at the minimum
+      of its neighborhood (including itself);
+    - **small-star**: every node folds its smaller-or-equal neighbors onto
+      that minimum.
+
+    Physical shape per round: two groupBy-min aggregations (partial,
+    bounded by node count) + two equi-joins back to the neighbor list —
+    all shuffle-by-key, no driver data. Convergence = edge-set fingerprint
+    (count + XOR of pair hashes) unchanged, one tiny driver round-trip per
+    round. ``checkpoint`` as in ``label_propagation``.
+    """
+    # canonical undirected pair list: a < b, no self-loops
+    E = _truncate_lineage(
+        undirected_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        checkpoint,
+    )
+
+    def fingerprint(edges: DataFrame) -> tuple:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def canonical(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev_fp = fingerprint(E)
+    converged = False
+    for _ in range(max_rounds):
+        # large-star: neighbors of u (both directions); m = min(N(u) ∪ {u});
+        # emit (v, m) for v > u
+        nbrs = E.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        E = _truncate_lineage(canonical(large), checkpoint)
+
+        # small-star: orient edges toward the larger endpoint; m = min of
+        # the strictly-smaller neighborhood ∪ {u}; emit (v, m) for the
+        # smaller neighbors plus (u, m)
+        nbrs2 = E.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = nbrs2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            nbrs2.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .union(
+                mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
+            )
+        )
+        E = _truncate_lineage(canonical(small), checkpoint)
+
+        fp = fingerprint(E)
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        msg = (
+            f"connected_components_star did not stabilize within "
+            f"max_rounds={max_rounds}; components may be incomplete."
+        )
+        if on_no_convergence == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
+    # At the fixpoint every edge links a component's min (a) to a member
+    # (b): labels = members → a, plus the roots themselves.
+    return E.select(F.col("b").alias("id"), F.col("a").alias("component")).union(
+        E.select(F.col("a").alias("id"), F.col("a").alias("component"))
+    ).distinct()
+
+
 def community_sizes(labels: DataFrame) -> DataFrame:
     """`SELECT label, COUNT(*) GROUP BY label` — the reference's diagnostic
     group-reduce (Recommendations.java:83-98; SURVEY.md §2.3 A2).

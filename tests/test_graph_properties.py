@@ -147,6 +147,54 @@ def test_connected_components_warns_when_not_converged(spark):
     assert full.select("component").distinct().count() == 1
 
 
+# --- large-star/small-star connected components -----------------------------
+
+
+def test_star_cc_equals_min_propagation_on_coreview_graph(spark):
+    reviews = _reviews_df(
+        spark,
+        [(u, p, 5.0) for u in range(1, 9) for p in (u % 3, 100 + u % 2)]
+        + [(20, 999, 5.0), (21, 999, 4.5)],
+    )
+    edges = G.undirected(G.co_review_edges(G.good_reviews(reviews)))
+    star = sorted(G.connected_components_star(edges).collect())
+    minprop = sorted(G.connected_components(edges).collect())
+    assert star == minprop
+
+
+def test_star_cc_handles_long_paths_in_few_rounds(spark):
+    """A 60-node path has diameter 59 — min-propagation needs 59 iterations,
+    large/small-star stabilizes in O(log² n) rounds well under 25."""
+    edges = _path_edges(spark, 60)
+    out = G.connected_components_star(edges).collect()
+    assert len(out) == 60
+    assert {r["component"] for r in out} == {1}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 15), st.integers(1, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_cc_equals_min_propagation_on_random_graphs(spark, pairs):
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    star = sorted(G.connected_components_star(edges).collect())
+    minprop = sorted(G.connected_components(edges, max_iterations=30).collect())
+    assert star == minprop
+
+
 # --- default-on scale guards (VERDICT r01 "What's wrong" #2) ----------------
 
 
