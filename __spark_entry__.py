@@ -97,6 +97,12 @@ def _q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangles_per_vertex(
+        G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
+    )
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -152,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_snapshot": _q_serving_snapshot,
         "connected_components": _q_connected_components,
         "connected_components_star": _q_connected_components_star,
+        "triangle_counts": _q_triangle_counts,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -185,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": oracles.CONNECTED_COMPONENTS_SQL,
         # same output contract as the min-propagation form → same oracle
         "connected_components_star": oracles.CONNECTED_COMPONENTS_SQL,
+        "triangle_counts": oracles.TRIANGLE_COUNTS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -388,6 +388,61 @@ def connected_components_star(
     ).distinct()
 
 
+def triangles_per_vertex(undirected_edges: DataFrame) -> DataFrame:
+    """Triangle participation count per vertex (vertices in ≥1 triangle):
+    (id, triangles). Integer counts → engine-exact oracle.
+
+    Physical design — the degree-ordered orientation trick: orient every
+    edge toward the endpoint with the larger (degree, id) key, so each
+    vertex's out-degree is O(√m) even on power-law graphs (a hub's edges
+    point INTO it, so the hub never enumerates its neighbor pairs). Wedges
+    are the self-join of the oriented edge list on the source; a wedge
+    (v1, v2) closes a triangle iff the oriented edge (v1, v2) exists —
+    one more equi-join. The triangle SET is orientation-independent, so the
+    DuckDB oracle uses the simpler id-ordered formulation and results match
+    exactly.
+    """
+    E = (
+        undirected_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        E.select(F.col("a").alias("v"))
+        .union(E.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = E.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+
+    w1 = oriented.select("u", F.col("v").alias("v1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"))
+    wedges = w1.join(w2, "u").filter(F.col("v1") != F.col("v2"))
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    triangles = wedges.join(closing, ["v1", "v2"])  # each triangle once
+
+    corners = (
+        triangles.select(F.col("u").alias("id"))
+        .union(triangles.select(F.col("v1").alias("id")))
+        .union(triangles.select(F.col("v2").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
 def community_sizes(labels: DataFrame) -> DataFrame:
     """`SELECT label, COUNT(*) GROUP BY label` — the reference's diagnostic
     group-reduce (Recommendations.java:83-98; SURVEY.md §2.3 A2).

@@ -148,6 +148,26 @@ CONNECTED_COMPONENTS_SQL = (
 SELECT id, min(r) AS component FROM reach GROUP BY id"""
 )
 
+# Per-vertex triangle participation over the co-review graph. The Spark
+# side uses degree-ordered orientation for skew safety; the triangle SET is
+# orientation-independent, so this simpler id-ordered (x<y<z) enumeration
+# yields identical counts.
+TRIANGLE_COUNTS_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n"
+    """tri AS (
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e2.src = e1.dst
+    JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id"""
+)
+
 # Speed-layer serving snapshot (RealTimeRecommendations.java:89-124 as a
 # batch query): every user seen in the stream gets their model recs, falling
 # back to global top-products, sorted + capped at 20, ids stringified.

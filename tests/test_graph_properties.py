@@ -195,6 +195,33 @@ def test_star_cc_equals_min_propagation_on_random_graphs(spark, pairs):
     assert star == minprop
 
 
+# --- triangle counting ------------------------------------------------------
+
+
+def test_triangles_k4_and_path(spark):
+    """K4: 4 triangles, every vertex in exactly 3. A path has none — its
+    vertices don't appear in the output at all."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges = spark.createDataFrame(k4, ["src", "dst"])
+    got = {r["id"]: r["triangles"] for r in G.triangles_per_vertex(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    assert G.triangles_per_vertex(_path_edges(spark, 6)).count() == 0
+
+
+def test_triangles_hub_graph_orientation_safe(spark):
+    """A hub connected to 10 leaves, with one leaf-leaf edge: exactly one
+    triangle (hub, leaf1, leaf2) — the degree-ordered orientation must not
+    double- or under-count around the high-degree vertex."""
+    hub = [(100, leaf) for leaf in range(1, 11)]
+    pairs = hub + [(1, 2)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    got = {r["id"]: r["triangles"] for r in G.triangles_per_vertex(edges).collect()}
+    assert got == {100: 1, 1: 1, 2: 1}
+
+
 # --- default-on scale guards (VERDICT r01 "What's wrong" #2) ----------------
 
 
