@@ -97,6 +97,12 @@ def _q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration power-iteration PageRank on the co-review graph —
+    value-checked against an unrolled-CTE DuckDB oracle (like LPA)."""
+    return G.pagerank(G.undirected(G.co_review_edges(_liked(spark, sf_dir))))
+
+
 def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_vertex(
         G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
@@ -159,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "connected_components_star": _q_connected_components_star,
         "triangle_counts": _q_triangle_counts,
+        "pagerank": _q_pagerank,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -193,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         # same output contract as the min-propagation form → same oracle
         "connected_components_star": oracles.CONNECTED_COMPONENTS_SQL,
         "triangle_counts": oracles.TRIANGLE_COUNTS_SQL,
+        "pagerank": oracles.PAGERANK_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -388,6 +388,58 @@ def connected_components_star(
     ).distinct()
 
 
+def pagerank(
+    undirected_edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: str = "auto",
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over the (undirected → both-direction)
+    edge set: ``pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u)``. Returns
+    (id, rank) with rank rounded to 6 dp at the OUTPUT only (intermediate
+    ulp noise stays far below the rounding grain, so the DuckDB
+    unrolled-CTE oracle hash-matches — same discipline as every double
+    aggregate in this engine).
+
+    Every vertex of an undirected graph has in- and out-edges, so there is
+    no dangling-mass term. Physical shape per iteration mirrors LPA: the
+    (big) edge relation joins the (small) rank relation — broadcast when
+    the vertex count allows (``BROADCAST_LABELS_MAX``) — then one
+    partial-aggregated sum per destination; lineage truncated per
+    iteration (``checkpoint`` as in ``label_propagation``).
+    """
+    edges = _truncate_lineage(
+        undirected_edges.select("src", "dst"), checkpoint
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    n = verts.count()
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_LABELS_MAX
+    weighted = edges.join(outdeg, "src")  # (src, dst, outdeg), static
+    weighted = _truncate_lineage(weighted, checkpoint)
+    for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        ranks = _truncate_lineage(
+            weighted.join(r, weighted["src"] == r["id"], "inner")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.sum("contrib")
+                ).alias("rank")
+            ),
+            checkpoint,
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def triangles_per_vertex(undirected_edges: DataFrame) -> DataFrame:
     """Triangle participation count per vertex (vertices in ≥1 triangle):
     (id, triangles). Integer counts → engine-exact oracle.

@@ -168,6 +168,43 @@ corners AS (
 SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id"""
 )
 
+
+def pagerank_ctes(iterations: int = 3) -> str:
+    """Unrolled power-iteration PageRank (damping 0.85) over the co-review
+    edge set. All literals go through CAST(... AS DOUBLE) so both engines
+    compute the damping constants with identical binary-double arithmetic
+    (DuckDB numeric literals are DECIMAL by default, which would otherwise
+    diverge from Spark's Python-double constants by 1 ulp); final ranks
+    round to 6 dp, far above accumulated summation-order noise."""
+    parts = [
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "pr0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nv) AS rank"
+        " FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"pr{i} AS (\n"
+            "    SELECT e.dst AS id,\n"
+            "           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+            " / (SELECT n FROM nv)\n"
+            f"           + CAST(0.85 AS DOUBLE) * SUM(p.rank / o.outdeg)"
+            " AS rank\n"
+            f"    FROM edges e\n"
+            f"    JOIN pr{i - 1} p ON p.id = e.src\n"
+            "    JOIN outdeg o ON o.src = e.src\n"
+            "    GROUP BY e.dst\n"
+            ")"
+        )
+    return ",\n".join(parts)
+
+
+PAGERANK_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n{pagerank_ctes(3)}\n"
+    "SELECT id, round(rank, 6) AS rank FROM pr3"
+)
+
 # Speed-layer serving snapshot (RealTimeRecommendations.java:89-124 as a
 # batch query): every user seen in the stream gets their model recs, falling
 # back to global top-products, sorted + capped at 20, ids stringified.

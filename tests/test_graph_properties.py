@@ -195,6 +195,23 @@ def test_star_cc_equals_min_propagation_on_random_graphs(spark, pairs):
     assert star == minprop
 
 
+# --- pagerank ---------------------------------------------------------------
+
+
+def test_pagerank_hub_outranks_leaves_and_mass_conserved(spark):
+    """Star graph: the hub must outrank every leaf; total rank stays ~1
+    (undirected graph, no dangling mass)."""
+    hub = [(100, leaf) for leaf in range(1, 9)]
+    edges = spark.createDataFrame(
+        hub + [(b, a) for a, b in hub], ["src", "dst"]
+    )
+    ranks = {r["id"]: r["rank"] for r in G.pagerank(edges).collect()}
+    assert all(ranks[100] > ranks[leaf] for leaf in range(1, 9))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    # symmetry: all leaves identical
+    assert len({ranks[leaf] for leaf in range(1, 9)}) == 1
+
+
 # --- triangle counting ------------------------------------------------------
 
 
