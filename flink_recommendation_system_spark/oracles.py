@@ -148,12 +148,14 @@ CONNECTED_COMPONENTS_SQL = (
 SELECT id, min(r) AS component FROM reach GROUP BY id"""
 )
 
-# Per-vertex triangle participation over the co-review graph. The Spark
-# side uses degree-ordered orientation for skew safety; the triangle SET is
-# orientation-independent, so this simpler id-ordered (x<y<z) enumeration
-# yields identical counts.
+# Per-vertex triangle participation over the user<200 co-review subgraph
+# (the full graph is a near-clique at sf0.1 — triangle listing there is
+# output-bound; see _q_triangle_counts). The Spark side uses degree-ordered
+# orientation for skew safety; the triangle SET is orientation-independent,
+# so this simpler id-ordered (x<y<z) enumeration yields identical counts.
+LIKED_200_CTE = LIKED_CTE.replace("user_id < 1000", "user_id < 200")
 TRIANGLE_COUNTS_SQL = (
-    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n"
+    f"WITH {REVIEWS_CTE},\n{LIKED_200_CTE},\n{EDGES_CTES},\n"
     """tri AS (
     SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
     FROM pairs e1
