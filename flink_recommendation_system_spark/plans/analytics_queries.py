@@ -378,7 +378,48 @@ SELECT o_custkey, latest_orderkey, latest_totalprice, n_orders FROM (
 """
 
 
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + cumulative window family: per customer order sequence, days
+    since the previous order (lag), and running spend (ordered cumulative
+    sum — sequential accumulation in BOTH engines, so the double sum is
+    order-identical; prices rounded 2 dp before summing)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.to_date(F.lag("o_orderdate").over(w)),
+        ).cast("long").alias("days_since_prev"),
+        F.round(F.sum(F.round("o_totalprice", 2)).over(cum), 2).alias(
+            "running_spend"
+        ),
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       date_diff('day',
+                 CAST(lag(o_orderdate) OVER w AS DATE),
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       round(sum(round(o_totalprice, 2)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "customer_order_gaps": (q_customer_order_gaps, CUSTOMER_ORDER_GAPS_SQL),
     "sql_surface": (q_sql_surface, SQL_SURFACE_SQL),
     "customer_latest_order": (q_customer_latest_order, CUSTOMER_LATEST_ORDER_SQL),
     "revenue_cube": (q_revenue_cube, REVENUE_CUBE_SQL),
