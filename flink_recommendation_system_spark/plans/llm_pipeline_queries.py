@@ -153,6 +153,58 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: every document mapped to its
+    near-dup cluster representative — connected components over the exact
+    Jaccard ≥ 0.8 pair graph, cluster id = min doc_id in the component,
+    singleton docs map to themselves. Fully value-checked (recursive-CTE
+    closure oracle). At scale the same composition runs with
+    minhash_lsh_pairs as the edge generator."""
+    from ..operators import graph as G
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8)
+    edges = G.undirected(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = G.connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE t AS (
+    SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+),
+p AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+),
+e AS (
+    SELECT a_id AS src, b_id AS dst FROM p
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM p
+),
+reach(id, r) AS (
+    SELECT src AS id, src AS r FROM e
+    UNION
+    SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (scale path) — rows-only check here;
     recall vs the exact Jaccard baseline is asserted in tests."""
@@ -415,6 +467,7 @@ QUERIES: dict[str, tuple] = {
     "fingerprints": (q_fingerprints, FINGERPRINTS_SQL),
     "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "near_dup_clusters": (q_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
     "minhash_near_dups": (q_minhash_near_dups, None),
     "near_dup_pipeline": (q_near_dup_pipeline, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
