@@ -195,6 +195,56 @@ def test_star_cc_equals_min_propagation_on_random_graphs(spark, pairs):
     assert star == minprop
 
 
+def _naive_lpa(edge_pairs, iterations=5):
+    """Reference implementation of synchronous Gelly-style LPA: every vertex
+    adopts the most frequent label among neighbors' previous labels, ties to
+    the LARGER label; initial label = vertex id."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in edge_pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for v in nbrs:
+            counts = Counter(labels[u] for u in nbrs[v])
+            best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_lpa_matches_naive_reference(spark, pairs):
+    """The DataFrame LPA loop must equal a direct Python implementation of
+    the synchronous update + Gelly tie-break on arbitrary small graphs (the
+    oracle pins only the co-review corpus graph). Edges are deduped first —
+    label_propagation's documented input contract (undirected() says
+    "input is assumed deduped"); a duplicated edge legitimately double-
+    counts its label vote."""
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not pairs:
+        return
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    got = {r["id"]: r["label"] for r in G.label_propagation(edges).collect()}
+    assert got == _naive_lpa(pairs)
+
+
 # --- pagerank ---------------------------------------------------------------
 
 
