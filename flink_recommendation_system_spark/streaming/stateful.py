@@ -80,3 +80,56 @@ def running_user_stats(reviews_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(reviews_stream: DataFrame) -> DataFrame:
+    """The same operator on Spark 4's ``transformWithStateInPandas`` — the
+    successor API to ``applyInPandasWithState``: typed named state values,
+    composable state variables, timers, and TTL live on a
+    ``StatefulProcessor`` object instead of one packed tuple. Requires the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``). Semantics are
+    identical to ``running_user_stats`` (asserted in tests).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # NOTE: executing a transformWithState query additionally requires the
+    # `protobuf` package (the state-server wire protocol), absent from this
+    # container — the construction path (plan, schema) is tested here; the
+    # execution-equivalence test auto-skips without protobuf.
+    class RunningUserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, rating_sum, last_ts = (
+                self._stats.get() if self._stats.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                rating_sum += float(pdf["rating"].sum())
+                last_ts = max(last_ts, int(pdf["ts"].max()))
+            self._stats.update((n, rating_sum, last_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_reviews": [n],
+                    "mean_rating": [rating_sum / n if n else 0.0],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return reviews_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningUserStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

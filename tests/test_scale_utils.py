@@ -128,3 +128,81 @@ def test_stateful_running_user_stats(spark, tmp_path):
     for u, (n, mean) in batch.items():
         assert last[u][0] == n
         assert abs(last[u][1] - mean) < 1e-9
+
+
+def test_transform_with_state_plan_construction(spark, tmp_path):
+    """transformWithStateInPandas twin: the streaming plan must construct
+    with the exact output schema (execution needs protobuf + RocksDB state
+    store; see the execution test below, which auto-skips without them)."""
+    from flink_recommendation_system_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        running_user_stats_tws,
+    )
+
+    reviews = reviews_from_events(spark, SF0001).limit(10)
+    src = str(tmp_path / "in_tws_plan")
+    reviews.write.json(src)
+    stream = spark.readStream.schema(reviews.schema).json(src)
+    out = running_user_stats_tws(stream)
+    assert out.isStreaming
+    assert out.schema == OUTPUT_SCHEMA
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(
+    spark, tmp_path
+):
+    """The transformWithStateInPandas twin (Spark 4 stateful API) must
+    produce the same final per-user aggregates as the
+    applyInPandasWithState form on the same replay."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState execution needs the protobuf package",
+    )
+    from flink_recommendation_system_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        reviews = reviews_from_events(spark, SF0001).limit(300)
+        src = str(tmp_path / "in_tws")
+        reviews.coalesce(3).write.json(src)
+        stream = spark.readStream.schema(reviews.schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(src)
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ustats_tws")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        batch = {
+            r["user_id"]: (r["n"], r["mean"])
+            for r in reviews.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("rating").alias("mean"))
+            .collect()
+        }
+        last = {}
+        for r in spark.sql("select * from ustats_tws").collect():
+            last[r["user_id"]] = (r["n_reviews"], r["mean_rating"])
+        assert set(last) == set(batch)
+        for u, (n, mean) in batch.items():
+            assert last[u][0] == n
+            assert abs(last[u][1] - mean) < 1e-9
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
