@@ -186,6 +186,32 @@ def test_tfidf_distinctive_term_outranks_ubiquitous_term(spark):
     assert out[(2, 1)] == ("common", 3)  # only term present, tfidf = 3.0
 
 
+def test_near_dup_clusters_groups_copies_and_keeps_singletons(spark):
+    """Two exact copies + one distinct doc: copies share a cluster keyed by
+    the min doc_id; the distinct doc is its own singleton cluster."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_near_dup_clusters,
+    )
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma delta", "en"),
+            (3, "zebra yak xylophone walrus", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in q_near_dup_clusters(spark, d).collect()
+        }
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
 def test_incremental_minhash_matches_full_corpus_delta(spark, tmp_path):
     """Incremental contract: pairing a new batch against the persisted
     signature store yields EXACTLY the full-corpus pairs that touch a new
