@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_recommendation_system_spark.operators import dedup as D
+from flink_recommendation_system_spark.operators import graph as G
 from flink_recommendation_system_spark.operators.graph import good_reviews
 from flink_recommendation_system_spark.operators.text import tf_idf_top_terms
 from flink_recommendation_system_spark.plans.itemcf import item_cooccurrence
@@ -89,12 +90,19 @@ def main() -> None:
         store = D.minhash_signatures(old).localCheckpoint()
         return lambda: force(D.incremental_minhash_pairs(new, store))
 
+    edges1 = G.undirected(G.co_review_edges(liked1)).localCheckpoint()
+    edgesN = G.undirected(G.co_review_edges(likedN)).localCheckpoint()
+
     timed("tfidf_top_terms 1x", lambda: force(tf_idf_top_terms(docs1)))
     timed(f"tfidf_top_terms {n}x", lambda: force(tf_idf_top_terms(docsN)))
     timed("itemcf cooc+score 1x", itemcf_on(liked1))
     timed(f"itemcf cooc+score {n}x", itemcf_on(likedN))
     timed("incremental_minhash (10% batch) 1x", incr_minhash_on(docs1))
     timed(f"incremental_minhash (10% batch) {n}x", incr_minhash_on(docsN))
+    timed("pagerank(3) 1x", lambda: force(G.pagerank(edges1)))
+    timed(f"pagerank(3) {n}x", lambda: force(G.pagerank(edgesN)))
+    timed("star-CC 1x", lambda: force(G.connected_components_star(edges1)))
+    timed(f"star-CC {n}x", lambda: force(G.connected_components_star(edgesN)))
     spark.stop()
 
 
