@@ -137,8 +137,45 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------------
 
 # Fixed random-ish odd multipliers for the universal-hash family
-# h_i(x) = (a_i * x + b_i) mod 2^61-1 over a base xxhash64 of the shingle.
+# h_i(x) = (a_i * x + b_i) mod 2^61-1 over a base hash of the shingle.
 _MERSENNE61 = (1 << 61) - 1
+
+
+def portable_hash32(c: Column) -> Column:
+    """Unsigned 32-bit base hash computable identically in Spark and DuckDB:
+    the first 8 hex chars of md5 as an integer. Spark: ``conv(substr(md5(x),
+    1, 8), 16, 10)``; DuckDB: ``CAST('0x' || substr(md5(x), 1, 8) AS
+    BIGINT)``. Verified value-identical (tests/test_llm_ops.py)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash64(c: Column) -> Column:
+    """Signed 64-bit base hash computable identically in Spark and DuckDB:
+    the first 16 hex chars of md5, two's-complement. Spark's ``conv`` with a
+    negative target base yields the signed interpretation; the DuckDB twin
+    parses via UBIGINT and subtracts 2^64 for values ≥ 2^63."""
+    return F.conv(F.substring(F.md5(c), 1, 16), 16, -10).cast("long")
+
+
+def _base32(c: Column, base_hash: str) -> Column:
+    """32-bit shingle hash: ``"portable"`` → md5-derived (cross-engine,
+    oracle-checkable); ``"fast"`` → xxhash64 masked to 32 bits (cheaper,
+    Spark-only — DuckDB has no xxhash64, so fast-path outputs can only be
+    rows-checked)."""
+    if base_hash == "portable":
+        return portable_hash32(c)
+    if base_hash == "fast":
+        return F.xxhash64(c).bitwiseAND(F.lit((1 << 32) - 1))
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
+def _base64(c: Column, base_hash: str) -> Column:
+    """64-bit token hash, same portability contract as ``_base32``."""
+    if base_hash == "portable":
+        return portable_hash64(c)
+    if base_hash == "fast":
+        return F.xxhash64(c)
+    raise ValueError(f"unknown base_hash {base_hash!r}")
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -164,10 +201,15 @@ def char_shingles(col: str | Column, n: int = 5) -> Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 5
+    docs: DataFrame,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    base_hash: str = "portable",
 ) -> DataFrame:
     """MinHash signature per document: min over shingles of each universal
-    hash of xxhash64(shingle). Output: (doc_id, sig ARRAY<BIGINT>).
+    hash of a 32-bit base hash of the shingle (``base_hash``: "portable" =
+    md5-derived, identical in DuckDB → full value oracle; "fast" = xxhash64).
+    Output: (doc_id, sig ARRAY<BIGINT>).
 
     Physical design: explode shingles to rows, evaluate all ``num_hashes``
     universal hashes as plain codegen column expressions, and take one
@@ -179,7 +221,7 @@ def minhash_signatures(
     """
     exploded = docs.select(
         "doc_id", F.explode(char_shingles("text", shingle_n)).alias("shingle")
-    ).withColumn("h", F.xxhash64("shingle").bitwiseAND(F.lit((1 << 32) - 1)))
+    ).withColumn("h", _base32(F.col("shingle"), base_hash))
     params = _hash_params(num_hashes)
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).alias(
@@ -200,16 +242,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.5,
+    base_hash: str = "portable",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature (rows =
-    num_hashes/bands), bucket-join on (band_idx, band_hash), then verify
+    num_hashes/bands), bucket-join on (band_idx, band), then verify
     candidates with the estimated Jaccard (fraction of equal signature
     components). Output: (a_id, b_id, est_jaccard), a_id < b_id.
 
     This is the scale path: no quadratic pair generation — candidate pairs
     come from an equi-join on band buckets.
     """
-    sigs = minhash_signatures(docs, num_hashes, shingle_n).localCheckpoint()
+    sigs = minhash_signatures(
+        docs, num_hashes, shingle_n, base_hash
+    ).localCheckpoint()
     banded = _banded(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -217,7 +262,7 @@ def minhash_lsh_pairs(
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -229,7 +274,14 @@ def minhash_lsh_pairs(
 
 
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band_idx, band_hash) — one row per signature band."""
+    """(doc_id, band_idx, band ARRAY<BIGINT>) — one row per signature band.
+
+    The bucket key is the band slice ITSELF, not a hash of it: Spark
+    shuffles and equi-joins array columns natively, the rows-per-band
+    payload is a few longs (no material cost over a 32-bit digest), and
+    exact band equality means the candidate set has zero hash-collision
+    noise — which is what lets the DuckDB oracle reproduce the pair set
+    exactly (a murmur3 band_hash would be Spark-only)."""
     rows = num_hashes // bands
     return sigs.select(
         "doc_id",
@@ -241,7 +293,7 @@ def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band"),
-    ).select("doc_id", "band_idx", F.hash("band").alias("band_hash"))
+    )
 
 
 def _verify_pairs(
@@ -269,14 +321,18 @@ def _verify_pairs(
 
 
 def publish_minhash_signatures(
-    docs: DataFrame, path: str, num_hashes: int = 32, shingle_n: int = 5
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    base_hash: str = "portable",
 ) -> None:
     """Persist the corpus signature store — the state an incremental
     near-dup pipeline carries between ingestion batches. At 100 TB this is
     the whole point: signatures are num_hashes longs per doc (vs the raw
     bodies), and new batches pair against THIS table instead of re-pairing
     the corpus."""
-    minhash_signatures(docs, num_hashes, shingle_n).write.mode(
+    minhash_signatures(docs, num_hashes, shingle_n, base_hash).write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -288,26 +344,49 @@ def incremental_minhash_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.5,
+    base_hash: str = "portable",
+    check_disjoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs *introduced by a new ingestion batch* against an
     existing corpus signature store (``publish_minhash_signatures`` /
     ``minhash_signatures`` output): candidates are (new × store) ∪
     (new × new) — store × store is never re-paired, because those pairs were
     emitted when their docs arrived. This is the continuous-ingestion shape:
-    per-batch cost scales with the batch and its collisions, not the corpus.
+    per-batch PAIRING cost scales with the batch and its collisions, not the
+    corpus — but note the banding projection of ``store_sigs`` is still an
+    O(corpus) scan per batch (narrow, no shuffle). A deployment that cares
+    should persist the banded store alongside the signatures and pass it
+    through; the scan is the parquet-read of num_hashes longs per doc, not
+    a re-pairing.
 
-    Contract: ``new_docs`` ids are disjoint from the store's. Output:
+    Contract: ``new_docs`` ids are disjoint from the store's — a violated
+    contract would silently emit self-pairs/collapsed pairs through the
+    least/greatest canonicalization, so ``check_disjoint`` (default on)
+    asserts id-disjointness with one cheap semi-join count. Output:
     (a_id, b_id, est_jaccard) with a_id < b_id, identical values to running
     ``minhash_lsh_pairs`` on the full corpus and keeping pairs that touch a
     new doc (asserted in tests).
     """
     new_sigs = minhash_signatures(
-        new_docs, num_hashes, shingle_n
+        new_docs, num_hashes, shingle_n, base_hash
     ).localCheckpoint()
+    if check_disjoint:
+        overlap = (
+            new_sigs.select("doc_id")
+            .join(store_sigs.select("doc_id"), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "incremental_minhash_pairs: new_docs doc_ids overlap the "
+                "signature store; pairs would silently collapse. Dedup the "
+                "batch against the store first."
+            )
     nb = _banded(new_sigs, num_hashes, bands)
     sb = _banded(store_sigs, num_hashes, bands)
 
-    band_keys = ["band_idx", "band_hash"]
+    band_keys = ["band_idx", "band"]
     cross = (
         nb.alias("a")
         .join(sb.alias("b"), band_keys)
@@ -340,6 +419,7 @@ def near_dup_pipeline(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.5,
+    base_hash: str = "portable",
 ) -> DataFrame:
     """Production near-dup ordering: **exact dedup first, MinHash second.**
 
@@ -351,16 +431,20 @@ def near_dup_pipeline(
     survivors (cluster representatives, min doc_id).
     """
     survivors = exact_dedup(docs)
-    return minhash_lsh_pairs(survivors, num_hashes, bands, shingle_n, threshold)
+    return minhash_lsh_pairs(
+        survivors, num_hashes, bands, shingle_n, threshold, base_hash
+    )
 
 
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully JVM-side: per token an
-    xxhash64; per bit position, sum of ±1 contributions across tokens; the
-    signature packs the sign bits. Output: (doc_id, simhash BIGINT).
+def simhash(docs: DataFrame, base_hash: str = "portable") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side: per token a
+    64-bit base hash (``base_hash``: "portable" = md5-derived signed 64,
+    identical in DuckDB → full value oracle; "fast" = xxhash64); per bit
+    position, sum of ±1 contributions across tokens; the signature packs
+    the sign bits. Output: (doc_id, simhash BIGINT).
 
     Physical design (same explode+codegen pattern as ``minhash_signatures``):
     explode distinct tokens to rows, evaluate the 64 per-bit ±1 contributions
@@ -375,7 +459,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     toked = docs.select(
         "doc_id",
         F.explode_outer(F.array_distinct(tokens("text"))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _base64(F.col("tok"), base_hash))
 
     def contrib(b: int):
         return (
@@ -410,12 +494,17 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, base_hash: str = "portable"
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance. Candidate generation
     blocks on 16-bit signature quadrants (a pair within Hamming ≤ 3 of a
     64-bit signature must agree exactly on ≥1 of 4 quadrants — pigeonhole),
-    so this is bucket-equi-join shaped, not quadratic."""
-    sigs = simhash(docs).localCheckpoint()
+    so this is bucket-equi-join shaped, not quadratic. The blocking is
+    LOSSLESS, so the output is exactly {pairs with Hamming ≤ max_hamming}
+    — which is why the DuckDB oracle can use the simpler brute-force
+    formulation and still match value-for-value."""
+    sigs = simhash(docs, base_hash).localCheckpoint()
     quads = sigs.select(
         "doc_id",
         "simhash",

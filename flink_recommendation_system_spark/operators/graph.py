@@ -301,12 +301,26 @@ def connected_components_star(
     - **small-star**: every node folds its smaller-or-equal neighbors onto
       that minimum.
 
+    Vertices whose only incident edges are self-loops (or that appear only
+    as ``(v, v)``) are preserved: the iteration works on the self-loop-free
+    edge set, and the final mapping unions every input endpoint back in
+    with component = itself as the fallback — so the output contract
+    matches ``connected_components`` on ALL inputs, not just loop-free
+    ones.
+
     Physical shape per round: two groupBy-min aggregations (partial,
     bounded by node count) + two equi-joins back to the neighbor list —
     all shuffle-by-key, no driver data. Convergence = edge-set fingerprint
     (count + XOR of pair hashes) unchanged, one tiny driver round-trip per
     round. ``checkpoint`` as in ``label_propagation``.
     """
+    # every input endpoint — the vertex universe the output must cover
+    # (self-loop-only vertices drop out of E below but not out of this)
+    verts = (
+        undirected_edges.select(F.col("src").alias("id"))
+        .union(undirected_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     # canonical undirected pair list: a < b, no self-loops
     E = _truncate_lineage(
         undirected_edges.select(
@@ -382,10 +396,17 @@ def connected_components_star(
             raise RuntimeError(msg)
         warnings.warn(msg, UserWarning, stacklevel=2)
     # At the fixpoint every edge links a component's min (a) to a member
-    # (b): labels = members → a, plus the roots themselves.
-    return E.select(F.col("b").alias("id"), F.col("a").alias("component")).union(
-        E.select(F.col("a").alias("id"), F.col("a").alias("component"))
-    ).distinct()
+    # (b): labels = members → a, plus the roots themselves; vertices that
+    # never entered E (self-loop-only / isolated endpoints) fall back to
+    # component = themselves, matching connected_components.
+    mapping = (
+        E.select(F.col("b").alias("id"), F.col("a").alias("component"))
+        .union(E.select(F.col("a").alias("id"), F.col("a").alias("component")))
+        .distinct()
+    )
+    return verts.join(mapping, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def pagerank(
@@ -397,10 +418,17 @@ def pagerank(
 ) -> DataFrame:
     """Power-iteration PageRank over the (undirected → both-direction)
     edge set: ``pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/outdeg(u)``. Returns
-    (id, rank) with rank rounded to 6 dp at the OUTPUT only (intermediate
-    ulp noise stays far below the rounding grain, so the DuckDB
-    unrolled-CTE oracle hash-matches — same discipline as every double
-    aggregate in this engine).
+    (id, rank) rounded to 6 dp.
+
+    Cross-engine EXACT arithmetic: each contribution ``pr(u)/outdeg(u)`` is
+    quantized to the 2^-38 binary grid (``floor(x·2^38 + 0.5) / 2^38``)
+    before the per-destination sum. Multiples of 2^-38 below 1 sum EXACTLY
+    in IEEE doubles for up to 2^15 terms (38+15 = 53 significand bits), so
+    the sum is order-independent and the DuckDB unrolled-CTE oracle matches
+    bit-for-bit at every iteration — parity by construction, not by noise
+    margin (quantization error ~deg·2^-38 ≈ 1e-8, far below the 6 dp output
+    grain). Exactness holds to in-degree 32768; beyond that the sum merely
+    reverts to ulp-noise territory, still far inside the output rounding.
 
     Every vertex of an undirected graph has in- and out-edges, so there is
     no dangling-mass term. Physical shape per iteration mirrors LPA: the
@@ -420,14 +448,17 @@ def pagerank(
         broadcast_ranks = n <= BROADCAST_LABELS_MAX
     weighted = edges.join(outdeg, "src")  # (src, dst, outdeg), static
     weighted = _truncate_lineage(weighted, checkpoint)
+    grid = float(1 << 38)
     for _ in range(iterations):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = F.col("rank") / F.col("outdeg")
+        quant = (
+            F.floor(contrib * F.lit(grid) + F.lit(0.5)).cast("double")
+            / F.lit(grid)
+        )
         ranks = _truncate_lineage(
             weighted.join(r, weighted["src"] == r["id"], "inner")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("contrib"),
-            )
+            .select(F.col("dst").alias("id"), quant.alias("contrib"))
             .groupBy("id")
             .agg(
                 (
@@ -440,7 +471,13 @@ def pagerank(
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
-def triangles_per_vertex(undirected_edges: DataFrame) -> DataFrame:
+MAX_WEDGES_SOURCE_DEGREE = 256
+
+
+def triangles_per_vertex(
+    undirected_edges: DataFrame,
+    max_oriented_degree: int | None = MAX_WEDGES_SOURCE_DEGREE,
+) -> DataFrame:
     """Triangle participation count per vertex (vertices in ≥1 triangle):
     (id, triangles). Integer counts → engine-exact oracle.
 
@@ -453,6 +490,18 @@ def triangles_per_vertex(undirected_edges: DataFrame) -> DataFrame:
     one more equi-join. The triangle SET is orientation-independent, so the
     DuckDB oracle uses the simpler id-ordered formulation and results match
     exactly.
+
+    Near-clique guard (default ON): orientation defeats power-law hubs but
+    NOT near-cliques, where every vertex keeps oriented out-degree Θ(n) and
+    triangle LISTING is inherently output-bound at Θ(n³) wedges (measured
+    73 s on the sf0.1 co-review graph — PERFORMANCE.md). When a vertex's
+    oriented out-degree exceeds ``max_oriented_degree``, its neighbor list
+    is truncated to the ``max_oriented_degree`` smallest out-neighbors
+    (deterministic) and a UserWarning reports how many vertices were
+    clipped — counts are then a LOWER BOUND. The default (256) bounds
+    wedge generation to C(256, 2) per vertex while never binding on any
+    graph of ≤ 257 vertices (oriented out-degree < n), so the registered
+    oracle subgraph is untouched. Pass ``None`` to uncap.
     """
     E = (
         undirected_edges.select(
@@ -478,6 +527,30 @@ def triangles_per_vertex(undirected_edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).localCheckpoint()
+    if max_oriented_degree is not None:
+        clipped = (
+            oriented.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("odeg"))
+            .filter(F.col("odeg") > max_oriented_degree)
+            .count()
+        )
+        if clipped:
+            warnings.warn(
+                f"triangles_per_vertex: {clipped} vertices exceed "
+                f"max_oriented_degree={max_oriented_degree} (near-clique "
+                "region); their neighbor lists were truncated and triangle "
+                "counts are a lower bound. Pass max_oriented_degree=None "
+                "to uncap (output-bound on near-cliques).",
+                UserWarning,
+                stacklevel=2,
+            )
+            wcap = Window.partitionBy("u").orderBy(F.col("v").asc())
+            oriented = (
+                oriented.withColumn("_rn", F.row_number().over(wcap))
+                .filter(F.col("_rn") <= max_oriented_degree)
+                .drop("_rn")
+                .localCheckpoint()
+            )
 
     w1 = oriented.select("u", F.col("v").alias("v1"))
     w2 = oriented.select("u", F.col("v").alias("v2"))

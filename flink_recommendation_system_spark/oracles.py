@@ -176,8 +176,12 @@ def pagerank_ctes(iterations: int = 3) -> str:
     edge set. All literals go through CAST(... AS DOUBLE) so both engines
     compute the damping constants with identical binary-double arithmetic
     (DuckDB numeric literals are DECIMAL by default, which would otherwise
-    diverge from Spark's Python-double constants by 1 ulp); final ranks
-    round to 6 dp, far above accumulated summation-order noise."""
+    diverge from Spark's Python-double constants by 1 ulp). Contributions
+    are quantized to the 2^-38 binary grid before the per-destination sum
+    — multiples of 2^-38 below 1 add EXACTLY in doubles for up to 2^15
+    terms — so the sum is order-independent and parity with the Spark loop
+    (operators.graph.pagerank, same quantization) is exact by construction
+    at every iteration, not noise-margin-based."""
     parts = [
         "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "verts AS (SELECT DISTINCT src AS id FROM edges)",
@@ -191,8 +195,11 @@ def pagerank_ctes(iterations: int = 3) -> str:
             "    SELECT e.dst AS id,\n"
             "           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
             " / (SELECT n FROM nv)\n"
-            f"           + CAST(0.85 AS DOUBLE) * SUM(p.rank / o.outdeg)"
-            " AS rank\n"
+            "           + CAST(0.85 AS DOUBLE) * SUM(\n"
+            "               floor(p.rank / o.outdeg"
+            " * CAST(274877906944 AS DOUBLE)\n"
+            "                     + CAST(0.5 AS DOUBLE))"
+            " / CAST(274877906944 AS DOUBLE)) AS rank\n"
             f"    FROM edges e\n"
             f"    JOIN pr{i - 1} p ON p.id = e.src\n"
             "    JOIN outdeg o ON o.src = e.src\n"

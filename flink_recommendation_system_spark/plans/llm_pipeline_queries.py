@@ -2,9 +2,13 @@
 similarity search, multimodal (SURVEY.md §7 M4; BASELINE.json north star).
 
 Entries: ``name → (spark_fn, oracle_sql | None)``. SQL oracles exist for
-everything expressible in portable SQL; the LSH/MinHash/SimHash/mapInPandas
-paths are rows-only here (their correctness is covered by invariant tests in
-tests/test_llm_ops.py, e.g. LSH recall vs the exact oracle-checked baseline).
+everything expressible in portable SQL — including the MinHash/SimHash
+family, whose portable md5-derived base hash (operators.dedup
+portable_hash32/64) makes the signature pipelines deterministic arithmetic
+DuckDB reproduces bit-for-bit. Only the genuinely non-SQL paths (SRP/IVF
+ANN with MLlib KMeans, ALS) are rows-only, with invariant tests in
+tests/test_llm_ops.py (e.g. LSH recall vs the exact oracle-checked
+baseline).
 
 Cross-engine notes:
 - DuckDB's `list_cosine_similarity` accumulates in float32 → NOT used;
@@ -206,20 +210,196 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (scale path) — rows-only check here;
-    recall vs the exact Jaccard baseline is asserted in tests."""
+    """MinHash-LSH near-dup candidates (scale path) — FULL value oracle:
+    the portable md5-derived base hash makes the whole signature pipeline
+    deterministic arithmetic DuckDB reproduces exactly (banding included,
+    since the band bucket key is the band slice itself). Recall vs the
+    exact Jaccard baseline additionally asserted in tests."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact dedup → MinHash-LSH on survivors (the scale-correct ordering;
-    see PERFORMANCE.md) — rows-only."""
+    see PERFORMANCE.md) — full value oracle, as above."""
     return D.near_dup_pipeline(_docs(spark, sf_dir))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming≤3 near-dups via quadrant blocking — rows-only."""
+    """SimHash Hamming≤3 near-dups via quadrant blocking — full value
+    oracle: blocking is lossless (pigeonhole), so the DuckDB twin is the
+    brute-force Hamming≤3 pair set over the same portable signatures."""
     return D.simhash_near_dups(_docs(spark, sf_dir))
+
+
+def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH dedup end product: doc → near-dup cluster
+    representative with **MinHash-LSH edges** (banded equi-join candidates)
+    and **large-star/small-star connected components** (O(log² n) rounds) —
+    the exact composition a 100 TB corpus runs, where the quadratic
+    exact-Jaccard edge generator of ``near_dup_clusters`` is infeasible.
+    Fully value-checked: the portable base hash makes the LSH pair set
+    engine-exact, and the oracle closes it with a recursive CTE."""
+    from ..operators import graph as G
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    edges = G.undirected(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = G.connected_components_star(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+# --- MinHash/SimHash oracle SQL ---------------------------------------------
+# The signature pipelines are deterministic integer arithmetic over a
+# cross-engine base hash (first 8/16 hex chars of md5 — operators.dedup
+# portable_hash32/64), so DuckDB reproduces them bit-for-bit. The universal
+# hash constants are embedded from the same _hash_params the Spark side uses.
+
+
+def _minhash_ctes(doc_filter: str, num_hashes: int, bands: int,
+                  shingle_n: int, threshold: float) -> str:
+    """CTE chain ending in ``p(a_id, b_id, est_jaccard)`` — the MinHash-LSH
+    pair set, mirroring operators.dedup.minhash_lsh_pairs exactly."""
+    params = D._hash_params(num_hashes)
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(params)
+    )
+    rows = num_hashes // bands
+    return f"""
+corpus AS (
+    SELECT doc_id, text FROM documents {doc_filter}
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(strlen(text) - {shingle_n - 1}, 1) + 1),
+               i -> substr(text, i, {shingle_n})))) AS shingle
+    FROM corpus
+),
+hx AS (
+    SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+    FROM sh
+),
+hparams(i, a, b) AS (VALUES {vals}),
+comp_sig AS (
+    SELECT doc_id, p.i, min((h * p.a + p.b) % {D._MERSENNE61}) AS m
+    FROM hx CROSS JOIN hparams p
+    GROUP BY doc_id, p.i
+),
+sigs AS (
+    SELECT doc_id, list(m ORDER BY i) AS sig FROM comp_sig GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, i // {rows} AS band_idx, list(m ORDER BY i) AS band
+    FROM comp_sig GROUP BY doc_id, i // {rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band = b.band
+     AND a.doc_id < b.doc_id
+),
+p AS (
+    SELECT * FROM (
+        SELECT c.a_id, c.b_id,
+               round(CAST(len(list_filter(range(1, {num_hashes + 1}),
+                     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                     / {num_hashes}, 6) AS est_jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.a_id
+        JOIN sigs sb ON sb.doc_id = c.b_id
+    ) WHERE est_jaccard >= {threshold}
+)"""
+
+
+_EXACT_SURVIVORS = (
+    "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY sha256(text))"
+)
+
+MINHASH_NEAR_DUPS_SQL = (
+    "WITH " + _minhash_ctes("", 32, 8, 5, 0.5)
+    + "\nSELECT a_id, b_id, est_jaccard FROM p"
+)
+
+NEAR_DUP_PIPELINE_SQL = (
+    "WITH " + _minhash_ctes(_EXACT_SURVIVORS, 32, 8, 5, 0.5)
+    + "\nSELECT a_id, b_id, est_jaccard FROM p"
+)
+
+NEAR_DUP_CLUSTERS_LSH_SQL = (
+    "WITH RECURSIVE " + _minhash_ctes("", 32, 8, 5, 0.5)
+    + """,
+e AS (
+    SELECT a_id AS src, b_id AS dst FROM p
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM p
+),
+reach(id, r) AS (
+    SELECT src AS id, src AS r FROM e
+    UNION
+    SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id
+),
+closure AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
+"""
+)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Brute-force Hamming≤k pair set over portable SimHash signatures —
+    value-identical to the quadrant-blocked Spark plan (blocking is
+    lossless). Per-token bit b of the 64-bit base hash = bit (b%4) of hex
+    digit (16 - b//4) of md5(tok); signature packs sign bits of the ±1
+    contribution sums, two's-complement (bit 63 → -2^63)."""
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (dg[{16 - b // 4}] // {1 << (b % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    sig_terms = "\n         + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({-(1 << 63) if b == 63 else (1 << b)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+),
+dgt AS (
+    SELECT doc_id,
+           list_transform(range(1, 17),
+               j -> strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1)
+               AS dg
+    FROM toks
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM dgt GROUP BY doc_id
+),
+sigs AS (
+    SELECT doc_id,
+           {sig_terms} AS simhash
+    FROM sums
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SIMHASH_NEAR_DUPS_SQL = _simhash_sql(3)
 
 
 # --- similarity search ------------------------------------------------------
@@ -468,9 +648,10 @@ QUERIES: dict[str, tuple] = {
     "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "near_dup_clusters": (q_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
-    "minhash_near_dups": (q_minhash_near_dups, None),
-    "near_dup_pipeline": (q_near_dup_pipeline, None),
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "near_dup_clusters_lsh": (q_near_dup_clusters_lsh, NEAR_DUP_CLUSTERS_LSH_SQL),
+    "minhash_near_dups": (q_minhash_near_dups, MINHASH_NEAR_DUPS_SQL),
+    "near_dup_pipeline": (q_near_dup_pipeline, NEAR_DUP_PIPELINE_SQL),
+    "simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_TOPK_SQL),
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),

@@ -344,3 +344,64 @@ def test_community_fanout_cap_bounds_expansion(spark):
         1000 + u for u in range(1, 21)
     }
     assert len(recs) < len(uncapped)
+
+
+def test_star_cc_self_loop_only_vertex_matches_min_propagation(spark):
+    """A vertex whose only incident edges are self-loops must appear in the
+    output with component = itself — same contract as connected_components
+    (the star iteration drops self-loops internally; the vertex-universe
+    fallback restores it)."""
+    from flink_recommendation_system_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (7, 7), (3, 4), (4, 3)], ["src", "dst"]
+    )
+    got = sorted(tuple(r) for r in connected_components_star(edges).collect())
+    exp = sorted(tuple(r) for r in connected_components(edges).collect())
+    assert got == exp
+    assert (7, 7) in got
+
+
+def test_triangles_near_clique_guard_warns_and_lower_bounds(spark):
+    """On a near-clique (where degree orientation cannot help), the
+    default-on oriented-degree cap truncates with an explicit warning and
+    counts become a lower bound; uncapped counts are exact."""
+    import warnings as W
+
+    from flink_recommendation_system_spark.operators.graph import (
+        triangles_per_vertex,
+        undirected,
+    )
+
+    k = 40
+    rows = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    und = undirected(spark.createDataFrame(rows, ["src", "dst"]))
+
+    with W.catch_warnings(record=True) as w:
+        W.simplefilter("always")
+        capped = {
+            r["id"]: r["triangles"]
+            for r in triangles_per_vertex(und, max_oriented_degree=10).collect()
+        }
+        assert any("lower bound" in str(x.message) for x in w)
+
+    exact = {
+        r["id"]: r["triangles"]
+        for r in triangles_per_vertex(und, max_oriented_degree=None).collect()
+    }
+    expected = (k - 1) * (k - 2) // 2  # every vertex of K_n is in C(n-1,2)
+    assert all(v == expected for v in exact.values())
+    assert all(capped[i] <= exact[i] for i in capped)
+
+    # a cap that cannot bind (>= n) leaves results exact and warns nothing
+    with W.catch_warnings(record=True) as w:
+        W.simplefilter("always")
+        wide = {
+            r["id"]: r["triangles"]
+            for r in triangles_per_vertex(und, max_oriented_degree=64).collect()
+        }
+        assert not any("lower bound" in str(x.message) for x in w)
+    assert wide == exact

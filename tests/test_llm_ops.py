@@ -257,3 +257,81 @@ def test_ivf_fit_once_probe_many(spark):
         for r in S.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).collect()
     )
     assert got == one_shot
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The md5-derived base hashes (portable_hash32/64) are value-identical
+    in Spark and DuckDB — the foundation of the MinHash/SimHash value
+    oracles. Pins the conv()/hex-cast equivalence on real corpus tokens."""
+    import duckdb
+
+    samples = [
+        r["s"]
+        for r in _docs(spark)
+        .limit(50)
+        .select(F.substring("text", 1, 40).alias("s"))
+        .collect()
+    ] + ["", "a", "xyz", "hello world"]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: (r["h32"], r["h64"])
+        for r in sdf.select(
+            "s",
+            D.portable_hash32(F.col("s")).alias("h32"),
+            D.portable_hash64(F.col("s")).alias("h64"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        h32, h64 = con.execute(
+            """
+            SELECT CAST('0x' || substr(md5($1), 1, 8) AS BIGINT),
+                   CAST(CAST(CAST('0x' || substr(md5($1), 1, 16) AS UBIGINT)
+                             AS HUGEINT)
+                        - CASE WHEN CAST('0x' || substr(md5($1), 1, 16)
+                                        AS UBIGINT)
+                                    >= CAST(9223372036854775808 AS UBIGINT)
+                               THEN CAST(18446744073709551616 AS HUGEINT)
+                               ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+            """,
+            [s],
+        ).fetchone()
+        assert got[s] == (h32, h64), f"portable hash mismatch for {s!r}"
+    con.close()
+
+
+def test_lsh_clusters_cocluster_exact_duplicates(spark):
+    """Scale-path clustering (MinHash edges → star-CC): exact copies of a
+    document must land in the same cluster (est_jaccard = 1 → same bands),
+    docs with no near-dups stay singletons mapping to themselves, and the
+    cluster id is always the minimum doc_id of its members."""
+    from flink_recommendation_system_spark.operators import graph as G
+
+    docs = _docs(spark)
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.union(dup)
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    edges = G.undirected(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = G.connected_components_star(edges)
+    clusters = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    cmap = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert len(cmap) == corpus.count()
+    for did in [r["doc_id"] for r in docs.limit(10).collect()]:
+        assert cmap[did] == cmap[did + 100000], f"copy of {did} not co-clustered"
+    # cluster id = min member id; singletons map to themselves
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in cmap.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
