@@ -120,10 +120,22 @@ liked AS (
     FROM reviews
     WHERE user_id < 1000 AND rating > 3.0
 ),
+-- mirror of MAX_ITEMS_PER_USER: only the capped relation enters the
+-- co-occurrence build (the Spark side caps inside item_cooccurrence), so
+-- oracle parity no longer rests on the cap never binding at larger SFs
+liked_capped AS (
+    SELECT user_id, product_id FROM (
+        SELECT user_id, product_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY product_id ASC
+               ) AS _rn
+        FROM liked
+    ) WHERE _rn <= 1024
+),
 cooc AS (
     SELECT a.product_id AS i, b.product_id AS j, COUNT(*) AS cooc
-    FROM liked a
-    JOIN liked b
+    FROM liked_capped a
+    JOIN liked_capped b
       ON a.user_id = b.user_id AND a.product_id <> b.product_id
     GROUP BY 1, 2
 ),

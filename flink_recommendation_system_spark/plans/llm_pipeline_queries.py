@@ -446,10 +446,65 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (scale path) — rows-only; recall vs
-    cosine_topk asserted in tests."""
+    """SRP-LSH approximate top-k (scale path) — FULL value oracle: the
+    hyperplanes are seeded Python-float constants baked into the plan, the
+    signature is sign(left-fold dot) per plane, and DuckDB's
+    ``list_sum(list_transform(...))`` reproduces the fold bit-for-bit, so
+    the bucket assignment, candidate join, and re-rank are all
+    engine-exact. Recall vs cosine_topk additionally asserted in tests."""
     emb = _emb(spark, sf_dir)
     return S.lsh_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
+
+
+def _lsh_topk_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """Mirror of operators.similarity.lsh_topk: SRP bucket = packed sign
+    bits of plane dots (strict > 0, weight 2^i), candidates = bucket
+    equi-join, exact cosine re-rank rounded to 6 dp with id tie-break.
+    The plane constants are repr()-round-tripped doubles — DuckDB parses
+    them to the identical binary values Spark's literals hold."""
+    planes = S._hyperplanes(dim, n_planes)
+    vals = ",\n    ".join(
+        f"({1 << i}, [{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    dot_plane = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * p.plane[j]))"
+    )
+    return f"""
+WITH planes(w, plane) AS (VALUES
+    {vals}),
+sigs AS (
+    SELECT e.vec_id,
+           SUM(CASE WHEN {dot_plane} > 0 THEN CAST(p.w AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id
+),
+q AS (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, s.bucket
+    FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+    WHERE e.vec_id < {N_QUERY_VECS}
+),
+c AS (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, s.bucket
+    FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           {_cosine_sql('q.qv', 'c.cv')} AS cosine_sim
+    FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+LSH_TOPK_SQL = _lsh_topk_sql()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,7 +708,7 @@ QUERIES: dict[str, tuple] = {
     "near_dup_pipeline": (q_near_dup_pipeline, NEAR_DUP_PIPELINE_SQL),
     "simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
     "cosine_topk": (q_cosine_topk, COSINE_TOPK_SQL),
-    "lsh_topk": (q_lsh_topk, None),
+    "lsh_topk": (q_lsh_topk, LSH_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, None),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),

@@ -54,3 +54,32 @@ def test_kafka_format_reaches_source_resolution(spark):
     msg = str(exc.value)
     assert KAFKA_FORMAT in msg
     assert "not found" in msg.lower() or "failed to find" in msg.lower()
+
+
+def test_kafka_format_reaches_sink_resolution(spark, tmp_path):
+    """The SINK twin of the source-resolution test: starting the Kafka
+    writer must fail on data-source resolution ("not found" — the package
+    is absent in this container), never on an option/analysis error, so a
+    production deploy's only missing piece is the spark-sql-kafka jar."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.streaming.pipeline import (
+        write_output_kafka,
+    )
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            F.col("value").alias("user_id"),
+            F.array(F.lit(1).cast("long")).alias("recommended_products"),
+        )
+    )
+    with pytest.raises(Exception) as exc:
+        write_output_kafka(
+            stream, "broker:9092", checkpoint_dir=str(tmp_path / "ckpt")
+        )
+    msg = str(exc.value)
+    assert KAFKA_FORMAT in msg
+    assert "not found" in msg.lower() or "failed to find" in msg.lower()

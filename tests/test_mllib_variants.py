@@ -50,3 +50,23 @@ def test_als_recommendations_shape_and_exclusions(spark):
     # deterministic with fixed seed
     recs2 = als_user_recommendations(reviews, k=20)
     assert recs.exceptAll(recs2).count() == 0
+
+
+def test_als_stable_across_parallelism(spark):
+    """ALS (seed=42, scores rounded to 6 dp before ranking, id tie-break)
+    is value-identical under different shuffle parallelism — measured
+    cross-process and cross-partition-count at sf0.01 (PERFORMANCE.md
+    'ALS determinism'). A SQL oracle is infeasible (iterative blocked
+    least-squares), so this pins the strongest checkable property: the
+    registered rows-only query is a deterministic function of the input,
+    not of the cluster layout."""
+    reviews = reviews_from_events(spark, SF0001)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = als_user_recommendations(reviews, k=20).collect()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = als_user_recommendations(reviews, k=20).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

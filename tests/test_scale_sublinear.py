@@ -1,0 +1,85 @@
+"""CI-able form of the 10× scale experiment (PERFORMANCE.md "Measured 10×
+scale-up", examples/scale_experiment.py): replicate the sf0.01 graph with
+disjoint ids and assert the iterative operators scale SUBLINEARLY in
+wall-clock — 8× the edges must cost < 5× the time. Guards the scale story
+(per-superstep broadcast, lineage truncation, partial aggregation) against
+silent regressions, e.g. a sort sneaking into the loop or the label-side
+broadcast being dropped.
+
+Timing asserts are kept robust: one warm-up evaluation per operator before
+timing (JIT/codegen), a generous 5× bound on an 8× workload, and the 1×
+measurement taken AFTER warm-up on the same session.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators import graph as G
+from flink_recommendation_system_spark.operators.graph import good_reviews
+from flink_recommendation_system_spark.sources.tables import reviews_from_events
+from tests.conftest import SF001
+
+REPLICAS = 8
+MAX_RATIO = 5.0
+
+
+def _force(df) -> int:
+    out = (
+        df.select(F.xxhash64(*df.columns).alias("_h"))
+        .agg(F.expr("bit_xor(_h)"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return out[0]["n"]
+
+
+def _replicate(df, n: int, shifts: dict[str, int]):
+    parts = [df]
+    for i in range(1, n):
+        rep = df
+        for col, step in shifts.items():
+            rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def edge_sets(spark):
+    liked1 = good_reviews(reviews_from_events(spark, SF001)).localCheckpoint()
+    likedN = _replicate(
+        liked1, REPLICAS, {"user_id": 10_000, "product_id": 1_000_000}
+    )
+    e1 = G.undirected(G.co_review_edges(liked1)).localCheckpoint()
+    eN = G.undirected(G.co_review_edges(likedN)).localCheckpoint()
+    return e1, eN
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        pytest.param(G.label_propagation, id="lpa"),
+        pytest.param(G.pagerank, id="pagerank"),
+        pytest.param(G.connected_components_star, id="star_cc"),
+    ],
+)
+def test_iterative_op_scales_sublinearly(spark, edge_sets, op):
+    e1, eN = edge_sets
+    _force(op(e1))  # warm-up: JIT, codegen, shuffle services
+    t0 = time.time()
+    n1 = _force(op(e1))
+    t1 = time.time() - t0
+    t0 = time.time()
+    nN = _force(op(eN))
+    tN = time.time() - t0
+    assert nN == REPLICAS * n1  # disjoint replicas: output scales exactly
+    ratio = tN / max(t1, 1e-9)
+    assert ratio < MAX_RATIO, (
+        f"{REPLICAS}x data took {ratio:.1f}x time (1x={t1:.2f}s, "
+        f"{REPLICAS}x={tN:.2f}s) — iterative plan no longer sublinear"
+    )

@@ -68,13 +68,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     recs = reviews.select("user_id", F.col("product_id").alias("rec")).distinct()
     publish_bucketed_table(ratings, "t_ratings_b", "user_id", 8)
     publish_bucketed_table(recs, "t_recs_b", "user_id", 8)
-    joined = spark.table("t_ratings_b").join(spark.table("t_recs_b"), "user_id")
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    # co-bucketed scan-to-scan join: no shuffle exchange anywhere
-    assert "Exchange hashpartitioning" not in plan, plan[:2000]
-    assert joined.count() > 0
-    spark.sql("DROP TABLE t_ratings_b")
-    spark.sql("DROP TABLE t_recs_b")
+    # Disable auto-broadcast: a broadcast join has no hash exchange either,
+    # which would let this test pass WITHOUT exercising bucketing. Forcing
+    # the sort-merge path pins the actual claim: co-bucketed scans join
+    # with zero Exchange of any kind above either scan.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_ratings_b").join(
+            spark.table("t_recs_b"), "user_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE t_ratings_b")
+        spark.sql("DROP TABLE t_recs_b")
 
 
 def test_partitioned_publish_prunes(spark, tmp_path):
