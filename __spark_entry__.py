@@ -191,9 +191,11 @@ _WINDOW_PRIORITY = [
     "top_bigrams",
     # 3. new / newly oracle-backed in r03
     "near_dup_clusters_lsh",
+    "repetition_stats",
     "minhash_near_dups",
     "near_dup_pipeline",
     "simhash_near_dups",
+    "lsh_topk",
     # 4. implementation changed in r03
     "pagerank",
     "connected_components_star",

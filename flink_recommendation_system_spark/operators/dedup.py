@@ -337,6 +337,21 @@ def publish_minhash_signatures(
     ).parquet(path)
 
 
+def publish_minhash_bands(
+    store_sigs: DataFrame, path: str, num_hashes: int = 32, bands: int = 8
+) -> None:
+    """Persist the BANDED projection of a signature store, partitioned by
+    band_idx. A continuous-ingestion deployment publishes this alongside
+    ``publish_minhash_signatures`` so each batch's candidate join reads the
+    banded parquet directly instead of re-deriving the banding from the
+    signature table — the per-batch store cost drops from an O(corpus)
+    projection to a partition-pruned scan of exactly the band rows the
+    join touches."""
+    _banded(store_sigs, num_hashes, bands).write.mode("overwrite").partitionBy(
+        "band_idx"
+    ).parquet(path)
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     store_sigs: DataFrame,
@@ -346,6 +361,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     base_hash: str = "portable",
     check_disjoint: bool = True,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs *introduced by a new ingestion batch* against an
     existing corpus signature store (``publish_minhash_signatures`` /
@@ -353,11 +369,10 @@ def incremental_minhash_pairs(
     (new × new) — store × store is never re-paired, because those pairs were
     emitted when their docs arrived. This is the continuous-ingestion shape:
     per-batch PAIRING cost scales with the batch and its collisions, not the
-    corpus — but note the banding projection of ``store_sigs`` is still an
-    O(corpus) scan per batch (narrow, no shuffle). A deployment that cares
-    should persist the banded store alongside the signatures and pass it
-    through; the scan is the parquet-read of num_hashes longs per doc, not
-    a re-pairing.
+    corpus. The banding projection of ``store_sigs`` is an O(corpus) scan
+    per batch (narrow, no shuffle) unless ``store_bands`` — a persisted
+    ``publish_minhash_bands`` table — is supplied, in which case the
+    candidate join reads the pre-banded parquet as-is.
 
     Contract: ``new_docs`` ids are disjoint from the store's — a violated
     contract would silently emit self-pairs/collapsed pairs through the
@@ -384,7 +399,11 @@ def incremental_minhash_pairs(
                 "batch against the store first."
             )
     nb = _banded(new_sigs, num_hashes, bands)
-    sb = _banded(store_sigs, num_hashes, bands)
+    sb = (
+        store_bands
+        if store_bands is not None
+        else _banded(store_sigs, num_hashes, bands)
+    )
 
     band_keys = ["band_idx", "band"]
     cross = (

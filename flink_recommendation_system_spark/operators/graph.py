@@ -314,21 +314,24 @@ def connected_components_star(
     (count + XOR of pair hashes) unchanged, one tiny driver round-trip per
     round. ``checkpoint`` as in ``label_propagation``.
     """
-    # every input endpoint — the vertex universe the output must cover
-    # (self-loop-only vertices drop out of E below but not out of this)
-    verts = (
-        undirected_edges.select(F.col("src").alias("id"))
-        .union(undirected_edges.select(F.col("dst").alias("id")))
+    # One materialized pass over the input pair projection: the iteration
+    # consumes the self-loop-free canonical edges; the (rare) self-loop-only
+    # vertices are recovered from the same materialization at the end
+    # without re-evaluating the (possibly expensive) input lineage.
+    base = _truncate_lineage(
+        undirected_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ),
+        checkpoint,
+    )
+    loop_ids = (
+        base.filter(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("id"))
         .distinct()
     )
     # canonical undirected pair list: a < b, no self-loops
     E = _truncate_lineage(
-        undirected_edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct(),
-        checkpoint,
+        base.filter(F.col("a") != F.col("b")).distinct(), checkpoint
     )
 
     def fingerprint(edges: DataFrame) -> tuple:
@@ -397,16 +400,17 @@ def connected_components_star(
         warnings.warn(msg, UserWarning, stacklevel=2)
     # At the fixpoint every edge links a component's min (a) to a member
     # (b): labels = members → a, plus the roots themselves; vertices that
-    # never entered E (self-loop-only / isolated endpoints) fall back to
+    # never entered E (only incident to self-loops) are appended with
     # component = themselves, matching connected_components.
     mapping = (
         E.select(F.col("b").alias("id"), F.col("a").alias("component"))
         .union(E.select(F.col("a").alias("id"), F.col("a").alias("component")))
         .distinct()
     )
-    return verts.join(mapping, "id", "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("component")
+    loop_only = loop_ids.join(mapping.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("component")
     )
+    return mapping.unionByName(loop_only)
 
 
 def pagerank(

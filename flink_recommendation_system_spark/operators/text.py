@@ -114,6 +114,62 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition heuristics: the fraction of
+    tokens that are repeats of an earlier token, and the share of bigram
+    slots taken by the single most frequent bigram. High values flag the
+    boilerplate/spam documents a training-corpus gate drops. Output:
+    (doc_id, dup_token_ratio, top_bigram_ratio), both rounded to 6 dp;
+    documents with fewer than 2 tokens have top_bigram_ratio 0.
+
+    Scale shape: token stats are per-row codegen expressions; the bigram
+    mode is explode → two partial-aggregated counts keyed by doc — no
+    windows, no sorts, shuffle bounded by distinct (doc, bigram).
+    """
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    base = docs.select(
+        "doc_id",
+        F.round((n_tok - n_distinct).cast("double") / n_tok, 6).alias(
+            "dup_token_ratio"
+        ),
+        n_tok.alias("_n"),
+    )
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    top = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mc"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_token_ratio",
+            F.when(
+                F.col("_n") < 2, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("_mc").cast("double") / (F.col("_n") - 1), 6
+                )
+            )
+            .alias("top_bigram_ratio"),
+        )
+    )
+
+
 def normalized(col: str | Column = "text") -> Column:
     """Normalization for fingerprinting: lowercase, strip non-alphanumerics
     (keeping spaces), collapse runs of spaces."""

@@ -114,6 +114,39 @@ FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate inputs — full value oracle (integer
+    counts, exact int/int double division, 6 dp both engines)."""
+    return T.repetition_stats(_docs(spark, sf_dir))
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t
+),
+bg AS (
+    SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+               AS bigram
+    FROM t, unnest(range(1, len(toks))) AS u(i)
+),
+bgc AS (
+    SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+),
+mx AS (
+    SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1
+)
+SELECT b.doc_id,
+       round(CAST(b.n - b.nd AS DOUBLE) / b.n, 6) AS dup_token_ratio,
+       CASE WHEN b.n < 2 THEN 0.0
+            ELSE round(CAST(mx.mc AS DOUBLE) / (b.n - 1), 6)
+       END AS top_bigram_ratio
+FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir))
 
@@ -698,6 +731,7 @@ WHERE doc_id % 3 = 2
 QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
+    "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
     "language_id": (q_language_id, LANGUAGE_ID_SQL),
     "fingerprints": (q_fingerprints, FINGERPRINTS_SQL),
     "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),

@@ -335,3 +335,68 @@ def test_lsh_clusters_cocluster_exact_duplicates(spark):
         members[c].append(d)
     for c, ds in members.items():
         assert c == min(ds)
+
+
+def test_incremental_minhash_with_published_band_store(spark, tmp_path):
+    """The pre-banded store path (publish_minhash_bands → store_bands=)
+    yields exactly the pairs of the derive-bands-per-batch path — the
+    continuous-ingestion deployment shape where the per-batch store read
+    is partition-pruned parquet, not an O(corpus) projection."""
+    docs = _docs(spark).limit(60)
+    old = docs.filter(F.col("doc_id") < 40)
+    new = docs.filter(F.col("doc_id") >= 40)
+
+    sig_path = str(tmp_path / "sig_store")
+    band_path = str(tmp_path / "band_store")
+    D.publish_minhash_signatures(old, sig_path)
+    store = spark.read.parquet(sig_path)
+    D.publish_minhash_bands(store, band_path)
+    bands = spark.read.parquet(band_path)
+
+    with_bands = {
+        tuple(r)
+        for r in D.incremental_minhash_pairs(
+            new, store, store_bands=bands
+        ).collect()
+    }
+    derived = {
+        tuple(r) for r in D.incremental_minhash_pairs(new, store).collect()
+    }
+    assert with_bands == derived
+    assert derived  # fixture produces at least one cross/within pair
+
+
+def test_incremental_minhash_rejects_overlapping_ids(spark):
+    """Violating the disjoint-id contract must raise, not silently collapse
+    pairs through least/greatest canonicalization."""
+    import pytest as _pytest
+
+    docs = _docs(spark).limit(20)
+    store = D.minhash_signatures(docs)
+    with _pytest.raises(ValueError, match="overlap"):
+        D.incremental_minhash_pairs(docs.limit(5), store)
+
+
+def test_repetition_stats_flags_planted_boilerplate(spark):
+    """Planted repetition: 'spam spam ... spam' has dup_token_ratio → 1 and
+    top_bigram_ratio 1; an all-distinct doc has both 0; a 1-token doc gets
+    bigram ratio 0 by definition."""
+    from flink_recommendation_system_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 9 + "spam"),      # 10x same token
+            (2, "a b c d e f g h i j"),     # all distinct
+            (3, "one"),                     # single token
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_token_ratio"] == 0.9
+    assert got[1]["top_bigram_ratio"] == 1.0
+    assert got[2]["dup_token_ratio"] == 0.0
+    assert got[2]["top_bigram_ratio"] == round(1 / 9, 6)
+    assert got[3]["dup_token_ratio"] == 0.0
+    assert got[3]["top_bigram_ratio"] == 0.0
