@@ -64,3 +64,19 @@ def test_lpa_superstep_broadcasts_small_label_side(spark):
     plan = _plan(step)
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_band_join_is_equi_join_on_band_array(spark):
+    """The LSH candidate join keys on (band_idx, band ARRAY<BIGINT>)
+    directly — Spark hash-partitions/hash-joins array keys natively, so the
+    plan must be a hash-family equi-join, never a nested-loop/cartesian
+    fallback (which would mean array keys silently stopped being joinable
+    and the scale path became quadratic)."""
+    from flink_recommendation_system_spark.operators import dedup as D
+    from flink_recommendation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    plan = _plan(D.minhash_lsh_pairs(docs))
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:3000]
