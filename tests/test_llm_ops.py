@@ -400,3 +400,46 @@ def test_repetition_stats_flags_planted_boilerplate(spark):
     assert got[2]["top_bigram_ratio"] == round(1 / 9, 6)
     assert got[3]["dup_token_ratio"] == 0.0
     assert got[3]["top_bigram_ratio"] == 0.0
+
+
+def test_portable_hash_matches_duckdb_on_unicode(spark):
+    """Cross-engine hash identity beyond the ASCII corpus: both engines
+    md5 the UTF-8 byte encoding, so accented text, CJK, emoji, and
+    whitespace oddities must hash identically too."""
+    import duckdb
+
+    samples = [
+        "héllo wörld",
+        "日本語のテキスト",
+        "emoji 🙂🚀 test",
+        "tab\tand\nnewline",
+        "mixed ασδφ текст 中文",
+        " leading and trailing ",
+        "ß" * 50,
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: (r["h32"], r["h64"])
+        for r in sdf.select(
+            "s",
+            D.portable_hash32(F.col("s")).alias("h32"),
+            D.portable_hash64(F.col("s")).alias("h64"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        h32, h64 = con.execute(
+            """
+            SELECT CAST('0x' || substr(md5($1), 1, 8) AS BIGINT),
+                   CAST(CAST(CAST('0x' || substr(md5($1), 1, 16) AS UBIGINT)
+                             AS HUGEINT)
+                        - CASE WHEN CAST('0x' || substr(md5($1), 1, 16)
+                                        AS UBIGINT)
+                                    >= CAST(9223372036854775808 AS UBIGINT)
+                               THEN CAST(18446744073709551616 AS HUGEINT)
+                               ELSE CAST(0 AS HUGEINT) END AS BIGINT)
+            """,
+            [s],
+        ).fetchone()
+        assert got[s] == (h32, h64), f"portable hash mismatch for {s!r}"
+    con.close()
