@@ -192,6 +192,7 @@ _WINDOW_PRIORITY = [
     # 3. new / newly oracle-backed in r03
     "near_dup_clusters_lsh",
     "repetition_stats",
+    "image_resize",
     "minhash_near_dups",
     "near_dup_pipeline",
     "simhash_near_dups",

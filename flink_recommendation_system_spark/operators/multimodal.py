@@ -103,6 +103,72 @@ def extract_features(
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("payload", StringType()),  # base64 of the resized bytes
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    target: tuple[int, int] = (64, 64),
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads — the third
+    mapInPandas stage of the media pipeline (decode → RESIZE → embed).
+
+    Real pipeline shape: each pandas batch decodes the payload, resamples
+    to ``target`` (w, h), re-encodes, and emits the resized payload plus
+    output metadata. Without codecs this raises ``NotImplementedError``
+    unless ``fake_decode=True``, in which case the deterministic stand-in
+    'resize' truncates the payload to w·h bytes (the real operator also
+    maps n input bytes to a fixed output size — the plumbing, batching,
+    and schema are identical). ``checksum`` (byte sum mod 997) makes the
+    output value-checkable end-to-end.
+    """
+    w, h = target
+
+    def resize_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import base64
+
+        import pandas as pd
+
+        if not fake_decode:
+            raise NotImplementedError(
+                "media codecs not installed in this environment; "
+                "pass fake_decode=True for the deterministic stub"
+            )
+        cap = w * h
+        for pdf in batches:
+            out = pdf["payload"].map(lambda b: bytes(b[:cap]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": w,
+                    "height": h,
+                    "n_bytes_out": out.map(len),
+                    "payload": out.map(
+                        lambda b: base64.b64encode(b).decode("ascii")
+                    ),
+                    "checksum": out.map(lambda b: sum(b) % 997),
+                }
+            )
+
+    return (
+        assets.filter(F.col("modality") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(resize_batches, RESIZE_SCHEMA)
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: one row per sampled frame index,
     derived from metadata only (frame count = payload size // 1024 as the

@@ -714,6 +714,30 @@ FROM b
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize stage (deterministic stub decoder): full value
+    check including the base64 of the resized payload — the corpus is pure
+    ASCII, so DuckDB reproduces the byte truncation with substr/encode."""
+    assets = M.synthesize_assets(_docs(spark, sf_dir))
+    return M.resize_images(assets, target=(64, 64), fake_decode=True)
+
+
+IMAGE_RESIZE_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height,
+       CAST(least(strlen(text), 4096) AS BIGINT) AS n_bytes_out,
+       to_base64(encode(substr(text, 1, 4096))) AS payload,
+       CAST(CASE WHEN strlen(text) = 0 THEN 0
+                 ELSE list_sum(list_transform(
+                          range(1, least(strlen(text), 4096) + 1),
+                          i -> ord(substr(text, i, 1)))) % 997
+            END AS BIGINT) AS checksum
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = M.synthesize_assets(_docs(spark, sf_dir))
     return M.frame_sample_plan(assets, every_n=10)
@@ -748,5 +772,6 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_FEATURES_SQL),
+    "image_resize": (q_image_resize, IMAGE_RESIZE_SQL),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),
 }
