@@ -282,6 +282,12 @@ def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     exact band equality means the candidate set has zero hash-collision
     noise — which is what lets the DuckDB oracle reproduce the pair set
     exactly (a murmur3 band_hash would be Spark-only)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands}; otherwise trailing signature components would "
+            "silently drop out of every band"
+        )
     rows = num_hashes // bands
     return sigs.select(
         "doc_id",
