@@ -6,9 +6,9 @@ Scale design:
 - exact dedup shuffles a constant-size hash key, never the document body;
 - MinHash/LSH turns the quadratic all-pairs problem into a band-bucket
   equi-join (candidate pairs only), the standard 100 TB-safe shape;
-- SimHash is computed entirely with JVM higher-order array functions (no
-  Python in the hot path); near-dup = small Hamming distance on a 64-bit
-  signature, again an equi-join on bucketed prefixes if needed;
+- SimHash is computed entirely JVM-side (explode + codegen column
+  expressions, no Python in the hot path); near-dup = small Hamming
+  distance on a 64-bit signature via a lossless quadrant-block equi-join;
 - brute-force n-gram Jaccard is kept as the *oracle-checkable baseline* and
   is intentionally bounded (same-lang blocking) — at scale you run the LSH
   variant and use this only to validate recall on samples.
