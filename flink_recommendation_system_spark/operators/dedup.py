@@ -194,7 +194,11 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def char_shingles(col: str | Column, n: int = 5) -> Column:
-    """Character n-gram shingle set of the text (distinct)."""
+    """Character n-gram shingle set of the text (distinct). NOTE: not on
+    the MinHash hot path — ``minhash_signatures`` generates shingles by
+    exploding an index column instead (all-codegen; the higher-order
+    ``transform`` here is CodegenFallback), and skips the distinct because
+    min over a multiset equals min over its set."""
     c = F.col(col) if isinstance(col, str) else col
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
@@ -211,17 +215,32 @@ def minhash_signatures(
     md5-derived, identical in DuckDB → full value oracle; "fast" = xxhash64).
     Output: (doc_id, sig ARRAY<BIGINT>).
 
-    Physical design: explode shingles to rows, evaluate all ``num_hashes``
-    universal hashes as plain codegen column expressions, and take one
-    partially-aggregated ``min`` per hash. The higher-order-function form
-    (array_min over transform) is CodegenFallback — interpreted per element
-    — and measured ~10× slower; the explode form keeps every arithmetic op
-    inside whole-stage codegen, and the min combines map-side so shuffle
+    Physical design: explode a shingle INDEX column and generate each
+    shingle with a codegen ``substr`` — no higher-order functions anywhere
+    (``transform``-built shingle arrays are CodegenFallback, interpreted
+    per element; the hash-side HOF form measured ~10× slower in round 1).
+    Duplicate shingles are NOT deduped: min over a multiset equals min
+    over its set, so the signature is unchanged and the dedup pass is pure
+    cost. All ``num_hashes`` universal hashes are plain codegen column
+    expressions over one partially-aggregated ``min`` each, so shuffle
     volume is num_hashes longs per doc regardless of document size.
     """
-    exploded = docs.select(
-        "doc_id", F.explode(char_shingles("text", shingle_n)).alias("shingle")
-    ).withColumn("h", _base32(F.col("shingle"), base_hash))
+    n = shingle_n
+    exploded = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - n + 1, F.lit(1))
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id", F.col("text").substr(F.col("i"), F.lit(n)).alias("shingle")
+        )
+        .withColumn("h", _base32(F.col("shingle"), base_hash))
+    )
     params = _hash_params(num_hashes)
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE61)).alias(
