@@ -217,3 +217,20 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_session_factory_pins_scale_configs(spark):
+    """The 100 TB knobs PERFORMANCE.md claims must actually be set on the
+    factory session: AQE (runtime re-plan), partition coalescing, skew-join
+    splitting, Arrow for Pandas-UDF paths, UTC, and nanos-parquet
+    compatibility. Fails if a refactor silently drops one."""
+    expected = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in expected.items():
+        assert spark.conf.get(k) == v, k
