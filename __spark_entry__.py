@@ -191,6 +191,7 @@ _WINDOW_PRIORITY = [
     "top_bigrams",
     # 3. new / newly oracle-backed in r03
     "near_dup_clusters_lsh",
+    "deduped_corpus",
     "repetition_stats",
     "image_resize",
     "minhash_near_dups",

@@ -290,6 +290,22 @@ def q_near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's FINAL artifact: the training corpus with near-dup
+    clusters collapsed to their representative (min doc_id), using the
+    scale-path cluster map (MinHash-LSH edges → star-CC). This is the
+    query a 100 TB corpus build actually ships — everything else in the
+    dedup suite exists to make this row set right. Fully value-checked."""
+    docs = _docs(spark, sf_dir)
+    clusters = q_near_dup_clusters_lsh(spark, sf_dir)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # --- MinHash/SimHash oracle SQL ---------------------------------------------
 # The signature pipelines are deterministic integer arithmetic over a
 # cross-engine base hash (first 8/16 hex chars of md5 — operators.dedup
@@ -367,9 +383,7 @@ NEAR_DUP_PIPELINE_SQL = (
     + "\nSELECT a_id, b_id, est_jaccard FROM p"
 )
 
-NEAR_DUP_CLUSTERS_LSH_SQL = (
-    "WITH RECURSIVE " + _minhash_ctes("", 32, 8, 5, 0.5)
-    + """,
+_LSH_CLOSURE_CTES = """,
 e AS (
     SELECT a_id AS src, b_id AS dst FROM p
     UNION ALL
@@ -381,8 +395,26 @@ reach(id, r) AS (
     SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id
 ),
 closure AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+"""
+
+NEAR_DUP_CLUSTERS_LSH_SQL = (
+    "WITH RECURSIVE " + _minhash_ctes("", 32, 8, 5, 0.5)
+    + _LSH_CLOSURE_CTES
+    + """
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
+"""
+)
+
+DEDUPED_CORPUS_SQL = (
+    "WITH RECURSIVE " + _minhash_ctes("", 32, 8, 5, 0.5)
+    + _LSH_CLOSURE_CTES
+    + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE COALESCE(
+    (SELECT c.component FROM closure c WHERE c.id = d.doc_id), d.doc_id
+) = d.doc_id
 """
 )
 
@@ -762,6 +794,7 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "near_dup_clusters": (q_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
     "near_dup_clusters_lsh": (q_near_dup_clusters_lsh, NEAR_DUP_CLUSTERS_LSH_SQL),
+    "deduped_corpus": (q_deduped_corpus, DEDUPED_CORPUS_SQL),
     "minhash_near_dups": (q_minhash_near_dups, MINHASH_NEAR_DUPS_SQL),
     "near_dup_pipeline": (q_near_dup_pipeline, NEAR_DUP_PIPELINE_SQL),
     "simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
