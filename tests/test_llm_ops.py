@@ -443,3 +443,23 @@ def test_portable_hash_matches_duckdb_on_unicode(spark):
         ).fetchone()
         assert got[s] == (h32, h64), f"portable hash mismatch for {s!r}"
     con.close()
+
+
+def test_fast_base_hash_path_still_works(spark):
+    """base_hash='fast' (xxhash64) is the production-default escape hatch
+    when oracle-checkability isn't needed; it must keep the same API and
+    find exact duplicates just like the portable path."""
+    docs = _docs(spark).limit(15)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    pairs = D.minhash_lsh_pairs(
+        docs.union(dup), threshold=0.95, base_hash="fast"
+    )
+    found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    for did in [r["doc_id"] for r in docs.collect()]:
+        assert (did, did + 10000) in found
+    sims = D.simhash(docs, base_hash="fast")
+    assert sims.count() == 15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="base_hash"):
+        D.minhash_signatures(docs, base_hash="nope").collect()
