@@ -274,6 +274,19 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, num_hashes, shingle_n, base_hash
     ).localCheckpoint()
+    return minhash_pairs_from_signatures(sigs, num_hashes, bands, threshold)
+
+
+def minhash_pairs_from_signatures(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + verification over an EXISTING signature
+    table (``minhash_signatures`` output, in-memory or parquet) — lets one
+    signature pass feed pairs, clustering, and dedup without recomputation
+    (see ``publish_corpus_artifacts``)."""
     banded = _banded(sigs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -585,3 +598,67 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def publish_corpus_artifacts(
+    docs: DataFrame,
+    base_path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    base_hash: str = "portable",
+) -> dict[str, str]:
+    """One-pass corpus-hygiene publication — the production shape of the
+    dedup suite. Computes MinHash signatures ONCE and derives every
+    artifact from them (the registered per-query forms recompute for
+    oracle isolation; a 100 TB build must not):
+
+    - ``signatures/``  (doc_id, sig)            — the incremental-ingest state
+    - ``pairs/``       (a_id, b_id, est_jaccard) — near-dup edges
+    - ``clusters/``    (doc_id, cluster_id)      — star-CC doc→canonical map
+    - ``corpus/``      deduped documents          — cluster representatives only
+
+    Returns {artifact: path}. All four are plain parquet; downstream
+    training jobs read ``corpus/``, the next ingestion batch reads
+    ``signatures/`` (and optionally a ``publish_minhash_bands`` table).
+    """
+    from .graph import connected_components_star, undirected
+
+    paths = {
+        name: f"{base_path}/{name}"
+        for name in ("signatures", "pairs", "clusters", "corpus")
+    }
+    sigs = minhash_signatures(
+        docs, num_hashes, shingle_n, base_hash
+    ).localCheckpoint()
+    sigs.write.mode("overwrite").parquet(paths["signatures"])
+
+    pairs = minhash_pairs_from_signatures(
+        sigs, num_hashes, bands, threshold
+    ).localCheckpoint()
+    pairs.write.mode("overwrite").parquet(paths["pairs"])
+
+    comp = connected_components_star(
+        undirected(
+            pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        )
+    )
+    clusters = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .localCheckpoint()
+    )
+    clusters.write.mode("overwrite").parquet(paths["clusters"])
+
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+        paths["corpus"]
+    )
+    return paths

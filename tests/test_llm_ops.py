@@ -463,3 +463,34 @@ def test_fast_base_hash_path_still_works(spark):
 
     with _pytest.raises(ValueError, match="base_hash"):
         D.minhash_signatures(docs, base_hash="nope").collect()
+
+
+def test_publish_corpus_artifacts_one_pass_matches_queries(spark, tmp_path):
+    """The one-pass publisher's four artifacts must equal the per-query
+    forms (which recompute signatures for oracle isolation)."""
+    docs = _docs(spark)
+    paths = D.publish_corpus_artifacts(docs, str(tmp_path / "artifacts"))
+
+    pairs = {
+        tuple(r)
+        for r in spark.read.parquet(paths["pairs"])
+        .select("a_id", "b_id", "est_jaccard")
+        .collect()
+    }
+    assert pairs == {
+        tuple(r) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(paths["clusters"]).collect()
+    }
+    assert len(clusters) == docs.count()
+    corpus_ids = {
+        r["doc_id"] for r in spark.read.parquet(paths["corpus"]).collect()
+    }
+    assert corpus_ids == {d for d, c in clusters.items() if d == c}
+    assert 0 < len(corpus_ids) <= len(clusters)
+
+    sigs = spark.read.parquet(paths["signatures"])
+    assert sigs.count() == docs.count()
