@@ -13,6 +13,11 @@ Idempotence: both sinks write ``mode("overwrite")`` into a per-batch
 subdirectory (``batch=N``). A failed/retried micro-batch overwrites its own
 directory instead of double-appending — the same checkpoint-replay contract
 the speed layer's sinks follow (streaming.pipeline).
+
+Long-running deployments should periodically compact the store (rewrite
+the accumulated ``batch=N`` directories into one partition set via
+``publish_minhash_signatures`` / ``publish_minhash_bands``) — thousands of
+small per-batch files would otherwise dominate the per-trigger store scan.
 """
 
 from __future__ import annotations
