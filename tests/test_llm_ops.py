@@ -494,3 +494,31 @@ def test_publish_corpus_artifacts_one_pass_matches_queries(spark, tmp_path):
 
     sigs = spark.read.parquet(paths["signatures"])
     assert sigs.count() == docs.count()
+
+
+def test_corpus_artifacts_with_no_near_dups(spark, tmp_path):
+    """A clean corpus (no near-dup pairs) must pass through intact: empty
+    pairs table, every doc its own cluster, corpus == input. Exercises
+    star-CC on an EMPTY edge set inside the publisher."""
+    import hashlib
+
+    def _unique_text(i: int) -> str:
+        # genuinely dissimilar bodies: hex digests share no 5-gram shingles
+        # (a common prefix or a shared template would legitimately count
+        # as near-duplication at the shingle level)
+        return " ".join(
+            hashlib.sha256(f"{i}-{j}".encode()).hexdigest() for j in range(4)
+        )
+
+    docs = spark.createDataFrame(
+        [(i, _unique_text(i)) for i in range(1, 21)],
+        ["doc_id", "text"],
+    )
+    paths = D.publish_corpus_artifacts(docs, str(tmp_path / "clean"))
+    assert spark.read.parquet(paths["pairs"]).count() == 0
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(paths["clusters"]).collect()
+    }
+    assert clusters == {i: i for i in range(1, 21)}
+    assert spark.read.parquet(paths["corpus"]).count() == 20
