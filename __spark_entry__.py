@@ -193,6 +193,7 @@ _WINDOW_PRIORITY = [
     "near_dup_clusters_lsh",
     "deduped_corpus",
     "repetition_stats",
+    "decontamination",
     "image_resize",
     "minhash_near_dups",
     "near_dup_pipeline",

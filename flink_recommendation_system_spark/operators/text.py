@@ -230,3 +230,46 @@ def tf_idf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def token_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, ngram) — every n-token gram of each document (space-joined),
+    duplicates preserved. Physical shape: posexplode + n-1 ``lead`` columns
+    over ONE per-doc window (single sort, all codegen) — the same
+    explode-over-HOF lesson as ``repetition_stats``."""
+    pos = docs.select(id_col, F.posexplode(tokens("text")).alias("pos", "t0"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("t0")] + [
+        F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)
+    ]
+    with_leads = pos.select(id_col, *cols)
+    return with_leads.filter(F.col(f"t{n - 1}").isNotNull()).select(
+        id_col,
+        F.concat_ws(" ", *[f"t{k}" for k in range(n)]).alias("ngram"),
+    )
+
+
+def ngram_overlap(
+    docs: DataFrame, eval_docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: per training document, the number of
+    distinct n-token grams it shares with the (held-out) eval set — the
+    standard pre-training hygiene check (docs overlapping an eval benchmark
+    leak test data). Returns (doc_id, n_overlap) for contaminated docs
+    only; drop or audit them upstream. Output is exact integer logic →
+    fully oracle-checkable.
+
+    Scale shape: the eval side is the tiny one — its distinct gram set
+    broadcasts; the corpus grams stream through one equi-join, then one
+    partial-aggregated distinct count per doc. The corpus is never
+    self-joined.
+    """
+    corpus_grams = token_ngrams(docs, n)
+    eval_grams = (
+        token_ngrams(eval_docs, n).select("ngram").distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ngram").alias("n_overlap"))
+    )

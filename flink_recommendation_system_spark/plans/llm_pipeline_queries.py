@@ -147,6 +147,41 @@ FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
 """
 
 
+DECON_N = 8  # standard n-gram size for benchmark decontamination
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 0) that
+    share ≥1 distinct 8-token gram with the held-out eval slice
+    (doc_id % 10 == 0), with the shared-gram count. Exact integer logic →
+    full value oracle."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    return T.ngram_overlap(train, eval_docs, n=DECON_N)
+
+
+DECONTAMINATION_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           array_to_string(
+               toks[CAST(i AS INT):CAST(i AS INT) + {DECON_N - 1}], ' '
+           ) AS ngram
+    FROM t, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
+),
+eval_grams AS (
+    SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.ngram) AS BIGINT) AS n_overlap
+FROM grams g JOIN eval_grams e ON g.ngram = e.ngram
+WHERE g.doc_id % 10 != 0
+GROUP BY g.doc_id
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir))
 
@@ -788,6 +823,7 @@ QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
     "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
+    "decontamination": (q_decontamination, DECONTAMINATION_SQL),
     "language_id": (q_language_id, LANGUAGE_ID_SQL),
     "fingerprints": (q_fingerprints, FINGERPRINTS_SQL),
     "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),
