@@ -194,6 +194,7 @@ _WINDOW_PRIORITY = [
     "deduped_corpus",
     "repetition_stats",
     "decontamination",
+    "corpus_mixture",
     "image_resize",
     "minhash_near_dups",
     "near_dup_pipeline",

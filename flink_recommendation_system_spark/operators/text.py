@@ -273,3 +273,37 @@ def ngram_overlap(
         .groupBy("doc_id")
         .agg(F.count_distinct("ngram").alias("n_overlap"))
     )
+
+
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic DOMAIN-MIXTURE subsampling — the data-mixing step of a
+    pretraining pipeline: keep each row of domain ``d`` with probability
+    ``rates[d]`` (domains absent from ``rates`` are dropped), decided by a
+    salted portable hash of the row id, NOT randomness. Properties a 100 TB
+    mixing job needs: reproducible across runs/engines/partitionings,
+    per-row (no shuffle, no sampleBy scan of the key distribution), and
+    re-runnable incrementally (a doc's verdict never changes). Change
+    ``salt`` to draw an independent mixture.
+
+    The keep decision is ``portable_hash32(salt || id) % 1e6 <
+    round(rate * 1e6)`` — exact integer logic, value-checkable in SQL.
+    """
+    from .dedup import portable_hash32
+
+    thresholds = {k: int(round(r * 1_000_000)) for k, r in rates.items()}
+    thr: Column = F.lit(None).cast("long")
+    for k, t in sorted(thresholds.items()):
+        thr = F.when(F.col(key_col) == k, F.lit(t)).otherwise(thr)
+    u = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    return docs.filter(u < thr)

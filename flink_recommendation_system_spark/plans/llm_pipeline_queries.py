@@ -182,6 +182,37 @@ GROUP BY g.doc_id
 """
 
 
+MIXTURE_RATES = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+}  # remaining sources are dropped — an explicit mixture recipe
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (pretraining data mixing): deterministic
+    per-source keep rates via the salted portable hash — full value oracle
+    (exact integer logic, engine-identical hash)."""
+    return T.sample_mixture(_docs(spark, sf_dir), MIXTURE_RATES).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {int(round(r * 1_000_000))}"
+    for k, r in sorted(MIXTURE_RATES.items())
+)
+CORPUS_MIXTURE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 1000000)
+      < CASE source {_MIX_CASE} ELSE NULL END
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir))
 
@@ -824,6 +855,7 @@ QUERIES: dict[str, tuple] = {
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
     "repetition_stats": (q_repetition_stats, REPETITION_STATS_SQL),
     "decontamination": (q_decontamination, DECONTAMINATION_SQL),
+    "corpus_mixture": (q_corpus_mixture, CORPUS_MIXTURE_SQL),
     "language_id": (q_language_id, LANGUAGE_ID_SQL),
     "fingerprints": (q_fingerprints, FINGERPRINTS_SQL),
     "exact_dedup_keys": (q_exact_dedup_keys, EXACT_DEDUP_KEYS_SQL),

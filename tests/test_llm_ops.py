@@ -522,3 +522,28 @@ def test_corpus_artifacts_with_no_near_dups(spark, tmp_path):
     }
     assert clusters == {i: i for i in range(1, 21)}
     assert spark.read.parquet(paths["corpus"]).count() == 20
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    """Mixture sampling: rate-1.0 domains keep everything, rate-0 absent
+    domains drop entirely, intermediate rates land near target on a
+    reasonable sample, and the decision is exactly reproducible."""
+    from flink_recommendation_system_spark.operators.text import sample_mixture
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    rates = {"src0": 1.0, "src1": 0.5}
+    out = sample_mixture(docs, rates)
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    full = {
+        r["source"]: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert counts["src0"] == full["src0"]          # rate 1.0 keeps all
+    assert set(counts) == {"src0", "src1"}         # others dropped
+    frac = counts["src1"] / full["src1"]
+    assert 0.35 < frac < 0.65, frac                # 250 docs, rate 0.5
+    again = sample_mixture(docs, rates)
+    assert out.exceptAll(again).count() == 0       # fully deterministic
