@@ -171,6 +171,11 @@ _SUITES = [
 # then the long-stable core — green in BOTH r01 and r02 — fills the rest;
 # the entries past 50 all have green history and remain covered at sf0.001
 # by tests/test_entry_queries.py every CI run.
+#
+# NEXT-ROUND MAINTENANCE: once CORRECTNESS_r03 lands, tiers 1-4 have fresh
+# green rows — rotate them toward the back and promote the 21 currently
+# outside the window (streaming suite + basic scans) so no query's newest
+# green row ages more than ~2 rounds.
 _WINDOW_PRIORITY = [
     # 1. never checked
     "itemcf_recommendations",
