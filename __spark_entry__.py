@@ -227,7 +227,6 @@ _WINDOW_PRIORITY = [
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "cosine_topk",
-    "lsh_topk",
     "ivf_topk",
     "clean_corpus",
     "tfidf_top_terms",

@@ -423,6 +423,30 @@ def incremental_minhash_pairs(
     new_sigs = minhash_signatures(
         new_docs, num_hashes, shingle_n, base_hash
     ).localCheckpoint()
+    return incremental_pairs_from_signatures(
+        new_sigs,
+        store_sigs,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        check_disjoint=check_disjoint,
+        store_bands=store_bands,
+    )
+
+
+def incremental_pairs_from_signatures(
+    new_sigs: DataFrame,
+    store_sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    check_disjoint: bool = True,
+    store_bands: DataFrame | None = None,
+) -> DataFrame:
+    """``incremental_minhash_pairs`` with the batch's signatures ALREADY
+    computed — the form callers use when the signature pass is shared with
+    other sinks (streaming.near_dup computes sigs once per micro-batch and
+    feeds both the store write and this join)."""
     if check_disjoint:
         overlap = (
             new_sigs.select("doc_id")
@@ -437,11 +461,22 @@ def incremental_minhash_pairs(
                 "batch against the store first."
             )
     nb = _banded(new_sigs, num_hashes, bands)
-    sb = (
-        store_bands
-        if store_bands is not None
-        else _banded(store_sigs, num_hashes, bands)
-    )
+    if store_bands is not None:
+        # Guard the silent-mismatch hazard: bands published with different
+        # (num_hashes, bands) yield band arrays of a different length that
+        # can never equal the new side's, so every cross-store candidate
+        # would quietly vanish.
+        first = store_bands.select(F.size("band").alias("n")).take(1)
+        expected = num_hashes // bands
+        if first and first[0]["n"] != expected:
+            raise ValueError(
+                f"store_bands rows-per-band {first[0]['n']} != "
+                f"num_hashes//bands {expected}; republish the band table "
+                "with matching parameters"
+            )
+        sb = store_bands
+    else:
+        sb = _banded(store_sigs, num_hashes, bands)
 
     band_keys = ["band_idx", "band"]
     cross = (
@@ -558,9 +593,19 @@ def simhash_near_dups(
     blocks on 16-bit signature quadrants (a pair within Hamming ≤ 3 of a
     64-bit signature must agree exactly on ≥1 of 4 quadrants — pigeonhole),
     so this is bucket-equi-join shaped, not quadratic. The blocking is
-    LOSSLESS, so the output is exactly {pairs with Hamming ≤ max_hamming}
-    — which is why the DuckDB oracle can use the simpler brute-force
-    formulation and still match value-for-value."""
+    LOSSLESS for ``max_hamming ≤ 3``, so the output is exactly {pairs with
+    Hamming ≤ max_hamming} — which is why the DuckDB oracle can use the
+    simpler brute-force formulation and still match value-for-value.
+    ``max_hamming > 3`` breaks the pigeonhole guarantee (4 differing bits
+    can touch all 4 quadrants) and is rejected rather than silently
+    missing pairs; for larger radii use narrower blocks (8 × 8-bit blocks
+    are lossless to Hamming ≤ 7) or MinHash."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 3]: quadrant blocking "
+            "is only lossless up to Hamming 3; silently returning a "
+            "partial pair set would violate the output contract"
+        )
     sigs = simhash(docs, base_hash).localCheckpoint()
     quads = sigs.select(
         "doc_id",

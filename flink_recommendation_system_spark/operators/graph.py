@@ -532,19 +532,23 @@ def triangles_per_vertex(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).localCheckpoint()
     if max_oriented_degree is not None:
+        # limit(1) probe: short-circuits map-side, so the no-clipping case
+        # (any graph of < cap+2 vertices, incl. the registered oracle
+        # query) pays one cheap partial-agg job, not a full count.
         clipped = (
             oriented.groupBy("u")
             .agg(F.count(F.lit(1)).alias("odeg"))
             .filter(F.col("odeg") > max_oriented_degree)
+            .limit(1)
             .count()
         )
         if clipped:
             warnings.warn(
-                f"triangles_per_vertex: {clipped} vertices exceed "
+                "triangles_per_vertex: at least one vertex exceeds "
                 f"max_oriented_degree={max_oriented_degree} (near-clique "
-                "region); their neighbor lists were truncated and triangle "
-                "counts are a lower bound. Pass max_oriented_degree=None "
-                "to uncap (output-bound on near-cliques).",
+                "region); clipped neighbor lists make triangle counts a "
+                "lower bound. Pass max_oriented_degree=None to uncap "
+                "(output-bound on near-cliques).",
                 UserWarning,
                 stacklevel=2,
             )

@@ -250,7 +250,10 @@ def token_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
 
 
 def ngram_overlap(
-    docs: DataFrame, eval_docs: DataFrame, n: int = 8
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: per training document, the number of
     distinct n-token grams it shares with the (held-out) eval set — the
@@ -259,17 +262,22 @@ def ngram_overlap(
     only; drop or audit them upstream. Output is exact integer logic →
     fully oracle-checkable.
 
-    Scale shape: the eval side is the tiny one — its distinct gram set
-    broadcasts; the corpus grams stream through one equi-join, then one
-    partial-aggregated distinct count per doc. The corpus is never
-    self-joined.
+    Scale shape: real benchmark suites are a few MB of text, so their
+    distinct gram set broadcasts (``broadcast_eval=True``, default) and
+    the corpus grams stream through one map-side equi-join plus one
+    partial-aggregated distinct count per doc — the corpus is never
+    self-joined. If the "eval" side is itself corpus-scale (e.g. cross-
+    corpus overlap audits), pass ``broadcast_eval=False`` to let the
+    optimizer pick a shuffle join instead of forcing a driver collect.
     """
     corpus_grams = token_ngrams(docs, n)
     eval_grams = (
         token_ngrams(eval_docs, n).select("ngram").distinct()
     )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     return (
-        corpus_grams.join(F.broadcast(eval_grams), "ngram")
+        corpus_grams.join(eval_grams, "ngram")
         .groupBy("doc_id")
         .agg(F.count_distinct("ngram").alias("n_overlap"))
     )

@@ -154,7 +154,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 10 != 0) that
     share ≥1 distinct 8-token gram with the held-out eval slice
     (doc_id % 10 == 0), with the shared-gram count. Exact integer logic →
-    full value oracle."""
+    full value oracle. The 10% slice stands in for a real benchmark suite
+    (no eval sets ship in the test data); production eval sets are a few
+    MB, which is what the operator's broadcast default assumes."""
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 10 == 0)

@@ -2,31 +2,39 @@
 streaming face of the incremental MinHash pipeline (operators.dedup).
 
 Shape: each micro-batch of (doc_id, text) is paired against the persisted
-corpus signature store with ``incremental_minhash_pairs`` (new×store ∪
-new×new — the store is never re-paired), the surviving near-dup pairs are
-appended to the pairs table, and the batch's signatures join the store.
-This is the ``foreachBatch`` dual-sink pattern (T3) applied to corpus
-hygiene: a 100 TB ingest keeps dedup state as signatures (num_hashes longs
-per doc), never raw bodies.
+corpus signature store (new×store ∪ new×new — the store is never
+re-paired), the surviving near-dup pairs are appended to the pairs table,
+and the batch's signatures join the store. This is the ``foreachBatch``
+dual-sink pattern (T3) applied to corpus hygiene: a 100 TB ingest keeps
+dedup state as signatures (num_hashes longs per doc), never raw bodies.
 
 Idempotence: both sinks write ``mode("overwrite")`` into a per-batch
-subdirectory (``batch=N``). A failed/retried micro-batch overwrites its own
-directory instead of double-appending — the same checkpoint-replay contract
-the speed layer's sinks follow (streaming.pipeline).
+subdirectory (``batch=N``), and the store read EXCLUDES partitions with
+``batch >= N`` — so a micro-batch replayed after a partial failure (e.g.
+crash between the sigs write and the checkpoint commit) never sees its own
+half-written output, overwrites its own directories, and produces the same
+pairs. Signatures are computed ONCE per batch and shared by the pair join
+and the store sink.
 
 Long-running deployments should periodically compact the store (rewrite
 the accumulated ``batch=N`` directories into one partition set via
 ``publish_minhash_signatures`` / ``publish_minhash_bands``) — thousands of
 small per-batch files would otherwise dominate the per-trigger store scan.
+Pause the stream for the compaction: the store read treats a missing path
+as empty but does not guard against concurrent rewrites.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
+from ..operators.dedup import (
+    incremental_pairs_from_signatures,
+    minhash_signatures,
+)
 
 SIG_SCHEMA = StructType(
     [
@@ -36,15 +44,22 @@ SIG_SCHEMA = StructType(
 )
 
 
-def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """Signature store accumulated so far (empty before the first batch).
-    Batch subdirectories surface as a ``batch`` partition column, dropped
-    here — consumers see the plain (doc_id, sig) contract."""
+def _read_store(
+    spark: SparkSession, store_path: str, before_batch: int
+) -> DataFrame:
+    """Signature store accumulated by batches STRICTLY BEFORE
+    ``before_batch`` (empty before the first batch). The exclusion is what
+    makes replay safe: a retried batch never pairs against its own
+    partial write. Only the missing-path error is treated as 'no store
+    yet' — any other read failure must surface, not silently produce an
+    empty store (which would drop that batch's cross-store pairs)."""
     try:
         df = spark.read.parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], SIG_SCHEMA)
-    return df.select("doc_id", "sig")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], SIG_SCHEMA)
+        raise
+    return df.filter(F.col("batch") < before_batch).select("doc_id", "sig")
 
 
 def start_streaming_near_dup(
@@ -72,19 +87,21 @@ def start_streaming_near_dup(
         if not docs.take(1):
             return
         spark = docs.sparkSession
-        store = _read_store(spark, store_path)
-        pairs = incremental_minhash_pairs(
-            docs,
+        store = _read_store(spark, store_path, before_batch=batch_id)
+        new_sigs = minhash_signatures(
+            docs, num_hashes, shingle_n
+        ).localCheckpoint()
+        pairs = incremental_pairs_from_signatures(
+            new_sigs,
             store,
             num_hashes=num_hashes,
             bands=bands,
-            shingle_n=shingle_n,
             threshold=threshold,
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-        minhash_signatures(docs, num_hashes, shingle_n).write.mode(
-            "overwrite"
-        ).parquet(f"{store_path}/batch={batch_id}")
+        new_sigs.write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(process)

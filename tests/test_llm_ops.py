@@ -547,3 +547,31 @@ def test_sample_mixture_rates_and_determinism(spark):
     assert 0.35 < frac < 0.65, frac                # 250 docs, rate 0.5
     again = sample_mixture(docs, rates)
     assert out.exceptAll(again).count() == 0       # fully deterministic
+
+
+def test_simhash_rejects_radius_beyond_blocking_guarantee(spark):
+    """max_hamming > 3 would silently miss pairs (pigeonhole only covers
+    Hamming <= 3 with 4 blocks) — must raise instead."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_dups(_docs(spark).limit(5), max_hamming=4)
+
+
+def test_incremental_rejects_mismatched_band_store(spark, tmp_path):
+    """A band table published with different (num_hashes, bands) can never
+    match the new side's band arrays — the silent result would be an empty
+    cross-store candidate set, so it must raise."""
+    import pytest as _pytest
+
+    docs = _docs(spark).limit(20)
+    old = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+    store = D.minhash_signatures(old).localCheckpoint()
+    band_path = str(tmp_path / "bands_8")
+    D.publish_minhash_bands(store, band_path, num_hashes=32, bands=8)
+    bands = spark.read.parquet(band_path)
+    with _pytest.raises(ValueError, match="rows-per-band"):
+        D.incremental_minhash_pairs(
+            new, store, bands=16, store_bands=bands
+        ).collect()

@@ -56,3 +56,35 @@ def test_streaming_near_dup_equals_batch_pairs(spark, tmp_path):
     # the signature store converged to one signature per document
     sigs = spark.read.parquet(str(tmp_path / "sigs"))
     assert sigs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_read_store_excludes_current_and_later_batches(spark, tmp_path):
+    """Replay safety: a retried batch must not see its own (possibly
+    partial) prior write — _read_store(before_batch=N) returns only
+    batches < N, and a missing store path is an empty store."""
+    from flink_recommendation_system_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from flink_recommendation_system_spark.streaming.near_dup import (
+        _read_store,
+    )
+
+    store = str(tmp_path / "sigs")
+    assert _read_store(spark, store, before_batch=0).count() == 0  # missing
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < 10)
+    b1 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    minhash_signatures(b0).write.parquet(f"{store}/batch=0")
+    minhash_signatures(b1).write.parquet(f"{store}/batch=1")
+
+    ids_before_1 = {
+        r["doc_id"] for r in _read_store(spark, store, before_batch=1).collect()
+    }
+    assert ids_before_1 == {r["doc_id"] for r in b0.collect()}
+    ids_before_2 = {
+        r["doc_id"] for r in _read_store(spark, store, before_batch=2).collect()
+    }
+    assert ids_before_2 == {
+        r["doc_id"] for r in b0.union(b1).collect()
+    }
