@@ -271,7 +271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = fn
     ordered = {n: out[n] for n in _WINDOW_PRIORITY if n in out}
     missing = [n for n in _WINDOW_PRIORITY if n not in out]
-    assert not missing, f"window-priority names not registered: {missing}"
+    if missing:
+        # explicit raise (not assert): survives `python -O`, where a
+        # misspelled/removed name would otherwise silently reorder
+        raise RuntimeError(
+            f"window-priority names not registered: {missing}"
+        )
     for name, fn in out.items():
         ordered.setdefault(name, fn)
     return ordered

@@ -375,8 +375,18 @@ def publish_minhash_signatures(
     ).parquet(path)
 
 
+#: Meta columns embedded in published band tables (constant literals —
+#: parquet RLE encodes them to nothing) so a consumer can validate the
+#: banding parameters instead of trusting the caller to remember them.
+_BAND_META_COLS = ("num_hashes", "bands", "base_hash")
+
+
 def publish_minhash_bands(
-    store_sigs: DataFrame, path: str, num_hashes: int = 32, bands: int = 8
+    store_sigs: DataFrame,
+    path: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    base_hash: str = "portable",
 ) -> None:
     """Persist the BANDED projection of a signature store, partitioned by
     band_idx. A continuous-ingestion deployment publishes this alongside
@@ -384,10 +394,23 @@ def publish_minhash_bands(
     banded parquet directly instead of re-deriving the banding from the
     signature table — the per-batch store cost drops from an O(corpus)
     projection to a partition-pruned scan of exactly the band rows the
-    join touches."""
-    _banded(store_sigs, num_hashes, bands).write.mode("overwrite").partitionBy(
-        "band_idx"
-    ).parquet(path)
+    join touches.
+
+    The full banding config ``(num_hashes, bands, base_hash)`` is embedded
+    as constant meta columns (free under parquet RLE): a consumer joining
+    against a store published with ANY different config — including
+    equal-rows-per-band configs like 16/4 vs 32/8, or a different base
+    hash, where band-array lengths alone cannot reveal the mismatch —
+    fails loudly instead of silently dropping every cross-store candidate.
+    ``base_hash`` is declarative: state the hash that produced
+    ``store_sigs`` (the signature table does not carry it)."""
+    banded = (
+        _banded(store_sigs, num_hashes, bands)
+        .withColumn("num_hashes", F.lit(num_hashes))
+        .withColumn("bands", F.lit(bands))
+        .withColumn("base_hash", F.lit(base_hash))
+    )
+    banded.write.mode("overwrite").partitionBy("band_idx").parquet(path)
 
 
 def incremental_minhash_pairs(
@@ -431,6 +454,7 @@ def incremental_minhash_pairs(
         threshold=threshold,
         check_disjoint=check_disjoint,
         store_bands=store_bands,
+        base_hash=base_hash,
     )
 
 
@@ -442,11 +466,14 @@ def incremental_pairs_from_signatures(
     threshold: float = 0.5,
     check_disjoint: bool = True,
     store_bands: DataFrame | None = None,
+    base_hash: str | None = None,
 ) -> DataFrame:
     """``incremental_minhash_pairs`` with the batch's signatures ALREADY
     computed — the form callers use when the signature pass is shared with
     other sinks (streaming.near_dup computes sigs once per micro-batch and
-    feeds both the store write and this join)."""
+    feeds both the store write and this join). ``base_hash`` (when known)
+    is validated against a meta-carrying ``store_bands`` table; pass None
+    to skip that dimension of the check."""
     if check_disjoint:
         overlap = (
             new_sigs.select("doc_id")
@@ -462,19 +489,54 @@ def incremental_pairs_from_signatures(
             )
     nb = _banded(new_sigs, num_hashes, bands)
     if store_bands is not None:
-        # Guard the silent-mismatch hazard: bands published with different
-        # (num_hashes, bands) yield band arrays of a different length that
-        # can never equal the new side's, so every cross-store candidate
-        # would quietly vanish.
-        first = store_bands.select(F.size("band").alias("n")).take(1)
-        expected = num_hashes // bands
-        if first and first[0]["n"] != expected:
-            raise ValueError(
-                f"store_bands rows-per-band {first[0]['n']} != "
-                f"num_hashes//bands {expected}; republish the band table "
-                "with matching parameters"
-            )
-        sb = store_bands
+        # Guard the silent-mismatch hazard: a band table published with a
+        # different (num_hashes, bands, base_hash) produces band values the
+        # new side can never equal, so every cross-store candidate would
+        # quietly vanish. Meta-carrying tables (publish_minhash_bands)
+        # validate all three; legacy tables fall back to the structural
+        # checks (rows-per-band + band count), which cannot catch
+        # equal-ratio or base-hash mismatches.
+        if all(c in store_bands.columns for c in _BAND_META_COLS):
+            meta = store_bands.select(*_BAND_META_COLS).take(1)
+            if meta:
+                m = meta[0]
+                mismatches = []
+                if m["num_hashes"] != num_hashes:
+                    mismatches.append(
+                        f"num_hashes {m['num_hashes']} != {num_hashes}"
+                    )
+                if m["bands"] != bands:
+                    mismatches.append(f"bands {m['bands']} != {bands}")
+                if base_hash is not None and m["base_hash"] != base_hash:
+                    mismatches.append(
+                        f"base_hash {m['base_hash']!r} != {base_hash!r}"
+                    )
+                if mismatches:
+                    raise ValueError(
+                        "store_bands published with different banding "
+                        f"config ({'; '.join(mismatches)}); republish the "
+                        "band table with matching parameters"
+                    )
+            sb = store_bands.drop(*_BAND_META_COLS)
+        else:
+            first = store_bands.select(F.size("band").alias("n")).take(1)
+            expected = num_hashes // bands
+            if first and first[0]["n"] != expected:
+                raise ValueError(
+                    f"store_bands rows-per-band {first[0]['n']} != "
+                    f"num_hashes//bands {expected}; republish the band "
+                    "table with matching parameters"
+                )
+            n_band_idx = store_bands.agg(
+                (F.max("band_idx") + 1).alias("n")
+            ).take(1)
+            if n_band_idx and n_band_idx[0]["n"] not in (None, bands):
+                raise ValueError(
+                    f"store_bands band count {n_band_idx[0]['n']} != "
+                    f"bands {bands}; republish the band table with "
+                    "matching parameters"
+                )
+            sb = store_bands
     else:
         sb = _banded(store_sigs, num_hashes, bands)
 

@@ -480,7 +480,7 @@ MAX_WEDGES_SOURCE_DEGREE = 256
 
 def triangles_per_vertex(
     undirected_edges: DataFrame,
-    max_oriented_degree: int | None = MAX_WEDGES_SOURCE_DEGREE,
+    max_oriented_degree: int | None = None,
 ) -> DataFrame:
     """Triangle participation count per vertex (vertices in ≥1 triangle):
     (id, triangles). Integer counts → engine-exact oracle.
@@ -495,17 +495,18 @@ def triangles_per_vertex(
     DuckDB oracle uses the simpler id-ordered formulation and results match
     exactly.
 
-    Near-clique guard (default ON): orientation defeats power-law hubs but
+    Near-clique guard (opt-in): orientation defeats power-law hubs but
     NOT near-cliques, where every vertex keeps oriented out-degree Θ(n) and
     triangle LISTING is inherently output-bound at Θ(n³) wedges (measured
-    73 s on the sf0.1 co-review graph — PERFORMANCE.md). When a vertex's
-    oriented out-degree exceeds ``max_oriented_degree``, its neighbor list
-    is truncated to the ``max_oriented_degree`` smallest out-neighbors
-    (deterministic) and a UserWarning reports how many vertices were
-    clipped — counts are then a LOWER BOUND. The default (256) bounds
-    wedge generation to C(256, 2) per vertex while never binding on any
-    graph of ≤ 257 vertices (oriented out-degree < n), so the registered
-    oracle subgraph is untouched. Pass ``None`` to uncap.
+    73 s on the sf0.1 co-review graph — PERFORMANCE.md). Counts are EXACT
+    by default (``max_oriented_degree=None``), matching the exact-by-default
+    contract of the reference frameworks' triangle counters. Scale-sensitive
+    callers opt in by passing a cap (``MAX_WEDGES_SOURCE_DEGREE=256`` is the
+    recommended value: C(256, 2) wedges per vertex, never binds on graphs of
+    ≤ 257 vertices): each vertex's neighbor list is then truncated to the
+    ``max_oriented_degree`` smallest out-neighbors (deterministic), counts
+    become a LOWER BOUND, and a UserWarning reports the EXACT number of
+    clipped vertices so the approximation is quantified, not just flagged.
     """
     E = (
         undirected_edges.select(
@@ -532,23 +533,22 @@ def triangles_per_vertex(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     ).localCheckpoint()
     if max_oriented_degree is not None:
-        # limit(1) probe: short-circuits map-side, so the no-clipping case
-        # (any graph of < cap+2 vertices, incl. the registered oracle
-        # query) pays one cheap partial-agg job, not a full count.
+        # The caller opted into the cap, so pay one exact partial-agg count
+        # of over-cap vertices: the warning then QUANTIFIES the truncation
+        # (clipped-vertex count) instead of merely flagging it.
         clipped = (
             oriented.groupBy("u")
             .agg(F.count(F.lit(1)).alias("odeg"))
             .filter(F.col("odeg") > max_oriented_degree)
-            .limit(1)
             .count()
         )
         if clipped:
             warnings.warn(
-                "triangles_per_vertex: at least one vertex exceeds "
+                f"triangles_per_vertex: {clipped} vertices exceed "
                 f"max_oriented_degree={max_oriented_degree} (near-clique "
                 "region); clipped neighbor lists make triangle counts a "
-                "lower bound. Pass max_oriented_degree=None to uncap "
-                "(output-bound on near-cliques).",
+                "lower bound. Pass max_oriented_degree=None for exact "
+                "counts (output-bound on near-cliques).",
                 UserWarning,
                 stacklevel=2,
             )

@@ -197,11 +197,22 @@ def ivf_fit(
     n_clusters: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
 ) -> IVFIndex:
     """Fit the IVF coarse quantizer: seeded KMeans over the corpus, corpus
     rows assigned to their nearest-centroid cell. The assignment is
     materialized (localCheckpoint) so repeated probes never re-run the
-    KMeans transform."""
+    KMeans transform.
+
+    Scale knobs (the FAISS recipe): a coarse quantizer needs only a few
+    hundred training points per centroid, so at 100 TB the KMeans fit runs
+    on a seeded SAMPLE (``fit_fraction``) while the cell ASSIGNMENT — one
+    nearest-centroid transform, no iteration — still covers the full
+    corpus; and a coarse partitioner doesn't need tight convergence, so
+    ``max_iter`` defaults to 8 with random init (k-means|| init costs ~5
+    extra distributed passes for centroid quality IVF doesn't need —
+    recall comes from ``n_probe``, not centroid polish)."""
     from pyspark.ml.clustering import KMeans
 
     from pyspark.ml.functions import array_to_vector
@@ -213,8 +224,18 @@ def ivf_fit(
         _norm(F.col(vec_col)).alias("c_norm"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=n_clusters, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(feats)
+    train = (
+        feats if fit_fraction is None else feats.sample(fit_fraction, seed=42)
+    )
+    km = KMeans(
+        k=n_clusters,
+        seed=42,
+        featuresCol="features",
+        predictionCol="cell",
+        maxIter=max_iter,
+        initMode="random",
+    )
+    model = km.fit(train)
     assigned = (
         model.transform(feats)
         .select("neighbor_id", "c_vec", "c_norm", "cell")

@@ -236,7 +236,7 @@ CUSTOMER_NAME_PARSE_SQL = """
 SELECT c_custkey,
        upper(c_name) AS name_upper,
        CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) AS name_num,
-       CAST(strlen(c_name) AS BIGINT) AS name_len
+       CAST(length(c_name) AS BIGINT) AS name_len
 FROM customer
 WHERE c_name LIKE '%1%'
 """

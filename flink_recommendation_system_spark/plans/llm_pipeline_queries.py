@@ -75,7 +75,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
-       round(list_sum(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)))
+       round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
              / len(toks), 6) AS mean_token_len,
        round(CAST(sw AS DOUBLE) / len(toks), 6) AS stopword_ratio,
        (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
@@ -397,7 +397,7 @@ corpus AS (
 sh AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
-               range(1, greatest(strlen(text) - {shingle_n - 1}, 1) + 1),
+               range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),
                i -> substr(text, i, {shingle_n})))) AS shingle
     FROM corpus
 ),

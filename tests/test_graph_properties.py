@@ -367,8 +367,9 @@ def test_star_cc_self_loop_only_vertex_matches_min_propagation(spark):
 
 def test_triangles_near_clique_guard_warns_and_lower_bounds(spark):
     """On a near-clique (where degree orientation cannot help), the
-    default-on oriented-degree cap truncates with an explicit warning and
-    counts become a lower bound; uncapped counts are exact."""
+    opt-in oriented-degree cap truncates with a warning that quantifies
+    how many vertices were clipped and counts become a lower bound;
+    the default (no cap) is exact."""
     import warnings as W
 
     from flink_recommendation_system_spark.operators.graph import (
@@ -386,11 +387,17 @@ def test_triangles_near_clique_guard_warns_and_lower_bounds(spark):
             r["id"]: r["triangles"]
             for r in triangles_per_vertex(und, max_oriented_degree=10).collect()
         }
-        assert any("lower bound" in str(x.message) for x in w)
+        msgs = [str(x.message) for x in w if "lower bound" in str(x.message)]
+        assert msgs
+        # cap=10 binds on every K40 vertex whose oriented out-degree
+        # exceeds 10: out-degrees are 39,38,...,1,0 → 29 clipped vertices,
+        # and the warning must carry that exact count.
+        assert any(m.startswith("triangles_per_vertex: 29 vertices") for m in msgs)
 
+    # default = exact (no cap): same as an explicit None
     exact = {
         r["id"]: r["triangles"]
-        for r in triangles_per_vertex(und, max_oriented_degree=None).collect()
+        for r in triangles_per_vertex(und).collect()
     }
     expected = (k - 1) * (k - 2) // 2  # every vertex of K_n is in C(n-1,2)
     assert all(v == expected for v in exact.values())

@@ -559,9 +559,12 @@ def test_simhash_rejects_radius_beyond_blocking_guarantee(spark):
 
 
 def test_incremental_rejects_mismatched_band_store(spark, tmp_path):
-    """A band table published with different (num_hashes, bands) can never
-    match the new side's band arrays — the silent result would be an empty
-    cross-store candidate set, so it must raise."""
+    """A band table published with a different (num_hashes, bands,
+    base_hash) can never match the new side's band values — the silent
+    result would be an empty cross-store candidate set, so every mismatch
+    dimension must raise: plain bands mismatch, equal-rows-per-band
+    configs (16/4 vs 32/8 — invisible to a band-array-length check), and
+    a different base hash."""
     import pytest as _pytest
 
     docs = _docs(spark).limit(20)
@@ -571,7 +574,42 @@ def test_incremental_rejects_mismatched_band_store(spark, tmp_path):
     band_path = str(tmp_path / "bands_8")
     D.publish_minhash_bands(store, band_path, num_hashes=32, bands=8)
     bands = spark.read.parquet(band_path)
-    with _pytest.raises(ValueError, match="rows-per-band"):
+    with _pytest.raises(ValueError, match="bands 8 != 16"):
         D.incremental_minhash_pairs(
             new, store, bands=16, store_bands=bands
+        ).collect()
+
+    # equal ratio: published 32/8 (4 rows/band) vs requested 16/4 (also 4)
+    store16 = D.minhash_signatures(old, num_hashes=16).localCheckpoint()
+    with _pytest.raises(ValueError, match="num_hashes 32 != 16"):
+        D.incremental_minhash_pairs(
+            new, store16, num_hashes=16, bands=4, store_bands=bands
+        ).collect()
+
+    # same shape, different base hash
+    with _pytest.raises(ValueError, match="base_hash"):
+        D.incremental_minhash_pairs(
+            new, store, base_hash="fast", store_bands=bands
+        ).collect()
+
+
+def test_incremental_rejects_mismatched_legacy_band_store(spark):
+    """A legacy band table (no meta columns) still gets the structural
+    guards: rows-per-band and max(band_idx)+1 == bands."""
+    import pytest as _pytest
+
+    docs = _docs(spark).limit(20)
+    old = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+    store = D.minhash_signatures(old).localCheckpoint()
+    legacy = D._banded(store, 32, 8).localCheckpoint()
+    with _pytest.raises(ValueError, match="rows-per-band"):
+        D.incremental_minhash_pairs(
+            new, store, bands=16, store_bands=legacy
+        ).collect()
+    # equal rows-per-band but different band count: 32/8 store vs 16/4
+    store16 = D.minhash_signatures(old, num_hashes=16).localCheckpoint()
+    with _pytest.raises(ValueError, match="band count"):
+        D.incremental_minhash_pairs(
+            new, store16, num_hashes=16, bands=4, store_bands=legacy
         ).collect()

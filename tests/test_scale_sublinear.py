@@ -71,9 +71,14 @@ def edge_sets(spark):
 def test_iterative_op_scales_sublinearly(spark, edge_sets, op):
     e1, eN = edge_sets
     _force(op(e1))  # warm-up: JIT, codegen, shuffle services
-    t0 = time.time()
-    n1 = _force(op(e1))
-    t1 = time.time() - t0
+    # The 1x baseline is cheap and noise-dominated on a loaded CI host —
+    # take the best of 3 runs so a transient load spike can't distort the
+    # denominator of the ratio check.
+    t1 = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        n1 = _force(op(e1))
+        t1 = min(t1, time.time() - t0)
     t0 = time.time()
     nN = _force(op(eN))
     tN = time.time() - t0
