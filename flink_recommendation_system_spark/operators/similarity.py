@@ -318,6 +318,61 @@ def ivf_topk(
     return ivf_probe(index, queries, k, n_probe, id_col, vec_col)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): KMeans-cluster the embeddings, then WITHIN each
+    cluster drop every vector whose cosine similarity to a lower-id
+    cluster member is ≥ ``threshold``; the minimum id of each semantic
+    group survives. Output: the kept rows as (vec_id, cell).
+
+    Scale shape — clusters bound the quadratic: the paper's design point
+    is that the within-cluster pair join is the ONLY superlinear step, and
+    its cost is Σ|cluster|² — controlled by scaling ``n_clusters`` with
+    the corpus (FAISS-style √N clusters keeps expected cluster size √N).
+    The KMeans fit reuses ``ivf_fit``'s sampled/loose-convergence recipe;
+    cell assignment is one broadcast-centroid transform. Not
+    SQL-expressible (iterative KMeans) → rows-only driver check; the
+    semantic invariants (planted duplicates collapse, singletons survive,
+    min-id wins) are pinned in tests/test_llm_ops.py.
+    """
+    index = ivf_fit(
+        vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = index.assigned  # (neighbor_id, c_vec, c_norm, cell)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .filter(
+            F.round(
+                _dot(F.col("a.c_vec"), F.col("b.c_vec"))
+                / (F.col("a.c_norm") * F.col("b.c_norm")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("b.neighbor_id").alias("neighbor_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "neighbor_id", "left_anti")
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+        )
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.99,

@@ -283,6 +283,144 @@ def ngram_overlap(
     )
 
 
+# PII patterns kept to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically: character classes, bounded repetition, \b word
+# boundaries — no backreferences or lookaround. Order matters: emails are
+# redacted before IPs/phones so digit runs inside a redacted token can't
+# be re-matched.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the compliance gate of a training-data
+    pipeline: count and mask emails, IPv4 addresses, and phone-shaped
+    digit runs. Output: (doc_id, n_email, n_ipv4, n_phone, redacted).
+
+    Counts are taken per pattern on the ORIGINAL text (audit metric);
+    redaction applies the patterns sequentially in ``PII_PATTERNS`` order.
+    Everything is codegen ``regexp_count``/``regexp_replace`` — per-row,
+    no shuffle, scan-speed at 100 TB; at that scale this runs fused into
+    the same stage as the cleaning gate that follows it.
+    """
+    out = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )
+    red = F.col("_t")
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        red.alias("redacted"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    target_tokens: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window PACKING plan: concatenate each group's documents in
+    id order and cut the token stream into ``target_tokens`` windows — the
+    GPT-style sequence-packing step that turns a deduped corpus into
+    fixed-length training rows. Output: (doc_id, <group_col>, n_tokens,
+    pack_id, pack_offset) where ``pack_id`` is the window the document
+    STARTS in and ``pack_offset`` its token offset within that window.
+    Exact integer logic (prefix sums) → fully oracle-checkable.
+
+    Scale shape: one window prefix-sum per group, ordered by id — a single
+    sort within each group partition. Groups are the parallelism unit: a
+    100 TB corpus packs per domain shard (choose ``group_col`` with
+    bounded group size, e.g. a (source, day) composite), never as one
+    global ordered stream.
+    """
+    n_tok = F.size(tokens("text")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return docs.select(
+        id_col,
+        group_col,
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / target_tokens).alias("pack_id"),
+        ((cum - n_tok) % target_tokens).alias("pack_offset"),
+    )
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = 1024) -> DataFrame:
+    """Split each document into fixed-size character chunks (the
+    context-window chunking step for embedding/indexing pipelines).
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_chars); empty documents
+    produce one empty chunk (chunk_idx 0) so no doc silently disappears.
+
+    Per-row codegen (sequence + explode + substring): no shuffle, and the
+    explode fan-out is bounded by document length / chunk_chars.
+    """
+    last_idx = F.greatest(
+        F.floor((F.length("text") - 1) / chunk_chars), F.lit(0)
+    ).cast("long")
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias(
+        "chunk_idx"
+    )
+    chunked = docs.select("doc_id", F.col("text"), idx)
+    chunk = F.substring(
+        F.col("text"), (F.col("chunk_idx") * chunk_chars + 1).cast("int"), chunk_chars
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("n_chunk_chars"),
+    )
+
+
+def length_histogram(
+    docs: DataFrame, bucket_chars: int = 100, max_buckets: int = 20
+) -> DataFrame:
+    """Sequence-length distribution — the corpus-shape diagnostic every
+    packing/truncation decision starts from. Buckets n_chars into
+    ``bucket_chars``-wide bins (last bin open-ended), counting docs and
+    total whitespace tokens per bin. Output: (bucket, lo_chars, n_docs,
+    total_tokens). Pure partial aggregation: one tiny shuffle of
+    ``max_buckets`` rows.
+    """
+    b = F.least(
+        F.floor(F.col("n_chars") / bucket_chars), F.lit(max_buckets - 1)
+    ).cast("long")
+    return (
+        docs.select(
+            b.alias("bucket"),
+            F.size(tokens("text")).cast("long").alias("_nt"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * bucket_chars).alias("lo_chars"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
 def sample_mixture(
     docs: DataFrame,
     rates: dict[str, float],

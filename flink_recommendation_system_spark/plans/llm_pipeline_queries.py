@@ -852,6 +852,261 @@ WHERE doc_id % 3 = 2
 """
 
 
+# --- round-4 additions: retrieval, PII, packing, chunking, histogram --------
+
+
+BM25_QUERIES = [
+    (0, "dup spark"),
+    (1, "vector join data"),
+    (2, "slow scan table"),
+]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 batch retrieval (inverted-index join; operators.retrieval)
+    — per-term contributions quantized to the 2^-38 grid (pagerank's
+    order-independent-sum construction) so the DuckDB oracle matches
+    bit-for-bit."""
+    from ..operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    return bm25_topk(
+        _docs(spark, sf_dir),
+        queries,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_k=_BM25_TOPK,
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+BM25_TOPK_SQL = f"""
+WITH q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+qt AS (
+    SELECT DISTINCT query_id, t.term
+    FROM q, unnest(string_split(query_text, ' ')) AS t(term)
+    WHERE t.term != ''
+),
+post AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok != ''
+    GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_dl
+    FROM documents
+),
+qpost AS (
+    SELECT p.* FROM post p WHERE p.term IN (SELECT term FROM qt)
+),
+df AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+scored AS (
+    SELECT qt.query_id, p.doc_id,
+           floor(
+               ln(1.0 + ((s.n_docs - df.df) + 0.5) / (df.df + 0.5))
+               * ((p.tf * {_BM25_K1 + 1.0!r})
+                  / (p.tf + {_BM25_K1!r}
+                     * ({1.0 - _BM25_B!r}
+                        + ({_BM25_B!r} * dl.dl)
+                          / (CAST(s.total_dl AS DOUBLE) / s.n_docs))))
+               * 274877906944.0 + 0.5) / 274877906944.0 AS contrib
+    FROM qt
+    JOIN qpost p ON qt.term = p.term
+    JOIN dl ON p.doc_id = dl.doc_id
+    JOIN df ON p.term = df.term
+    CROSS JOIN stats s
+),
+agg AS (
+    SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+    FROM scored GROUP BY query_id, doc_id
+),
+r AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM agg
+)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {_BM25_TOPK}
+"""
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII into a slice of the corpus (the test
+    corpus is word-soup with no real PII): doc_id%7 selects an email, an
+    IPv4, or a phone injection. The REGISTERED query plants + redacts so
+    the redaction path is exercised on text where something matches; the
+    operator itself stays pure."""
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com please"),
+            ),
+        )
+        .when(
+            did % 7 == 1,
+            F.concat(
+                F.lit(" server 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".1 up"),
+            ),
+        )
+        .when(
+            did % 7 == 2,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat("text", suffix).alias("text"))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate over a deterministically PII-planted corpus —
+    counts per category plus the md5 of the redacted text (full value
+    check of the actual replacement output)."""
+    red = T.redact_pii(_inject_pii(_docs(spark, sf_dir)))
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+           text || CASE
+               WHEN doc_id % 7 = 0 THEN ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com please'
+               WHEN doc_id % 7 = 1 THEN ' server 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.1 up'
+               WHEN doc_id % 7 = 2 THEN ' call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+               ELSE '' END AS text
+    FROM documents
+"""
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+PII_REDACTION_SQL = f"""
+WITH inj AS ({_PII_INJECT_SQL}),
+red AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM inj
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+PACK_TARGET_TOKENS = 512
+
+
+def q_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan (per-source prefix sums; operators.text
+    pack_documents) — exact integer logic, full value oracle."""
+    return T.pack_documents(
+        _docs(spark, sf_dir), target_tokens=PACK_TARGET_TOKENS
+    )
+
+
+CONTEXT_PACKING_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       (cum - n_tokens) // {PACK_TARGET_TOKENS} AS pack_id,
+       (cum - n_tokens) % {PACK_TARGET_TOKENS} AS pack_offset
+FROM c
+"""
+
+
+CHUNK_CHARS = 128
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking (sequence+explode+substring codegen;
+    operators.text chunk_documents) — full value oracle including the
+    chunk text itself."""
+    return T.chunk_documents(_docs(spark, sf_dir), chunk_chars=CHUNK_CHARS)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, greatest((length(text) - 1) // {CHUNK_CHARS}, 0)
+           )) AS chunk_idx
+    FROM documents
+)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx * {CHUNK_CHARS} + 1 AS INT),
+              {CHUNK_CHARS}) AS chunk_text,
+       length(substr(text, CAST(chunk_idx * {CHUNK_CHARS} + 1 AS INT),
+                     {CHUNK_CHARS})) AS n_chunk_chars
+FROM idx
+"""
+
+
+HIST_BUCKET_CHARS = 100
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (operators.text length_histogram) —
+    pure partial aggregation, exact integers."""
+    return T.length_histogram(
+        _docs(spark, sf_dir), bucket_chars=HIST_BUCKET_CHARS
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH t AS (
+    SELECT least(n_chars // {HIST_BUCKET_CHARS}, 19) AS bucket,
+           len(string_split(text, ' ')) AS nt
+    FROM documents
+)
+SELECT bucket, bucket * {HIST_BUCKET_CHARS} AS lo_chars,
+       count(*) AS n_docs, sum(nt) AS total_tokens
+FROM t GROUP BY bucket
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table — KMeans is
+    not SQL-expressible, so rows-only driver check; semantic invariants
+    pinned in tests/test_llm_ops.py."""
+    return S.semantic_dedup(_emb(spark, sf_dir), n_clusters=16, threshold=0.99)
+
+
 QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
@@ -877,4 +1132,10 @@ QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, MULTIMODAL_FEATURES_SQL),
     "image_resize": (q_image_resize, IMAGE_RESIZE_SQL),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),
+    "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
+    "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
+    "context_packing": (q_context_packing, CONTEXT_PACKING_SQL),
+    "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
+    "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_SQL),
+    "semantic_dedup": (q_semantic_dedup, None),
 }
