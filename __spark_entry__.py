@@ -168,77 +168,77 @@ _SUITES = [
 #   2. last green in r01 (dropped out of the r02 window),
 #   3. new or newly oracle-backed this round,
 #   4. implementation changed this round (re-confirm),
-# then the long-stable core — green in BOTH r01 and r02 — fills the rest;
-# the entries past 50 all have green history and remain covered at sf0.001
-# by tests/test_entry_queries.py every CI run.
+# then the long-stable core fills the rest; the entries past 50 all have
+# green history and remain covered at sf0.001 by tests/test_entry_queries.py
+# every CI run.
 #
-# NEXT-ROUND MAINTENANCE: once CORRECTNESS_r03 lands, tiers 1-4 have fresh
-# green rows — rotate them toward the back and promote the 21 currently
-# outside the window (streaming suite + basic scans) so no query's newest
-# green row ages more than ~2 rounds.
+# ROUND-4 ROTATION: the six round-4 queries lead (never checked). The driver
+# regenerated testdata this round with events.ts as TIMESTAMP_MICROS (was
+# INT64 nanos) — sources.tables normalizes it back to the epoch-nanos
+# contract — so every events-derived query is promoted for re-confirmation
+# under the new encoding. The r03-green relational/text tier (checked on
+# unchanged load paths) rotates out.
 _WINDOW_PRIORITY = [
-    # 1. never checked
-    "itemcf_recommendations",
-    "customer_order_gaps",
-    "order_value_quantiles",
-    "nations_in_both",
-    "customer_name_parse",
-    "part_type_stats",
-    "approx_supplier_counts",
-    "order_priority_counts",
-    "conditional_agg",
-    "customer_deciles",
-    # 2. last green in r01
-    "sql_surface",
-    "customer_latest_order",
-    "revenue_cube",
-    "revenue_rollup",
-    "top_bigrams",
-    # 3. new / newly oracle-backed in r03
-    "near_dup_clusters_lsh",
-    "deduped_corpus",
-    "repetition_stats",
-    "decontamination",
-    "corpus_mixture",
-    "image_resize",
-    "minhash_near_dups",
-    "near_dup_pipeline",
-    "simhash_near_dups",
-    "lsh_topk",
-    # 4. implementation changed in r03
-    "pagerank",
-    "connected_components_star",
-    "triangle_counts",
-    # 5. stable but operator-rich — keep in-window in preference to the
-    # basic scan/filter/agg queries below, which rotate out this round
-    # (all green in r01 AND r02)
-    "top_products",
+    # 1. never checked (new in round 4)
+    "bm25_topk",
+    "pii_redaction",
+    "context_packing",
+    "doc_chunks",
+    "length_histogram",
+    "semantic_dedup",
+    # 2. events-derived: input encoding changed this round — re-confirm the
+    # whole reviews/graph/reco/streaming stack on the new testdata
+    "good_ratings",
+    "co_review_edges",
+    "graph_vertices",
+    "undirected_edges",
     "lpa_labels",
+    "community_sizes",
+    "top_products",
     "user_recommendations",
     "serving_snapshot",
     "connected_components",
+    "connected_components_star",
+    "triangle_counts",
+    "pagerank",
     "als_recommendations",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "top_orders_per_customer",
-    "fingerprints",
-    "exact_dedup_keys",
-    "ngram_jaccard_pairs",
-    "near_dup_clusters",
-    "cosine_topk",
-    "ivf_topk",
-    "clean_corpus",
-    "tfidf_top_terms",
-    "embedding_near_dups",
-    "multimodal_features",
-    "frame_sample_plan",
+    "itemcf_recommendations",
+    "kv_roundtrip",
+    "user_product_sets",
+    "split_db_part",
     "asof_click_purchase",
     "events_within_hour",
     "daily_rollup",
     "event_windows",
     "sliding_windows",
     "user_sessions",
+    # 3. last green in r01/r02 only — rotate back in
+    "customers_with_orders",
+    "customers_without_orders",
+    "customer_order_counts",
+    "revenue_by_nation",
+    "active_nations",
+    "token_counts",
+    "quality_stats",
+    "language_id",
+    # 4. operator-rich dedup/ANN tier (green r03; data regenerated, keep
+    # the flagship near-dup/similarity family under continuous check)
+    "minhash_near_dups",
+    "near_dup_pipeline",
+    "simhash_near_dups",
+    "near_dup_clusters_lsh",
+    "near_dup_clusters",
+    "deduped_corpus",
+    "lsh_topk",
+    "cosine_topk",
+    "ivf_topk",
+    "tfidf_top_terms",
+    "ngram_jaccard_pairs",
+    "multimodal_features",
+    "embedding_near_dups",
+    # --- 50-row window boundary lands here; the r03-green relational and
+    # text/cleaning tiers below all have fresh green rows on unchanged
+    # load paths ---
 ]
 
 

@@ -339,10 +339,27 @@ def semantic_dedup(
     cell assignment is one broadcast-centroid transform. Not
     SQL-expressible (iterative KMeans) → rows-only driver check; the
     semantic invariants (planted duplicates collapse, singletons survive,
-    min-id wins) are pinned in tests/test_llm_ops.py.
+    min-id wins) are pinned in tests/test_round4_ops.py.
+
+    Clustering runs on L2-NORMALIZED vectors (the paper's setup): the dedup
+    criterion is cosine — magnitude-invariant — so clustering raw vectors
+    would let two scaled copies of the same direction land in different
+    cells and silently miss. Zero vectors pass through un-normalized (they
+    have no direction; cosine against them is undefined and never ≥
+    threshold).
     """
+    norm = _norm(F.col(vec_col))
+    unit = vectors.select(
+        F.col(id_col),
+        F.when(
+            norm != 0.0,
+            F.transform(F.col(vec_col), lambda x: x / norm),
+        )
+        .otherwise(F.col(vec_col))
+        .alias(vec_col),
+    )
     index = ivf_fit(
-        vectors, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        unit, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
     )
     assigned = index.assigned  # (neighbor_id, c_vec, c_norm, cell)
     a = assigned.alias("a")

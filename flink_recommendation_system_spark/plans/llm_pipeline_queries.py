@@ -882,7 +882,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
 BM25_TOPK_SQL = f"""
-WITH q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+WITH q0(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+q AS (SELECT CAST(query_id AS BIGINT) AS query_id, query_text FROM q0),
 qt AS (
     SELECT DISTINCT query_id, t.term
     FROM q, unnest(string_split(query_text, ' ')) AS t(term)
@@ -1044,8 +1045,8 @@ c AS (
     FROM t
 )
 SELECT doc_id, source, n_tokens,
-       (cum - n_tokens) // {PACK_TARGET_TOKENS} AS pack_id,
-       (cum - n_tokens) % {PACK_TARGET_TOKENS} AS pack_offset
+       CAST((cum - n_tokens) // {PACK_TARGET_TOKENS} AS BIGINT) AS pack_id,
+       CAST((cum - n_tokens) % {PACK_TARGET_TOKENS} AS BIGINT) AS pack_offset
 FROM c
 """
 
@@ -1095,7 +1096,7 @@ WITH t AS (
     FROM documents
 )
 SELECT bucket, bucket * {HIST_BUCKET_CHARS} AS lo_chars,
-       count(*) AS n_docs, sum(nt) AS total_tokens
+       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
 FROM t GROUP BY bucket
 """
 

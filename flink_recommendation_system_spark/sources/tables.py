@@ -15,17 +15,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Columns the engine contract types as epoch-nanosecond LongType (all other
+# timestamp columns — orders.o_orderdate, lineitem.l_shipdate — stay
+# TIMESTAMP_NTZ, matching DuckDB's naive TIMESTAMP).
+_NANOS_CONTRACT: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table (TESTDATA.md) as a DataFrame.
 
-    The testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS), which
-    Spark's reader rejects by default; ``nanosAsLong`` (runtime-settable SQL
-    conf) reads them as epoch-nanosecond LongType. All engine code treats
-    these columns as epoch-nanos and converts with exact integer arithmetic
-    (``ts DIV 1_000_000_000``) so DuckDB oracles agree bit-for-bit.
+    ``events.ts`` is normalized to epoch-nanosecond LongType — the contract
+    every consumer relies on (exact integer arithmetic like
+    ``ts DIV 1_000_000_000`` that DuckDB's ``epoch_ns`` reproduces
+    bit-for-bit). The testdata generator has shipped two encodings across
+    rounds: INT64 TIMESTAMP(NANOS), which ``nanosAsLong`` surfaces as
+    LongType already, and TIMESTAMP_MICROS, which Spark reads as
+    TIMESTAMP/TIMESTAMP_NTZ and we convert with ``unix_micros × 1000``
+    (session timezone is UTC, so the NTZ→TIMESTAMP cast is
+    instant-preserving and matches DuckDB's naive-as-UTC ``epoch_ns``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # the driver calls us with a VANILLA session (see .claude/skills/verify):
+    # pin UTC at runtime so the NTZ→TIMESTAMP cast below is instant-preserving
+    # regardless of the host JVM timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts_types = ("timestamp", "timestamp_ntz")
+    convert = [
+        f.name
+        for f in df.schema.fields
+        if f.name in _NANOS_CONTRACT.get(name, ())
+        and f.dataType.typeName() in ts_types
+    ]
+    if convert:
+        df = df.select(
+            *[
+                (
+                    (F.unix_micros(F.col(c).cast("timestamp")) * 1000).alias(c)
+                    if c in convert
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+    return df
 
 
 def load_csv_reviews(spark: SparkSession, path: str) -> DataFrame:

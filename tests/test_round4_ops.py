@@ -1,0 +1,209 @@
+"""Unit tests for the round-4 operators: BM25 retrieval, PII redaction,
+sequence packing, chunking, length histogram, semantic dedup.
+
+Each test pins the operator's semantics on a tiny hand-computed input; the
+sf0.001 oracle parity for the registered queries lives in
+tests/test_entry_queries.py like every other query.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators.retrieval import bm25_topk
+from flink_recommendation_system_spark.operators.similarity import (
+    semantic_dedup,
+)
+from flink_recommendation_system_spark.operators.text import (
+    chunk_documents,
+    length_histogram,
+    pack_documents,
+    redact_pii,
+)
+
+
+# --- BM25 -------------------------------------------------------------------
+
+
+def _bm25_ref(tf, df, n_docs, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(0, "apple cherry")], ["query_id", "query_text"])
+    out = {
+        r.doc_id: (r.score, r.rank)
+        for r in bm25_topk(docs, queries, top_k=10).collect()
+    }
+    # doc 3 shares no query term — must be absent, not scored 0
+    assert set(out) == {1, 2}
+    avgdl = (3 + 2 + 3) / 3
+    exp1 = _bm25_ref(tf=2, df=1, n_docs=3, dl=3, avgdl=avgdl)
+    exp2 = _bm25_ref(tf=1, df=1, n_docs=3, dl=2, avgdl=avgdl)
+    assert abs(out[1][0] - exp1) < 1e-5
+    assert abs(out[2][0] - exp2) < 1e-5
+    # ranks follow scores within the query partition
+    ranked = sorted(out.items(), key=lambda kv: kv[1][1])
+    assert [kv[1][1] for kv in ranked] == [1, 2]
+    assert ranked[0][1][0] >= ranked[1][1][0]
+
+
+def test_bm25_top_k_and_tiebreak(spark):
+    # four identical docs → identical scores; tie broken toward smaller id,
+    # and top_k truncates
+    docs = spark.createDataFrame(
+        [(i, "same words here") for i in (4, 2, 9, 7)], ["doc_id", "text"]
+    )
+    queries = spark.createDataFrame([(0, "words")], ["query_id", "query_text"])
+    rows = bm25_topk(docs, queries, top_k=3).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [2, 4, 7]
+    assert len({r.score for r in rows}) == 1
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def test_redact_pii_counts_and_masks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-0199 tonight"),
+            (4, "clean text with no pii at all"),
+            (5, "a@b.io visits 1.2.3.4 dials 123-4567"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 0, 0)
+    assert out[1].redacted == "mail <EMAIL> now"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 2, 0)
+    assert out[2].redacted == "host <IP> and <IP> up"
+    assert out[3].redacted == "call <PHONE> tonight"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert out[4].redacted == "clean text with no pii at all"
+    assert out[5].redacted == "<EMAIL> visits <IP> dials <PHONE>"
+
+
+def test_redact_pii_email_before_ip_ordering(spark):
+    # digit-run inside an already-redacted email must not re-match as IP:
+    # counts are on the original text, redaction is sequential
+    docs = spark.createDataFrame(
+        [(1, "x 1.2.3.4@host.example.com y")], ["doc_id", "text"]
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r.n_email == 1
+    assert r.redacted == "x <EMAIL> y"
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def test_pack_documents_prefix_sums(spark):
+    # tokens: a=3, b=4, c=2 in one source; target 5 →
+    # a: starts at 0 → pack 0 offset 0
+    # b: starts at 3 → pack 0 offset 3
+    # c: starts at 7 → pack 1 offset 2
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3", "s"),
+            (2, "t1 t2 t3 t4", "s"),
+            (3, "t1 t2", "s"),
+            (4, "u1 u2", "other"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.pack_offset)
+        for r in pack_documents(docs, target_tokens=5).collect()
+    }
+    assert out[1] == (3, 0, 0)
+    assert out[2] == (4, 0, 3)
+    assert out[3] == (2, 1, 2)
+    # independent group restarts its prefix sum
+    assert out[4] == (2, 0, 0)
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+def test_chunk_documents_boundaries_and_empty(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),   # exactly 2 chunks of 4
+            (2, "abcdefghi"),  # 2 full + 1 char
+            (3, ""),           # empty → one empty chunk
+        ],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, chunk_chars=4).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chunk_chars) for r in rows}
+    assert got[(1, 0)] == ("abcd", 4)
+    assert got[(1, 1)] == ("efgh", 4)
+    assert (1, 2) not in got
+    assert got[(2, 2)] == ("i", 1)
+    assert got[(3, 0)] == ("", 0)
+    # reassembling chunks reproduces the document
+    joined = "".join(
+        got[(2, i)][0] for i in range(3)
+    )
+    assert joined == "abcdefghi"
+
+
+# --- length histogram -------------------------------------------------------
+
+
+def test_length_histogram_buckets(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", 50),       # bucket 0
+            (2, "a b c", 99),     # bucket 0
+            (3, "a", 100),        # bucket 1
+            (4, "a b c d", 5000), # clamped to last bucket (19)
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    out = {
+        r.bucket: (r.lo_chars, r.n_docs, r.total_tokens)
+        for r in length_histogram(docs, bucket_chars=100, max_buckets=20).collect()
+    }
+    assert out[0] == (0, 2, 5)
+    assert out[1] == (100, 1, 1)
+    assert out[19] == (1900, 1, 4)
+
+
+# --- semantic dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark):
+    # 3 planted copies of one vector + distinct far-apart vectors:
+    # min-id copy survives, the others drop, singletons all survive
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (10, base),
+        (11, [x * 2.0 for x in base]),      # same direction → cos 1.0
+        (12, [x * 0.5 for x in base]),      # same direction → cos 1.0
+        (20, [0.0, 1.0, 0.0, 0.0]),
+        (21, [0.0, 0.0, 1.0, 0.0]),
+        (22, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    kept = {
+        r.vec_id for r in semantic_dedup(vecs, n_clusters=2, threshold=0.99).collect()
+    }
+    assert 10 in kept
+    assert 11 not in kept and 12 not in kept
+    assert {20, 21, 22} <= kept
