@@ -180,6 +180,8 @@ _SUITES = [
 # unchanged load paths) rotates out.
 _WINDOW_PRIORITY = [
     # 1. never checked (new in round 4)
+    "bigram_lm_scores",
+    "boilerplate_chunks",
     "bm25_topk",
     "pii_redaction",
     "context_packing",

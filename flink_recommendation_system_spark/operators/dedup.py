@@ -769,3 +769,56 @@ def publish_corpus_artifacts(
         paths["corpus"]
     )
     return paths
+
+
+def shared_chunk_stats(
+    docs: DataFrame,
+    chunk_chars: int = 128,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level boilerplate detection (the Dolma/CCNet paragraph-dedup
+    shape, on fixed-size chunks since the corpus has no newline structure):
+    split every document into ``chunk_chars`` chunks, count how many
+    DISTINCT documents each exact chunk text appears in, and report per
+    document how much of it is shared boilerplate — chunks whose document
+    frequency exceeds ``max_doc_freq``. Output: (doc_id, n_chunks,
+    n_boilerplate, boilerplate_ratio) with the ratio rounded to 6 dp;
+    empty documents have one empty chunk, which (being shared corpus-wide)
+    counts as boilerplate by construction.
+
+    Scale shape: the only shuffles are keyed by chunk fingerprint
+    (md5 of the chunk text — the 100 TB-safe move: the shuffle carries a
+    32-byte key, never the chunk body) and by doc_id for the final
+    per-document rollup. Both aggregations are partial (map-side combine).
+    A removal pass is the natural next step (rebuild text from kept
+    chunks), but the detection stats are the oracle-checkable product.
+    """
+    from .text import chunk_documents
+
+    chunks = chunk_documents(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        chunk_chars=chunk_chars,
+    ).select("doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_key"))
+    dfreq = chunks.groupBy("chunk_key").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    return (
+        chunks.join(dfreq, "chunk_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("doc_freq") > max_doc_freq, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_chunks",
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate").cast("double") / F.col("n_chunks"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )

@@ -1108,6 +1108,97 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(_emb(spark, sf_dir), n_clusters=16, threshold=0.99)
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM cross-entropy per document (CCNet-style
+    perplexity quality gate; operators.lm) — log args are exact integers,
+    per-bigram surprise quantized to the 2^-38 grid before the exact sum,
+    so the oracle matches bit-for-bit."""
+    from ..operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+BIGRAM_LM_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           toks[CAST(i AS INT)] AS w1,
+           toks[CAST(i AS INT) + 1] AS w2
+    FROM t, unnest(range(1, len(toks))) AS u(i)
+    WHERE toks[CAST(i AS INT)] != '' AND toks[CAST(i AS INT) + 1] != ''
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+vocab AS (
+    SELECT count(DISTINCT tok) AS v
+    FROM (SELECT unnest(toks) AS tok FROM t) WHERE tok != ''
+),
+doc_bg AS (
+    SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY doc_id, w1, w2
+),
+scored AS (
+    SELECT d.doc_id,
+           sum(d.m) AS n_bigrams,
+           sum(d.m * (floor((ln(c1.c1 + v.v) - ln(c2.c2 + 1))
+                            * 274877906944.0 + 0.5) / 274877906944.0)) AS s
+    FROM doc_bg d
+    JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+    JOIN c1 ON d.w1 = c1.w1
+    CROSS JOIN vocab v
+    GROUP BY d.doc_id
+)
+SELECT docs.doc_id,
+       CAST(coalesce(scored.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(round(scored.s / scored.n_bigrams, 6), 0.0) AS avg_surprise
+FROM (SELECT doc_id FROM documents) docs
+LEFT JOIN scored ON docs.doc_id = scored.doc_id
+"""
+
+
+BOILER_CHUNK_CHARS = 128
+
+
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate stats (operators.dedup shared_chunk_stats):
+    per-doc share of fixed-size chunks whose exact text appears in more
+    than one distinct document — integer counts + one exact division,
+    full value oracle."""
+    return D.shared_chunk_stats(
+        _docs(spark, sf_dir), chunk_chars=BOILER_CHUNK_CHARS, max_doc_freq=1
+    )
+
+
+BOILERPLATE_CHUNKS_SQL = f"""
+WITH idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, greatest((length(text) - 1) // {BOILER_CHUNK_CHARS}, 0)
+           )) AS chunk_idx
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           md5(substr(text, CAST(chunk_idx * {BOILER_CHUNK_CHARS} + 1 AS INT),
+                      {BOILER_CHUNK_CHARS})) AS chunk_key
+    FROM idx
+),
+dfreq AS (
+    SELECT chunk_key, count(DISTINCT doc_id) AS doc_freq
+    FROM chunks GROUP BY chunk_key
+)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN d.doc_freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate,
+       round(CAST(sum(CASE WHEN d.doc_freq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS boilerplate_ratio
+FROM chunks c JOIN dfreq d ON c.chunk_key = d.chunk_key
+GROUP BY c.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
@@ -1139,4 +1230,6 @@ QUERIES: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
     "length_histogram": (q_length_histogram, LENGTH_HISTOGRAM_SQL),
     "semantic_dedup": (q_semantic_dedup, None),
+    "bigram_lm_scores": (q_bigram_lm_scores, BIGRAM_LM_SQL),
+    "boilerplate_chunks": (q_boilerplate_chunks, BOILERPLATE_CHUNKS_SQL),
 }

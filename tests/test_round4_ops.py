@@ -207,3 +207,71 @@ def test_semantic_dedup_collapses_planted_duplicates(spark):
     assert 10 in kept
     assert 11 not in kept and 12 not in kept
     assert {20, 21, 22} <= kept
+
+
+# --- bigram LM scoring ------------------------------------------------------
+
+
+def test_bigram_lm_known_probabilities(spark):
+    # corpus: "a b", "a b", "a c", "solo" → c(a,b)=2, c(a,c)=1, c1(a)=3,
+    # V=|{a,b,c,solo}|=4
+    # P(b|a) = (2+1)/(3+4) = 3/7 ; P(c|a) = (1+1)/(3+4) = 2/7
+    from flink_recommendation_system_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert out[1].n_bigrams == 1
+    assert abs(out[1].avg_surprise - math.log(7.0 / 3.0)) < 1e-5
+    assert abs(out[3].avg_surprise - math.log(7.0 / 2.0)) < 1e-5
+    # templated doc scores LOWER surprise than the rarer continuation
+    assert out[1].avg_surprise < out[3].avg_surprise
+    # <2 tokens → no bigrams, scored 0 but still present
+    assert (out[4].n_bigrams, out[4].avg_surprise) == (0, 0.0)
+
+
+def test_bigram_lm_repeated_bigram_weighting(spark):
+    # doc "x y x y" has bigrams (x,y),(y,x),(x,y): the (x,y) surprise must
+    # be weighted by multiplicity 2 in the average
+    from flink_recommendation_system_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "x y x y")], ["doc_id", "text"])
+    r = bigram_lm_scores(docs).collect()[0]
+    assert r.n_bigrams == 3
+    # c(x,y)=2, c1(x)=2, c(y,x)=1, c1(y)=1, V=2
+    s_xy = math.log((2 + 2) / (2 + 1))
+    s_yx = math.log((1 + 2) / (1 + 1))
+    exp = (2 * s_xy + s_yx) / 3
+    assert abs(r.avg_surprise - exp) < 1e-5
+
+
+# --- shared-chunk boilerplate -----------------------------------------------
+
+
+def test_shared_chunk_stats_flags_copied_chunks(spark):
+    from flink_recommendation_system_spark.operators.dedup import (
+        shared_chunk_stats,
+    )
+
+    shared = "B" * 8
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "1234" * 2),   # chunk0 shared, chunk1 unique
+            (2, shared + "zzzz" * 2),   # chunk0 shared, chunk1 unique
+            (3, "unique document 3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.n_boilerplate, r.boilerplate_ratio)
+        for r in shared_chunk_stats(docs, chunk_chars=8, max_doc_freq=1).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3][1] == 0
