@@ -182,6 +182,7 @@ _WINDOW_PRIORITY = [
     # 1. never checked (new in round 4)
     "bigram_lm_scores",
     "boilerplate_chunks",
+    "bloom_decontamination",
     "bm25_topk",
     "pii_redaction",
     "context_packing",

@@ -1157,6 +1157,67 @@ LEFT JOIN scored ON docs.doc_id = scored.doc_id
 """
 
 
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-memory benchmark decontamination (operators.bloom): the eval
+    slice's 8-gram set compressed to a 128 KiB Bloom bitmap, probed as a
+    per-row codegen expression — no join on the corpus side. The DuckDB
+    oracle reproduces the EXACT bit set (same md5 double-hash positions),
+    so this value-checks the filter including any false positives."""
+    from ..operators.bloom import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    return bloom_decontaminate(
+        train, eval_docs, n=DECON_N, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+
+
+BLOOM_DECONTAMINATION_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           array_to_string(
+               toks[CAST(i AS INT):CAST(i AS INT) + {DECON_N - 1}], ' '
+           ) AS ngram
+    FROM t, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
+),
+eval_h AS (
+    SELECT DISTINCT
+           CAST('0x' || substr(md5(ngram), 1, 8) AS BIGINT) AS h1,
+           (CAST('0x' || substr(md5(ngram), 9, 8) AS BIGINT) | 1) AS h2
+    FROM grams WHERE doc_id % 10 = 0
+),
+eval_pos AS (
+    SELECT DISTINCT (h1 + i * h2) % {BLOOM_M_BITS} AS pos
+    FROM eval_h, unnest(range(0, {BLOOM_K})) AS u(i)
+),
+train_h AS (
+    SELECT DISTINCT doc_id, ngram,
+           CAST('0x' || substr(md5(ngram), 1, 8) AS BIGINT) AS h1,
+           (CAST('0x' || substr(md5(ngram), 9, 8) AS BIGINT) | 1) AS h2
+    FROM grams WHERE doc_id % 10 != 0
+),
+probe AS (
+    SELECT doc_id, ngram, i, (h1 + i * h2) % {BLOOM_M_BITS} AS pos
+    FROM train_h, unnest(range(0, {BLOOM_K})) AS u(i)
+),
+hits AS (
+    SELECT doc_id, ngram
+    FROM probe JOIN eval_pos USING (pos)
+    GROUP BY doc_id, ngram
+    HAVING count(DISTINCT i) = {BLOOM_K}
+)
+SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY doc_id
+"""
+
+
 BOILER_CHUNK_CHARS = 128
 
 
@@ -1232,4 +1293,5 @@ QUERIES: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, None),
     "bigram_lm_scores": (q_bigram_lm_scores, BIGRAM_LM_SQL),
     "boilerplate_chunks": (q_boilerplate_chunks, BOILERPLATE_CHUNKS_SQL),
+    "bloom_decontamination": (q_bloom_decontamination, BLOOM_DECONTAMINATION_SQL),
 }

@@ -275,3 +275,89 @@ def test_shared_chunk_stats_flags_copied_chunks(spark):
     assert out[1] == (2, 1, 0.5)
     assert out[2] == (2, 1, 0.5)
     assert out[3][1] == 0
+
+
+# --- bloom decontamination --------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_exact_match_on_clean_filter(spark):
+    from flink_recommendation_system_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+    from flink_recommendation_system_spark.operators.text import ngram_overlap
+
+    # eval doc shares its exact 3-gram with train doc 1; train doc 2 clean
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(10, "alpha beta gamma")], ["doc_id", "text"])
+    got = {
+        r.doc_id: r.n_flagged
+        for r in bloom_decontaminate(train, ev, n=3).collect()
+    }
+    exact = {
+        r.doc_id: r.n_overlap for r in ngram_overlap(train, ev, n=3).collect()
+    }
+    # superset of exact, and with this tiny key set the filter is clean
+    assert got == exact == {1: 1}
+
+
+def test_bloom_membership_exact_on_tiny_filter(spark):
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.bloom import (
+        bloom_fit,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], ["ngram"]
+    )
+    words = bloom_fit(keys, m_bits=1 << 14, k=3)
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(100)], ["ngram"]
+    )
+    hits = {
+        r.ngram
+        for r in probe.filter(
+            bloom_might_contain(F.col("ngram"), words, 1 << 14, 3)
+        ).collect()
+    }
+    # all members found (no false negatives); at 150/16384 load the odds of
+    # a false positive among 50 non-members are negligible
+    assert {f"key{i}" for i in range(50)} <= hits
+    assert len(hits) == 50
+
+
+def test_bloom_false_positive_is_possible_and_superset_holds(spark):
+    # saturate a deliberately tiny filter so non-members collide: the op's
+    # contract is superset-of-exact, never a miss
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.bloom import (
+        bloom_fit,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], ["ngram"]
+    )
+    words = bloom_fit(keys, m_bits=64, k=2)  # 64 bits for 200 keys → saturated
+    probe = spark.createDataFrame(
+        [(f"other{i}",) for i in range(20)], ["ngram"]
+    )
+    fp = probe.filter(
+        bloom_might_contain(F.col("ngram"), words, 64, 2)
+    ).count()
+    assert fp == 20  # fully saturated filter flags everything
+
+
+def test_bloom_fit_rejects_bad_m(spark):
+    import pytest as _pytest
+
+    from flink_recommendation_system_spark.operators.bloom import bloom_fit
+
+    keys = spark.createDataFrame([("k",)], ["ngram"])
+    with _pytest.raises(ValueError):
+        bloom_fit(keys, m_bits=100, k=3)
