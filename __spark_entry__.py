@@ -183,6 +183,7 @@ _WINDOW_PRIORITY = [
     "bigram_lm_scores",
     "boilerplate_chunks",
     "bloom_decontamination",
+    "quality_resample",
     "bm25_topk",
     "pii_redaction",
     "context_packing",

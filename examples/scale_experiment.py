@@ -103,6 +103,35 @@ def main() -> None:
     timed(f"pagerank(3) {n}x", lambda: force(G.pagerank(edgesN)))
     timed("star-CC 1x", lambda: force(G.connected_components_star(edges1)))
     timed(f"star-CC {n}x", lambda: force(G.connected_components_star(edgesN)))
+
+    # round-4 operators: retrieval, LM quality scoring, bloom decontamination
+    from flink_recommendation_system_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+    from flink_recommendation_system_spark.operators.lm import bigram_lm_scores
+    from flink_recommendation_system_spark.operators.retrieval import bm25_topk
+
+    queries = spark.createDataFrame(
+        [(0, "vector join data"), (1, "slow scan table"), (2, "hash merge")],
+        ["query_id", "query_text"],
+    )
+
+    timed("bm25_topk 1x", lambda: force(bm25_topk(docs1, queries)))
+    timed(f"bm25_topk {n}x", lambda: force(bm25_topk(docsN, queries)))
+    timed("bigram_lm_scores 1x", lambda: force(bigram_lm_scores(docs1)))
+    timed(f"bigram_lm_scores {n}x", lambda: force(bigram_lm_scores(docsN)))
+
+    def bloom_on(docs, m_bits):
+        # m sized with the eval corpus (module guidance) so fpp — and thus
+        # the flagged-row count — stays comparable across scales
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        return lambda: force(
+            bloom_decontaminate(train, ev, n=8, m_bits=m_bits)
+        )
+
+    timed("bloom_decontamination 1x", bloom_on(docs1, 1 << 20))
+    timed(f"bloom_decontamination {n}x", bloom_on(docsN, 1 << 24))
     spark.stop()
 
 

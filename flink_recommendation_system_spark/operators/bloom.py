@@ -3,11 +3,10 @@ benchmark-overlap gate (`text.ngram_overlap`).
 
 At 100 TB the distinct-gram set of a large eval/blocklist side may itself be
 too big to broadcast as rows; the Bloom filter caps the broadcast at
-``m_bits/8`` bytes REGARDLESS of how many grams it holds (RocksDB/Parquet
+``m_bits`` BITS regardless of how many grams it holds (RocksDB/Parquet
 row-group filters and Spark's own runtime-filter rewrite use exactly this
-shape). The filter is fitted once (a model artifact, like `ivf_fit`'s
-centroids), then probing is a per-row codegen expression — no join at all
-on the corpus side.
+shape). Probing is O(k) per row — no corpus-side shuffle keyed on the eval
+side, ever.
 
 Determinism/oracle story: positions come from double hashing
 (Kirsch-Mitzenmacher 2006: ``pos_i = (h1 + i·h2) mod m``) over the two
@@ -17,14 +16,35 @@ set, including false positives: the oracle materializes the set-bit
 positions as rows and demands all ``k`` probe positions hit, which is
 bit-for-bit the bitmap semantics.
 
+Three physical probe shapes, same semantics (equivalence test-pinned):
+
+- ``impl="join"`` (default, pure JVM): the set bits live as a broadcast
+  hash relation of position ints; probing explodes k positions per gram
+  and broadcast-joins, keeping all-k hits. Fit is fully DISTRIBUTED —
+  nothing ever collects to the driver. Broadcast size is bounded by
+  ``min(k·n, m_bits)`` ints.
+- ``impl="arrow"``: the classic bit ARRAY held once per executor inside an
+  Arrow-vectorized probe (hashes still computed JVM-side; numpy does the
+  bit tests batch-at-a-time). Use when the filter is a persisted model
+  artifact (`bloom_fit` output) — e.g. a streaming gate probing a filter
+  fitted yesterday. Measured equal to "join" at sf0.1 (1.9 s for 212k
+  grams).
+- `bloom_might_contain` (expression): the bitmap as an array LITERAL in
+  the plan. Only for tiny filters (tests, m ≤ ~2^16): Spark copies the
+  whole array into every output row of the enclosing operator — measured
+  12.7 s vs 1.9 s at m=2^20 on the same input. Kept because it is the
+  only form usable as a bare Column predicate with no session at hand.
+
 Memory/accuracy: with ``n`` distinct grams, load factor ``≈ 1-e^(-kn/m)``
 and fpp ``≈ load^k``. The defaults (m=2^20, k=3) hold ~20k grams at fpp
-~1e-4 in 128 KiB; size m up with the eval corpus (m=2^27 = 16 MiB
-broadcasts fine and holds ~10M grams).
+~1e-4; size m up with the eval corpus (m=2^27 holds ~10M grams at the same
+load — 16 MiB as a bitmap, and the position relation stays ≤ m ints).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +69,32 @@ def _positions(c: Column, m_bits: int, k: int) -> list[Column]:
     return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
 
 
+def _check_m(m_bits: int) -> None:
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError("m_bits must be a positive multiple of 64")
+
+
+def bloom_positions(
+    keys: DataFrame,
+    key_col: str = "ngram",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """The filter's set-bit positions as a 1-column DataFrame ``(pos)`` —
+    the fully distributed fit (nothing transits the driver); feed it to
+    ``bloom_probe_join`` or aggregate it with ``bloom_fit`` into a bitmap
+    artifact."""
+    _check_m(m_bits)
+    return (
+        keys.select(
+            F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+
+
 def bloom_fit(
     keys: DataFrame,
     key_col: str = "ngram",
@@ -59,17 +105,8 @@ def bloom_fit(
     list of ``m_bits/64`` signed 64-bit words (a model artifact — the ONLY
     driver-side materialization is the distinct set-bit positions, bounded
     by ``min(k·|keys|, m_bits)`` ints, not the key rows)."""
-    if m_bits % 64 != 0 or m_bits <= 0:
-        raise ValueError("m_bits must be a positive multiple of 64")
-    pos_rows = (
-        keys.select(
-            F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias(
-                "pos"
-            )
-        )
-        .distinct()
-        .collect()
-    )
+    _check_m(m_bits)
+    pos_rows = bloom_positions(keys, key_col, m_bits, k).collect()
     words = [0] * (m_bits // 64)
     for r in pos_rows:
         words[r.pos >> 6] |= 1 << (r.pos & 63)
@@ -80,8 +117,9 @@ def bloom_fit(
 def bloom_might_contain(
     c: Column, words: list[int], m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
 ) -> Column:
-    """Membership test as a pure codegen expression (no join): all ``k``
-    probe bits set in the broadcast bitmap literal."""
+    """Membership test with the bitmap inlined as an array LITERAL — tiny
+    filters only (see module docstring; the enclosing operator copies the
+    array into every row it emits)."""
     bitmap = F.lit(words)
     test = F.lit(True)
     for pos in _positions(c, m_bits, k):
@@ -98,12 +136,78 @@ def bloom_might_contain(
     return test
 
 
+def bloom_probe_join(
+    rows: DataFrame,
+    positions: DataFrame,
+    key_col: str = "ngram",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Keep the rows whose ``key_col`` the filter (given as its set-bit
+    ``positions``) flags: explode the k probe positions, broadcast-join the
+    position relation, demand all k hit. Pure JVM; the probe shuffle key is
+    a single int."""
+    _check_m(m_bits)
+    probes = rows.select(
+        "*",
+        F.posexplode(
+            F.array(*_positions(F.col(key_col), m_bits, k))
+        ).alias("_probe_i", "pos"),
+    )
+    return (
+        probes.join(F.broadcast(positions), "pos")
+        .groupBy(*rows.columns)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .drop("_hits")
+    )
+
+
+def bloom_probe_arrow(
+    rows: DataFrame,
+    words: list[int],
+    key_col: str = "ngram",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Keep the rows the fitted bitmap flags: hashes computed JVM-side,
+    bit tests Arrow-batched in numpy with the bitmap held once per
+    executor (never per row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    _check_m(m_bits)
+    warr = np.array(words, dtype=np.int64).view(np.uint64)
+    m_u, k_n = np.uint64(m_bits), k
+
+    @pandas_udf("boolean")
+    def _probe(h1: "pd.Series", h2: "pd.Series") -> "pd.Series":
+        a = h1.to_numpy(np.int64).astype(np.uint64)
+        b = h2.to_numpy(np.int64).astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k_n):
+            p = (a + np.uint64(i) * b) % m_u
+            ok &= (
+                (warr[p >> np.uint64(6)] >> (p & np.uint64(63)))
+                & np.uint64(1)
+            ) == 1
+        return pd.Series(ok)
+
+    h1, h2 = _h1_h2(F.col(key_col))
+    return (
+        rows.withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .filter(_probe("_h1", "_h2"))
+        .drop("_h1", "_h2")
+    )
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
     n: int = 8,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    impl: str = "join",
 ) -> DataFrame:
     """`text.ngram_overlap` with the eval side compressed into a Bloom
     filter: per training doc, the count of its distinct n-grams the filter
@@ -111,17 +215,21 @@ def bloom_decontaminate(
     fpp, never false negatives). Returns (doc_id, n_flagged) for flagged
     docs only, mirroring ``ngram_overlap``'s output contract.
 
-    The corpus side is one scan + per-row probe + per-doc partial agg;
-    nothing about the eval side is shuffled or joined.
+    ``impl="join"`` (default) never touches the driver; ``impl="arrow"``
+    routes through a fitted bitmap artifact (see module docstring).
     """
-    bitmap = bloom_fit(
-        token_ngrams(eval_docs, n).select("ngram").distinct(),
-        m_bits=m_bits,
-        k=k,
-    )
+    eval_grams = token_ngrams(eval_docs, n).select("ngram").distinct()
     grams = token_ngrams(docs, n).select("doc_id", "ngram").distinct()
-    return (
-        grams.filter(bloom_might_contain(F.col("ngram"), bitmap, m_bits, k))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_flagged"))
-    )
+    if impl == "join":
+        flagged = bloom_probe_join(
+            grams, bloom_positions(eval_grams, m_bits=m_bits, k=k),
+            m_bits=m_bits, k=k,
+        )
+    elif impl == "arrow":
+        flagged = bloom_probe_arrow(
+            grams, bloom_fit(eval_grams, m_bits=m_bits, k=k),
+            m_bits=m_bits, k=k,
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    return flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))

@@ -453,3 +453,49 @@ def sample_mixture(
         F.lit(1_000_000),
     )
     return docs.filter(u < thr)
+
+
+def resample_by_score(
+    scored: DataFrame,
+    score_col: str,
+    edges: list[float],
+    rates: list[float],
+    id_col: str = "doc_id",
+    salt: str = "resample",
+) -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED resampling — the curation step that
+    turns a model score into a mixture (the FineWeb/DCLM shape: keep
+    high-quality buckets at full rate, downsample the rest). ``edges``
+    split the score line into ``len(edges)+1`` buckets (bucket i =
+    score < edges[i], last bucket = the rest); each bucket keeps rows at
+    ``rates[i]`` via the same salted-portable-hash acceptance as
+    ``sample_mixture`` — reproducible across runs/engines/partitionings,
+    no shuffle, incrementally re-runnable. Output: the kept rows plus
+    their ``bucket``.
+
+    Scale note: fixed ``edges`` keep the decision per-row. Deriving edges
+    from global quantiles (approx_percentile over the score) is a separate
+    tiny aggregation — do it once, then pass the constants here, so the
+    100 TB scoring pass stays embarrassingly parallel.
+    """
+    from .dedup import portable_hash32
+
+    if len(rates) != len(edges) + 1:
+        raise ValueError("need len(rates) == len(edges) + 1")
+    bucket: Column = F.lit(len(edges)).cast("long")
+    for i in range(len(edges) - 1, -1, -1):
+        bucket = F.when(F.col(score_col) < edges[i], F.lit(i)).otherwise(
+            bucket
+        )
+    thr: Column = F.lit(None).cast("long")
+    for i, r in enumerate(rates):
+        thr = F.when(bucket == i, F.lit(int(round(r * 1_000_000)))).otherwise(
+            thr
+        )
+    u = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    return scored.withColumn("bucket", bucket).filter(u < thr)

@@ -1118,8 +1118,7 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_docs(spark, sf_dir))
 
 
-BIGRAM_LM_SQL = """
-WITH t AS (
+_BIGRAM_LM_CTES = """t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 bg AS (
@@ -1148,12 +1147,62 @@ scored AS (
     JOIN c1 ON d.w1 = c1.w1
     CROSS JOIN vocab v
     GROUP BY d.doc_id
+),
+lm_final AS (
+    SELECT docs.doc_id,
+           CAST(coalesce(scored.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(round(scored.s / scored.n_bigrams, 6), 0.0)
+               AS avg_surprise
+    FROM (SELECT doc_id FROM documents) docs
+    LEFT JOIN scored ON docs.doc_id = scored.doc_id
+)"""
+
+BIGRAM_LM_SQL = f"""
+WITH {_BIGRAM_LM_CTES}
+SELECT doc_id, n_bigrams, avg_surprise FROM lm_final
+"""
+
+# curation buckets: score-line thirds of the synthetic corpus (measured
+# 3.26-3.61 nats), full rate for the most in-distribution bucket
+RESAMPLE_EDGES = (3.37, 3.40)
+RESAMPLE_RATES = (1.0, 0.5, 0.25)
+RESAMPLE_SALT = "curate"
+
+
+def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-score-driven curation (operators.text resample_by_score composed
+    over operators.lm bigram_lm_scores): bucket each doc by its bigram-LM
+    cross-entropy, keep buckets at different rates via the deterministic
+    salted-hash acceptance — the FineWeb/DCLM quality-resampling shape,
+    fully value-checkable."""
+    from ..operators.lm import bigram_lm_scores
+
+    scored = bigram_lm_scores(_docs(spark, sf_dir))
+    return T.resample_by_score(
+        scored,
+        "avg_surprise",
+        edges=list(RESAMPLE_EDGES),
+        rates=list(RESAMPLE_RATES),
+        salt=RESAMPLE_SALT,
+    )
+
+
+QUALITY_RESAMPLE_SQL = f"""
+WITH {_BIGRAM_LM_CTES},
+b AS (
+    SELECT doc_id, n_bigrams, avg_surprise,
+           CASE WHEN avg_surprise < {RESAMPLE_EDGES[0]!r} THEN 0
+                WHEN avg_surprise < {RESAMPLE_EDGES[1]!r} THEN 1
+                ELSE 2 END AS bucket
+    FROM lm_final
 )
-SELECT docs.doc_id,
-       CAST(coalesce(scored.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       coalesce(round(scored.s / scored.n_bigrams, 6), 0.0) AS avg_surprise
-FROM (SELECT doc_id FROM documents) docs
-LEFT JOIN scored ON docs.doc_id = scored.doc_id
+SELECT doc_id, n_bigrams, avg_surprise, CAST(bucket AS BIGINT) AS bucket
+FROM b
+WHERE (CAST('0x' || substr(md5('{RESAMPLE_SALT}' || CAST(doc_id AS VARCHAR)),
+            1, 8) AS BIGINT) % 1000000)
+      < CASE bucket WHEN 0 THEN {int(RESAMPLE_RATES[0] * 1_000_000)}
+                    WHEN 1 THEN {int(RESAMPLE_RATES[1] * 1_000_000)}
+                    ELSE {int(RESAMPLE_RATES[2] * 1_000_000)} END
 """
 
 
@@ -1294,4 +1343,5 @@ QUERIES: dict[str, tuple] = {
     "bigram_lm_scores": (q_bigram_lm_scores, BIGRAM_LM_SQL),
     "boilerplate_chunks": (q_boilerplate_chunks, BOILERPLATE_CHUNKS_SQL),
     "bloom_decontamination": (q_bloom_decontamination, BLOOM_DECONTAMINATION_SQL),
+    "quality_resample": (q_quality_resample, QUALITY_RESAMPLE_SQL),
 }

@@ -361,3 +361,67 @@ def test_bloom_fit_rejects_bad_m(spark):
     keys = spark.createDataFrame([("k",)], ["ngram"])
     with _pytest.raises(ValueError):
         bloom_fit(keys, m_bits=100, k=3)
+
+
+# --- quality-weighted resampling --------------------------------------------
+
+
+def test_resample_by_score_buckets_and_determinism(spark):
+    from flink_recommendation_system_spark.operators.text import (
+        resample_by_score,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], ["doc_id", "score"]
+    )
+    # bucket 0: score < 3 (rate 1.0) — every row kept
+    # bucket 1: 3 <= score < 7 (rate 0.0) — every row dropped
+    # bucket 2: score >= 7 (rate 0.5) — roughly half kept
+    out = resample_by_score(
+        scored, "score", edges=[3.0, 7.0], rates=[1.0, 0.0, 0.5]
+    )
+    rows = out.collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.doc_id)
+    assert len(by_bucket.get(0, [])) == 300
+    assert 1 not in by_bucket
+    assert 100 < len(by_bucket.get(2, [])) < 200  # ~150 of 300 at rate 0.5
+    # deterministic: identical second run
+    again = sorted(r.doc_id for r in out.collect())
+    assert again == sorted(r.doc_id for r in rows)
+
+
+def test_resample_by_score_validates_lengths(spark):
+    import pytest as _pytest
+
+    from flink_recommendation_system_spark.operators.text import (
+        resample_by_score,
+    )
+
+    scored = spark.createDataFrame([(1, 0.5)], ["doc_id", "score"])
+    with _pytest.raises(ValueError):
+        resample_by_score(scored, "score", edges=[1.0], rates=[1.0])
+
+
+def test_bloom_impls_agree(spark):
+    from flink_recommendation_system_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma delta w{i+1}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    a = sorted(
+        (r.doc_id, r.n_flagged)
+        for r in bloom_decontaminate(train, ev, n=4, impl="join").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_flagged)
+        for r in bloom_decontaminate(train, ev, n=4, impl="arrow").collect()
+    )
+    assert a == b and len(a) == 30  # every train doc contains the 4-gram
