@@ -184,6 +184,7 @@ _WINDOW_PRIORITY = [
     "boilerplate_chunks",
     "bloom_decontamination",
     "quality_resample",
+    "dataset_card",
     "bm25_topk",
     "pii_redaction",
     "context_packing",

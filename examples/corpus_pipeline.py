@@ -4,9 +4,13 @@ of how the LLM-data operators compose in production:
 
     raw documents
       → quality gate (length/stopword heuristics + repetition filters)
+      → PII redaction (compliance pass; counts kept for audit)
+      → benchmark decontamination (Bloom screen against the eval slice)
       → exact dedup (constant-size-key shuffle)
       → one-pass near-dup artifacts (signatures / pairs / clusters /
         deduped corpus — publish_corpus_artifacts)
+      → LM-score quality resampling (curation mixture)
+      → sequence-packing plan + dataset card (release artifacts)
 
 Usage: python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -22,10 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from flink_recommendation_system_spark.operators import text as T
+from flink_recommendation_system_spark.operators.bloom import (
+    bloom_decontaminate,
+)
 from flink_recommendation_system_spark.operators.dedup import (
     exact_dedup,
     publish_corpus_artifacts,
 )
+from flink_recommendation_system_spark.operators.lm import bigram_lm_scores
 from flink_recommendation_system_spark.session import get_spark
 from flink_recommendation_system_spark.sources.tables import load_table
 
@@ -58,21 +66,57 @@ def main() -> None:
     )
     n_gated = gated.count()
 
-    # 2. exact dedup BEFORE near-dup (bounds LSH candidate blowup —
+    # 2. PII redaction: counts for audit, redacted text forward
+    red = T.redact_pii(gated)
+    gated = gated.drop("text").join(
+        red.select("doc_id", F.col("redacted").alias("text")), "doc_id"
+    )
+    n_pii = red.filter(
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    ).count()
+
+    # 3. benchmark decontamination: held-out slice stands in for the eval
+    #    suite; Bloom screen — the corpus side joins only a position relation
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    dirty = bloom_decontaminate(gated, ev, n=8).select("doc_id")
+    gated = gated.join(dirty, "doc_id", "left_anti")
+    n_decon = gated.count()
+
+    # 4. exact dedup BEFORE near-dup (bounds LSH candidate blowup —
     #    PERFORMANCE.md "Quadratic problems")
     exact = exact_dedup(gated)
     n_exact = exact.count()
 
-    # 3. one signature pass → all near-dup artifacts
+    # 5. one signature pass → all near-dup artifacts
     paths = publish_corpus_artifacts(exact, out)
-    n_final = spark.read.parquet(paths["corpus"]).count()
+    corpus = spark.read.parquet(paths["corpus"])
+    n_final = corpus.count()
     n_pairs = spark.read.parquet(paths["pairs"]).count()
+
+    # 6. curation: LM-score buckets, deterministic resample
+    scored = bigram_lm_scores(corpus)
+    curated_ids = T.resample_by_score(
+        scored, "avg_surprise", edges=[3.37, 3.40], rates=[1.0, 0.5, 0.25]
+    ).select("doc_id")
+    curated = corpus.join(curated_ids, "doc_id", "left_semi")
+    n_curated = curated.count()
+
+    # 7. release artifacts: packing plan + dataset card
+    pack = T.pack_documents(curated, target_tokens=512)
+    pack.write.mode("overwrite").parquet(f"{out}/packing_plan")
+    n_packs = pack.agg(
+        F.count_distinct("source", "pack_id").alias("n")
+    ).collect()[0]["n"]
 
     print(f"raw documents        {n_raw}")
     print(f"after quality gate   {n_gated}")
+    print(f"docs with PII        {n_pii} (redacted, kept)")
+    print(f"after decontam       {n_decon}")
     print(f"after exact dedup    {n_exact}")
     print(f"near-dup pairs       {n_pairs}")
-    print(f"final corpus         {n_final}")
+    print(f"deduped corpus       {n_final}")
+    print(f"after curation       {n_curated}")
+    print(f"packed windows       {n_packs}")
     print(f"artifacts under      {out}")
     spark.stop()
 

@@ -1309,6 +1309,114 @@ GROUP BY c.doc_id
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET — the single summary artifact a pipeline
+    publishes with a released dataset (dataset-card / datasheet shape):
+    sizes, per-language and per-source composition, exact-dup rate,
+    quality-gate pass count, and length percentiles, as long-format
+    (section, metric, value) rows. Every figure is exact integer/percentile
+    arithmetic → full value oracle.
+
+    Scale shape: each section is one partial-aggregated pass (the size and
+    dup sections share a scan via the stats projection); output is a few
+    dozen rows regardless of corpus size — the cheap-to-recompute summary
+    you regenerate after every pipeline stage.
+    """
+    docs = _docs(spark, sf_dir)
+    nt = F.size(T.tokens("text")).cast("long")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        nt.alias("nt"),
+        F.md5(T.normalized("text")).alias("fp"),
+    )
+
+    sizes = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("nt").cast("double").alias("n_tokens"),
+        F.sum("n_chars").cast("double").alias("n_chars_total"),
+        F.round(F.avg("nt"), 6).alias("avg_doc_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        (F.count(F.lit(1)) - F.count_distinct("fp"))
+        .cast("double")
+        .alias("exact_dup_docs"),
+    ).selectExpr(
+        """stack(7,
+            'size','n_docs',n_docs,
+            'size','n_tokens',n_tokens,
+            'size','n_chars',n_chars_total,
+            'size','avg_doc_tokens',avg_doc_tokens,
+            'length','p50_chars',p50_chars,
+            'length','p90_chars',p90_chars,
+            'dedup','exact_dup_docs',exact_dup_docs
+        ) as (section, metric, value)"""
+    )
+    langs = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(F.lit("lang").alias("section"), F.col("lang").alias("metric"), "value")
+    sources = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(
+        F.lit("source").alias("section"), F.col("source").alias("metric"), "value"
+    )
+    quality = (
+        T.quality_stats(docs)
+        .agg(
+            F.sum((F.col("quality_score") == 3).cast("long"))
+            .cast("double")
+            .alias("value")
+        )
+        .select(
+            F.lit("quality").alias("section"),
+            F.lit("docs_passing_gate").alias("metric"),
+            "value",
+        )
+    )
+    return sizes.unionByName(langs).unionByName(sources).unionByName(quality)
+
+
+DATASET_CARD_SQL = """
+WITH base AS (
+    SELECT doc_id, lang, source, n_chars,
+           len(string_split(text, ' ')) AS nt,
+           md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')) AS fp
+    FROM documents
+),
+quality AS (
+    SELECT count(*) FILTER (
+        WHERE (len(string_split(text, ' ')) >= 10)
+          AND (n_chars >= 50)
+          AND (len(list_filter(string_split(text, ' '),
+                   x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) > 0)
+    ) AS passing
+    FROM documents
+)
+SELECT 'size' AS section, 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT 'size', 'n_tokens', CAST(sum(nt) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'size', 'n_chars', CAST(sum(n_chars) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'size', 'avg_doc_tokens', round(avg(nt), 6) FROM base
+UNION ALL
+SELECT 'length', 'p50_chars', round(quantile_cont(n_chars, 0.5), 4) FROM base
+UNION ALL
+SELECT 'length', 'p90_chars', round(quantile_cont(n_chars, 0.9), 4) FROM base
+UNION ALL
+SELECT 'dedup', 'exact_dup_docs', CAST(count(*) - count(DISTINCT fp) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM base GROUP BY lang
+UNION ALL
+SELECT 'source', source, CAST(count(*) AS DOUBLE) FROM base GROUP BY source
+UNION ALL
+SELECT 'quality', 'docs_passing_gate', CAST(passing AS DOUBLE) FROM quality
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
@@ -1344,4 +1452,5 @@ QUERIES: dict[str, tuple] = {
     "boilerplate_chunks": (q_boilerplate_chunks, BOILERPLATE_CHUNKS_SQL),
     "bloom_decontamination": (q_bloom_decontamination, BLOOM_DECONTAMINATION_SQL),
     "quality_resample": (q_quality_resample, QUALITY_RESAMPLE_SQL),
+    "dataset_card": (q_dataset_card, DATASET_CARD_SQL),
 }
