@@ -180,6 +180,7 @@ _SUITES = [
 # unchanged load paths) rotates out.
 _WINDOW_PRIORITY = [
     # 1. never checked (new in round 4)
+    "repeated_spans",
     "bigram_lm_scores",
     "boilerplate_chunks",
     "bloom_decontamination",

@@ -822,3 +822,91 @@ def shared_chunk_stats(
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span dedup — the suffix-array-style pass of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    2022), re-expressed as n-gram fingerprints + island merging: find, per
+    document, the MAXIMAL token spans every one of whose n-grams also
+    appears in at least ``min_doc_freq - 1`` OTHER documents. Those spans
+    are verbatim cross-document repeats (licenses, headers, templated
+    boilerplate) that a removal pass would cut mid-document — doc-level
+    near-dup (MinHash) can't see them when the rest of the doc differs.
+
+    Reference anchor: complements the doc-granularity dedup the reference's
+    pipeline performs on exact review tuples (``DataPreparation.java``
+    DISTINCT); this is the sub-document generalization a 100 TB corpus
+    needs.
+
+    Algorithm (all codegen + two keyed shuffles, no Python):
+      1. every n-gram occurrence → (doc_id, pos, gram_key=md5(gram)); the
+         shuffle carries the 16-byte key, never the gram text;
+      2. gram doc-frequency via partial-aggregated count_distinct;
+      3. keep positions whose gram is cross-document frequent;
+      4. gaps-and-islands per doc (pos - row_number() is constant within a
+         run of consecutive duplicated positions) → merge to maximal spans
+         [start_pos, end_pos + n - 1].
+
+    Output: (doc_id, span_start, span_end, span_tokens) in TOKEN indices
+    (0-based, end inclusive). Exact integer logic → fully oracle-checkable.
+
+    Scale: step 2's group key is the gram hash — partial agg bounds the
+    shuffle by distinct grams; step 4's window sort is per-doc (bounded by
+    doc length, never global). At 100 TB, positions-of-frequent-grams is
+    the only materialized intermediate and is proportional to the
+    duplicated volume, not the corpus.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "t0"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.col("t0")] + [
+        F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)
+    ]
+    positioned = (
+        grams.select("doc_id", "pos", *lead_cols)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", *[f"t{k}" for k in range(n)])).alias(
+                "gram_key"
+            ),
+        )
+    )
+    dfreq = positioned.groupBy("gram_key").agg(
+        F.count_distinct("doc_id").alias("doc_freq")
+    )
+    dup_pos = (
+        positioned.join(
+            dfreq.filter(F.col("doc_freq") >= min_doc_freq).select("gram_key"),
+            "gram_key",
+            "left_semi",
+        )
+        .select("doc_id", "pos")
+    )
+    island = (F.col("pos") - F.row_number().over(w)).alias("island")
+    return (
+        dup_pos.select("doc_id", "pos", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -1417,6 +1417,55 @@ SELECT 'quality', 'docs_passing_gate', CAST(passing AS DOUBLE) FROM quality
 """
 
 
+SPAN_N = 8  # n-gram granularity of the exact-substring span pass
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators.dedup repeated_spans): maximal
+    token spans whose every 8-gram recurs in ≥2 distinct documents — the
+    sub-document pass doc-level MinHash can't see. Pure integer logic →
+    full value oracle."""
+    spans = D.repeated_spans(_docs(spark, sf_dir), n=SPAN_N, min_doc_freq=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
+REPEATED_SPANS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pos AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           md5(array_to_string(
+               toks[CAST(i AS INT):CAST(i AS INT) + {SPAN_N - 1}], ' '
+           )) AS gram_key
+    FROM t, unnest(range(1, len(toks) - {SPAN_N} + 2)) AS u(i)
+),
+freq AS (
+    SELECT gram_key FROM pos
+    GROUP BY gram_key HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+    SELECT doc_id, pos FROM pos JOIN freq USING (gram_key)
+),
+isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+    FROM dup
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {SPAN_N - 1} AS span_end,
+       max(pos) + {SPAN_N - 1} - min(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
@@ -1453,4 +1502,5 @@ QUERIES: dict[str, tuple] = {
     "bloom_decontamination": (q_bloom_decontamination, BLOOM_DECONTAMINATION_SQL),
     "quality_resample": (q_quality_resample, QUALITY_RESAMPLE_SQL),
     "dataset_card": (q_dataset_card, DATASET_CARD_SQL),
+    "repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
 }

@@ -425,3 +425,51 @@ def test_bloom_impls_agree(spark):
         for r in bloom_decontaminate(train, ev, n=4, impl="arrow").collect()
     )
     assert a == b and len(a) == 30  # every train doc contains the 4-gram
+
+
+# --- repeated_spans (exact-substring span dedup) ---------------------------
+
+
+def test_repeated_spans_merges_maximal_islands(spark):
+    from flink_recommendation_system_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    # Shared 5-token run "a b c d e" inside longer distinct docs, n=3:
+    # doc 1 positions 1..5 hold the run -> duplicated 3-grams start at
+    # pos 1,2,3 -> one maximal span [1, 5] (5 tokens). doc 2 has it at
+    # the front -> span [0, 4]. doc 3 shares nothing -> no rows.
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b c d e y z"),
+            (2, "a b c d e q r s"),
+            (3, "u v w t p o i"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(docs, n=3).collect()
+    }
+    assert rows == {1: (1, 5, 5), 2: (0, 4, 5)}
+
+
+def test_repeated_spans_two_islands_stay_separate(spark):
+    from flink_recommendation_system_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    # Two shared 3-gram runs separated by unique middles -> two spans per
+    # doc, not one merged span.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c UNIQ1 one d e f UNIQ2"),
+            (2, "a b c OTHER magic d e f DIFF"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(docs, n=3).collect()
+    )
+    assert out == [(1, 0, 2), (1, 5, 7), (2, 0, 2), (2, 5, 7)]
