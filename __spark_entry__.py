@@ -181,6 +181,7 @@ _SUITES = [
 _WINDOW_PRIORITY = [
     # 1. never checked (new in round 4)
     "repeated_spans",
+    "heavy_users",
     "bigram_lm_scores",
     "boilerplate_chunks",
     "bloom_decontamination",

@@ -1,0 +1,91 @@
+"""Frequency-sketch operators: EXACT distributed heavy-hitters via a
+Misra-Gries candidate pass + exact recount.
+
+Why not just ``groupBy(key).count().filter(...)``? At 100 TB that shuffles
+every distinct key — for high-cardinality keys (URLs, user ids, n-grams)
+the shuffle is the whole corpus's key space. The two-pass shape bounds the
+shuffle by the CANDIDATE set instead:
+
+  pass 1  per-partition Misra-Gries summaries of capacity k (bounded
+          memory, no shuffle); any key with global count > n/(k+1)
+          provably survives in at least one partition's summary, so with
+          k >= 1/min_share the candidate union is a SUPERSET of every true
+          heavy hitter — Misra & Gries 1982, the classic streaming
+          frequent-items guarantee;
+  pass 2  broadcast the candidate set, semi-join the input against it, and
+          take EXACT counts of candidates only — the map-side combine now
+          holds at most |candidates| keys per task, so the shuffle is
+          bounded by candidates x partitions, independent of the key
+          cardinality.
+
+The result is bit-for-bit equal to the naive groupBy (the sketch only
+generates candidates; counts are exact), which is what makes the operator
+fully oracle-checkable — unusual for a "sketch" operator.
+
+Reference anchor: complements the HLL distinct-count surface
+(``analytics_queries.q_approx_supplier_counts``); the reference's
+aggregation suite (``DataBaseConnector.java`` GROUP BY paths) has no
+bounded-memory frequent-items shape at all.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    share_num: int,
+    share_den: int,
+    key_type: str = "bigint",
+) -> DataFrame:
+    """All keys whose exact count is >= ceil(total * share_num/share_den),
+    with those exact counts. Output: (key, cnt).
+
+    The threshold is integer arithmetic (``(share_num*n + share_den-1) //
+    share_den``) so a DuckDB oracle computes the identical cutoff — no
+    float-representation drift across engines.
+    """
+    if share_num <= 0 or share_den <= 0:
+        raise ValueError("share must be a positive fraction")
+    keyed = df.select(F.col(key_col).alias("key"))
+    total = keyed.count()  # scalar loop-control action, not a data path
+    min_count = (share_num * total + share_den - 1) // share_den
+    # capacity: k + 1 > den/num  =>  every key with count >= min_count
+    # exceeds some partition's n_p/(k+1) and survives pass 1
+    capacity = share_den // share_num + 1
+
+    def misra_gries(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["key"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    candidates = (
+        keyed.mapInPandas(misra_gries, schema=f"key {key_type}").distinct()
+    )
+    return (
+        keyed.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+        .select(F.col("key").alias(key_col), "cnt")
+    )

@@ -418,7 +418,35 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+# share = 3/400 (0.75%): at sf0.01 this separates the ~30 most active
+# users from the other ~120 — a discriminating threshold, not return-all
+HH_SHARE_NUM, HH_SHARE_DEN = 3, 400
+
+
+def q_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitters (operators.sketches): users holding >= 0.75% of
+    all events, with exact counts — Misra-Gries candidate pass + exact
+    recount, bit-for-bit equal to the naive groupBy and therefore fully
+    value-oracle-checkable."""
+    from ..operators.sketches import heavy_hitters_exact
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters_exact(
+        events, "user_id", HH_SHARE_NUM, HH_SHARE_DEN, key_type="bigint"
+    )
+
+
+HEAVY_USERS_SQL = f"""
+WITH n AS (SELECT count(*) AS total FROM events),
+c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+SELECT user_id, cnt
+FROM c, n
+WHERE cnt >= ({HH_SHARE_NUM} * total + {HH_SHARE_DEN - 1}) // {HH_SHARE_DEN}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "heavy_users": (q_heavy_users, HEAVY_USERS_SQL),
     "customer_order_gaps": (q_customer_order_gaps, CUSTOMER_ORDER_GAPS_SQL),
     "sql_surface": (q_sql_surface, SQL_SURFACE_SQL),
     "customer_latest_order": (q_customer_latest_order, CUSTOMER_LATEST_ORDER_SQL),

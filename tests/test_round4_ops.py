@@ -473,3 +473,48 @@ def test_repeated_spans_two_islands_stay_separate(spark):
         for r in repeated_spans(docs, n=3).collect()
     )
     assert out == [(1, 0, 2), (1, 5, 7), (2, 0, 2), (2, 5, 7)]
+
+
+# --- heavy_hitters_exact (Misra-Gries candidates + exact recount) ----------
+
+
+def test_heavy_hitters_exact_matches_naive_groupby(spark):
+    from flink_recommendation_system_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    # Zipf-ish skew: key k appears 2000//k times, k in 1..60; many
+    # partitions so per-partition MG summaries are genuinely partial.
+    rows = [(k,) for k in range(1, 61) for _ in range(2000 // k)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(16)
+    total = len(rows)
+    num, den = 1, 100  # threshold: >=1% of total
+    got = {
+        r.key: r.cnt
+        for r in heavy_hitters_exact(df, "key", num, den).collect()
+    }
+    min_count = (num * total + den - 1) // den
+    want = {
+        k: 2000 // k for k in range(1, 61) if 2000 // k >= min_count
+    }
+    assert got == want  # exact counts, exact membership — no FP/FN
+
+
+def test_heavy_hitters_uniform_near_threshold(spark):
+    from flink_recommendation_system_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    # Adversarial for sketches: near-uniform counts straddling the cutoff.
+    # 50 keys x 20, 50 keys x 19; threshold = 2% of 1950 = 39 -> the
+    # twenty-count keys are in (20 >= ceil(0.02*1950)=39? no...) — pick
+    # share so cutoff lands at exactly 20: 20/1950 -> num=4, den=390.
+    rows = [(k,) for k in range(50) for _ in range(20)] + [
+        (k,) for k in range(100, 150) for _ in range(19)
+    ]
+    df = spark.createDataFrame(rows, ["key"]).repartition(8)
+    total = len(rows)
+    num, den = 4, 390
+    assert (num * total + den - 1) // den == 20
+    got = {r.key for r in heavy_hitters_exact(df, "key", num, den).collect()}
+    assert got == set(range(50))  # 20-count keys in, 19-count keys out
