@@ -179,9 +179,14 @@ _SUITES = [
 # under the new encoding. The r03-green relational/text tier (checked on
 # unchanged load paths) rotates out.
 _WINDOW_PRIORITY = [
-    # 1. never checked (new in round 4)
+    # 1. never checked (new in round 4), plus queries whose RESULTS changed
+    # when round-4 testdata renamed regions / filled in customer orders /
+    # regenerated embeddings (previously green only as empty-vs-empty)
     "repeated_spans",
     "heavy_users",
+    "local_supplier_volume",
+    "customers_without_orders",
+    "embedding_near_dups",
     "bigram_lm_scores",
     "boilerplate_chunks",
     "bloom_decontamination",
@@ -221,7 +226,6 @@ _WINDOW_PRIORITY = [
     "user_sessions",
     # 3. last green in r01/r02 only — rotate back in
     "customers_with_orders",
-    "customers_without_orders",
     "customer_order_counts",
     "revenue_by_nation",
     "active_nations",
@@ -242,7 +246,6 @@ _WINDOW_PRIORITY = [
     "tfidf_top_terms",
     "ngram_jaccard_pairs",
     "multimodal_features",
-    "embedding_near_dups",
     # --- 50-row window boundary lands here; the r03-green relational and
     # text/cleaning tiers below all have fresh green rows on unchanged
     # load paths ---

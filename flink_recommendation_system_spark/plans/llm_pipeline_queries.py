@@ -697,10 +697,17 @@ LEFT JOIN best b ON d.doc_id = b.doc_id
 """
 
 
+# Round-4 testdata regenerated the embeddings table: the new vectors'
+# max pairwise cosine is ~0.51 (was >0.9), so the old 0.9 cutoff matched
+# nothing and the query silently degenerated to empty-equals-empty. 0.45
+# separates the ~14 most-similar pairs at sf0.01 — a discriminating test.
+EMB_DUP_THRESHOLD = 0.45
+
+
 def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine ≥ 0.9) — the oracle-checked
-    baseline for the LSH variant. Threshold low enough to yield rows on
-    random synthetic embeddings."""
+    """Exact embedding near-dup pairs (cosine ≥ EMB_DUP_THRESHOLD) — the
+    oracle-checked baseline for the LSH variant. Threshold low enough to
+    yield rows on random synthetic embeddings."""
     emb = _emb(spark, sf_dir)
     v = emb.select(
         "vec_id", "embedding", S._norm(F.col("embedding")).alias("nrm")
@@ -720,7 +727,7 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.9)
+        .filter(F.col("cosine_sim") >= EMB_DUP_THRESHOLD)
     )
 
 
@@ -728,7 +735,7 @@ EMBEDDING_NEAR_DUPS_SQL = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        {_cosine_sql('a.embedding', 'b.embedding')} AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.9
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {EMB_DUP_THRESHOLD}
 """
 
 
@@ -1105,7 +1112,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table — KMeans is
     not SQL-expressible, so rows-only driver check; semantic invariants
     pinned in tests/test_llm_ops.py."""
-    return S.semantic_dedup(_emb(spark, sf_dir), n_clusters=16, threshold=0.99)
+    # threshold 0.45, not the paper's 0.99: the round-4 synthetic
+    # embeddings' max pairwise cosine is ~0.51, so 0.99 would drop nothing
+    # and the dedup would be a no-op on this corpus
+    return S.semantic_dedup(_emb(spark, sf_dir), n_clusters=16, threshold=0.45)
 
 
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

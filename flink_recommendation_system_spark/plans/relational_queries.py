@@ -128,8 +128,10 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # Round-4 testdata renamed regions (REGION_0 → EUROPE/ASIA/...); the
+    # old literal matched nothing and the query degenerated to empty.
     region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "REGION_0"
+        F.col("r_name") == "EUROPE"
     )
     nr = nation.join(
         F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
@@ -161,7 +163,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'REGION_0'
+WHERE r_name = 'EUROPE'
 GROUP BY n_name
 """
 
@@ -184,16 +186,25 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (§2 J3). Round-4 testdata gives EVERY customer at least
+    one order, so the original unrestricted anti-join degenerated to a
+    guaranteed-empty result; restricting the right side to recent orders
+    (≥ 2000-06-01) keeps the operator shape and makes the result
+    discriminating again (~255 lapsed customers at sf0.01)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-06-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return anti_join(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
 
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
 """
 
 
