@@ -118,6 +118,31 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_vertex(G.undirected(G.co_review_edges(liked)))
 
 
+def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=19) of the bipartite user-product liked
+    graph — the co-review projection is a near-clique where every k is
+    all-or-nothing, but the bipartite graph's degree spread (users ~14-32,
+    products ~24-45 at sf0.01) makes k=19 genuinely discriminating (~225
+    of 250 vertices survive). Value-checked against an unrolled-peeling
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    liked = _liked(spark, sf_dir)
+    off = oracles.KCORE_PRODUCT_OFFSET
+    bedges = liked.select(
+        F.col("user_id").alias("src"),
+        (F.col("product_id") + off).alias("dst"),
+    )
+    core = G.kcore_vertices(G.undirected(bedges), k=oracles.KCORE_K)
+    return core.select(
+        F.when(F.col("id") >= off, "product").otherwise("user").alias("role"),
+        F.when(F.col("id") >= off, F.col("id") - off)
+        .otherwise(F.col("id"))
+        .alias("id"),
+        F.col("core_degree"),
+    )
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -184,6 +209,7 @@ _WINDOW_PRIORITY = [
     # regenerated embeddings (previously green only as empty-vs-empty)
     "repeated_spans",
     "heavy_users",
+    "kcore_members",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",
@@ -268,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": _q_connected_components_star,
         "triangle_counts": _q_triangle_counts,
         "pagerank": _q_pagerank,
+        "kcore_members": _q_kcore_members,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -313,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_star": oracles.CONNECTED_COMPONENTS_SQL,
         "triangle_counts": oracles.TRIANGLE_COUNTS_SQL,
         "pagerank": oracles.PAGERANK_SQL,
+        "kcore_members": oracles.KCORE_MEMBERS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

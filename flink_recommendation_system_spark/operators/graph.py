@@ -581,3 +581,75 @@ def community_sizes(labels: DataFrame) -> DataFrame:
     group-reduce (Recommendations.java:83-98; SURVEY.md §2.3 A2).
     """
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+
+
+def kcore_vertices(
+    undirected_edges: DataFrame,
+    k: int,
+    max_iterations: int = 30,
+    checkpoint: str = "auto",
+    on_no_convergence: str = "warn",
+    broadcast_removed_max: int = 5_000_000,
+) -> DataFrame:
+    """k-core decomposition by parallel peeling: repeatedly delete every
+    vertex of degree < k (all at once per round) until fixpoint; the
+    surviving subgraph is the k-core. Returns (id, core_degree) — degree
+    WITHIN the core, all >= k. The fixpoint is removal-order-independent,
+    which is what makes the operator engine-exact despite being iterative.
+
+    Expects *undirected* (both-direction, deduped) edges like the other
+    iterative ops, so per-src counts are full degrees.
+
+    Physical shape — anti-join against the REMOVED set, not semi-join
+    against the survivors: per round the removed frontier is small (and
+    shrinks geometrically on real degree distributions), so it broadcasts
+    (``broadcast_removed_max`` cap, counted exactly by the loop-control
+    action) and each round is two broadcast anti-joins over the edge list —
+    the big side never shuffles. The survivor-side semi-join formulation
+    would shuffle the whole edge list every round. Degree counts are
+    partial-aggregated; lineage is truncated per round (``checkpoint`` as
+    in ``label_propagation``).
+
+    Rounds needed can reach O(n) on pathological chains; ``max_iterations``
+    bounds the loop and ``on_no_convergence`` ("warn" | "raise") reports a
+    non-fixpoint exit, where the result is a SUPERSET of the true k-core
+    (peeling is monotone — vertices only ever leave).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = _truncate_lineage(
+        undirected_edges.select("src", "dst"), checkpoint
+    )
+    converged = False
+    deg = None
+    for _i in range(max_iterations):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        deg = _truncate_lineage(deg, checkpoint)
+        removed = deg.filter(F.col("deg") < k).select("src")
+        n_removed = removed.count()  # scalar loop control, not a data path
+        if n_removed == 0:
+            converged = True
+            break
+        if n_removed <= broadcast_removed_max:
+            removed = F.broadcast(removed)
+        edges = _truncate_lineage(
+            edges.join(removed, "src", "left_anti").join(
+                removed.withColumnRenamed("src", "dst"), "dst", "left_anti"
+            ),
+            checkpoint,
+        )
+    if not converged:
+        msg = (
+            f"kcore_vertices stopped after max_iterations={max_iterations} "
+            "without reaching the peeling fixpoint; the result is a "
+            "superset of the true k-core. Raise max_iterations."
+        )
+        if on_no_convergence == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
+        # deg was computed before the final removal — refresh it so the
+        # reported degrees at least reflect the last surviving edge set
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.select(
+        F.col("src").alias("id"), F.col("deg").alias("core_degree")
+    )

@@ -273,3 +273,50 @@ WHERE NOT EXISTS (
     WHERE o.user_id = c.user_id AND o.product_id = c.product_id
 )"""
 )
+
+
+# k-core decomposition (operators.graph.kcore_vertices) on the bipartite
+# user-product liked graph. Peeling unrolled KCORE_ROUNDS times: rounds
+# past the fixpoint are identity (no vertex below k remains), so
+# over-unrolling is always safe; under-unrolling would surface as a
+# value mismatch against the Spark fixpoint — which is the check working.
+KCORE_K = 19
+KCORE_PRODUCT_OFFSET = 1_000_000
+KCORE_ROUNDS = 4
+
+
+def kcore_ctes(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [
+        f"""bedges0 AS (
+    SELECT user_id AS src, product_id + {KCORE_PRODUCT_OFFSET} AS dst
+    FROM liked
+    UNION ALL
+    SELECT product_id + {KCORE_PRODUCT_OFFSET} AS src, user_id AS dst
+    FROM liked
+)""".strip()
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""deg{r} AS (
+    SELECT src, count(*) AS deg FROM bedges{r} GROUP BY src
+),
+alive{r} AS (SELECT src FROM deg{r} WHERE deg >= {k}),
+bedges{r + 1} AS (
+    SELECT e.src, e.dst FROM bedges{r} e
+    JOIN alive{r} a ON e.src = a.src
+    JOIN alive{r} b ON e.dst = b.src
+)""".strip()
+        )
+    return ",\n".join(parts)
+
+
+KCORE_MEMBERS_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{kcore_ctes()}\n"
+    f"""SELECT CASE WHEN src >= {KCORE_PRODUCT_OFFSET}
+            THEN 'product' ELSE 'user' END AS role,
+       CASE WHEN src >= {KCORE_PRODUCT_OFFSET}
+            THEN src - {KCORE_PRODUCT_OFFSET} ELSE src END AS id,
+       count(*) AS core_degree
+FROM bedges{KCORE_ROUNDS}
+GROUP BY src"""
+)

@@ -412,3 +412,68 @@ def test_triangles_near_clique_guard_warns_and_lower_bounds(spark):
         }
         assert not any("lower bound" in str(x.message) for x in w)
     assert wide == exact
+
+
+# --- k-core decomposition --------------------------------------------------
+
+
+def test_kcore_peels_cascading_chain(spark):
+    from flink_recommendation_system_spark.operators.graph import (
+        kcore_vertices,
+        undirected,
+    )
+
+    # triangle (1,2,3) with a pendant chain 3-4-5: the 2-core is exactly
+    # the triangle — removing 5 drops 4 below degree 2, so peeling must
+    # cascade (one round is not enough)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.core_degree
+        for r in kcore_vertices(undirected(edges), k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_core_and_whole_graph_core(spark):
+    from flink_recommendation_system_spark.operators.graph import (
+        kcore_vertices,
+        undirected,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["src", "dst"]
+    )
+    # k above max degree -> empty core
+    assert kcore_vertices(undirected(edges), k=3).count() == 0
+    # k=1 -> whole graph survives with full degrees
+    got = {
+        r.id: r.core_degree
+        for r in kcore_vertices(undirected(edges), k=1).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_nonconvergence_warns_and_returns_superset(spark):
+    import warnings as w
+
+    from flink_recommendation_system_spark.operators.graph import (
+        kcore_vertices,
+        undirected,
+    )
+
+    # path 1-2-3-4-5-6: 2-core is empty, but peeling eats only the two
+    # endpoints per round -> needs 3 rounds; cap at 1 and expect a warning
+    # plus a SUPERSET of the (empty) true core
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["src", "dst"]
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        out = kcore_vertices(
+            undirected(edges), k=2, max_iterations=1
+        ).collect()
+    assert any("fixpoint" in str(c.message) for c in caught)
+    assert {r.id for r in out} >= set()  # superset of empty, present rows
+    assert len(out) > 0  # cap at 1 really did stop early
