@@ -210,6 +210,7 @@ _WINDOW_PRIORITY = [
     "repeated_spans",
     "heavy_users",
     "kcore_members",
+    "stratified_split",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

@@ -499,3 +499,53 @@ def resample_by_score(
         F.lit(1_000_000),
     )
     return scored.withColumn("bucket", bucket).filter(u < thr)
+
+
+def stratified_split(
+    docs: DataFrame,
+    percents: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-proportion stratified split — the train/val/test
+    carve-up of a curated corpus, holding the stratum mix constant across
+    splits (per-language here, the standard guard against a val set whose
+    language balance drifts from train). Unlike ``sample_mixture`` (per-row
+    Bernoulli, proportions only in expectation) this is QUOTA-exact: within
+    each stratum rows are ranked by a portable hash of their id (stable
+    pseudo-random order, reproducible across runs/engines/partitionings)
+    and the r-th of n rows lands in the first split whose cumulative
+    percent c satisfies ``r * 100 <= c * n`` — pure integer logic, so a
+    stratum of 1000 docs at 80/10/10 yields exactly 800/100/100 and the
+    DuckDB oracle agrees bit-for-bit.
+
+    ``percents`` maps split name → integer percent, in the order given
+    (must sum to 100). Output: input rows + a ``split`` column.
+
+    Scale shape: one window sort per stratum (rank by hash) — the same
+    per-stratum-bounded sort every quota operator needs; no driver-side
+    state, no collect. Skewed strata sort within their partition group;
+    at 100 TB you'd range-partition within stratum first, which AQE's
+    skew handling approximates.
+    """
+    from .dedup import portable_hash32
+
+    if sum(percents.values()) != 100:
+        raise ValueError("percents must sum to 100")
+    w = Window.partitionBy(stratum_col).orderBy(
+        portable_hash32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    n = Window.partitionBy(stratum_col)
+    r = F.row_number().over(w)
+    n_rows = F.count(F.lit(1)).over(n)
+    # build the CASE from the first split outward: r*100 <= c*n picks the
+    # earliest split whose cumulative quota covers rank r
+    split = None
+    cum = 0
+    for name, pct in percents.items():
+        cum += pct
+        cond = (r * 100) <= (n_rows * cum)
+        split = F.when(cond, F.lit(name)) if split is None else split.when(
+            cond, F.lit(name)
+        )
+    return docs.withColumn("split", split)

@@ -1476,6 +1476,36 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+SPLIT_PERCENTS = {"train": 80, "val": 10, "test": 10}
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion per-language train/val/test split (operators.text
+    stratified_split): quota-exact 80/10/10 within each lang via portable-
+    hash ranking — integer logic, full value oracle."""
+    out = T.stratified_split(_docs(spark, sf_dir), SPLIT_PERCENTS)
+    return out.select("doc_id", "lang", "split")
+
+
+STRATIFIED_SPLIT_SQL = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8) AS BIGINT), doc_id
+           ) AS r,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN r * 100 <= n * 80 THEN 'train'
+            WHEN r * 100 <= n * 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "quality_stats": (q_quality_stats, QUALITY_STATS_SQL),
@@ -1513,4 +1543,5 @@ QUERIES: dict[str, tuple] = {
     "quality_resample": (q_quality_resample, QUALITY_RESAMPLE_SQL),
     "dataset_card": (q_dataset_card, DATASET_CARD_SQL),
     "repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
+    "stratified_split": (q_stratified_split, STRATIFIED_SPLIT_SQL),
 }

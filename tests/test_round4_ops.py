@@ -518,3 +518,53 @@ def test_heavy_hitters_uniform_near_threshold(spark):
     assert (num * total + den - 1) // den == 20
     got = {r.key for r in heavy_hitters_exact(df, "key", num, den).collect()}
     assert got == set(range(50))  # 20-count keys in, 19-count keys out
+
+
+# --- stratified_split (quota-exact train/val/test) -------------------------
+
+
+def test_stratified_split_quota_exact_counts(spark):
+    from flink_recommendation_system_spark.operators.text import (
+        stratified_split,
+    )
+
+    # 100 docs in lang A, 10 in lang B: 80/10/10 must be EXACT per stratum
+    rows = [(i, "x", "A") for i in range(100)] + [
+        (1000 + i, "x", "B") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = stratified_split(docs, {"train": 80, "val": 10, "test": 10})
+    counts = {
+        (r.lang, r.split): r["count"]
+        for r in out.groupBy("lang", "split").count().collect()
+    }
+    assert counts == {
+        ("A", "train"): 80, ("A", "val"): 10, ("A", "test"): 10,
+        ("B", "train"): 8, ("B", "val"): 1, ("B", "test"): 1,
+    }
+
+
+def test_stratified_split_deterministic_and_partition_invariant(spark):
+    from flink_recommendation_system_spark.operators.text import (
+        stratified_split,
+    )
+
+    rows = [(i, "x", "A") for i in range(50)]
+    docs1 = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    docs2 = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).repartition(7)
+    pct = {"train": 80, "val": 10, "test": 10}
+    a = {(r.doc_id, r.split) for r in stratified_split(docs1, pct).collect()}
+    b = {(r.doc_id, r.split) for r in stratified_split(docs2, pct).collect()}
+    assert a == b  # same verdicts regardless of physical partitioning
+
+
+def test_stratified_split_rejects_bad_percents(spark):
+    import pytest
+
+    from flink_recommendation_system_spark.operators.text import (
+        stratified_split,
+    )
+
+    docs = spark.createDataFrame([(1, "x", "A")], ["doc_id", "text", "lang"])
+    with pytest.raises(ValueError):
+        stratified_split(docs, {"train": 90, "val": 5})
