@@ -25,3 +25,23 @@ def test_query_matches_oracle(spark, name):
         assert df.count() >= 0  # rows-only check, like the driver
         return
     compare(df, ORACLES[name], SF0001)
+
+
+def test_no_silently_empty_oracles():
+    """Guard against literals going stale when the driver regenerates
+    testdata (round 4 lesson: REGION_0 → EUROPE, fully-ordered customers,
+    re-drawn embeddings): an oracle that returns 0 rows at sf0.01 would
+    keep 'matching' an equally-empty Spark result while checking nothing.
+    DuckDB-only, so the scan is cheap. Queries that are legitimately empty
+    at sf0.01 must be allowlisted here with a reason."""
+    from tests.oracle_harness import duckdb_run
+
+    legitimately_empty: dict[str, str] = {}
+    empty = []
+    for name, sql in ORACLES.items():
+        if name in legitimately_empty:
+            continue
+        _cols, rows = duckdb_run(sql, "/root/testdata/sf0.01")
+        if len(rows) == 0:
+            empty.append(name)
+    assert not empty, f"oracles with 0 rows at sf0.01 (stale literals?): {empty}"
