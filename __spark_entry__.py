@@ -211,6 +211,8 @@ _WINDOW_PRIORITY = [
     "heavy_users",
     "kcore_members",
     "stratified_split",
+    "funnel_stages",
+    "retention_cohorts",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

@@ -1,0 +1,130 @@
+"""Event-sequence analytics operators: funnel analysis and cohort
+retention — the two classic product-analytics shapes over an event stream
+that the windowed suite (tumble/slide/session) doesn't cover.
+
+Both are exact integer/timestamp logic end-to-end, so they carry full
+DuckDB value oracles. Timestamps follow the engine-wide epoch-nanos
+LongType contract (sources.tables normalizes the testdata encoding);
+all bucket arithmetic is integer division — no float time math.
+
+Scale shape: funnels are K chained (filter → per-user min) aggregations,
+each partial-aggregated and keyed on user_id — every stage join is a
+shuffle equi-join on the same key, so one exchange distribution is reused
+across stages (AQE keeps them co-partitioned). Cohort retention is two
+aggregations over (user, week) plus one broadcast-size join of per-user
+cohorts back onto per-user-week activity. Nothing is quadratic; no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANOS_PER_SEC = 1_000_000_000
+WEEK_SEC = 7 * 86400
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    max_span_sec: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the first time they
+    completed step 1, the first step-2 event strictly AFTER that, the
+    first step-3 event strictly after THAT, and so on — the standard
+    product funnel (each stage must follow the previous one in event
+    time; re-orderings don't count). Output: one row per user who reached
+    step 1, with ``<step>_ts`` epoch-second columns (null once the funnel
+    breaks) and ``stage`` = number of steps completed.
+
+    ``max_span_sec`` additionally requires the WHOLE funnel to complete
+    within that many seconds of the step-1 event (conversion windows like
+    "purchase within 7 days of first view").
+
+    The chained-min formulation keeps every stage a partial-aggregated
+    (filter → groupBy(user).min) pass joined on user_id — no window sort
+    over the full event stream, no per-user event-list materialization.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    sec = F.expr(f"CAST(ts DIV {NANOS_PER_SEC} AS BIGINT)")
+    ev = events.select(
+        "user_id", F.col("event_type"), sec.alias("sec")
+    )
+    out: DataFrame | None = None
+    prev_col: str | None = None
+    for step in steps:
+        col = f"{step}_ts"
+        stage_events = ev.filter(F.col("event_type") == step)
+        if out is None:
+            out = stage_events.groupBy("user_id").agg(
+                F.min("sec").alias(col)
+            )
+        else:
+            nxt = (
+                stage_events.join(
+                    out.select("user_id", prev_col), "user_id"
+                )
+                .filter(F.col("sec") > F.col(prev_col))
+                .groupBy("user_id")
+                .agg(F.min("sec").alias(col))
+            )
+            out = out.join(nxt, "user_id", "left")
+        prev_col = col
+    first = f"{steps[0]}_ts"
+    if max_span_sec is not None:
+        for step in steps[1:]:
+            col = f"{step}_ts"
+            out = out.withColumn(
+                col,
+                F.when(
+                    F.col(col) <= F.col(first) + max_span_sec, F.col(col)
+                ),
+            )
+        # a stage nulled by the span cap breaks every later stage too
+        for i, step in enumerate(steps[2:], start=2):
+            col, prev = f"{step}_ts", f"{steps[i - 1]}_ts"
+            out = out.withColumn(
+                col, F.when(F.col(prev).isNotNull(), F.col(col))
+            )
+    stage = sum(
+        F.when(F.col(f"{s}_ts").isNotNull(), 1).otherwise(0) for s in steps
+    )
+    return out.withColumn("stage", stage.cast("int"))
+
+
+def retention_cohorts(
+    events: DataFrame, bucket_sec: int = WEEK_SEC
+) -> DataFrame:
+    """Cohort retention: bucket users by the period of their FIRST event
+    (the cohort), then count how many of each cohort were active in each
+    subsequent period. ``bucket_sec`` picks the grain (WEEK_SEC default;
+    86400 for daily cohorts on short event histories). Output:
+    (cohort_start, period_offset, n_users) with periods as epoch-second
+    bucket starts and offset 0 = the cohort period itself (so offset-0
+    rows give cohort sizes).
+
+    Two partial-aggregated passes: distinct (user, period) activity, and
+    per-user min period; the per-user cohort relation joins back on
+    user_id. Integer bucket arithmetic keeps the oracle bit-equal.
+    """
+    sec = F.expr(f"CAST(ts DIV {NANOS_PER_SEC} AS BIGINT)")
+    period = sec - sec % bucket_sec
+    activity = (
+        events.select("user_id", period.alias("period"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("period").alias("cohort_start")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_start",
+            ((F.col("period") - F.col("cohort_start")) / bucket_sec)
+            .cast("bigint")
+            .alias("period_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

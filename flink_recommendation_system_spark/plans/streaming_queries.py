@@ -229,7 +229,74 @@ GROUP BY 1, 2
 """
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+RETENTION_BUCKET_SEC = 86400  # daily cohorts — the events table spans ~30d
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (operators.events funnel_stages):
+    chained per-user first-occurrence times, each stage strictly after the
+    previous — exact timestamp logic, full value oracle."""
+    from ..operators.events import funnel_stages
+
+    return funnel_stages(
+        load_table(spark, sf_dir, "events"), FUNNEL_STEPS
+    )
+
+
+FUNNEL_STAGES_SQL = """
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec
+    FROM events
+),
+s1 AS (SELECT user_id, min(sec) AS view_ts
+       FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(sec) AS click_ts
+       FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND sec > view_ts GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(sec) AS purchase_ts
+       FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND sec > click_ts GROUP BY e.user_id)
+SELECT s1.user_id, view_ts, click_ts, purchase_ts,
+       CAST(1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END
+            AS INTEGER) AS stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (operators.events retention_cohorts):
+    users bucketed by first-event day, activity counted per day offset —
+    integer bucket arithmetic, full value oracle."""
+    from ..operators.events import retention_cohorts
+
+    return retention_cohorts(
+        load_table(spark, sf_dir, "events"), bucket_sec=RETENTION_BUCKET_SEC
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH e AS (
+    SELECT user_id,
+           (CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
+            // {RETENTION_BUCKET_SEC}) * {RETENTION_BUCKET_SEC} AS period
+    FROM events
+),
+a AS (SELECT DISTINCT user_id, period FROM e),
+c AS (SELECT user_id, min(period) AS cohort_start FROM a GROUP BY user_id)
+SELECT cohort_start,
+       (period - cohort_start) // {RETENTION_BUCKET_SEC} AS period_offset,
+       count(DISTINCT user_id) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "funnel_stages": (q_funnel_stages, FUNNEL_STAGES_SQL),
+    "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "asof_click_purchase": (q_asof_click_purchase, ASOF_CLICK_PURCHASE_SQL),
     "events_within_hour": (q_events_within_hour, EVENTS_WITHIN_HOUR_SQL),
     "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),

@@ -568,3 +568,83 @@ def test_stratified_split_rejects_bad_percents(spark):
     docs = spark.createDataFrame([(1, "x", "A")], ["doc_id", "text", "lang"])
     with pytest.raises(ValueError):
         stratified_split(docs, {"train": 90, "val": 5})
+
+
+# --- funnel_stages / retention_cohorts -------------------------------------
+
+def _ev(spark, rows):
+    # rows: (user_id, event_type, sec) -> events-shaped frame with
+    # epoch-nanos ts per the engine contract
+    return spark.createDataFrame(
+        [(u, t, s * 1_000_000_000) for u, t, s in rows],
+        ["user_id", "event_type", "ts"],
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    from flink_recommendation_system_spark.operators.events import (
+        funnel_stages,
+    )
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click BEFORE the first view -> funnel breaks at stage 1
+        (2, "click", 5), (2, "view", 10),
+        # user 3: purchase before click -> stage 2 (view, click), no purchase
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        # user 4: never viewed -> absent from output
+        (4, "purchase", 50),
+    ]
+    got = {
+        r.user_id: (r.stage, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in funnel_stages(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        1: (3, 10, 20, 30),
+        2: (1, 10, None, None),
+        3: (2, 10, 20, None),
+    }
+
+
+def test_funnel_span_cap_breaks_later_stages(spark):
+    from flink_recommendation_system_spark.operators.events import (
+        funnel_stages,
+    )
+
+    rows = [
+        # click lands outside the 15s window; the later purchase is inside
+        # the window but must STILL not count (its predecessor was cut)
+        (1, "view", 0), (1, "click", 100), (1, "purchase", 10),
+        # fully inside the window
+        (2, "view", 0), (2, "click", 5), (2, "purchase", 12),
+    ]
+    got = {
+        r.user_id: (r.stage, r.click_ts, r.purchase_ts)
+        for r in funnel_stages(
+            _ev(spark, rows), ["view", "click", "purchase"], max_span_sec=15
+        ).collect()
+    }
+    assert got[1] == (1, None, None)
+    assert got[2] == (3, 5, 12)
+
+
+def test_retention_cohorts_counts(spark):
+    from flink_recommendation_system_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    day = 86400
+    rows = [
+        # users 1,2 first seen day 0; user 1 returns day 2; user 3 joins day 1
+        (1, "view", 10), (2, "view", 20),
+        (1, "click", 2 * day + 5),
+        (3, "view", day + 1), (3, "view", day + 2),  # same-day dedup
+    ]
+    got = {
+        (r.cohort_start, r.period_offset): r.n_users
+        for r in retention_cohorts(_ev(spark, rows), bucket_sec=day).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (day, 0): 1}
