@@ -113,3 +113,49 @@ def start_streaming_near_dup(
 def read_near_dup_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All near-dup pairs emitted so far: (a_id, b_id, est_jaccard)."""
     return spark.read.parquet(pairs_path).select("a_id", "b_id", "est_jaccard")
+
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    target_partitions: int | None = None,
+) -> int:
+    """Compact the accumulated per-batch signature store into a single
+    consolidated ``batch=0`` partition — the maintenance pass the module
+    docstring prescribes for long-running deployments, where thousands of
+    small ``batch=N`` directories would otherwise dominate the per-trigger
+    store scan. Returns the number of signatures compacted.
+
+    MUST run while the stream is paused AT A COMMITTED CHECKPOINT
+    BOUNDARY (documented store contract: the read path does not guard
+    against concurrent rewrites; compacting an uncommitted batch's
+    partial write would fold it into ``batch=0`` and make that batch's
+    replay pair against its own documents). The rewrite is
+    crash-safe against *re-running compaction*: it stages into
+    ``<store>.compact``, then atomically swaps via rename — a crash
+    mid-stage leaves the original store untouched; a crash between the
+    two renames leaves the staged copy ready for a retry. After
+    compaction, batch ids restart above 0; the replay-exclusion contract
+    (``batch < N``) still holds because the stream's next batch id is
+    strictly greater than any already-committed one.
+
+    ``target_partitions`` controls the consolidated file count (defaults
+    to the session's shuffle parallelism via AQE coalesce).
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(store_path).select("doc_id", "sig")
+    n = df.count()
+    writer = df.withColumn("batch", F.lit(0))
+    if target_partitions is not None:
+        writer = writer.repartition(target_partitions)
+    staging = store_path.rstrip("/") + ".compact"
+    writer.write.mode("overwrite").partitionBy("batch").parquet(staging)
+    old = store_path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(store_path, old)
+    os.rename(staging, store_path)
+    shutil.rmtree(old)
+    return n

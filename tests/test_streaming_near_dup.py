@@ -88,3 +88,59 @@ def test_read_store_excludes_current_and_later_batches(spark, tmp_path):
     assert ids_before_2 == {
         r["doc_id"] for r in b0.union(b1).collect()
     }
+
+
+def test_compaction_preserves_store_and_future_pairs(spark, tmp_path):
+    import glob
+
+    from flink_recommendation_system_spark.streaming.near_dup import (
+        _read_store,
+        compact_signature_store,
+    )
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sigs")
+
+    # simulate three committed ingestion batches
+    parts = [(0, 170), (170, 340), (340, 10**9)]
+    for i, (lo, hi) in enumerate(parts):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        D.minhash_signatures(batch, 32, 5).write.mode("overwrite").parquet(
+            f"{store}/batch={i}"
+        )
+    before = {
+        (r.doc_id, tuple(r.sig))
+        for r in _read_store(spark, store, before_batch=3).collect()
+    }
+    n_files_before = len(glob.glob(f"{store}/batch=*/*.parquet"))
+
+    n = compact_signature_store(spark, store, target_partitions=1)
+    assert n == len(before)
+
+    after = {
+        (r.doc_id, tuple(r.sig))
+        for r in _read_store(spark, store, before_batch=3).collect()
+    }
+    assert after == before  # signature set bit-identical through compaction
+    n_files_after = len(glob.glob(f"{store}/batch=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert not glob.glob(f"{store}.compact") and not glob.glob(f"{store}.old")
+
+    # a post-compaction batch still pairs against the full compacted store:
+    # duplicate an existing doc under a new id and expect a cross-store pair
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    new_sigs = D.minhash_signatures(dup, 32, 5)
+    pairs = D.incremental_pairs_from_signatures(
+        new_sigs,
+        _read_store(spark, store, before_batch=99),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+    )
+    assert (0, 10_000) in {
+        (r.a_id, r.b_id) for r in pairs.collect()
+    }
