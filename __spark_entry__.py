@@ -213,6 +213,7 @@ _WINDOW_PRIORITY = [
     "stratified_split",
     "funnel_stages",
     "retention_cohorts",
+    "value_outliers",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

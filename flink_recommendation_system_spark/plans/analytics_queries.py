@@ -462,3 +462,74 @@ QUERIES: dict[str, tuple] = {
     "conditional_agg": (q_conditional_agg, CONDITIONAL_AGG_SQL),
     "customer_deciles": (q_customer_deciles, CUSTOMER_DECILES_SQL),
 }
+
+
+# Robust outlier detection: |value - median| > K_MAD * MAD per event type —
+# the standard robust alternative to z-scores (median/MAD are insensitive
+# to the outliers being hunted). Median and MAD are quantized to the 2^-38
+# binary grid before the comparison (the pagerank/bm25 construction) so a
+# 1-ULP interpolation difference between engines cannot flip a borderline
+# row.
+K_MAD = 3
+_GRID = "CAST(274877906944 AS DOUBLE)"
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    grid = float(1 << 38)
+
+    def q38(c):
+        return (F.floor(c * F.lit(grid) + F.lit(0.5)).cast("double")
+                / F.lit(grid))
+
+    med = events.groupBy("event_type").agg(
+        q38(F.expr("percentile(value, 0.5)")).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            q38(
+                F.expr("percentile(abs(value - med), 0.5)")
+            ).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > K_MAD * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6
+            ).alias("mad_dev"),
+        )
+    )
+
+
+VALUE_OUTLIERS_SQL = f"""
+WITH med AS (
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * {_GRID} + 0.5) / {_GRID} AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type,
+           floor(quantile_cont(abs(value - med), 0.5) * {_GRID} + 0.5)
+               / {_GRID} AS mad,
+           any_value(med) AS med
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT event_id, e.event_type, value,
+       round(abs(value - med) / mad, 6) AS mad_dev
+FROM events e JOIN mad USING (event_type)
+WHERE abs(value - med) > {K_MAD} * mad
+"""
+
+
+# defined after the dict literal because the function lives at the end of
+# the module; same (spark_fn, oracle_sql) contract as every other entry
+QUERIES["value_outliers"] = (q_value_outliers, VALUE_OUTLIERS_SQL)
