@@ -108,6 +108,16 @@ def main() -> None:
         F.count_distinct("source", "pack_id").alias("n")
     ).collect()[0]["n"]
 
+    # 8. quota-exact per-language train/val/test split of the curated set
+    splits = T.stratified_split(curated, {"train": 80, "val": 10, "test": 10})
+    splits.select("doc_id", "lang", "split").write.mode("overwrite").parquet(
+        f"{out}/splits"
+    )
+    split_counts = {
+        r["split"]: r["n"]
+        for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
     print(f"raw documents        {n_raw}")
     print(f"after quality gate   {n_gated}")
     print(f"docs with PII        {n_pii} (redacted, kept)")
@@ -117,6 +127,7 @@ def main() -> None:
     print(f"deduped corpus       {n_final}")
     print(f"after curation       {n_curated}")
     print(f"packed windows       {n_packs}")
+    print(f"train/val/test       {split_counts}")
     print(f"artifacts under      {out}")
     spark.stop()
 

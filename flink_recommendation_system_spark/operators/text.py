@@ -514,10 +514,14 @@ def stratified_split(
     Bernoulli, proportions only in expectation) this is QUOTA-exact: within
     each stratum rows are ranked by a portable hash of their id (stable
     pseudo-random order, reproducible across runs/engines/partitionings)
-    and the r-th of n rows lands in the first split whose cumulative
-    percent c satisfies ``r * 100 <= c * n`` — pure integer logic, so a
-    stratum of 1000 docs at 80/10/10 yields exactly 800/100/100 and the
-    DuckDB oracle agrees bit-for-bit.
+    and the r-th of n rows lands in the first split whose ROUNDED
+    cumulative boundary covers it: ``r <= (c * n + 50) div 100`` for
+    cumulative percent c — pure integer logic, so a stratum of 1000 docs
+    at 80/10/10 yields exactly 800/100/100 and the DuckDB oracle agrees
+    bit-for-bit. Round-half-up boundaries make SMALL strata favor the
+    large split (a singleton stratum goes to train, not test — the naive
+    ``r*100 <= c*n`` rule dumps every stratum's remainder into the LAST
+    split, which skewed a 44-doc corpus to 16% test).
 
     ``percents`` maps split name → integer percent, in the order given
     (must sum to 100). Output: input rows + a ``split`` column.
@@ -538,13 +542,13 @@ def stratified_split(
     n = Window.partitionBy(stratum_col)
     r = F.row_number().over(w)
     n_rows = F.count(F.lit(1)).over(n)
-    # build the CASE from the first split outward: r*100 <= c*n picks the
-    # earliest split whose cumulative quota covers rank r
+    # build the CASE from the first split outward: the rounded boundary
+    # (c*n + 50) div 100 is the last rank belonging to cumulative quota c
     split = None
     cum = 0
     for name, pct in percents.items():
         cum += pct
-        cond = (r * 100) <= (n_rows * cum)
+        cond = r <= F.floor((n_rows * cum + 50) / 100)
         split = F.when(cond, F.lit(name)) if split is None else split.when(
             cond, F.lit(name)
         )

@@ -1499,8 +1499,8 @@ WITH ranked AS (
     FROM documents
 )
 SELECT doc_id, lang,
-       CASE WHEN r * 100 <= n * 80 THEN 'train'
-            WHEN r * 100 <= n * 90 THEN 'val'
+       CASE WHEN r <= (n * 80 + 50) // 100 THEN 'train'
+            WHEN r <= (n * 90 + 50) // 100 THEN 'val'
             ELSE 'test' END AS split
 FROM ranked
 """

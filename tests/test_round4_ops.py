@@ -648,3 +648,21 @@ def test_retention_cohorts_counts(spark):
         for r in retention_cohorts(_ev(spark, rows), bucket_sec=day).collect()
     }
     assert got == {(0, 0): 2, (0, 2): 1, (day, 0): 1}
+
+
+def test_stratified_split_singleton_stratum_goes_to_largest_split(spark):
+    from flink_recommendation_system_spark.operators.text import (
+        stratified_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", "A"), (2, "x", "B")], ["doc_id", "text", "lang"]
+    )
+    out = {
+        r.lang: r.split
+        for r in stratified_split(
+            docs, {"train": 80, "val": 10, "test": 10}
+        ).collect()
+    }
+    # round-half-up boundaries: a 1-row stratum belongs to train, not test
+    assert out == {"A": "train", "B": "train"}
