@@ -19,6 +19,7 @@ gets partitioning only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def publish_partitioned(
@@ -48,3 +49,70 @@ def publish_bucketed_table(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Keyed MERGE into a plain-parquet model table — the warehouse
+    generalization of the reference's overwrite-on-publish Redis MULTI
+    (SURVEY.md §2.1 S7): rows in ``updates`` replace target rows with the
+    same key, new keys append, and (with ``delete_col``) rows whose
+    boolean flag is true act as tombstones that remove the key instead.
+    Returns the resulting row count.
+
+    Semantics = ``MERGE INTO target USING updates ON keys WHEN MATCHED
+    [AND delete] THEN DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED [AND NOT delete] THEN INSERT *`` — the Delta/Iceberg statement,
+    expressed with one anti-join (survivors = target minus updated keys)
+    plus a union, which is exactly the physical plan a format-level MERGE
+    produces for full-row updates. ``updates`` must carry one row per key
+    (enforced: ambiguous multi-row updates raise).
+
+    Plain parquet cannot rewrite in place (the read feeds the write), so
+    the result stages into ``<target>.staging`` and swaps via two renames —
+    crash-safe the same way as ``compact_signature_store``: the live
+    directory is never half-written. A table format (Delta/Iceberg) would
+    replace the swap with a metadata commit and rewrite only matched
+    files; at 100 TB you'd partition the target and prune the anti-join to
+    touched partitions first.
+    """
+    import os
+    import shutil
+
+    dup = (
+        updates.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
+    )
+    if dup:
+        raise ValueError("updates must contain at most one row per key")
+    data_cols = [c for c in updates.columns if c != delete_col]
+    upserts = updates
+    if delete_col is not None:
+        upserts = updates.filter(~F.col(delete_col)).select(*data_cols)
+    try:
+        target = spark.read.parquet(target_path)
+        survivors = target.join(
+            updates.select(*key_cols), key_cols, "left_anti"
+        )
+        result = survivors.unionByName(upserts)
+    except Exception as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        result = upserts
+    staging = target_path.rstrip("/") + ".staging"
+    result.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    old = target_path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(staging, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return n
+

@@ -92,3 +92,63 @@ def test_random_split_invariants(spark):
     assert a1.count() + b1.count() == reviews.count()
     assert a1.join(b1, "rid", "left_semi").count() == 0
     assert a1.exceptAll(a2).count() == 0 and b1.exceptAll(b2).count() == 0
+
+
+# --- merge_upsert (keyed MERGE into a parquet model table) -----------------
+
+
+def test_merge_upsert_updates_inserts_deletes(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.sources.warehouse import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "model")
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    assert merge_upsert(spark, path, seed, ["k"]) == 3
+
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        ["k", "v", "is_delete"],
+    )
+    n = merge_upsert(spark, path, updates, ["k"], delete_col="is_delete")
+    assert n == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    # 1 untouched, 2 updated, 3 tombstoned, 4 inserted
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # staging/old directories cleaned up after the swap
+    assert not glob.glob(path + ".staging") and not glob.glob(path + ".old")
+
+
+def test_merge_upsert_rejects_ambiguous_updates(spark, tmp_path):
+    import pytest
+
+    from flink_recommendation_system_spark.sources.warehouse import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "model2")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    with pytest.raises(ValueError):
+        merge_upsert(spark, path, dup, ["k"])
+
+
+def test_merge_upsert_is_idempotent_on_rerun(spark, tmp_path):
+    from flink_recommendation_system_spark.sources.warehouse import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "model3")
+    seed = spark.createDataFrame([(1, "a")], ["k", "v"])
+    merge_upsert(spark, path, seed, ["k"])
+    updates = spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"])
+    merge_upsert(spark, path, updates, ["k"])
+    before = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    merge_upsert(spark, path, updates, ["k"])  # same batch replayed
+    after = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert before == after == {(1, "A"), (2, "b")}
