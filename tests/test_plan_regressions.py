@@ -80,3 +80,54 @@ def test_minhash_band_join_is_equi_join_on_band_array(spark):
     assert "NestedLoop" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:3000]
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """Pass 2 of the exact heavy-hitter must broadcast the bounded
+    candidate set into the semi-join (the input relation never shuffles
+    for the join) and keep the recount a partial aggregation."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(1000)], ["key"]
+    ).repartition(4)
+    out = heavy_hitters_exact(df, "key", 1, 10)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_kcore_peel_round_anti_joins_removed_frontier(spark):
+    """One peel round = two broadcast anti-joins against the removed set;
+    the edge relation must not sort-merge."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], ["src", "dst"]
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    removed = F.broadcast(deg.filter(F.col("deg") < 2).select("src"))
+    step = edges.join(removed, "src", "left_anti").join(
+        removed.withColumnRenamed("src", "dst"), "dst", "left_anti"
+    )
+    plan = _plan(step)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_stage_joins_stay_on_user_key(spark):
+    """Every funnel stage joins and aggregates on user_id — no window
+    function over the event stream, no cartesian."""
+    from flink_recommendation_system_spark.operators.events import (
+        funnel_stages,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+
+    df = funnel_stages(
+        load_table(spark, SF0001, "events"), ["view", "click", "purchase"]
+    )
+    plan = _plan(df)
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
