@@ -214,6 +214,7 @@ _WINDOW_PRIORITY = [
     "funnel_stages",
     "retention_cohorts",
     "value_outliers",
+    "user_event_pivot",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

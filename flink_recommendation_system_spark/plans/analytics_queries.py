@@ -533,3 +533,34 @@ WHERE abs(value - med) > {K_MAD} * mad
 # defined after the dict literal because the function lives at the end of
 # the module; same (spark_fn, oracle_sql) contract as every other entry
 QUERIES["value_outliers"] = (q_value_outliers, VALUE_OUTLIERS_SQL)
+
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread across one column per event
+    type (explicit value list — deterministic schema, single-pass
+    partial-aggregated grouping underneath). Missing combinations filled
+    with 0 to match the conditional-aggregation oracle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+USER_EVENT_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["user_event_pivot"] = (q_user_event_pivot, USER_EVENT_PIVOT_SQL)
