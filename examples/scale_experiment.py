@@ -5,7 +5,9 @@ disjoint ids — so the workload grows N× without changing per-entity
 density — and time each operator fully evaluated at 1× and N×.
 
 Covered here: TF-IDF (vocabulary-join path), item-based co-occurrence CF
-(two-hop sparse product), incremental MinHash (new-batch-vs-store pairing).
+(two-hop sparse product), incremental MinHash (new-batch-vs-store pairing),
+plus the round-4 retrieval/LM/bloom operators and the round-4b span-dedup
+and heavy-hitter passes.
 
 Usage: python examples/scale_experiment.py [sf_dir] [n]
 """
@@ -132,6 +134,32 @@ def main() -> None:
 
     timed("bloom_decontamination 1x", bloom_on(docs1, 1 << 20))
     timed(f"bloom_decontamination {n}x", bloom_on(docsN, 1 << 24))
+
+    # round-4b operators: sub-document span dedup + exact heavy-hitters
+    timed(
+        "repeated_spans 1x",
+        lambda: force(D.repeated_spans(docs1, n=8, min_doc_freq=2)),
+    )
+    timed(
+        f"repeated_spans {n}x",
+        lambda: force(D.repeated_spans(docsN, n=8, min_doc_freq=2)),
+    )
+
+    from flink_recommendation_system_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    ev1 = load_table(spark, sf_dir, "events").localCheckpoint()
+    evN = replicate(ev1, n, {"event_id": 10_000_000})  # same users -> same
+    # heavy-hitter SET at every scale; the threshold count scales with n
+    timed(
+        "heavy_hitters 1x",
+        lambda: force(heavy_hitters_exact(ev1, "user_id", 3, 400)),
+    )
+    timed(
+        f"heavy_hitters {n}x",
+        lambda: force(heavy_hitters_exact(evN, "user_id", 3, 400)),
+    )
     spark.stop()
 
 
