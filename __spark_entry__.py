@@ -215,6 +215,8 @@ _WINDOW_PRIORITY = [
     "retention_cohorts",
     "value_outliers",
     "user_event_pivot",
+    "returned_items",
+    "decontaminated_corpus",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

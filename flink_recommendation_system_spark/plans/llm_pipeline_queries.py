@@ -1545,3 +1545,49 @@ QUERIES: dict[str, tuple] = {
     "repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
     "stratified_split": (q_stratified_split, STRATIFIED_SPLIT_SQL),
 }
+
+
+def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination END PRODUCT: training docs (doc_id % 10 != 0)
+    with every benchmark-overlapping document removed — the anti-join
+    composition of `decontamination`'s detection pass. Returns the
+    surviving (doc_id, lang, source) rows; full value oracle."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    flagged = T.ngram_overlap(train, eval_docs, n=DECON_N).select("doc_id")
+    return (
+        train.join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+DECONTAMINATED_CORPUS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           array_to_string(
+               toks[CAST(i AS INT):CAST(i AS INT) + {DECON_N - 1}], ' '
+           ) AS ngram
+    FROM t, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
+),
+eval_grams AS (
+    SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0
+),
+flagged AS (
+    SELECT DISTINCT g.doc_id
+    FROM grams g JOIN eval_grams USING (ngram)
+    WHERE g.doc_id % 10 != 0
+)
+SELECT doc_id, lang, source
+FROM documents d
+WHERE doc_id % 10 != 0
+  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+"""
+
+QUERIES["decontaminated_corpus"] = (
+    q_decontaminated_corpus,
+    DECONTAMINATED_CORPUS_SQL,
+)
