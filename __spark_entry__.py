@@ -234,16 +234,16 @@ _WINDOW_PRIORITY = [
     # 2. events-derived: input encoding changed this round — re-confirm the
     # whole reviews/graph/reco/streaming stack on the new testdata.
     # (graph_vertices / undirected_edges are fully determined by
-    # co_review_edges, which stays in-window; they keep sf0.001 CI
+    # co_review_edges, which stays in-window; community_sizes is a trivial
+    # rollup of the in-window lpa_labels; connected_components shares its
+    # oracle with the in-window star variant. All keep sf0.001 CI
     # coverage and cede their slots to the dedup family below.)
     "good_ratings",
     "co_review_edges",
     "lpa_labels",
-    "community_sizes",
     "top_products",
     "user_recommendations",
     "serving_snapshot",
-    "connected_components",
     "connected_components_star",
     "triangle_counts",
     "pagerank",
