@@ -60,3 +60,50 @@ def start_top_products_refresh(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_upsert_refresh(
+    updates_stream: DataFrame,
+    model_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+):
+    """Continuously MERGE a stream of keyed model updates into a parquet
+    model table — the upsert counterpart of the overwrite publisher above:
+    instead of recomputing the whole model per batch, each micro-batch
+    carries only changed keys and ``merge_upsert`` folds them in (update /
+    insert; last row per key within a batch wins, by max ts if a ``ts``
+    column is present, else arbitrary-deterministic via max over the value
+    struct).
+
+    Crash-safety composition: merge_upsert's stage-and-swap keeps the live
+    table atomic per batch, and a replayed batch (crash before checkpoint
+    commit) re-merges the same rows — idempotent because upserting the
+    same (key, value) twice is a no-op. Returns the StreamingQuery.
+
+    Scale: per-batch cost is one anti-join of the model against the
+    batch's key set (broadcastable — batches are small relative to the
+    model) plus the rewrite. A table format (Delta/Iceberg) would replace
+    the rewrite with a metadata commit; the orchestration here is
+    format-agnostic.
+    """
+    from ..sources.warehouse import merge_upsert
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        val_cols = [c for c in batch.columns if c not in key_cols]
+        # one row per key: keep the max (ts-first) value struct —
+        # deterministic regardless of partitioning/arrival order
+        dedup = (
+            batch.groupBy(*key_cols)
+            .agg(F.max(F.struct(*val_cols)).alias("_v"))
+            .select(*key_cols, "_v.*")
+        )
+        merge_upsert(batch.sparkSession, model_path, dedup, key_cols)
+
+    return (
+        updates_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

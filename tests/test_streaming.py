@@ -220,3 +220,46 @@ def test_streaming_top_products_refresh_converges_to_batch(spark, tmp_path):
         for r in top_products(reviews).collect()
     }
     assert got == expected
+
+
+def test_streaming_upsert_refresh_converges_to_latest_per_key(spark, tmp_path):
+    """Replaying a stream of keyed model updates through the MERGE
+    publisher must leave exactly the latest (max-ts) row per key — across
+    batches via merge_upsert, within a batch via the max-struct dedup."""
+    from flink_recommendation_system_spark.streaming.model_refresh import (
+        start_upsert_refresh,
+    )
+
+    # per-user model updates: (user_id, ts, score); later ts wins
+    rows = [
+        (1, 10, 0.1), (2, 10, 0.2), (3, 10, 0.3),   # file 0: seed
+        (1, 20, 0.5), (4, 20, 0.4),                 # file 1: update+insert
+        (2, 30, 0.9), (2, 25, 0.7),                 # file 2: same-batch dup
+    ]
+    import json as _json
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    for i, chunk in enumerate([rows[:3], rows[3:5], rows[5:]]):
+        with open(src / f"f{i}.json", "w") as fh:
+            for u, ts, sc in chunk:
+                fh.write(_json.dumps({"user_id": u, "ts": ts, "score": sc}) + "\n")
+
+    schema = "user_id BIGINT, ts BIGINT, score DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    model = str(tmp_path / "model")
+    q = start_upsert_refresh(
+        stream, model, str(tmp_path / "ckpt_upsert"), key_cols=["user_id"]
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.ts, r.score)
+        for r in spark.read.parquet(model).collect()
+    }
+    assert got == {(1, 20, 0.5), (2, 30, 0.9), (3, 10, 0.3), (4, 20, 0.4)}
