@@ -217,6 +217,7 @@ _WINDOW_PRIORITY = [
     "user_event_pivot",
     "returned_items",
     "decontaminated_corpus",
+    "large_volume_orders",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

@@ -449,3 +449,45 @@ LIMIT 20
 """
 
 QUERIES["returned_items"] = (q_returned_items, RETURNED_ITEMS_SQL)
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds the
+    threshold, joined back to customer detail — the aggregate-then-semi-
+    join-the-fact pattern (the HAVING set is small, so it broadcasts into
+    the enrichment join instead of re-shuffling orders)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING round(sum(l_quantity), 2) > {Q18_QTY_THRESHOLD}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+QUERIES["large_volume_orders"] = (q_large_volume_orders, LARGE_VOLUME_ORDERS_SQL)
