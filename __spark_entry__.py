@@ -218,6 +218,7 @@ _WINDOW_PRIORITY = [
     "returned_items",
     "decontaminated_corpus",
     "large_volume_orders",
+    "table_profile",
     "local_supplier_volume",
     "customers_without_orders",
     "embedding_near_dups",

@@ -564,3 +564,55 @@ GROUP BY user_id
 """
 
 QUERIES["user_event_pivot"] = (q_user_event_pivot, USER_EVENT_PIVOT_SQL)
+
+
+PROFILE_TABLE = "orders"
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of a table in long format: per column, the
+    row count, null count, and exact distinct count — the monitoring
+    query a warehouse runs after every load. One aggregation pass per
+    metric family; exact integer outputs keep the oracle trivial."""
+    df = load_table(spark, sf_dir, PROFILE_TABLE)
+    rows = None
+    for c in df.columns:
+        one = df.agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       count(CASE WHEN o_custkey IS NULL THEN 1 END),
+       count(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+       count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+       count(DISTINCT o_totalprice) FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+       count(DISTINCT o_orderdate) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+       count(DISTINCT o_orderpriority) FROM orders
+"""
+
+QUERIES["table_profile"] = (q_table_profile, TABLE_PROFILE_SQL)
