@@ -256,7 +256,8 @@ _WINDOW_PRIORITY = [
     "split_db_part",
     "asof_click_purchase",
     "events_within_hour",
-    "daily_rollup",
+    # daily_rollup: the hourly→daily cascade re-aggregates the in-window
+    # event_windows result — sf0.001 CI keeps it covered
     "event_windows",
     "sliding_windows",
     "user_sessions",
