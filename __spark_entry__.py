@@ -143,6 +143,33 @@ def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the TEMPORAL co-review digraph
+    (a→b iff a's first good review of a shared product precedes b's):
+    iterated forward/backward min-reach (operators.graph). Nested
+    fixpoints are not SQL-expressible → rows-only driver check; exactness
+    is property-tested against a reference Tarjan on random digraphs."""
+    from pyspark.sql import functions as F
+
+    reviews = reviews_from_events(spark, sf_dir)
+    liked = (
+        reviews.filter(F.col("user_id") < 1000)
+        .filter(F.col("rating") > 3.0)
+        .groupBy("user_id", "product_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    a, b = liked.alias("a"), liked.alias("b")
+    edges = (
+        a.join(b, "product_id")
+        .filter(F.col("a.first_ts") < F.col("b.first_ts"))
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+    )
+    return G.strongly_connected_components(edges)
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -210,6 +237,7 @@ _WINDOW_PRIORITY = [
     "repeated_spans",
     "heavy_users",
     "kcore_members",
+    "scc_components",
     "stratified_split",
     "funnel_stages",
     "retention_cohorts",
@@ -259,7 +287,8 @@ _WINDOW_PRIORITY = [
     # daily_rollup: the hourly→daily cascade re-aggregates the in-window
     # event_windows result — sf0.001 CI keeps it covered
     "event_windows",
-    "sliding_windows",
+    # sliding_windows: same tumbling machinery as the in-window
+    # event_windows, with overlap — sf0.001 CI keeps it covered
     "user_sessions",
     # 3. flagship dedup/ANN tier: green r03, but the documents corpus was
     # regenerated with the rest of the round-4 testdata — keep the
@@ -308,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "pagerank": _q_pagerank,
         "kcore_members": _q_kcore_members,
+        "scc_components": _q_scc_components,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus

@@ -653,3 +653,141 @@ def kcore_vertices(
     return deg.select(
         F.col("src").alias("id"), F.col("deg").alias("core_degree")
     )
+
+
+def _directed_min_reach(
+    edges: DataFrame,
+    vertices: DataFrame,
+    checkpoint: str,
+    max_iterations: int,
+    on_no_convergence: str,
+) -> DataFrame:
+    """Fixpoint of label(v) = min(v, label(w) for (v,w) in edges) — the
+    minimum vertex id REACHABLE from v along directed edges. Same physical
+    loop as ``connected_components`` (join → partial-agg min → lineage
+    truncation), but propagation follows edge direction only."""
+    labels = vertices.withColumn("label", F.col("id"))
+    reference = labels
+    converged = False
+    for i in range(1, max_iterations + 1):
+        successor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("succ_min"))
+        )
+        labels = _truncate_lineage(
+            labels.join(successor_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("succ_min", F.col("label"))
+                ).alias("label"),
+            ),
+            checkpoint,
+        )
+        if i % 3 == 0 or i == max_iterations:
+            changed = (
+                labels.alias("n")
+                .join(reference.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                converged = True
+                break
+            reference = labels
+    if not converged:
+        msg = (
+            "directed min-reach propagation stopped before its fixpoint "
+            f"(max_iterations={max_iterations}); SCC results derived from "
+            "it may merge or split components. Raise max_iterations."
+        )
+        if on_no_convergence == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=3)
+    return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 8,
+    max_iterations: int = 20,
+    checkpoint: str = "auto",
+    on_no_convergence: str = "raise",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph: (id, component)
+    with component = min vertex id of the SCC. The iterated
+    forward/backward min-reach algorithm (the Spark-shaped form of
+    FW-BW/coloring — Orzan 2004's coloring step with the min id as color):
+
+      per round, compute f(v) = min id reachable FROM v and b(v) = min id
+      that REACHES v (two CC-style fixpoints on the remaining subgraph).
+      f(v) = b(v) = m certifies v and m mutually reachable, so every
+      vertex with f = b joins component f(v); assigned vertices and their
+      edges drop out and the next round runs on the remainder.
+
+    Correctness: if f(v) = b(v) = m then v reaches m and m reaches v
+    (definitions), so v ∈ SCC(m); conversely the round always assigns at
+    least SCC(min remaining vertex) — the global min m has f(m) = b(m) = m
+    and every w ∈ SCC(m) sees f(w) = b(w) = m — so the loop strictly
+    shrinks and terminates in ≤ #SCC rounds (usually 1-2 on real graphs:
+    all SCCs whose min id is both min-forward- and min-backward-reach of
+    their members assign simultaneously).
+
+    ``on_no_convergence`` defaults to "raise": a truncated inner fixpoint
+    could mis-assign components, not just under-assign, so silent
+    truncation is never acceptable for SCC.
+
+    Scale shape: each round is two ``connected_components``-shaped loops
+    (broadcast-able label side, partial-agg min, per-superstep lineage
+    truncation) plus one equi-join to intersect them; the remainder
+    shrinks monotonically. Not SQL-expressible (nested fixpoints) — the
+    registered query takes the driver's rows-only check; exactness is
+    property-tested against a reference Tarjan on random digraphs.
+    """
+    remaining = _truncate_lineage(
+        edges.select("src", "dst").distinct(), checkpoint
+    )
+    verts = remaining.select(F.col("src").alias("id")).union(
+        remaining.select(F.col("dst").alias("id"))
+    ).distinct()
+    result: DataFrame | None = None
+    for _round in range(max_rounds):
+        if not verts.take(1):
+            break
+        fwd = _directed_min_reach(
+            remaining, verts, checkpoint, max_iterations, on_no_convergence
+        )
+        rev = remaining.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        bwd = _directed_min_reach(
+            rev, verts, checkpoint, max_iterations, on_no_convergence
+        )
+        assigned = (
+            fwd.alias("f")
+            .join(bwd.alias("b"), "id")
+            .filter(F.col("f.label") == F.col("b.label"))
+            .select("id", F.col("f.label").alias("component"))
+        )
+        assigned = _truncate_lineage(assigned, checkpoint)
+        result = assigned if result is None else result.unionByName(assigned)
+        verts = _truncate_lineage(
+            verts.join(assigned, "id", "left_anti"), checkpoint
+        )
+        remaining = _truncate_lineage(
+            remaining.join(
+                assigned.select(F.col("id").alias("src")), "src", "left_anti"
+            ).join(
+                assigned.select(F.col("id").alias("dst")), "dst", "left_anti"
+            ),
+            checkpoint,
+        )
+    if verts.take(1):
+        raise RuntimeError(
+            f"SCC did not assign every vertex within max_rounds={max_rounds};"
+            " raise max_rounds (needs at most one round per component in"
+            " the worst case)."
+        )
+    return result

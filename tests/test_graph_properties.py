@@ -477,3 +477,112 @@ def test_kcore_nonconvergence_warns_and_returns_superset(spark):
     assert any("fixpoint" in str(c.message) for c in caught)
     assert {r.id for r in out} >= set()  # superset of empty, present rows
     assert len(out) > 0  # cap at 1 really did stop early
+
+
+# --- strongly connected components -----------------------------------------
+
+
+def _tarjan(edges):
+    """Reference SCC (iterative Tarjan) for tiny graphs."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    verts = set()
+    for s, d in edges:
+        adj[s].append(d)
+        verts.add(s)
+        verts.add(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = {}
+    counter = [0]
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if pi < len(adj[v]):
+                pass
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return out
+
+
+def test_scc_matches_tarjan_on_known_digraph(spark):
+    from flink_recommendation_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # two cycles bridged one-way + a tail: SCCs {1,2,3}, {4,5}, {6}
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)]
+    got = {
+        r.id: r.component
+        for r in strongly_connected_components(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == _tarjan(edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    import random
+
+    from flink_recommendation_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 14
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(30)
+                if True
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            continue
+        got = {
+            r.id: r.component
+            for r in strongly_connected_components(
+                spark.createDataFrame(edges, ["src", "dst"]),
+                max_rounds=20,
+            ).collect()
+        }
+        assert got == _tarjan(edges), f"trial {trial}: {edges}"
