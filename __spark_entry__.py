@@ -243,6 +243,8 @@ _WINDOW_PRIORITY = [
     "retention_cohorts",
     "value_outliers",
     "user_event_pivot",
+    "nation_balance_overview",
+    "revenue_grouping_sets",
     "returned_items",
     "decontaminated_corpus",
     "large_volume_orders",
@@ -279,8 +281,9 @@ _WINDOW_PRIORITY = [
     "pagerank",
     "als_recommendations",
     "itemcf_recommendations",
-    "kv_roundtrip",
-    "user_product_sets",
+    # kv_roundtrip / user_product_sets: P4/A5 string-codec ops whose
+    # events-derived inputs are shared with the in-window good_ratings —
+    # sf0.001 CI keeps them covered; never-checked queries take the slots
     "split_db_part",
     "asof_click_purchase",
     "events_within_hour",

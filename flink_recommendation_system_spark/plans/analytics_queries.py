@@ -616,3 +616,36 @@ SELECT 'o_orderpriority', count(*),
 """
 
 QUERIES["table_profile"] = (q_table_profile, TABLE_PROFILE_SQL)
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id: revenue by (status), by
+    (priority), and the grand total in one pass — the custom-grouping-set
+    shape CUBE/ROLLUP can't express (no (status, priority) pair level)."""
+    orders = load_table(spark, sf_dir, "orders")
+    gs = orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    return gs.agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+REVENUE_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+QUERIES["revenue_grouping_sets"] = (
+    q_revenue_grouping_sets,
+    REVENUE_GROUPING_SETS_SQL,
+)

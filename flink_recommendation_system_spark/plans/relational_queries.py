@@ -491,3 +491,41 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 QUERIES["large_volume_orders"] = (q_large_volume_orders, LARGE_VOLUME_ORDERS_SQL)
+
+
+def q_nation_balance_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join family member not yet registered):
+    per-nation customer account balance vs supplier account balance —
+    nations with only customers or only suppliers keep a row with nulls
+    on the absent side."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_balance"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_balance"))
+    )
+    return cust.join(supp, "nationkey", "full_outer")
+
+
+NATION_BALANCE_OVERVIEW_SQL = """
+WITH c AS (
+    SELECT c_nationkey AS nationkey, round(sum(c_acctbal), 2) AS cust_balance
+    FROM customer GROUP BY c_nationkey
+),
+s AS (
+    SELECT s_nationkey AS nationkey, round(sum(s_acctbal), 2) AS supp_balance
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       cust_balance, supp_balance
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+"""
+
+QUERIES["nation_balance_overview"] = (
+    q_nation_balance_overview,
+    NATION_BALANCE_OVERVIEW_SQL,
+)
