@@ -790,4 +790,7 @@ def strongly_connected_components(
             " raise max_rounds (needs at most one round per component in"
             " the worst case)."
         )
+    if result is None:  # empty edge set → empty result, not None
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id BIGINT, component BIGINT")
     return result

@@ -586,3 +586,14 @@ def test_scc_matches_tarjan_on_random_digraphs(spark):
             ).collect()
         }
         assert got == _tarjan(edges), f"trial {trial}: {edges}"
+
+
+def test_scc_empty_edge_set_returns_empty_frame(spark):
+    from flink_recommendation_system_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
