@@ -72,9 +72,10 @@ def start_upsert_refresh(
     model table — the upsert counterpart of the overwrite publisher above:
     instead of recomputing the whole model per batch, each micro-batch
     carries only changed keys and ``merge_upsert`` folds them in (update /
-    insert; last row per key within a batch wins, by max ts if a ``ts``
-    column is present, else arbitrary-deterministic via max over the value
-    struct).
+    insert; within a batch one row per key survives — the max value
+    struct in COLUMN ORDER, so place a ``ts`` column first among the
+    value columns to get last-write-wins, as the events schema here
+    does).
 
     Crash-safety composition: merge_upsert's stage-and-swap keeps the live
     table atomic per batch, and a replayed batch (crash before checkpoint
