@@ -661,17 +661,20 @@ def _directed_min_reach(
     checkpoint: str,
     max_iterations: int,
     on_no_convergence: str,
+    broadcast_labels: bool,
 ) -> DataFrame:
     """Fixpoint of label(v) = min(v, label(w) for (v,w) in edges) — the
     minimum vertex id REACHABLE from v along directed edges. Same physical
     loop as ``connected_components`` (join → partial-agg min → lineage
-    truncation), but propagation follows edge direction only."""
+    truncation, label side broadcast when the vertex set allows), but
+    propagation follows edge direction only."""
     labels = vertices.withColumn("label", F.col("id"))
     reference = labels
     converged = False
     for i in range(1, max_iterations + 1):
+        lab = F.broadcast(labels) if broadcast_labels else labels
         successor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(lab, edges["dst"] == lab["id"])
             .select(F.col("src").alias("id"), "label")
             .groupBy("id")
             .agg(F.min("label").alias("succ_min"))
@@ -752,18 +755,23 @@ def strongly_connected_components(
     verts = remaining.select(F.col("src").alias("id")).union(
         remaining.select(F.col("dst").alias("id"))
     ).distinct()
+    # one count decides the broadcast tier for every inner fixpoint (the
+    # vertex set only shrinks across rounds, so the decision is stable)
+    broadcast_labels = verts.count() <= BROADCAST_LABELS_MAX
     result: DataFrame | None = None
     for _round in range(max_rounds):
         if not verts.take(1):
             break
         fwd = _directed_min_reach(
-            remaining, verts, checkpoint, max_iterations, on_no_convergence
+            remaining, verts, checkpoint, max_iterations,
+            on_no_convergence, broadcast_labels,
         )
         rev = remaining.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
         bwd = _directed_min_reach(
-            rev, verts, checkpoint, max_iterations, on_no_convergence
+            rev, verts, checkpoint, max_iterations,
+            on_no_convergence, broadcast_labels,
         )
         assigned = (
             fwd.alias("f")
