@@ -118,6 +118,19 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_vertex(G.undirected(G.co_review_edges(liked)))
 
 
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 3 smallest co-review vertices
+    (deterministic seed set at every SF) — value-checked against an
+    unrolled-CTE oracle with the same 2^-38 contribution grid as uniform
+    PageRank."""
+    from pyspark.sql import functions as F
+
+    edges = G.undirected(G.co_review_edges(_liked(spark, sf_dir)))
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    sources = verts.orderBy("id").limit(oracles.PPR_N_SOURCES)
+    return G.personalized_pagerank(edges, sources)
+
+
 def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=19) of the bipartite user-product liked
     graph — the co-review projection is a near-clique where every k is
@@ -238,6 +251,7 @@ _WINDOW_PRIORITY = [
     "heavy_users",
     "kcore_members",
     "scc_components",
+    "personalized_pagerank",
     "stratified_split",
     "funnel_stages",
     "retention_cohorts",
@@ -341,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "kcore_members": _q_kcore_members,
         "scc_components": _q_scc_components,
+        "personalized_pagerank": _q_personalized_pagerank,
         "als_recommendations": _q_als_recommendations,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -387,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": oracles.TRIANGLE_COUNTS_SQL,
         "pagerank": oracles.PAGERANK_SQL,
         "kcore_members": oracles.KCORE_MEMBERS_SQL,
+        "personalized_pagerank": oracles.PERSONALIZED_PAGERANK_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

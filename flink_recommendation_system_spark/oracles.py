@@ -320,3 +320,51 @@ KCORE_MEMBERS_SQL = (
 FROM bedges{KCORE_ROUNDS}
 GROUP BY src"""
 )
+
+
+# Personalized PageRank (operators.graph.personalized_pagerank): seeds =
+# the PPR_N_SOURCES smallest vertex ids (deterministic at every SF); same
+# 2^-38 contribution grid as uniform PageRank, plus the reset CASE and the
+# verts-left-join rebuild (zero-mass vertices must keep their row).
+PPR_N_SOURCES = 3
+
+
+def ppr_ctes(iterations: int = 3) -> str:
+    parts = [
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"srcs AS (SELECT id FROM verts ORDER BY id LIMIT {PPR_N_SOURCES})",
+        "base AS (SELECT v.id,\n"
+        "    CASE WHEN v.id IN (SELECT id FROM srcs)\n"
+        f"         THEN CAST(1 AS DOUBLE) / CAST({PPR_N_SOURCES} AS DOUBLE)\n"
+        "         ELSE CAST(0 AS DOUBLE) END AS reset\n"
+        "    FROM verts v)",
+        "ppr0 AS (SELECT id, reset AS rank FROM base)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ppr{i} AS (\n"
+            "    SELECT b.id,\n"
+            "           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.reset\n"
+            "           + CAST(0.85 AS DOUBLE) * coalesce(s.mass,"
+            " CAST(0 AS DOUBLE)) AS rank\n"
+            "    FROM base b LEFT JOIN (\n"
+            "        SELECT e.dst AS id,\n"
+            "               SUM(floor(p.rank / o.outdeg"
+            " * CAST(274877906944 AS DOUBLE)\n"
+            "                         + CAST(0.5 AS DOUBLE))"
+            " / CAST(274877906944 AS DOUBLE)) AS mass\n"
+            f"        FROM edges e\n"
+            f"        JOIN ppr{i - 1} p ON p.id = e.src\n"
+            "        JOIN outdeg o ON o.src = e.src\n"
+            "        GROUP BY e.dst\n"
+            "    ) s ON s.id = b.id\n"
+            ")"
+        )
+    return ",\n".join(parts)
+
+
+PERSONALIZED_PAGERANK_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n{ppr_ctes(3)}\n"
+    "SELECT id, round(rank, 6) AS rank FROM ppr3"
+)

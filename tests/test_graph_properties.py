@@ -597,3 +597,44 @@ def test_scc_empty_edge_set_returns_empty_frame(spark):
     out = strongly_connected_components(empty)
     assert out.columns == ["id", "component"]
     assert out.count() == 0
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.graph import (
+        personalized_pagerank,
+        undirected,
+    )
+
+    # two disconnected triangles; seeds in the first one only
+    edges = undirected(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+            ["src", "dst"],
+        )
+    )
+    sources = spark.createDataFrame([(1,)], ["id"])
+    got = {
+        r.id: r.rank for r in personalized_pagerank(edges, sources).collect()
+    }
+    # the seedless component receives exactly zero mass but KEEPS its rows
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    assert got[10] == got[11] == got[12] == 0.0
+    # the seed outranks its neighbors (restart mass concentrates at 1)
+    assert got[1] > got[2] == got[3] > 0.0
+
+
+def test_personalized_pagerank_rejects_empty_sources(spark):
+    import pytest
+
+    from flink_recommendation_system_spark.operators.graph import (
+        personalized_pagerank,
+        undirected,
+    )
+
+    edges = undirected(spark.createDataFrame([(1, 2)], ["src", "dst"]))
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, spark.createDataFrame([], "id BIGINT")
+        )
