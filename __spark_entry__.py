@@ -295,10 +295,10 @@ _WINDOW_PRIORITY = [
     "pagerank",
     "als_recommendations",
     "itemcf_recommendations",
-    # kv_roundtrip / user_product_sets: P4/A5 string-codec ops whose
-    # events-derived inputs are shared with the in-window good_ratings —
-    # sf0.001 CI keeps them covered; never-checked queries take the slots
-    "split_db_part",
+    # kv_roundtrip / user_product_sets / split_db_part: P4/A5/X1 ops whose
+    # events-derived inputs are shared with the in-window good_ratings
+    # (and whose logic is ts-independent) — sf0.001 CI keeps them covered;
+    # never-checked queries take the slots
     "asof_click_purchase",
     "events_within_hour",
     # daily_rollup: the hourly→daily cascade re-aggregates the in-window
