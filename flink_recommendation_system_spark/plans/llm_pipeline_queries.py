@@ -1591,3 +1591,68 @@ QUERIES["decontaminated_corpus"] = (
     q_decontaminated_corpus,
     DECONTAMINATED_CORPUS_SQL,
 )
+
+
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REPORT: per source, how much of the training slice
+    overlaps the held-out eval slice (count + rate) — the per-provenance
+    breakdown a dataset audit publishes alongside the document-level
+    decontamination pass. Exact integer counts + one rounded ratio."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    flagged = T.ngram_overlap(train, eval_docs, n=DECON_N).select("doc_id")
+    return (
+        train.join(
+            flagged.withColumn("_f", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_f", F.lit(0))).alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged").cast("double") / F.col("n_docs"), 6
+            ).alias("flag_rate"),
+        )
+    )
+
+
+CONTAMINATION_BY_SOURCE_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           array_to_string(
+               toks[CAST(i AS INT):CAST(i AS INT) + {DECON_N - 1}], ' '
+           ) AS ngram
+    FROM t, unnest(range(1, len(toks) - {DECON_N} + 2)) AS u(i)
+),
+eval_grams AS (
+    SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0
+),
+flagged AS (
+    SELECT DISTINCT g.doc_id
+    FROM grams g JOIN eval_grams USING (ngram)
+    WHERE g.doc_id % 10 != 0
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(CASE WHEN f.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_flagged,
+       round(CAST(count(CASE WHEN f.doc_id IS NOT NULL THEN 1 END)
+                  AS DOUBLE) / count(*), 6) AS flag_rate
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+WHERE d.doc_id % 10 != 0
+GROUP BY source
+"""
+
+QUERIES["contamination_by_source"] = (
+    q_contamination_by_source,
+    CONTAMINATION_BY_SOURCE_SQL,
+)
