@@ -322,10 +322,12 @@ _WINDOW_PRIORITY = [
     "token_counts",
     "quality_stats",
     # --- 50-row window boundary lands here ---
-    # ROUND-5 ROTATION HEAD: contamination_by_source (added after the
-    # round-4 window filled) has never had a driver row — lead with it
-    # next round, then rotate the re-confirmation tiers out.
+    # ROUND-5 ROTATION HEAD: these were added after the round-4 window
+    # filled and have never had a driver row — lead with them next round,
+    # then rotate the re-confirmation tiers out.
     "contamination_by_source",
+    "lineitem_measures_unpivot",
+    "embedding_stats",
     "language_id",
     "active_nations",
     "near_dup_clusters",

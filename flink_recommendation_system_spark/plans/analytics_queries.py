@@ -649,3 +649,36 @@ QUERIES["revenue_grouping_sets"] = (
     q_revenue_grouping_sets,
     REVENUE_GROUPING_SETS_SQL,
 )
+
+
+def q_lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt, the inverse of `user_event_pivot`): the
+    four lineitem measures as (orderkey, linenumber, measure, value) rows
+    via the `stack` table-generating expression — one scan, no joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice',"
+            " l_extendedprice, 'discount', l_discount, 'tax', l_tax)"
+        ).alias("measure", "value"),
+    )
+
+
+LINEITEM_MEASURES_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+"""
+
+QUERIES["lineitem_measures_unpivot"] = (
+    q_lineitem_measures_unpivot,
+    LINEITEM_MEASURES_UNPIVOT_SQL,
+)

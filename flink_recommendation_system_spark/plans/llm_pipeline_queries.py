@@ -1656,3 +1656,41 @@ QUERIES["contamination_by_source"] = (
     q_contamination_by_source,
     CONTAMINATION_BY_SOURCE_SQL,
 )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface over the embedding column:
+    per-vector dimension count, L2 norm, min/max/mean component — all
+    computed with F.aggregate/array_min/array_max (JVM codegen, no UDF),
+    mirrored by DuckDB list_ functions. Rounded to 6 dp both sides."""
+    emb = _emb(spark, sf_dir)
+    vec = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    total = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_min(vec), 6).alias("min_c"),
+        F.round(F.array_max(vec), 6).alias("max_c"),
+        F.round(total / F.size("embedding"), 6).alias("mean_c"),
+    )
+
+
+EMBEDDING_STATS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dims,
+       round(sqrt(list_sum(list_transform(
+           CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+       round(CAST(list_min(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6)
+           AS min_c,
+       round(CAST(list_max(CAST(embedding AS DOUBLE[])) AS DOUBLE), 6)
+           AS max_c,
+       round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6)
+           AS mean_c
+FROM embeddings
+"""
+
+QUERIES["embedding_stats"] = (q_embedding_stats, EMBEDDING_STATS_SQL)
