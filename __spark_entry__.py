@@ -333,6 +333,8 @@ _WINDOW_PRIORITY = [
     "contamination_by_source",
     "lineitem_measures_unpivot",
     "embedding_stats",
+    "sliding_chunks",
+    "curriculum_order",
     "language_id",
     "active_nations",
     "near_dup_clusters",

@@ -553,3 +553,39 @@ def stratified_split(
             cond, F.lit(name)
         )
     return docs.withColumn("split", split)
+
+
+def sliding_chunks(
+    docs: DataFrame, chunk_chars: int = 1024, stride_chars: int = 512
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG-indexing variant of
+    ``chunk_documents``: windows of ``chunk_chars`` starting every
+    ``stride_chars`` (stride < size ⇒ overlap, so no retrieval-relevant
+    span is ever split across a boundary without also appearing whole in
+    a neighbor). Output: (doc_id, chunk_idx, chunk_text, n_chunk_chars);
+    empty documents keep one empty chunk. The last window starts at the
+    last stride position that still contains unseen text.
+
+    Same per-row codegen shape as the fixed chunker (sequence + explode +
+    substring): no shuffle; fan-out bounded by doc length / stride.
+    """
+    if stride_chars <= 0 or chunk_chars <= 0:
+        raise ValueError("chunk_chars and stride_chars must be positive")
+    last_idx = F.greatest(
+        F.floor((F.length("text") - 1) / stride_chars), F.lit(0)
+    ).cast("long")
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias(
+        "chunk_idx"
+    )
+    chunked = docs.select("doc_id", F.col("text"), idx)
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("chunk_idx") * stride_chars + 1).cast("int"),
+        chunk_chars,
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("n_chunk_chars"),
+    )

@@ -20,7 +20,7 @@ Cross-engine notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -1694,3 +1694,80 @@ FROM embeddings
 """
 
 QUERIES["embedding_stats"] = (q_embedding_stats, EMBEDDING_STATS_SQL)
+
+
+SLIDE_CHUNK_CHARS = 256
+SLIDE_STRIDE_CHARS = 128
+
+
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunks (operators.text sliding_chunks):
+    RAG-style windows of 256 chars every 128 — exact substring logic,
+    full value oracle."""
+    return T.sliding_chunks(
+        _docs(spark, sf_dir),
+        chunk_chars=SLIDE_CHUNK_CHARS,
+        stride_chars=SLIDE_STRIDE_CHARS,
+    )
+
+
+SLIDING_CHUNKS_SQL = f"""
+WITH idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, greatest((length(text) - 1) // {SLIDE_STRIDE_CHARS}, 0)
+           )) AS chunk_idx
+    FROM documents
+)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx * {SLIDE_STRIDE_CHARS} + 1 AS INT),
+              {SLIDE_CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substr(text,
+              CAST(chunk_idx * {SLIDE_STRIDE_CHARS} + 1 AS INT),
+              {SLIDE_CHUNK_CHARS})) AS BIGINT) AS n_chunk_chars
+FROM idx
+"""
+
+QUERIES["sliding_chunks"] = (q_sliding_chunks, SLIDING_CHUNKS_SQL)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL SORT surface (RangePartitioning — no other registered query
+    exercises a full distributed sort): curriculum ordering of the corpus
+    by quality score descending with doc_id tie-break, materialized as an
+    explicit position column. At scale this is the range-exchange +
+    per-partition sort + zipWithIndex shape every curriculum/data-ordering
+    job needs."""
+    scored = T.quality_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "doc_id",
+        "quality_score",
+    )
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           CAST((len(tk) >= 10) AS INT)
+           + CAST((n_chars >= 50) AS INT)
+           + CAST((len(list_filter(tk, x -> x IN ({_SW}))) > 0) AS INT)
+               AS quality_score
+    FROM toks
+)
+SELECT row_number() OVER (
+           ORDER BY quality_score DESC, doc_id ASC
+       ) AS position,
+       doc_id, quality_score
+FROM scored
+"""
+
+QUERIES["curriculum_order"] = (q_curriculum_order, CURRICULUM_ORDER_SQL)

@@ -666,3 +666,22 @@ def test_stratified_split_singleton_stratum_goes_to_largest_split(spark):
     }
     # round-half-up boundaries: a 1-row stratum belongs to train, not test
     assert out == {"A": "train", "B": "train"}
+
+
+def test_sliding_chunks_overlap_and_coverage(spark):
+    from flink_recommendation_system_spark.operators.text import (
+        sliding_chunks,
+    )
+
+    text = "abcdefghij"  # 10 chars; size 4, stride 2 -> starts 0,2,4,6,8
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text)
+        for r in sliding_chunks(docs, chunk_chars=4, stride_chars=2).collect()
+    )
+    assert rows == [
+        (0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij"), (4, "ij"),
+    ]
+    # every adjacent pair overlaps by size - stride = 2 chars
+    for (_, a), (_, b) in zip(rows, rows[1:]):
+        assert a[2:4] == b[:2] or len(b) < 4
