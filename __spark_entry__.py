@@ -320,13 +320,14 @@ _WINDOW_PRIORITY = [
     "simhash_near_dups",
     "near_dup_clusters_lsh",
     "deduped_corpus",
-    # 4. last green in r01/r02 only — rotate back in
+    # --- 50-row window boundary: tiers 1-3 above fill exactly 50 ---
+    # 4. OUTSIDE the window this round (green in r01/r02, sf0.001 CI
+    # coverage): rotate back in next round after the rotation head below
     "customers_with_orders",
     "customer_order_counts",
     "revenue_by_nation",
     "token_counts",
     "quality_stats",
-    # --- 50-row window boundary lands here ---
     # ROUND-5 ROTATION HEAD: these were added after the round-4 window
     # filled and have never had a driver row — lead with them next round,
     # then rotate the re-confirmation tiers out.

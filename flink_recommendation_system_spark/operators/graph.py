@@ -832,11 +832,15 @@ def personalized_pagerank(
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     verts = edges.select(F.col("src").alias("id")).distinct()
-    n_src = sources.count()
+    # distinct BEFORE counting: duplicate seed ids would otherwise both
+    # inflate 1/|S| and duplicate the seed's vertex row through the left
+    # join, double-counting its outgoing mass every iteration
+    src_ids = sources.select(F.col("id")).distinct()
+    n_src = src_ids.count()
     if n_src == 0:
         raise ValueError("sources must be non-empty")
     flagged = verts.join(
-        F.broadcast(sources.select(F.col("id")).withColumn("_s", F.lit(1))),
+        F.broadcast(src_ids.withColumn("_s", F.lit(1))),
         "id",
         "left",
     )

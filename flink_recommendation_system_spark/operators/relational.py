@@ -14,7 +14,7 @@ execution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- projections / filters / scalar expressions (§2.2, §2.9) ---------------
@@ -174,3 +174,52 @@ def random_split(
     spliter.py:24). Seed-stable within Spark but not across engines — use
     ``deterministic_split`` when cross-engine reproducibility matters."""
     return df.randomSplit(fractions, seed=seed)
+
+
+def global_positions(
+    df: DataFrame, order_cols: list[Column], position_col: str = "position"
+) -> DataFrame:
+    """Contiguous global rank (1..N) under a TOTAL ordering — the
+    distributed ``zipWithIndex`` shape: range-repartition on the sort key,
+    sort within partitions, take per-partition row numbers, and add each
+    partition's starting offset (a #partitions-row metadata collect, the
+    same tiny driver round-trip ``zipWithIndex`` itself performs). The
+    naive ``row_number() OVER (ORDER BY ...)`` funnels every row through
+    ONE task (Exchange SinglePartition); this shape keeps the sort
+    distributed (Exchange rangepartitioning) and scales to any N.
+
+    ``order_cols`` must be a total order (include a unique tie-break):
+    ties straddling a range boundary would otherwise make positions
+    depend on the sampled partition bounds.
+
+    The result is deterministic even though range boundaries are sampled:
+    under a total order, the global rank of a row is boundary-invariant.
+    """
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # metadata: one row per partition, not a data path
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    offset_df = F.broadcast(
+        spark.createDataFrame(offsets, ["_pid", "_offset"])
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w))
+        .join(offset_df, "_pid")
+        .withColumn(
+            position_col,
+            (F.col("_offset") + F.col("_local")).cast("bigint"),
+        )
+        .drop("_pid", "_local", "_offset")
+    )

@@ -43,8 +43,10 @@ def heavy_hitters_exact(
     share_den: int,
     key_type: str = "bigint",
 ) -> DataFrame:
-    """All keys whose exact count is >= ceil(total * share_num/share_den),
-    with those exact counts. Output: (key, cnt).
+    """All NON-NULL keys whose exact count is >= ceil(non_null_total *
+    share_num/share_den), with those exact counts. Output: (key, cnt).
+    NULL keys are excluded by contract (see the inline note) — mirror the
+    exclusion in any comparison query (e.g. WHERE key IS NOT NULL).
 
     The threshold is integer arithmetic (``(share_num*n + share_den-1) //
     share_den``) so a DuckDB oracle computes the identical cutoff — no
@@ -52,7 +54,15 @@ def heavy_hitters_exact(
     """
     if share_num <= 0 or share_den <= 0:
         raise ValueError("share must be a positive fraction")
-    keyed = df.select(F.col(key_col).alias("key"))
+    # NULL keys are EXCLUDED up front (documented contract): pandas
+    # value_counts never emits a NULL candidate and the semi-join cannot
+    # match one, so silently passing NULLs through would under-report a
+    # heavy NULL group — and a NULL in any Arrow batch would coerce the
+    # int64 key column to float64, corrupting keys above 2^53. The
+    # threshold denominator is therefore the NON-NULL row count.
+    keyed = df.select(F.col(key_col).alias("key")).filter(
+        F.col(key_col).isNotNull()
+    )
     total = keyed.count()  # scalar loop-control action, not a data path
     min_count = (share_num * total + share_den - 1) // share_den
     # capacity: k + 1 > den/num  =>  every key with count >= min_count

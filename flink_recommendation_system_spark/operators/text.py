@@ -571,8 +571,17 @@ def sliding_chunks(
     """
     if stride_chars <= 0 or chunk_chars <= 0:
         raise ValueError("chunk_chars and stride_chars must be positive")
+    # last start = the last stride position with UNSEEN text:
+    # ceil((len - chunk)/stride), floored at 0 — the naive
+    # floor((len-1)/stride) emits pure-suffix windows already fully
+    # covered by their predecessor whenever chunk > stride (a duplicate
+    # chunk for roughly every document at the defaults)
     last_idx = F.greatest(
-        F.floor((F.length("text") - 1) / stride_chars), F.lit(0)
+        F.floor(
+            (F.length("text") - chunk_chars + stride_chars - 1)
+            / stride_chars
+        ),
+        F.lit(0),
     ).cast("long")
     idx = F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias(
         "chunk_idx"

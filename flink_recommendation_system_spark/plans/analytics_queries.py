@@ -572,21 +572,30 @@ PROFILE_TABLE = "orders"
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of a table in long format: per column, the
     row count, null count, and exact distinct count — the monitoring
-    query a warehouse runs after every load. One aggregation pass per
-    metric family; exact integer outputs keep the oracle trivial."""
+    query a warehouse runs after every load. ONE aggregation pass
+    computes every column's metrics side by side (a per-column agg loop
+    would re-scan the table once per column); a stack expression then
+    melts the single wide row to long format. Exact integer outputs keep
+    the oracle trivial."""
     df = load_table(spark, sf_dir, PROFILE_TABLE)
-    rows = None
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in df.columns:
-        one = df.agg(
-            F.lit(c).alias("column_name"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.when(F.col(c).isNull(), 1).otherwise(0)
-            ).alias("n_nulls"),
-            F.count_distinct(F.col(c)).alias("n_distinct"),
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"_nn_{c}"
+            )
         )
-        rows = one if rows is None else rows.unionByName(one)
-    return rows
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in df.columns
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(df.columns)}, {stack_args})"
+        ).alias("column_name", "n_nulls", "n_distinct"),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
 
 
 TABLE_PROFILE_SQL = """

@@ -1715,7 +1715,9 @@ SLIDING_CHUNKS_SQL = f"""
 WITH idx AS (
     SELECT doc_id, text,
            unnest(generate_series(
-               0, greatest((length(text) - 1) // {SLIDE_STRIDE_CHARS}, 0)
+               0, greatest((length(text) - {SLIDE_CHUNK_CHARS}
+                            + {SLIDE_STRIDE_CHARS} - 1)
+                           // {SLIDE_STRIDE_CHARS}, 0)
            )) AS chunk_idx
     FROM documents
 )
@@ -1732,23 +1734,23 @@ QUERIES["sliding_chunks"] = (q_sliding_chunks, SLIDING_CHUNKS_SQL)
 
 
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GLOBAL SORT surface (RangePartitioning — no other registered query
-    exercises a full distributed sort): curriculum ordering of the corpus
-    by quality score descending with doc_id tie-break, materialized as an
-    explicit position column. At scale this is the range-exchange +
-    per-partition sort + zipWithIndex shape every curriculum/data-ordering
-    job needs."""
+    """GLOBAL SORT surface: curriculum ordering of the corpus by quality
+    score descending with doc_id tie-break, materialized as an explicit
+    position column via operators.relational.global_positions — the
+    range-exchange + per-partition sort + offset-metadata shape
+    (distributed ``zipWithIndex``), NOT a bare ``row_number() OVER
+    (ORDER BY …)``, which would funnel the whole corpus through one task
+    (Exchange SinglePartition; pinned in tests/test_plan_regressions.py).
+    """
+    from ..operators.relational import global_positions
+
     scored = T.quality_stats(_docs(spark, sf_dir)).select(
         "doc_id", "quality_score"
     )
-    w = Window.orderBy(
-        F.col("quality_score").desc(), F.col("doc_id").asc()
+    out = global_positions(
+        scored, [F.col("quality_score").desc(), F.col("doc_id").asc()]
     )
-    return scored.select(
-        F.row_number().over(w).cast("bigint").alias("position"),
-        "doc_id",
-        "quality_score",
-    )
+    return out.select("position", "doc_id", "quality_score")
 
 
 CURRICULUM_ORDER_SQL = f"""

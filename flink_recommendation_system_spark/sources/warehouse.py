@@ -84,6 +84,15 @@ def merge_upsert(
     import os
     import shutil
 
+    # Crash recovery FIRST: a previous run that died between the two swap
+    # renames leaves target missing and <target>.old holding the only
+    # copy of the table. Roll it back before reading — without this, the
+    # replay path would read PATH_NOT_FOUND, rebuild from the batch alone,
+    # and then DELETE the .old backup, losing every previously merged key.
+    old = target_path.rstrip("/") + ".old"
+    if not os.path.exists(target_path) and os.path.exists(old):
+        os.rename(old, target_path)
+
     dup = (
         updates.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
     )
@@ -92,7 +101,11 @@ def merge_upsert(
     data_cols = [c for c in updates.columns if c != delete_col]
     upserts = updates
     if delete_col is not None:
-        upserts = updates.filter(~F.col(delete_col)).select(*data_cols)
+        # NULL flag = NOT a delete (a streaming batch missing the field
+        # must upsert, not silently tombstone the key)
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).select(*data_cols)
     try:
         target = spark.read.parquet(target_path)
         survivors = target.join(
@@ -106,7 +119,6 @@ def merge_upsert(
     staging = target_path.rstrip("/") + ".staging"
     result.write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
-    old = target_path.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(target_path):

@@ -145,6 +145,14 @@ def compact_signature_store(
     import os
     import shutil
 
+    # Crash recovery: a previous compaction that died between the two swap
+    # renames leaves the store missing and <store>.old holding it — roll
+    # back first so the documented "retry after crash" path actually works
+    # (a bare retry would otherwise fail at the initial read).
+    old = store_path.rstrip("/") + ".old"
+    if not os.path.exists(store_path) and os.path.exists(old):
+        os.rename(old, store_path)
+
     df = spark.read.parquet(store_path).select("doc_id", "sig")
     n = df.count()
     writer = df.withColumn("batch", F.lit(0))
@@ -152,7 +160,6 @@ def compact_signature_store(
         writer = writer.repartition(target_partitions)
     staging = store_path.rstrip("/") + ".compact"
     writer.write.mode("overwrite").partitionBy("batch").parquet(staging)
-    old = store_path.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(store_path, old)

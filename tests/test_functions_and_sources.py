@@ -152,3 +152,56 @@ def test_merge_upsert_is_idempotent_on_rerun(spark, tmp_path):
     merge_upsert(spark, path, updates, ["k"])  # same batch replayed
     after = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert before == after == {(1, "A"), (2, "b")}
+
+
+def test_merge_upsert_recovers_from_crash_between_renames(spark, tmp_path):
+    import os
+
+    from flink_recommendation_system_spark.sources.warehouse import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "model4")
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    merge_upsert(spark, path, seed, ["k"])
+    # simulate a crash between the two swap renames: target gone,
+    # .old holds the only copy of the table
+    os.rename(path, path + ".old")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    n = merge_upsert(spark, path, updates, ["k"])
+    assert n == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    # the pre-crash rows MUST survive the replay — not just the batch
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_upsert_null_delete_flag_upserts(spark, tmp_path):
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from flink_recommendation_system_spark.sources.warehouse import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "model5")
+    seed = spark.createDataFrame([(1, "a")], ["k", "v"])
+    merge_upsert(spark, path, seed, ["k"])
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("is_delete", BooleanType()),
+        ]
+    )
+    # NULL flag (e.g. a JSON batch missing the field) must UPSERT the
+    # key, not silently tombstone it
+    updates = spark.createDataFrame([(1, "A", None)], schema)
+    n = merge_upsert(spark, path, updates, ["k"], delete_col="is_delete")
+    assert n == 1
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "A")}

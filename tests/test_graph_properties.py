@@ -638,3 +638,24 @@ def test_personalized_pagerank_rejects_empty_sources(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([], "id BIGINT")
         )
+
+
+def test_personalized_pagerank_dedupes_seed_ids(spark):
+    from flink_recommendation_system_spark.operators.graph import (
+        personalized_pagerank,
+        undirected,
+    )
+
+    edges = undirected(
+        spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    )
+    once = spark.createDataFrame([(1,)], ["id"])
+    twice = spark.createDataFrame([(1,), (1,)], ["id"])
+    a = sorted(
+        (r.id, r.rank) for r in personalized_pagerank(edges, once).collect()
+    )
+    b = sorted(
+        (r.id, r.rank) for r in personalized_pagerank(edges, twice).collect()
+    )
+    # duplicate seed rows must not duplicate output rows or double mass
+    assert a == b

@@ -131,3 +131,16 @@ def test_funnel_stage_joins_stay_on_user_key(spark):
     plan = _plan(df)
     assert "Window" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_sort_is_range_partitioned(spark):
+    """The global position assignment must keep the sort distributed
+    (Exchange rangepartitioning), never funnel all rows through a
+    single-partition window."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_curriculum_order,
+    )
+
+    plan = _plan(q_curriculum_order(spark, SF0001))
+    assert "rangepartitioning" in plan, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]

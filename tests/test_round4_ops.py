@@ -673,15 +673,21 @@ def test_sliding_chunks_overlap_and_coverage(spark):
         sliding_chunks,
     )
 
-    text = "abcdefghij"  # 10 chars; size 4, stride 2 -> starts 0,2,4,6,8
+    text = "abcdefghij"  # 10 chars; size 4, stride 2 -> starts 0,2,4,6
+    # (no start 8: chars 9-10 are already covered by the window at 6 —
+    # pure-suffix windows with zero unseen text must NOT be emitted)
     docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
     rows = sorted(
         (r.chunk_idx, r.chunk_text)
         for r in sliding_chunks(docs, chunk_chars=4, stride_chars=2).collect()
     )
     assert rows == [
-        (0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij"), (4, "ij"),
+        (0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij"),
     ]
     # every adjacent pair overlaps by size - stride = 2 chars
     for (_, a), (_, b) in zip(rows, rows[1:]):
-        assert a[2:4] == b[:2] or len(b) < 4
+        assert a[2:4] == b[:2]
+    # a doc shorter than one window still yields exactly one chunk
+    short = spark.createDataFrame([(2, "xy")], ["doc_id", "text"])
+    got = sliding_chunks(short, chunk_chars=4, stride_chars=2).collect()
+    assert [(r.chunk_idx, r.chunk_text) for r in got] == [(0, "xy")]

@@ -144,3 +144,31 @@ def test_compaction_preserves_store_and_future_pairs(spark, tmp_path):
     assert (0, 10_000) in {
         (r.a_id, r.b_id) for r in pairs.collect()
     }
+
+
+def test_compaction_recovers_from_crash_between_renames(spark, tmp_path):
+    import os
+
+    from flink_recommendation_system_spark.streaming.near_dup import (
+        _read_store,
+        compact_signature_store,
+    )
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    store = str(tmp_path / "sigs2")
+    D.minhash_signatures(docs, 32, 5).write.mode("overwrite").parquet(
+        f"{store}/batch=0"
+    )
+    before = {
+        (r.doc_id, tuple(r.sig))
+        for r in _read_store(spark, store, before_batch=9).collect()
+    }
+    # simulate the crash window: store renamed away, retry must roll back
+    os.rename(store, store + ".old")
+    n = compact_signature_store(spark, store, target_partitions=1)
+    assert n == len(before)
+    after = {
+        (r.doc_id, tuple(r.sig))
+        for r in _read_store(spark, store, before_batch=9).collect()
+    }
+    assert after == before
