@@ -282,6 +282,9 @@ _WINDOW_PRIORITY = [
     "doc_chunks",
     "length_histogram",
     "semantic_dedup",
+    "cms_part_counts",
+    "corpus_sample_k",
+    "deduped_corpus_quality",
     # 2. events-derived: input encoding changed this round — re-confirm the
     # whole reviews/graph/reco/streaming stack on the new testdata.
     # (graph_vertices / undirected_edges are fully determined by
@@ -296,7 +299,10 @@ _WINDOW_PRIORITY = [
     "user_recommendations",
     "serving_snapshot",
     "connected_components_star",
-    "triangle_counts",
+    # triangle_counts: ts-insensitive; its input derivation (good_reviews →
+    # co_review_edges) is re-confirmed in-window via co_review_edges, and
+    # the operator was green r03 unchanged — cedes its slot to the round-4c
+    # sketch/sampling additions; sf0.001 CI keeps it covered
     "pagerank",
     "als_recommendations",
     "itemcf_recommendations",
@@ -316,10 +322,13 @@ _WINDOW_PRIORITY = [
     # regenerated with the rest of the round-4 testdata — keep the
     # near-dup family under fresh oracle check
     "minhash_near_dups",
-    "near_dup_pipeline",
+    # near_dup_pipeline: = the _EXACT_SURVIVORS filter (r03-green,
+    # unchanged) over the in-window minhash machinery — cedes its slot
     "simhash_near_dups",
     "near_dup_clusters_lsh",
-    "deduped_corpus",
+    # deduped_corpus: trivial filter+semi-join over the in-window
+    # near_dup_clusters_lsh; its richer successor deduped_corpus_quality
+    # (same composition + argmax representative) IS in-window
     # --- 50-row window boundary: tiers 1-3 above fill exactly 50 ---
     # 4. OUTSIDE the window this round (green in r01/r02, sf0.001 CI
     # coverage): rotate back in next round after the rotation head below
@@ -331,6 +340,9 @@ _WINDOW_PRIORITY = [
     # ROUND-5 ROTATION HEAD: these were added after the round-4 window
     # filled and have never had a driver row — lead with them next round,
     # then rotate the re-confirmation tiers out.
+    "triangle_counts",
+    "near_dup_pipeline",
+    "deduped_corpus",
     "contamination_by_source",
     "lineitem_measures_unpivot",
     "embedding_stats",

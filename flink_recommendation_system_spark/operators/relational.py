@@ -223,3 +223,28 @@ def global_positions(
         )
         .drop("_pid", "_local", "_offset")
     )
+
+
+def uniform_sample_k(
+    df: DataFrame, k: int, id_col: str, salt: str = "sample"
+) -> DataFrame:
+    """EXACTLY-k uniform sample, deterministic and partition-invariant:
+    rank every row by the portable md5-derived hash of (salt, id) and keep
+    the k smallest (ties broken by id). Unlike ``df.sample(fraction)``
+    (binomial row count, partitioning-dependent) this returns the same k
+    rows for the same (input, salt) on ANY cluster layout — the property a
+    training-data pipeline needs for reproducible eval carve-outs — and
+    unlike a fraction-based filter it hits an exact size target.
+
+    Plan shape: orderBy+limit compiles to ``TakeOrderedAndProject`` —
+    per-partition top-k heaps and a single k-row merge, no global sort. A
+    DuckDB oracle is the same ORDER BY hash LIMIT k.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    from .dedup import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)

@@ -1,5 +1,6 @@
 """Frequency-sketch operators: EXACT distributed heavy-hitters via a
-Misra-Gries candidate pass + exact recount.
+Misra-Gries candidate pass + exact recount, and a mergeable count-min
+sketch for point frequency estimates under a FIXED state budget.
 
 Why not just ``groupBy(key).count().filter(...)``? At 100 TB that shuffles
 every distinct key — for high-cardinality keys (URLs, user ids, n-grams)
@@ -100,4 +101,99 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(min_count))
         .select(F.col("key").alias(key_col), "cnt")
+    )
+
+
+# --- count-min sketch --------------------------------------------------------
+#
+# Cormode & Muthukrishnan 2005: a depth x width counter matrix; each key
+# increments one counter per row (position = h_r(key) mod width); the point
+# estimate is the MIN over rows — always >= the true count, with error
+# <= n/width at confidence 1 - (1/2)^depth under pairwise-independent hashes.
+#
+# Why it earns a place next to the exact Misra-Gries pass: the CMS state is
+# a FIXED size (depth x width counters) regardless of key cardinality or
+# corpus size, and two sketches over disjoint corpora merge by cell-wise
+# ADDITION — the shape for per-shard profiling (sketch each partition/day,
+# merge on read) where even the heavy-hitter candidate pass is too much
+# coordination. The build is one partial-aggregated groupBy on (row, cell):
+# the shuffle carries at most depth*width rows PER TASK, independent of the
+# input's key space.
+#
+# Determinism: positions come from the portable md5-derived hash
+# (operators.dedup.portable_hash32) over "r:key", so a DuckDB oracle
+# reproduces every counter — and therefore every estimate — exactly.
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key_col]`` (NULLs excluded, same
+    contract as ``heavy_hitters_exact``). Output: SPARSE cell table
+    (r, j, cnt) with at most depth*width rows — zero cells are omitted
+    (``cms_estimate`` coalesces absent cells to 0)."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be positive")
+    from .dedup import portable_hash32
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key")).filter(
+        F.col(key_col).isNotNull()
+    )
+    exploded = keyed.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    )
+    j = portable_hash32(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("key"))
+    ) % F.lit(width)
+    return (
+        exploded.select("r", j.alias("j"))
+        .groupBy("r", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the SAME (width, depth) —
+    exactly the sketch of the concatenated inputs (the linearity that makes
+    per-shard sketching composable)."""
+    return (
+        a.unionByName(b).groupBy("r", "j").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[key_col]``: min over the
+    sketch's depth rows of the addressed counters (absent sparse cell = 0).
+    Output: (key_col, est_cnt), always >= the true count.
+
+    Plan shape: the probe side fans out to depth rows per key, then joins
+    the sketch — which is at most depth*width rows, so it BROADCASTS; the
+    corpus itself is never touched."""
+    from .dedup import portable_hash32
+
+    kx = probes.select(
+        F.col(key_col).alias("_orig"),
+        F.col(key_col).cast("string").alias("key"),
+    ).distinct()
+    fan = kx.select(
+        "_orig",
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    )
+    j = portable_hash32(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("key"))
+    ) % F.lit(width)
+    addressed = fan.select("_orig", "r", j.alias("j"))
+    return (
+        addressed.join(F.broadcast(sketch), ["r", "j"], "left")
+        .groupBy("_orig")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+        .select(F.col("_orig").alias(key_col), "est_cnt")
     )

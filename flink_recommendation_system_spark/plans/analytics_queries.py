@@ -691,3 +691,85 @@ QUERIES["lineitem_measures_unpivot"] = (
     q_lineitem_measures_unpivot,
     LINEITEM_MEASURES_UNPIVOT_SQL,
 )
+
+
+# Count-min sketch frequency profile. Width deliberately modest so cell
+# collisions actually occur at test SF (est > exact on some probes) — the
+# oracle reproduces the over-estimates exactly, collisions included.
+CMS_WIDTH, CMS_DEPTH = 256, 4
+CMS_PROBE_LO, CMS_PROBE_HI = 1, 50  # probe part keys [1, 50]
+
+
+def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch line-count estimates per part (operators.sketches):
+    build a depth x width sketch over lineitem.l_partkey — fixed-size
+    state, shuffle bounded by depth*width cells per task regardless of part
+    cardinality — then probe part keys [1, 50] against the broadcast
+    sketch, alongside the exact counts of just those keys (probe-set
+    semi-join first, so the exact pass's shuffle is bounded by the probe
+    set too). est_cnt >= exact_cnt always; equality where no cell
+    collision. Fully value-checked: positions use the portable md5 hash,
+    so DuckDB rebuilds every counter bit-for-bit."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, "l_partkey", CMS_WIDTH, CMS_DEPTH)
+    probes = spark.range(CMS_PROBE_LO, CMS_PROBE_HI + 1).select(
+        F.col("id").alias("l_partkey")
+    )
+    est = cms_estimate(sketch, probes, "l_partkey", CMS_WIDTH, CMS_DEPTH)
+    exact = (
+        li.join(F.broadcast(probes), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "est_cnt",
+            F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+        )
+    )
+
+
+CMS_PART_COUNTS_SQL = f"""
+WITH keys AS (
+    SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem
+    WHERE l_partkey IS NOT NULL
+),
+rows_ AS (
+    SELECT key, r FROM keys
+    CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
+),
+cells AS (
+    SELECT r,
+           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || key), 1, 8)
+                AS BIGINT) % {CMS_WIDTH} AS j,
+           count(*) AS cnt
+    FROM rows_ GROUP BY r, j
+),
+probes AS (SELECT unnest(range({CMS_PROBE_LO}, {CMS_PROBE_HI + 1})) AS p),
+addressed AS (
+    SELECT p, r,
+           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                || CAST(p AS VARCHAR)), 1, 8) AS BIGINT) % {CMS_WIDTH} AS j
+    FROM probes CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
+),
+est AS (
+    SELECT a.p, min(coalesce(c.cnt, 0)) AS est_cnt
+    FROM addressed a LEFT JOIN cells c ON c.r = a.r AND c.j = a.j
+    GROUP BY a.p
+),
+exact AS (
+    SELECT l_partkey, count(*) AS exact_cnt FROM lineitem
+    WHERE l_partkey BETWEEN {CMS_PROBE_LO} AND {CMS_PROBE_HI}
+    GROUP BY l_partkey
+)
+SELECT CAST(e.p AS BIGINT) AS l_partkey,
+       e.est_cnt,
+       coalesce(x.exact_cnt, 0) AS exact_cnt
+FROM est e LEFT JOIN exact x ON x.l_partkey = e.p
+"""
+
+QUERIES["cms_part_counts"] = (q_cms_part_counts, CMS_PART_COUNTS_SQL)

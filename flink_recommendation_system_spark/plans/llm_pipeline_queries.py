@@ -1773,3 +1773,113 @@ FROM scored
 """
 
 QUERIES["curriculum_order"] = (q_curriculum_order, CURRICULUM_ORDER_SQL)
+
+
+SAMPLE_K, SAMPLE_SALT = 100, "eval-carveout-v1"
+
+
+def q_corpus_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 uniform document sample (operators.relational
+    uniform_sample_k): rank by the portable salted hash, keep the k
+    smallest — deterministic across runs, engines, and partitionings (the
+    reproducible eval-carve-out shape; `df.sample` gives a binomial count
+    that depends on partitioning). TakeOrderedAndProject plan — no global
+    sort. Fully value-checked."""
+    from ..operators.relational import uniform_sample_k
+
+    docs = _docs(spark, sf_dir)
+    return uniform_sample_k(docs, SAMPLE_K, "doc_id", SAMPLE_SALT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+CORPUS_SAMPLE_K_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang, source, n_chars,
+           CAST('0x' || substr(md5('{SAMPLE_SALT}:'
+                || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS u
+    FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM h
+ORDER BY CAST(CAST(u AS HUGEINT)
+              - CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) ASC,
+         doc_id ASC
+LIMIT {SAMPLE_K}
+"""
+
+QUERIES["corpus_sample_k"] = (q_corpus_sample_k, CORPUS_SAMPLE_K_SQL)
+
+
+def q_deduped_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representatives: within each scale-path near-dup
+    cluster (MinHash-LSH edges → star-CC, as `deduped_corpus`), keep the
+    HIGHEST-QUALITY document instead of the min-id one — argmax by
+    (quality_score DESC, n_chars DESC, doc_id ASC), the FineWeb-style "keep
+    the best copy" policy. One max_by partial aggregation over the cluster
+    map; no extra shuffle beyond the clustering itself. Fully
+    value-checked (recursive-CTE closure + window argmax oracle)."""
+    docs = _docs(spark, sf_dir)
+    clusters = q_near_dup_clusters_lsh(spark, sf_dir)
+    scored = T.quality_stats(docs).select("doc_id", "quality_score")
+    ranked = (
+        clusters.join(scored, "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    # struct max: quality DESC, n_chars DESC, doc_id ASC (negated for max)
+    keep = ranked.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("quality_score"),
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+            ),
+        ).alias("doc_id")
+    )
+    return docs.join(
+        keep.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+DEDUPED_CORPUS_QUALITY_SQL = (
+    "WITH RECURSIVE " + _minhash_ctes("", 32, 8, 5, 0.5)
+    + _LSH_CLOSURE_CTES
+    + f""",
+cmap AS (
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
+),
+q AS (
+    SELECT doc_id,
+           CAST((len(string_split(text, ' ')) >= 10) AS INT)
+           + CAST((n_chars >= 50) AS INT)
+           + CAST((len(list_filter(string_split(text, ' '),
+                        x -> x IN ({_SW}))) > 0) AS INT) AS quality_score
+    FROM documents
+),
+keep AS (
+    SELECT doc_id FROM (
+        SELECT m.doc_id,
+               row_number() OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY q.quality_score DESC, d.n_chars DESC,
+                            m.doc_id ASC
+               ) AS rn
+        FROM cmap m
+        JOIN q ON q.doc_id = m.doc_id
+        JOIN documents d ON d.doc_id = m.doc_id
+    ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN keep k ON k.doc_id = d.doc_id
+"""
+)
+
+QUERIES["deduped_corpus_quality"] = (
+    q_deduped_corpus_quality,
+    DEDUPED_CORPUS_QUALITY_SQL,
+)

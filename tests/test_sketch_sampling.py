@@ -1,0 +1,100 @@
+"""Round-4c operators: count-min sketch, exact-k deterministic sampling,
+quality-aware dedup representatives."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from flink_recommendation_system_spark.operators.relational import (
+    uniform_sample_k,
+)
+from flink_recommendation_system_spark.sources.tables import load_table
+from tests.conftest import SF0001
+
+W, D = 128, 4
+
+
+def test_cms_never_underestimates(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    sketch = cms_build(li, "l_partkey", W, D)
+    probes = li.select("l_partkey").distinct()
+    est = cms_estimate(sketch, probes, "l_partkey", W, D)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    joined = est.join(exact, "l_partkey")
+    n = joined.count()
+    assert n == probes.count()
+    under = joined.filter(F.col("est_cnt") < F.col("cnt")).count()
+    assert under == 0  # CMS over-estimates only, never under
+    # with width << #keys some collisions must exist (sanity that the
+    # estimate is not just the exact count in disguise)
+    assert joined.filter(F.col("est_cnt") > F.col("cnt")).count() > 0
+
+
+def test_cms_sparse_size_bounded(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    sketch = cms_build(li, "l_partkey", W, D)
+    assert sketch.count() <= W * D
+    # total mass per row r equals the non-null input count
+    total = li.filter(F.col("l_partkey").isNotNull()).count()
+    per_row = sketch.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    assert len(per_row) == D and all(r["s"] == total for r in per_row)
+
+
+def test_cms_merge_linearity(spark):
+    li = load_table(spark, SF0001, "lineitem")
+    even = li.filter(F.col("l_orderkey") % 2 == 0)
+    odd = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = cms_merge(
+        cms_build(even, "l_partkey", W, D), cms_build(odd, "l_partkey", W, D)
+    )
+    full = cms_build(li, "l_partkey", W, D)
+    sym_diff = merged.exceptAll(full).union(full.exceptAll(merged))
+    assert sym_diff.count() == 0
+
+
+def test_uniform_sample_exact_k_and_partition_invariant(spark):
+    docs = load_table(spark, SF0001, "documents")
+    s1 = uniform_sample_k(docs, 37, "doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    assert len(ids1) == 37
+    s2 = uniform_sample_k(docs.repartition(7), 37, "doc_id")
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # layout-invariant
+    s3 = uniform_sample_k(docs, 37, "doc_id", salt="other-salt")
+    ids3 = sorted(r["doc_id"] for r in s3.select("doc_id").collect())
+    assert ids1 != ids3  # salt actually re-draws the sample
+
+
+def test_quality_dedup_keeps_best_doc_per_cluster(spark):
+    from flink_recommendation_system_spark.operators import text as T
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_deduped_corpus,
+        q_deduped_corpus_quality,
+        q_near_dup_clusters_lsh,
+    )
+
+    kept = q_deduped_corpus_quality(spark, SF0001)
+    # same cluster structure as the min-id policy → same representative count
+    assert kept.count() == q_deduped_corpus(spark, SF0001).count()
+
+    docs = load_table(spark, SF0001, "documents")
+    clusters = q_near_dup_clusters_lsh(spark, SF0001)
+    scored = T.quality_stats(docs).select("doc_id", "quality_score")
+    member_max = (
+        clusters.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("quality_score").alias("best"))
+    )
+    rep_quality = (
+        kept.select("doc_id")
+        .join(clusters, "doc_id")
+        .join(scored, "doc_id")
+        .join(member_max, "cluster_id")
+    )
+    # every kept representative carries its cluster's max quality score
+    assert rep_quality.filter(F.col("quality_score") < F.col("best")).count() == 0
