@@ -1,0 +1,58 @@
+"""Continuous frequency profiling: per-micro-batch count-min sketches.
+
+The batch operator (``operators.sketches.cms_build``) is LINEAR — the
+sketch of a union is the cell-wise sum of the sketches — which makes it
+the natural streaming profile: each micro-batch writes ITS OWN sketch
+under ``store_path/batch=N`` (overwrite, so a replayed batch after a
+crash rewrites identical cells — idempotent by construction, the same
+contract as ``streaming.near_dup``'s signature store), and the current
+corpus-wide sketch is the read-side cell-wise sum. No per-key state
+anywhere: the streaming state is ZERO (stateless foreachBatch), the
+store is at most depth*width cells per batch, and ``compact``-style
+consolidation is just re-partitioning the sum.
+
+This is the shape for "what are the hot keys / how skewed is the stream"
+questions over unbounded key domains (URLs, n-grams, user ids) where a
+streaming groupBy's state would grow with the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import cms_build
+
+
+def start_cms_refresh(
+    stream: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    width: int = 1024,
+    depth: int = 4,
+):
+    """Maintain a per-batch count-min-sketch store over ``stream[key_col]``.
+    Returns the StreamingQuery. Read the merged sketch with ``read_cms``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_build(batch_df, key_col, width, depth)
+        sk.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
+    """The current corpus-wide sketch: cell-wise sum over every batch's
+    sketch — identical to ``cms_build`` over the concatenated input
+    (linearity; pinned in tests/test_streaming_sketch.py). Feed it to
+    ``operators.sketches.cms_estimate``."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("r", "j")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
