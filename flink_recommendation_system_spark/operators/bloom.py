@@ -69,6 +69,32 @@ def _positions(c: Column, m_bits: int, k: int) -> list[Column]:
     return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
 
 
+def _positions_hoisted(
+    df: DataFrame, key_col: str, m_bits: int, k: int, out: str, *, pos_only: bool
+):
+    """Explode the k probe positions with (h1, h2) hoisted into a
+    PROJECTION first: expressions inside a Generate's array are not
+    common-subexpression eliminated, so inlining ``_positions`` there pays
+    2k md5s per key in the slower Generate node (the count-min-sketch
+    lesson, operators.sketches._with_h1_h2). Output: the input columns
+    plus ``out`` (position), and ``_probe_i`` unless ``pos_only``."""
+    h1, h2 = _h1_h2(F.col(key_col))
+    hashed = df.select("*", h1.alias("__h1"), h2.alias("__h2"))
+    arr = F.array(
+        *[
+            (F.col("__h1") + F.lit(i) * F.col("__h2")) % F.lit(m_bits)
+            for i in range(k)
+        ]
+    )
+    if pos_only:
+        exploded = hashed.select("*", F.explode(arr).alias(out))
+    else:
+        exploded = hashed.select(
+            "*", F.posexplode(arr).alias("_probe_i", out)
+        )
+    return exploded.drop("__h1", "__h2")
+
+
 def _check_m(m_bits: int) -> None:
     if m_bits % 64 != 0 or m_bits <= 0:
         raise ValueError("m_bits must be a positive multiple of 64")
@@ -86,11 +112,10 @@ def bloom_positions(
     artifact."""
     _check_m(m_bits)
     return (
-        keys.select(
-            F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias(
-                "pos"
-            )
+        _positions_hoisted(
+            keys.select(key_col), key_col, m_bits, k, "pos", pos_only=True
         )
+        .select("pos")
         .distinct()
     )
 
@@ -148,12 +173,7 @@ def bloom_probe_join(
     position relation, demand all k hit. Pure JVM; the probe shuffle key is
     a single int."""
     _check_m(m_bits)
-    probes = rows.select(
-        "*",
-        F.posexplode(
-            F.array(*_positions(F.col(key_col), m_bits, k))
-        ).alias("_probe_i", "pos"),
-    )
+    probes = _positions_hoisted(rows, key_col, m_bits, k, "pos", pos_only=False)
     return (
         probes.join(F.broadcast(positions), "pos")
         .groupBy(*rows.columns)
