@@ -715,6 +715,7 @@ def publish_corpus_artifacts(
     shingle_n: int = 5,
     threshold: float = 0.5,
     base_hash: str = "portable",
+    representative: str = "min_id",
 ) -> dict[str, str]:
     """One-pass corpus-hygiene publication — the production shape of the
     dedup suite. Computes MinHash signatures ONCE and derives every
@@ -726,10 +727,18 @@ def publish_corpus_artifacts(
     - ``clusters/``    (doc_id, cluster_id)      — star-CC doc→canonical map
     - ``corpus/``      deduped documents          — cluster representatives only
 
+    ``representative`` picks the survivor per cluster: ``"min_id"`` (the
+    cluster id itself) or ``"quality"`` — argmax by (quality_score,
+    n_chars, -doc_id), the FineWeb-style keep-the-best-copy policy
+    (requires ``text``/``n_chars`` columns; one extra max_by partial agg
+    over the cluster map, no additional shuffle of the corpus).
+
     Returns {artifact: path}. All four are plain parquet; downstream
     training jobs read ``corpus/``, the next ingestion batch reads
     ``signatures/`` (and optionally a ``publish_minhash_bands`` table).
     """
+    if representative not in ("min_id", "quality"):
+        raise ValueError(f"unknown representative policy {representative!r}")
     from .graph import connected_components_star, undirected
 
     paths = {
@@ -762,9 +771,30 @@ def publish_corpus_artifacts(
     )
     clusters.write.mode("overwrite").parquet(paths["clusters"])
 
-    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
-        "doc_id"
-    )
+    if representative == "quality":
+        from .text import quality_stats
+
+        scored = quality_stats(docs).select("doc_id", "quality_score")
+        keep = (
+            clusters.join(scored, "doc_id")
+            .join(docs.select("doc_id", "n_chars"), "doc_id")
+            .groupBy("cluster_id")
+            .agg(
+                F.max_by(
+                    "doc_id",
+                    F.struct(
+                        F.col("quality_score"),
+                        F.col("n_chars"),
+                        (-F.col("doc_id")).alias("neg_id"),
+                    ),
+                ).alias("doc_id")
+            )
+            .select("doc_id")
+        )
+    else:
+        keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        )
     docs.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
         paths["corpus"]
     )

@@ -98,3 +98,31 @@ def test_quality_dedup_keeps_best_doc_per_cluster(spark):
     )
     # every kept representative carries its cluster's max quality score
     assert rep_quality.filter(F.col("quality_score") < F.col("best")).count() == 0
+
+
+def test_publish_artifacts_quality_policy_matches_query(spark, tmp_path):
+    """publish_corpus_artifacts(representative='quality') — the one-pass
+    production publisher — emits exactly the rows of the registered
+    deduped_corpus_quality query (which recomputes for oracle isolation)."""
+    from flink_recommendation_system_spark.operators.dedup import (
+        publish_corpus_artifacts,
+    )
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_deduped_corpus_quality,
+    )
+
+    docs = load_table(spark, SF0001, "documents")
+    paths = publish_corpus_artifacts(
+        docs, str(tmp_path / "art"), representative="quality"
+    )
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(paths["corpus"]).select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in q_deduped_corpus_quality(spark, SF0001)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and got
