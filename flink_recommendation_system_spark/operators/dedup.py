@@ -193,6 +193,22 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-scan guard for hash-heavy fan-out stages: a sub-split-size
+    parquet (one row group) scans as ONE partition, which would serialize
+    the whole explode+hash+partial-agg phase on one core (measured: the
+    sf0.1 documents table is a single 600 KB row group, so every signature
+    build ran single-threaded). Repartition up to ``defaultParallelism``
+    ONLY when the input has fewer partitions — at real scale the corpus is
+    thousands of splits and this is a no-op (no shuffle inserted), unlike
+    an unconditional ``repartition`` which would force a full extra
+    shuffle of the corpus."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def char_shingles(col: str | Column, n: int = 5) -> Column:
     """Character n-gram shingle set of the text (distinct). NOTE: not on
     the MinHash hot path — ``minhash_signatures`` generates shingles by
@@ -227,7 +243,7 @@ def minhash_signatures(
     """
     n = shingle_n
     exploded = (
-        docs.select(
+        _spread(docs).select(
             "doc_id",
             "text",
             F.explode(
@@ -610,7 +626,7 @@ def simhash(docs: DataFrame, base_hash: str = "portable") -> DataFrame:
     token-less documents (their contributions are 0 → signature 0, matching
     the fold-over-empty-array semantics).
     """
-    toked = docs.select(
+    toked = _spread(docs).select(
         "doc_id",
         F.explode_outer(F.array_distinct(tokens("text"))).alias("tok"),
     ).withColumn("h", _base64(F.col("tok"), base_hash))
