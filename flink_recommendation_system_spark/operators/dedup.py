@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_small_scan as _spread
 from .text import tokens
 
 
@@ -191,22 +192,6 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
         b = state % _MERSENNE61
         params.append((a | 1, b))
     return params
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Small-scan guard for hash-heavy fan-out stages: a sub-split-size
-    parquet (one row group) scans as ONE partition, which would serialize
-    the whole explode+hash+partial-agg phase on one core (measured: the
-    sf0.1 documents table is a single 600 KB row group, so every signature
-    build ran single-threaded). Repartition up to ``defaultParallelism``
-    ONLY when the input has fewer partitions — at real scale the corpus is
-    thousands of splits and this is a no-op (no shuffle inserted), unlike
-    an unconditional ``repartition`` which would force a full extra
-    shuffle of the corpus."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
 
 
 def char_shingles(col: str | Column, n: int = 5) -> Column:

@@ -36,13 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_small_scan as _spread
+
 from .text import tokens
 
 _GRID = float(1 << 38)
 
 
 def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    pos = docs.select(
+    pos = _spread(docs).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w1")
     ).filter(F.col("w1") != "")
     w = Window.partitionBy(id_col).orderBy("pos")

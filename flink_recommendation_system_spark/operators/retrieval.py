@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_small_scan as _spread
+
 from .text import tokens
 
 _GRID = float(1 << 38)
@@ -53,6 +55,7 @@ def bm25_topk(
     (never negative); tf normalization is ``tf·(k1+1) / (tf + k1·(1 - b +
     b·dl/avgdl))``.
     """
+    docs = _spread(docs)  # single-row-group scans serialize the postings build
     postings = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")

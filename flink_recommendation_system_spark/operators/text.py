@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_small_scan as _spread
+
 # Small public stopword set (subset of the classic English list).
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -237,7 +239,9 @@ def token_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
     duplicates preserved. Physical shape: posexplode + n-1 ``lead`` columns
     over ONE per-doc window (single sort, all codegen) — the same
     explode-over-HOF lesson as ``repetition_stats``."""
-    pos = docs.select(id_col, F.posexplode(tokens("text")).alias("pos", "t0"))
+    pos = _spread(docs).select(
+        id_col, F.posexplode(tokens("text")).alias("pos", "t0")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     cols = [F.col("t0")] + [
         F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)
