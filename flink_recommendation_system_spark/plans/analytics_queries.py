@@ -312,21 +312,14 @@ GROUP BY CUBE (c_mktsegment, o_orderpriority)
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bigram extraction + global top-50 — n-gram statistics for
-    text-corpus analysis (explode of a zipped-with-shifted token array)."""
+    text-corpus analysis. Reuses ``operators.text.token_ngrams`` (explode +
+    one lead window, all codegen, spread-guarded) — the original HOF
+    ``transform`` over the token array was CodegenFallback and ran in the
+    scan's (often single) partition."""
+    from ..operators.text import token_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # sequence(1, 0) would be a DESCENDING range in Spark, so guard docs
-    # with fewer than two tokens explicitly.
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(F.explode(bigrams).alias("bigram"))
+    exploded = token_ngrams(docs, 2).select(F.col("ngram").alias("bigram"))
     return (
         exploded.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
