@@ -340,6 +340,7 @@ _WINDOW_PRIORITY = [
     # ROUND-5 ROTATION HEAD: these were added after the round-4 window
     # filled and have never had a driver row — lead with them next round,
     # then rotate the re-confirmation tiers out.
+    "session_overlaps",
     "triangle_counts",
     "near_dup_pipeline",
     "deduped_corpus",

@@ -55,3 +55,65 @@ def bounded_diff_self_join(
         .select(key, "a_id", "b_id", "a_ts", "b_ts")
         .distinct()
     )
+
+
+def _cell(c: Column, grid: int) -> Column:
+    # exact floor division (valid for negative values too, unlike `%`)
+    return ((c - F.pmod(c, F.lit(grid))) / grid).cast("long")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    grid: int,
+    start_col: str = "start",
+    end_col: str = "end",
+    keys: list[str] | None = None,
+    a_prefix: str = "a_",
+    b_prefix: str = "b_",
+) -> DataFrame:
+    """Pairs of rows whose CLOSED intervals [start_col, end_col] overlap
+    (``a.start <= b.end AND b.start <= a.end``), optionally restricted to
+    equal ``keys``. Output: ``keys`` + every other column of each side
+    under ``a_prefix``/``b_prefix``.
+
+    The third time-series join Spark lacks natively (with as-of and
+    bounded-diff): the naive formulation is a pure theta-join → a
+    nested-loop cross product. Distributed shape: each interval explodes
+    to the grid cells it covers (ceil(len/grid)+1 rows — pick ``grid``
+    near the typical interval length), candidates come from a (keys, cell)
+    hash equi-join, and each overlapping pair is emitted EXACTLY ONCE with
+    no distinct: it is kept only at the cell containing
+    ``max(a.start, b.start)`` — for an overlapping pair both intervals
+    cover that cell (max start <= min end), and it is unique.
+
+    Degenerate inputs (an interval spanning the whole timeline) explode to
+    timeline/grid cells — the same hot-key hazard as any blocking scheme;
+    cap or split such intervals upstream like the pair-generating dedup
+    operators cap theirs.
+    """
+    if grid < 1:
+        raise ValueError("grid must be a positive integer")
+    if (a is b) and a_prefix == b_prefix:
+        raise ValueError("self-join requires distinct prefixes")
+    keys = list(keys or [])
+
+    def prep(df: DataFrame, prefix: str):
+        others = [c for c in df.columns if c not in keys]
+        out = df.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"{prefix}{c}") for c in others],
+        )
+        s = F.col(f"{prefix}{start_col}")
+        e = F.col(f"{prefix}{end_col}")
+        cells = out.withColumn(
+            "_cell", F.explode(F.sequence(_cell(s, grid), _cell(e, grid)))
+        )
+        return cells, s, e
+
+    a_cells, a_s, a_e = prep(a, a_prefix)
+    b_cells, b_s, b_e = prep(b, b_prefix)
+    joined = a_cells.join(b_cells, keys + ["_cell"])
+    overlap = (a_s <= b_e) & (b_s <= a_e)
+    emit_once = F.col("_cell") == _cell(F.greatest(a_s, b_s), grid)
+    return joined.filter(overlap & emit_once).drop("_cell")

@@ -304,3 +304,86 @@ QUERIES: dict[str, tuple] = {
     "sliding_windows": (q_sliding_windows, SLIDING_WINDOWS_SQL),
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),
 }
+
+
+# interval-overlap join demo bounds: users [0, OVERLAP_USER_CUTOFF) keep the
+# session-pair count discriminating without exploding at bench SF (the same
+# input-bounding stance as triangle_counts on the near-clique graph)
+OVERLAP_USER_CUTOFF = 40
+OVERLAP_GRID_SEC = 3600
+
+
+def q_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user concurrent-session pairs via the INTERVAL-OVERLAP join
+    (operators.rangejoin.interval_overlap_join) — the third time-series
+    join Spark lacks natively (with as-of and bounded-diff). Sessions are
+    the same gap-1800s windows as `user_sessions` with their gap-padded
+    ends; a pair counts when the closed intervals intersect. Grid-cell
+    blocking + emit-once keeps it hash-join shaped (no theta-join, no
+    distinct). Output: (a_user, b_user, n_overlaps), a_user < b_user.
+    Fully value-checked (oracle: islands-and-gaps sessions + plain
+    inequality join)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.rangejoin import interval_overlap_join
+    from ..streaming.windows import events_with_event_time
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < OVERLAP_USER_CUTOFF
+    )
+    e = events_with_event_time(ev)
+    win = F.session_window("event_time", f"{SESSION_GAP_SEC} seconds")
+    sess = (
+        e.groupBy(win, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("start_sec"),
+            F.unix_timestamp(F.col("session_window.end")).alias("end_sec"),
+        )
+    )
+    pairs = interval_overlap_join(
+        sess,
+        sess,
+        grid=OVERLAP_GRID_SEC,
+        start_col="start_sec",
+        end_col="end_sec",
+    )
+    return (
+        pairs.filter(F.col("a_user_id") < F.col("b_user_id"))
+        .groupBy(F.col("a_user_id").alias("a_user"), F.col("b_user_id").alias("b_user"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+SESSION_OVERLAPS_SQL = f"""
+WITH e AS (
+    SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events WHERE user_id < {OVERLAP_USER_CUTOFF}
+),
+m AS (
+    SELECT user_id, s,
+           CASE WHEN lag(s) OVER w IS NULL
+                     OR s - lag(s) OVER w >= {SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY s)
+),
+g AS (
+    SELECT user_id, s,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM m
+),
+sess AS (
+    SELECT user_id, min(s) AS start_sec, max(s) + {SESSION_GAP_SEC} AS end_sec
+    FROM g GROUP BY user_id, sess_id
+)
+SELECT a.user_id AS a_user, b.user_id AS b_user, count(*) AS n_overlaps
+FROM sess a JOIN sess b
+  ON a.start_sec <= b.end_sec AND b.start_sec <= a.end_sec
+ AND a.user_id < b.user_id
+GROUP BY a_user, b_user
+"""
+
+QUERIES["session_overlaps"] = (q_session_overlaps, SESSION_OVERLAPS_SQL)
