@@ -341,6 +341,7 @@ _WINDOW_PRIORITY = [
     # filled and have never had a driver row — lead with them next round,
     # then rotate the re-confirmation tiers out.
     "session_overlaps",
+    "approx_order_quantiles",
     "triangle_counts",
     "near_dup_pipeline",
     "deduped_corpus",

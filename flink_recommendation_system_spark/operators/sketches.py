@@ -214,3 +214,94 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
         .select(F.col("_orig").alias(key_col), "est_cnt")
     )
+
+
+# --- log-scale histogram / approximate quantiles -----------------------------
+#
+# The fixed-state scale path for quantiles: exact percentiles
+# (`percentile(...)`) materialize per-group value multisets — state grows
+# with the data. A log-scale histogram is a FIXED ~8·64-cell state
+# (octave = floor(log2), 2^HIST_SUB_BITS sub-buckets per octave →
+# relative bucket width 2^-HIST_SUB_BITS = 12.5%), built by one
+# partial-aggregated groupBy and mergeable across shards by cell-wise
+# addition (like the count-min sketch). The returned quantile is the
+# LOWER BOUND of the first bucket reaching rank ceil(q·n) — a
+# deterministic integer, so unlike t-digest/KLL the whole estimator is
+# reproducible cross-engine and fully value-oracle-checkable.
+#
+# All bucket arithmetic is integer-exact in both engines: values are
+# fixed-point scaled with the floor(x·scale + 0.5) grid construction,
+# floor(log2(n)) = length(bin(n)) - 1 (string length of the binary
+# rendering — parity pinned in tests), and bounds come from bit shifts.
+
+HIST_SUB_BITS = 3
+
+
+def _hist_b(n):
+    return (F.length(F.bin(n)) - 1).cast("int")
+
+
+def log_histogram(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Log-scale histogram of ``floor(value*scale + 0.5)`` (POSITIVE
+    values only — scaled n >= 1; zero/negative rows are excluded by
+    contract, count them separately if they matter). Output: sparse
+    (b, p, cnt) — octave b, sub-bucket prefix p."""
+    n = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    rows = df.select(n.alias("n")).filter(F.col("n") >= 1)
+    b = _hist_b(F.col("n"))
+    sub = HIST_SUB_BITS
+    p = F.when(
+        b >= sub,
+        F.expr(f"shiftright(n, CAST(length(bin(n)) AS INT) - {sub + 1})"),
+    ).otherwise(F.col("n"))
+    return (
+        rows.select(b.alias("b"), p.alias("p"))
+        .groupBy("b", "p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_log_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — the histogram of the concatenated inputs."""
+    return a.unionByName(b).groupBy("b", "p").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, quantiles: list[tuple[int, int]]
+) -> DataFrame:
+    """Quantile estimates from a ``log_histogram``: for q = num/den the
+    scaled-integer LOWER BOUND of the first bucket whose cumulative count
+    reaches rank ceil(q·n) (ranks in exact integer arithmetic — no float
+    thresholds to drift cross-engine). True quantile lies in
+    [est, est·(1 + 2^-HIST_SUB_BITS)). Output: (q_num, q_den, est).
+
+    The cumulative window is a single-partition sort over the ≤ ~8·64-row
+    histogram — metadata-scale, not a data path."""
+    from pyspark.sql import Window
+
+    sub = HIST_SUB_BITS
+    lo = F.when(
+        F.col("b") >= sub,
+        F.expr(f"shiftleft(p, b - {sub})"),
+    ).otherwise(F.col("p"))
+    w = (
+        Window.orderBy("b", "p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("b", "p", "cnt", F.sum("cnt").over(w).alias("cum"))
+    total = hist.agg(F.sum("cnt").alias("total"))
+    spark = hist.sparkSession
+    qs = spark.createDataFrame(quantiles, "q_num INT, q_den INT")
+    # rank threshold in integer ceil: (num*total + den - 1) DIV den
+    return (
+        qs.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            F.col("cum")
+            >= F.expr("(q_num * total + q_den - 1) DIV q_den"),
+        )
+        .groupBy("q_num", "q_den")
+        .agg(F.min(lo).alias("est"))
+    )

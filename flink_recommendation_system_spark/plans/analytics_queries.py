@@ -764,3 +764,58 @@ FROM est e LEFT JOIN exact x ON x.l_partkey = e.p
 """
 
 QUERIES["cms_part_counts"] = (q_cms_part_counts, CMS_PART_COUNTS_SQL)
+
+
+# Log-histogram approximate quantiles: the fixed-state counterpart of
+# `order_value_quantiles` (exact percentiles materialize per-group value
+# multisets; the histogram is ~8*64 cells however large the table).
+APPROX_Q = [(1, 2), (9, 10), (95, 100), (99, 100)]
+
+
+def q_approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate o_totalprice quantiles from a log-scale histogram
+    (operators.sketches.log_histogram): octave + 8 sub-buckets → 12.5%
+    relative bucket width; the estimate is the first bucket's lower bound
+    at rank ceil(q*n), all integer-exact arithmetic — fully value-checked
+    (unlike t-digest/KLL, whose merge order changes results). est is in
+    CENTS (the fixed-point scale), so true_p <= est/100 * 1.125."""
+    from ..operators.sketches import histogram_quantiles, log_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = log_histogram(orders, "o_totalprice", scale=100)
+    return histogram_quantiles(hist, APPROX_Q)
+
+
+_Q_VALUES = ", ".join(f"({n}, {d})" for n, d in APPROX_Q)
+APPROX_ORDER_QUANTILES_SQL = f"""
+WITH nv AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS n
+    FROM orders
+    WHERE floor(o_totalprice * 100 + 0.5) >= 1
+),
+hist AS (
+    SELECT length(bin(n)) - 1 AS b,
+           CASE WHEN length(bin(n)) - 1 >= 3
+                THEN n >> (length(bin(n)) - 4)
+                ELSE n END AS p,
+           count(*) AS cnt
+    FROM nv GROUP BY 1, 2
+),
+cum AS (
+    SELECT b, p, cnt,
+           sum(cnt) OVER (ORDER BY b, p ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hist
+),
+tot AS (SELECT sum(cnt) AS total FROM hist),
+qs(q_num, q_den) AS (VALUES {_Q_VALUES})
+SELECT q.q_num, q.q_den,
+       min(CASE WHEN c.b >= 3 THEN c.p << (c.b - 3) ELSE c.p END) AS est
+FROM qs q CROSS JOIN tot t
+JOIN cum c ON c.cum >= (q.q_num * t.total + q.q_den - 1) // q.q_den
+GROUP BY q.q_num, q.q_den
+"""
+
+QUERIES["approx_order_quantiles"] = (
+    q_approx_order_quantiles,
+    APPROX_ORDER_QUANTILES_SQL,
+)

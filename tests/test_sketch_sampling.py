@@ -126,3 +126,42 @@ def test_publish_artifacts_quality_policy_matches_query(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_log_histogram_quantile_bounds(spark):
+    from flink_recommendation_system_spark.operators.sketches import (
+        HIST_SUB_BITS,
+        histogram_quantiles,
+        log_histogram,
+        merge_log_histograms,
+    )
+
+    orders = load_table(spark, SF0001, "orders")
+    hist = log_histogram(orders, "o_totalprice", scale=100)
+    got = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in histogram_quantiles(
+            hist, [(1, 2), (9, 10), (99, 100)]
+        ).collect()
+    }
+    import math
+
+    vals = sorted(
+        int(math.floor(r["o_totalprice"] * 100 + 0.5))
+        for r in orders.select("o_totalprice").collect()
+    )
+    n = len(vals)
+    width = 1 + 2.0 ** -HIST_SUB_BITS
+    for (num, den), est in got.items():
+        true = vals[(num * n + den - 1) // den - 1]  # rank ceil(q*n), 1-based
+        # the true rank value lies inside the reported bucket
+        assert est <= true < est * width, ((num, den), est, true)
+
+    # merge linearity: two halves sum to the full histogram
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = merge_log_histograms(
+        log_histogram(lo, "o_totalprice"), log_histogram(hi, "o_totalprice")
+    )
+    sym = merged.exceptAll(hist).union(hist.exceptAll(merged))
+    assert sym.count() == 0
