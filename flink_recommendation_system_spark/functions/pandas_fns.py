@@ -79,3 +79,32 @@ def top_k_per_group_pandas(
         return pdf.nlargest(k, order_col)
 
     return df.groupBy(group_col).applyInPandas(take_top, df.schema)
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4, SURVEY.md §2.10's table-function slot — the
+    Flink side would be a `TableFunction`/flatMap): one input document row
+    → one output row per sentence with its index. Arrow-optimized
+    (``useArrow``). UDTFs are the lazy row-expansion escape hatch when the
+    fan-out logic genuinely needs Python; engine-internal fan-outs use
+    JVM ``explode``/``posexplode`` instead (see PERFORMANCE.md).
+
+    Returns the registrable UDTF object; use as
+    ``udtf_obj(F.lit(...), ...)`` or register with
+    ``spark.udtf.register``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx: int, sentence: string", useArrow=True)
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            idx = 0
+            for raw in text.replace("!", ".").replace("?", ".").split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    return SentenceSplit

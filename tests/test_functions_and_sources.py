@@ -205,3 +205,27 @@ def test_merge_upsert_null_delete_flag_upserts(spark, tmp_path):
     assert n == 1
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "A")}
+
+
+def test_sentence_split_udtf(spark):
+    """Spark-4 Python UDTF (the TableFunction slot of §2.10): lateral
+    per-document sentence expansion; null text yields no rows."""
+    from flink_recommendation_system_spark.functions.pandas_fns import (
+        sentence_split_udtf,
+    )
+
+    spark.udtf.register("sentence_split_t", sentence_split_udtf())
+    spark.createDataFrame(
+        [(1, "A b. C d? E!"), (2, None), (3, "  ")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence "
+        "FROM udtf_docs, LATERAL sentence_split_t(doc_id, text) s "
+        "ORDER BY doc_id, sentence_idx"
+    ).collect()
+    assert [(r["doc_id"], r["sentence_idx"], r["sentence"]) for r in rows] == [
+        (1, 0, "A b"),
+        (1, 1, "C d"),
+        (1, 2, "E"),
+    ]
