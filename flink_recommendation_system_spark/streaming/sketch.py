@@ -56,3 +56,38 @@ def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("r", "j")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_histogram_refresh(
+    stream: DataFrame,
+    value_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    scale: int = 100,
+):
+    """Maintain a per-batch log-histogram store over ``stream[value_col]``
+    (operators.sketches.log_histogram — same linearity argument as the
+    CMS above: per-batch partitions overwrite idempotently, the corpus
+    histogram is the read-side cell-wise sum). Feed ``read_histogram`` to
+    ``operators.sketches.histogram_quantiles`` for continuously-fresh
+    approximate percentiles with fixed state."""
+    from ..operators.sketches import log_histogram
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        h = log_histogram(batch_df, value_col, scale)
+        h.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_histogram(spark: SparkSession, store_path: str) -> DataFrame:
+    """The current corpus-wide log-histogram: cell-wise sum over batches."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("b", "p")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

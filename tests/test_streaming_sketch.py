@@ -77,3 +77,67 @@ def test_streaming_cms_replay_idempotent(spark, tmp_path):
     merged = read_cms(spark, store)
     sym_diff = merged.exceptAll(sk).union(sk.exceptAll(merged))
     assert sym_diff.count() == 0
+
+
+def test_streaming_histogram_quantiles_equal_batch(spark, tmp_path):
+    """3-batch replay: merged histogram == batch histogram bit-for-bit,
+    and the quantile estimates served from it are identical."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+    from flink_recommendation_system_spark.streaming.sketch import (
+        read_histogram,
+        start_histogram_refresh,
+    )
+
+    events = load_table(spark, SF0001, "events").select("value")
+    src = str(tmp_path / "in")
+    third = events.count() // 3
+    # three roughly equal batches by a deterministic row split
+    parts = events.withColumn(
+        "g", (F.monotonically_increasing_id() % 3).cast("int")
+    )
+    for i in range(3):
+        (
+            parts.filter(F.col("g") == i)
+            .select("value")
+            .coalesce(1)
+            .write.mode("append")
+            .json(f"{src}/b{i}")
+        )
+    stream = (
+        spark.readStream.schema("value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = start_histogram_refresh(
+        stream,
+        "value",
+        store_path=str(tmp_path / "hist"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    merged = read_histogram(spark, str(tmp_path / "hist"))
+    # compare against the batch histogram over what the stream actually
+    # ingested (the JSON round-trip is the same rows)
+    ingested = spark.read.json(f"{src}/b*").select(
+        F.col("value").cast("double").alias("value")
+    )
+    full = log_histogram(ingested, "value")
+    sym = merged.exceptAll(full).union(full.exceptAll(merged))
+    assert sym.count() == 0
+
+    qs = [(1, 2), (9, 10)]
+    got = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in histogram_quantiles(merged, qs).collect()
+    }
+    want = {
+        (r["q_num"], r["q_den"]): r["est"]
+        for r in histogram_quantiles(full, qs).collect()
+    }
+    assert got == want and got
+    assert third > 0  # three real batches
