@@ -10,6 +10,8 @@ of how the LLM-data operators compose in production:
       → one-pass near-dup artifacts (signatures / pairs / clusters /
         deduped corpus — publish_corpus_artifacts)
       → LM-score quality resampling (curation mixture)
+      → corpus profile sketches (count-min hot sources, log-histogram
+        length quantiles — fixed-state, mergeable per shard)
       → sequence-packing plan + dataset card (release artifacts)
 
 Usage: python examples/corpus_pipeline.py [sf_dir] [out_dir]
@@ -87,8 +89,9 @@ def main() -> None:
     exact = exact_dedup(gated)
     n_exact = exact.count()
 
-    # 5. one signature pass → all near-dup artifacts
-    paths = publish_corpus_artifacts(exact, out)
+    # 5. one signature pass → all near-dup artifacts; keep the BEST copy
+    #    per cluster (quality policy), not the min-id one
+    paths = publish_corpus_artifacts(exact, out, representative="quality")
     corpus = spark.read.parquet(paths["corpus"])
     n_final = corpus.count()
     n_pairs = spark.read.parquet(paths["pairs"]).count()
@@ -108,6 +111,30 @@ def main() -> None:
         F.count_distinct("source", "pack_id").alias("n")
     ).collect()[0]["n"]
 
+    # 7b. fixed-state corpus profile: hot sources (count-min) + length
+    #     quantiles (log-histogram) — the sketches a 100 TB build keeps
+    #     per shard and merges on read
+    from flink_recommendation_system_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    sketch = cms_build(curated, "source", width=256, depth=4)
+    sources = curated.select("source").distinct()
+    hot = cms_estimate(sketch, sources, "source", 256, 4).orderBy(
+        F.col("est_cnt").desc()
+    )
+    top_sources = [(r["source"], r["est_cnt"]) for r in hot.take(3)]
+    hist = log_histogram(curated, "n_chars", scale=1)
+    quant = {
+        f"p{100 * r['q_num'] // r['q_den']}": r["est"]
+        for r in histogram_quantiles(
+            hist, [(1, 2), (9, 10), (99, 100)]
+        ).collect()
+    }
+
     # 8. quota-exact per-language train/val/test split of the curated set
     splits = T.stratified_split(curated, {"train": 80, "val": 10, "test": 10})
     splits.select("doc_id", "lang", "split").write.mode("overwrite").parquet(
@@ -126,6 +153,8 @@ def main() -> None:
     print(f"near-dup pairs       {n_pairs}")
     print(f"deduped corpus       {n_final}")
     print(f"after curation       {n_curated}")
+    print(f"hot sources (CMS)    {top_sources}")
+    print(f"length quantiles     {quant} (chars, bucket lower bounds)")
     print(f"packed windows       {n_packs}")
     print(f"train/val/test       {split_counts}")
     print(f"artifacts under      {out}")
