@@ -93,3 +93,42 @@ def reviews_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("value").cast("long") % 5 + F.lit(1.0)).cast("double").alias("rating"),
         F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts"),
     )
+
+
+def load_documents_jsonl(
+    spark: SparkSession, path: str, strict: bool = False
+) -> DataFrame:
+    """JSONL document-corpus scan — the interchange format LLM pipelines
+    actually ship (one JSON object per line: doc_id, text, and optional
+    lang/source metadata). Column order and types are pinned to the
+    documents-table contract so every corpus operator (dedup, quality,
+    chunking, ...) runs unchanged on JSONL shards.
+
+    Malformed lines: ``strict=False`` (default) drops them — the scan is
+    ``spark.read.text`` + per-line ``from_json`` (a malformed line parses
+    to a null struct), sidestepping Spark's restriction on filtering a
+    JSON scan's corrupt-record column; lines without a ``doc_id`` drop
+    too (the hygiene stance for crawl data). ``strict=True`` fails the
+    job instead (FAILFAST schema read).
+    """
+    from pyspark.sql import functions as F
+
+    schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    if strict:
+        df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    else:
+        df = (
+            spark.read.text(path)
+            .select(F.from_json("value", schema).alias("r"))
+            .select("r.*")
+            .filter(F.col("doc_id").isNotNull())
+        )
+    return df.select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.coalesce("source", F.lit("unknown")).alias("source"),
+        F.coalesce("n_chars", F.length(F.coalesce("text", F.lit("")))).cast(
+            "long"
+        ).alias("n_chars"),
+    )

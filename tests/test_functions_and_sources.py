@@ -229,3 +229,40 @@ def test_sentence_split_udtf(spark):
         (1, 1, "C d"),
         (1, 2, "E"),
     ]
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    """JSONL corpus source: parquet documents → JSONL shards → identical
+    rows through the corpus-operator contract; malformed lines drop (or
+    fail under strict)."""
+    import pytest
+
+    from flink_recommendation_system_spark.sources.tables import (
+        load_documents_jsonl,
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = str(tmp_path / "shards")
+    docs.coalesce(2).write.mode("overwrite").json(path)
+    back = load_documents_jsonl(spark, path)
+    sym = back.exceptAll(docs).union(docs.exceptAll(back))
+    assert sym.count() == 0
+
+    # hand-written shard with a malformed line (appending to a
+    # Spark-written part file would invalidate its .crc sidecar)
+    import json as _json
+    import os
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(f"{bad}/shard-0.jsonl", "w") as fh:
+        for r in docs.collect():
+            fh.write(_json.dumps(r.asDict()) + "\n")
+        fh.write('{"doc_id": broken\n')
+    lax = load_documents_jsonl(spark, bad)
+    assert lax.count() == docs.count()  # malformed line dropped
+    with pytest.raises(Exception):
+        load_documents_jsonl(spark, bad, strict=True).count()
