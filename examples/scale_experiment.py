@@ -160,6 +160,22 @@ def main() -> None:
         f"heavy_hitters {n}x",
         lambda: force(heavy_hitters_exact(evN, "user_id", 3, 400)),
     )
+
+    # round-4c sketches: state is FIXED, so N× input should cost ~N× scan
+    # time and the OUTPUT (cells) stays constant-size
+    from flink_recommendation_system_spark.operators.sketches import (
+        cms_build,
+        log_histogram,
+    )
+
+    timed("cms_build 1x", lambda: force(cms_build(ev1, "user_id", 1024, 4)))
+    timed(
+        f"cms_build {n}x", lambda: force(cms_build(evN, "user_id", 1024, 4))
+    )
+    timed("log_histogram 1x", lambda: force(log_histogram(ev1, "value")))
+    timed(
+        f"log_histogram {n}x", lambda: force(log_histogram(evN, "value"))
+    )
     spark.stop()
 
 
