@@ -144,3 +144,53 @@ def test_curriculum_order_sort_is_range_partitioned(spark):
     plan = _plan(q_curriculum_order(spark, SF0001))
     assert "rangepartitioning" in plan, plan[:3000]
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_interval_overlap_plans_as_hash_join(spark):
+    """The interval-overlap join must stay a hash equi-join on the grid
+    cell — the naive theta formulation plans as BroadcastNestedLoopJoin
+    and is quadratic."""
+    from flink_recommendation_system_spark.plans.streaming_queries import (
+        q_session_overlaps,
+    )
+
+    plan = _plan(q_session_overlaps(spark, SF0001))
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert any(
+        j in plan
+        for j in ["BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"]
+    ), plan[:3000]
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """cms_estimate must join the (bounded, depth*width-cell) sketch as the
+    BROADCAST side — a shuffle here would scale with probe volume for no
+    reason."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+
+    li = load_table(spark, SF0001, "lineitem")
+    sketch = cms_build(li, "l_partkey", 128, 4)
+    probes = spark.range(1, 30).select(F.col("id").alias("l_partkey"))
+    plan = _plan(cms_estimate(sketch, probes, "l_partkey", 128, 4))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_minhash_signature_hash_not_in_generate(spark):
+    """The signature/position hashes must be computed in a Project, never
+    inside the Generate's explode array (no CSE there — the round-4c
+    lesson): assert no md5 call appears in a Generate node's argument
+    list."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        cms_build,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+
+    li = load_table(spark, SF0001, "lineitem")
+    plan = _plan(cms_build(li, "l_partkey", 128, 4))
+    for line in plan.splitlines():
+        if "Generate" in line and "explode" in line:
+            assert "md5" not in line, line
