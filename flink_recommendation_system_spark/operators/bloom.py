@@ -176,8 +176,12 @@ def bloom_probe_join(
     probes = _positions_hoisted(rows, key_col, m_bits, k, "pos", pos_only=False)
     return (
         probes.join(F.broadcast(positions), "pos")
+        # distinct probe indices, not row count: duplicated input rows
+        # collapse into one group whose plain count would be k×multiplicity
+        # and fail the == k check — silently dropping rows the filter
+        # actually flags. (Output is one row per DISTINCT flagged tuple.)
         .groupBy(*rows.columns)
-        .agg(F.count(F.lit(1)).alias("_hits"))
+        .agg(F.countDistinct("_probe_i").alias("_hits"))
         .filter(F.col("_hits") == k)
         .drop("_hits")
     )

@@ -708,6 +708,34 @@ def simhash_near_dups(
     )
 
 
+def quality_representatives(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """The keep-the-best-copy survivor per near-dup cluster: argmax by
+    (quality_score DESC, n_chars DESC, doc_id ASC) over a (doc_id,
+    cluster_id) cluster map — the single definition of the FineWeb-style
+    representative policy, shared by ``publish_corpus_artifacts`` and the
+    registered ``deduped_corpus_quality`` query (parity test-pinned).
+    Output: 1-column (doc_id)."""
+    from .text import quality_stats
+
+    scored = quality_stats(docs).select("doc_id", "quality_score")
+    return (
+        clusters.join(scored, "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(
+                    F.col("quality_score"),
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                ),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+
+
 def publish_corpus_artifacts(
     docs: DataFrame,
     base_path: str,
@@ -773,25 +801,7 @@ def publish_corpus_artifacts(
     clusters.write.mode("overwrite").parquet(paths["clusters"])
 
     if representative == "quality":
-        from .text import quality_stats
-
-        scored = quality_stats(docs).select("doc_id", "quality_score")
-        keep = (
-            clusters.join(scored, "doc_id")
-            .join(docs.select("doc_id", "n_chars"), "doc_id")
-            .groupBy("cluster_id")
-            .agg(
-                F.max_by(
-                    "doc_id",
-                    F.struct(
-                        F.col("quality_score"),
-                        F.col("n_chars"),
-                        (-F.col("doc_id")).alias("neg_id"),
-                    ),
-                ).alias("doc_id")
-            )
-            .select("doc_id")
-        )
+        keep = quality_representatives(clusters, docs)
     else:
         keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
             "doc_id"

@@ -58,8 +58,12 @@ def bounded_diff_self_join(
 
 
 def _cell(c: Column, grid: int) -> Column:
-    # exact floor division (valid for negative values too, unlike `%`)
-    return ((c - F.pmod(c, F.lit(grid))) / grid).cast("long")
+    # exact floor division on LONGs (valid for negative values too, unlike
+    # `%`). Integer `div`, NOT `/`: the Column `/` operator is IEEE double
+    # division, which rounds the numerator above 2^53 — with
+    # epoch-nanosecond intervals that can shift a cell id by one and
+    # silently drop overlapping pairs at the emit-once check.
+    return F.call_function("div", c - F.pmod(c, F.lit(grid)), F.lit(grid))
 
 
 def interval_overlap_join(

@@ -247,4 +247,7 @@ def uniform_sample_k(
     h = portable_hash64(
         F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
     )
-    return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)
+    # NULLS LAST on both keys: Spark's bare asc() is NULLS FIRST while
+    # DuckDB defaults to NULLS LAST — a NULL id (hash is then NULL too)
+    # would be deterministically included here and excluded by the oracle
+    return df.orderBy(h.asc_nulls_last(), F.col(id_col).asc_nulls_last()).limit(k)

@@ -1805,8 +1805,8 @@ FROM h
 ORDER BY CAST(CAST(u AS HUGEINT)
               - CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
                      THEN CAST(18446744073709551616 AS HUGEINT)
-                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) ASC,
-         doc_id ASC
+                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) ASC NULLS LAST,
+         doc_id ASC NULLS LAST
 LIMIT {SAMPLE_K}
 """
 
@@ -1823,25 +1823,10 @@ def q_deduped_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked (recursive-CTE closure + window argmax oracle)."""
     docs = _docs(spark, sf_dir)
     clusters = q_near_dup_clusters_lsh(spark, sf_dir)
-    scored = T.quality_stats(docs).select("doc_id", "quality_score")
-    ranked = (
-        clusters.join(scored, "doc_id")
-        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    keep = D.quality_representatives(clusters, docs)
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
     )
-    # struct max: quality DESC, n_chars DESC, doc_id ASC (negated for max)
-    keep = ranked.groupBy("cluster_id").agg(
-        F.max_by(
-            "doc_id",
-            F.struct(
-                F.col("quality_score"),
-                F.col("n_chars"),
-                (-F.col("doc_id")).alias("neg_id"),
-            ),
-        ).alias("doc_id")
-    )
-    return docs.join(
-        keep.select("doc_id"), "doc_id", "left_semi"
-    ).select("doc_id", "lang", "source", "n_chars")
 
 
 DEDUPED_CORPUS_QUALITY_SQL = (

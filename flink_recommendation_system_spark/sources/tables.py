@@ -121,8 +121,11 @@ def load_documents_jsonl(
             spark.read.text(path)
             .select(F.from_json("value", schema).alias("r"))
             .select("r.*")
-            .filter(F.col("doc_id").isNotNull())
         )
+    # BOTH modes drop id-less rows: FAILFAST only rejects malformed JSON,
+    # and a well-formed line without doc_id would otherwise leak a NULL id
+    # into the documents contract every downstream operator keys on.
+    df = df.filter(F.col("doc_id").isNotNull())
     return df.select(
         "doc_id",
         F.coalesce("text", F.lit("")).alias("text"),

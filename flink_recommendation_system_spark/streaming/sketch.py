@@ -20,8 +20,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..operators.sketches import cms_build
+
+
+def _read_store(spark: SparkSession, store_path: str, schema: str) -> DataFrame:
+    """Read a per-batch sketch store; a store with NO committed batch yet
+    (missing path — e.g. a serving job racing the first micro-batch, or a
+    restart over an empty dir) is an EMPTY sketch, not an error — the same
+    contract as streaming.near_dup._read_store. Any other read failure
+    surfaces."""
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def start_cms_refresh(
@@ -52,7 +67,7 @@ def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
     (linearity; pinned in tests/test_streaming_sketch.py). Feed it to
     ``operators.sketches.cms_estimate``."""
     return (
-        spark.read.parquet(store_path)
+        _read_store(spark, store_path, "r INT, j LONG, cnt LONG")
         .groupBy("r", "j")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -87,7 +102,7 @@ def start_histogram_refresh(
 def read_histogram(spark: SparkSession, store_path: str) -> DataFrame:
     """The current corpus-wide log-histogram: cell-wise sum over batches."""
     return (
-        spark.read.parquet(store_path)
+        _read_store(spark, store_path, "b INT, p LONG, cnt LONG")
         .groupBy("b", "p")
         .agg(F.sum("cnt").alias("cnt"))
     )

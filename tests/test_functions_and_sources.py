@@ -266,3 +266,19 @@ def test_documents_jsonl_roundtrip(spark, tmp_path):
     assert lax.count() == docs.count()  # malformed line dropped
     with pytest.raises(Exception):
         load_documents_jsonl(spark, bad, strict=True).count()
+
+
+def test_documents_jsonl_strict_drops_idless_rows(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "s")
+    os.makedirs(d)
+    with open(f"{d}/x.jsonl", "w") as fh:
+        fh.write('{"doc_id": 1, "text": "a"}\n')
+        fh.write('{"text": "no id"}\n')
+    from flink_recommendation_system_spark.sources.tables import (
+        load_documents_jsonl,
+    )
+
+    rows = load_documents_jsonl(spark, d, strict=True).collect()
+    assert [r["doc_id"] for r in rows] == [1]

@@ -83,3 +83,18 @@ def test_overlap_matches_bruteforce_random(spark):
     )
     want = _pairs(brute)
     assert got == want and want
+
+
+def test_overlap_exact_at_nanosecond_magnitudes(spark):
+    """Cell ids must come from exact integer division: double division
+    rounds above 2^53, which can shift a cell by one at epoch-nanosecond
+    magnitudes and silently drop pairs at the emit-once check."""
+    base = 1_700_000_000_000_000_000  # epoch ns
+    g = 3_600_000_000_000  # 1h in ns
+    a = spark.createDataFrame(
+        [(1, base + 1, base + 2 * g)], ["id", "start", "end"]
+    )
+    b = spark.createDataFrame(
+        [(2, base + g, base + 3 * g)], ["id", "start", "end"]
+    )
+    assert len(interval_overlap_join(a, b, grid=g).collect()) == 1

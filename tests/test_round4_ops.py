@@ -691,3 +691,26 @@ def test_sliding_chunks_overlap_and_coverage(spark):
     short = spark.createDataFrame([(2, "xy")], ["doc_id", "text"])
     got = sliding_chunks(short, chunk_chars=4, stride_chars=2).collect()
     assert [(r.chunk_idx, r.chunk_text) for r in got] == [(0, "xy")]
+
+
+def test_bloom_probe_join_keeps_duplicated_rows(spark):
+    """Duplicated input rows must still pass the all-k check (the plain
+    row-count form saw k x multiplicity hits and dropped them): output is
+    one row per DISTINCT flagged tuple."""
+    from flink_recommendation_system_spark.operators.bloom import (
+        bloom_positions,
+        bloom_probe_join,
+    )
+
+    keys = spark.createDataFrame([("a",), ("b",)], ["ngram"])
+    positions = bloom_positions(keys, "ngram", 1 << 10, 3)
+    rows = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], ["doc_id", "ngram"]
+    )
+    got = {
+        (r["doc_id"], r["ngram"])
+        for r in bloom_probe_join(rows, positions, "ngram", 1 << 10, 3).collect()
+    }
+    assert (1, "a") in got and (2, "b") in got
+    # "c" may or may not collide (tiny FP chance); the duplicated (1, "a")
+    # must never be dropped

@@ -141,3 +141,15 @@ def test_streaming_histogram_quantiles_equal_batch(spark, tmp_path):
     }
     assert got == want and got
     assert third > 0  # three real batches
+
+
+def test_read_cms_empty_before_first_batch(spark, tmp_path):
+    """A store with no committed batch is an EMPTY sketch, not an error
+    (same contract as the near-dup signature store)."""
+    from flink_recommendation_system_spark.streaming.sketch import (
+        read_cms,
+        read_histogram,
+    )
+
+    assert read_cms(spark, str(tmp_path / "nope")).count() == 0
+    assert read_histogram(spark, str(tmp_path / "nope2")).count() == 0
