@@ -342,6 +342,7 @@ _WINDOW_PRIORITY = [
     # then rotate the re-confirmation tiers out.
     "session_overlaps",
     "approx_order_quantiles",
+    "epoch_shuffle",
     "triangle_counts",
     "near_dup_pipeline",
     "deduped_corpus",

@@ -1868,3 +1868,54 @@ QUERIES["deduped_corpus_quality"] = (
     q_deduped_corpus_quality,
     DEDUPED_CORPUS_QUALITY_SQL,
 )
+
+
+EPOCH_SHUFFLE_SEED = "epoch-0"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: the corpus in a seeded pseudo-random
+    global order with explicit contiguous positions — what a training run
+    does to its data every epoch (change the seed, get an independent
+    permutation; same seed reproduces bit-for-bit on any cluster layout).
+    Order = portable salted hash of doc_id (ties impossible: doc_id is
+    unique, and the id tie-break is kept anyway for NULL-safety). The sort
+    is the distributed ``global_positions`` shape — RangePartitioning, no
+    single-task sort (plan pinned for curriculum_order, same machinery).
+    Fully value-checked."""
+    from ..operators.dedup import portable_hash64
+    from ..operators.relational import global_positions
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = portable_hash64(
+        F.concat(
+            F.lit(EPOCH_SHUFFLE_SEED), F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    keyed = docs.select("doc_id", h.alias("h"))
+    out = global_positions(
+        keyed, [F.col("h").asc_nulls_last(), F.col("doc_id").asc()]
+    )
+    return out.select("position", "doc_id")
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH h AS (
+    SELECT doc_id,
+           CAST(CAST(CAST('0x' || substr(md5('{EPOCH_SHUFFLE_SEED}:'
+                    || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT)
+                     AS HUGEINT)
+                - CASE WHEN CAST('0x' || substr(md5('{EPOCH_SHUFFLE_SEED}:'
+                             || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT)
+                            >= CAST(9223372036854775808 AS UBIGINT)
+                       THEN CAST(18446744073709551616 AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hh
+    FROM documents
+)
+SELECT row_number() OVER (ORDER BY hh ASC NULLS LAST, doc_id ASC) AS position,
+       doc_id
+FROM h
+"""
+
+QUERIES["epoch_shuffle"] = (q_epoch_shuffle, EPOCH_SHUFFLE_SQL)
