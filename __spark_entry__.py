@@ -163,10 +163,14 @@ def _q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of the TEMPORAL co-review digraph
-    (a→b iff a's first good review of a shared product precedes b's):
-    iterated forward/backward min-reach (operators.graph). Nested
-    fixpoints are not SQL-expressible → rows-only driver check; exactness
-    is property-tested against a reference Tarjan on random digraphs."""
+    (a→b iff a's first good review of a shared product precedes b's;
+    opposite orderings on different shared products create real cycles):
+    iterated forward/backward min-reach (operators.graph). VALUE-checked
+    since round 4c — SCC has no scalable SQL form, but at the driver's
+    sf0.01 check scale a recursive-CTE transitive closure can define
+    component(v) = min{u : v→*u AND u→*v} (oracles.SCC_COMPONENTS_SQL);
+    cycle-merging at scale stays property-tested against a reference
+    Tarjan on random digraphs."""
     from pyspark.sql import functions as F
 
     reviews = reviews_from_events(spark, sf_dir)
@@ -432,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracles.PAGERANK_SQL,
         "kcore_members": oracles.KCORE_MEMBERS_SQL,
         "personalized_pagerank": oracles.PERSONALIZED_PAGERANK_SQL,
+        "scc_components": oracles.SCC_COMPONENTS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -368,3 +368,50 @@ PERSONALIZED_PAGERANK_SQL = (
     f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{EDGES_CTES},\n{ppr_ctes(3)}\n"
     "SELECT id, round(rank, 6) AS rank FROM ppr3"
 )
+
+
+# SCC value oracle: mutual reachability via a recursive-CTE transitive
+# closure. SCC has no scalable SQL form, but at the DRIVER'S CHECK SCALE
+# (sf0.01: ~150 vertices) the closure is <= |V|^2 ~ 22k pairs — small
+# enough that DuckDB can define component(v) = min{u : v->*u AND u->*v}
+# directly (vertices on no cycle have no mutual partner and stay
+# singletons). This checks the Spark operator's VALUES, while its
+# cycle-merging behavior at scale stays property-tested against a
+# reference Tarjan (tests/test_graph_properties.py). The temporal edge
+# relation compares first-review times at FULL nanosecond precision,
+# mirroring the engine's epoch-nanos ts contract.
+SCC_COMPONENTS_SQL = """
+WITH RECURSIVE r AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+           CAST(epoch_ns(ts) AS BIGINT) AS ts
+    FROM events
+),
+lk AS (
+    SELECT user_id, product_id, min(ts) AS first_ts
+    FROM r WHERE user_id < 1000 AND rating > 3.0
+    GROUP BY user_id, product_id
+),
+e AS (
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM lk a JOIN lk b ON a.product_id = b.product_id
+    WHERE a.first_ts < b.first_ts
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT rr.src, e.dst FROM reach rr JOIN e ON e.src = rr.dst
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+mutual AS (
+    SELECT a.src AS id, a.dst AS other
+    FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+),
+comp AS (
+    SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS component
+    FROM verts v LEFT JOIN mutual m ON m.id = v.id
+    GROUP BY v.id
+)
+SELECT id, component FROM comp
+"""
