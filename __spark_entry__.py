@@ -347,6 +347,7 @@ _WINDOW_PRIORITY = [
     "session_overlaps",
     "approx_order_quantiles",
     "epoch_shuffle",
+    "hll_part_distinct",
     "triangle_counts",
     "near_dup_pipeline",
     "deduped_corpus",

@@ -300,3 +300,78 @@ def histogram_quantiles(
         .groupBy("q_num", "q_den")
         .agg(F.min(lo).alias("est"))
     )
+
+
+# --- portable HyperLogLog ----------------------------------------------------
+#
+# Flajolet et al. 2007. Spark's built-in approx_count_distinct is HLL++
+# with an engine-private hash — a DuckDB oracle cannot reproduce its
+# estimates (that query stays rows-only with a tolerance test). This is
+# the PORTABLE twin: registers from the md5-derived 32-bit hash (bucket =
+# low b bits, rho = leading-zero rank of the remaining 32-b bits via the
+# cross-engine length(bin(w)) identity), so both engines materialize the
+# IDENTICAL register table, and the estimator's register sum
+# Σ 2^-M[j] is a sum of dyadic rationals (denominators ≤ 2^(33-b)) that
+# double arithmetic represents EXACTLY in any order — the estimate is
+# deterministic and value-oracle-checkable. Registers merge by per-bucket
+# MAX (the HLL union), like every other sketch here.
+
+HLL_B = 8  # 2^8 = 256 registers; standard error 1.04/sqrt(m) ~ 6.5%
+
+
+def hll_registers(df: DataFrame, key_col: str, b: int = HLL_B) -> DataFrame:
+    """Sparse HLL register table (bucket, rho) over non-NULL keys: one
+    partial-agg groupBy bounded by 2^b cells — fixed state, any key
+    cardinality. rho = 1 + leading zeros of the high 32-b hash bits
+    (w == 0 → 33-b, the max rank)."""
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    from .dedup import portable_hash32
+
+    m = 1 << b
+    keyed = df.select(F.col(key_col).cast("string").alias("key")).filter(
+        F.col(key_col).isNotNull()
+    )
+    h = portable_hash32(F.col("key"))
+    bucket = (h % F.lit(m)).cast("int")
+    # exact high-bits extraction: integer shift, not float division
+    w = F.shiftrightunsigned(h, b)
+    # rho = leading zeros of the (32-b)-bit window + 1
+    #     = (32-b) - bit_length(w) + 1, with the w == 0 maximum 33-b
+    rho = F.when(w == 0, F.lit(33 - b)).otherwise(
+        F.lit(33 - b) - F.length(F.bin(w))
+    )
+    return (
+        keyed.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """HLL union: per-bucket max of the registers."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
+    """Cardinality estimate from a register table: the classic HLL
+    estimator with the small-range linear-counting correction. Output:
+    one row (est DOUBLE, rounded to 4 dp). Every arithmetic step is
+    engine-portable: the register sum is exact in doubles (dyadic
+    rationals), alpha_m is the same closed formula, and ln() only enters
+    on the linear-counting branch over a small integer ratio."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(
+            "s"
+        ),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(alpha * m * m) / (F.col("s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("est"))

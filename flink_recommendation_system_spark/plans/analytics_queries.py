@@ -819,3 +819,62 @@ QUERIES["approx_order_quantiles"] = (
     q_approx_order_quantiles,
     APPROX_ORDER_QUANTILES_SQL,
 )
+
+
+HLL_M = 1 << 8  # operators.sketches.HLL_B = 8
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def q_hll_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-part estimate over lineitem, with the
+    exact count alongside (operators.sketches.hll_registers/estimate) —
+    the cross-engine-checkable twin of `approx_supplier_counts` (whose
+    Spark-private HLL++ hash keeps it rows-only). Register table and
+    estimator arithmetic are reproduced bit-for-bit by the DuckDB oracle;
+    the register sum is exact in doubles (dyadic rationals), so the
+    estimate is deterministic. Fixed 256-cell state at any cardinality."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_estimate(hll_registers(li, "l_partkey"))
+    exact = li.select(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
+HLL_PART_DISTINCT_SQL = f"""
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+                AS BIGINT) AS hv
+    FROM lineitem WHERE l_partkey IS NOT NULL
+),
+reg AS (
+    SELECT CAST(hv % {HLL_M} AS INT) AS bucket,
+           max(CASE WHEN hv // {HLL_M} = 0 THEN {33 - 8}
+                    ELSE {33 - 8} - length(bin(hv // {HLL_M})) END) AS rho
+    FROM h GROUP BY bucket
+),
+agg AS (
+    SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
+           count(*) AS nonzero
+    FROM reg
+),
+est AS (
+    SELECT CASE
+             WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
+                  / (s + ({HLL_M} - nonzero)) <= 2.5 * {HLL_M}
+                  AND ({HLL_M} - nonzero) > 0
+             THEN CAST({HLL_M} AS DOUBLE)
+                  * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero))
+             ELSE (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
+                  / (s + ({HLL_M} - nonzero))
+           END AS e
+    FROM agg
+)
+SELECT round(e, 4) AS est,
+       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+FROM est
+"""
+
+QUERIES["hll_part_distinct"] = (q_hll_part_distinct, HLL_PART_DISTINCT_SQL)

@@ -165,3 +165,28 @@ def test_log_histogram_quantile_bounds(spark):
     )
     sym = merged.exceptAll(hist).union(hist.exceptAll(merged))
     assert sym.count() == 0
+
+
+def test_hll_accuracy_and_merge(spark):
+    from flink_recommendation_system_spark.operators.sketches import (
+        HLL_B,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    li = load_table(spark, SF0001, "lineitem")
+    regs = hll_registers(li, "l_partkey")
+    assert regs.count() <= 1 << HLL_B  # fixed state
+    est = hll_estimate(regs).collect()[0]["est"]
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(est - exact) / exact < 0.15  # ~2.3 sigma at m=256
+
+    # merge = per-bucket max == registers of the union
+    even = li.filter(F.col("l_partkey") % 2 == 0)
+    odd = li.filter(F.col("l_partkey") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(even, "l_partkey"), hll_registers(odd, "l_partkey")
+    )
+    sym = merged.exceptAll(regs).union(regs.exceptAll(merged))
+    assert sym.count() == 0
