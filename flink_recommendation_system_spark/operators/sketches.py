@@ -367,6 +367,7 @@ def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
             "s"
         ),
         F.count(F.lit(1)).alias("nonzero"),
+        F.max("bucket").alias("_maxb"),
     )
     zeros = F.lit(m) - F.col("nonzero")
     raw = F.lit(alpha * m * m) / (F.col("s") + zeros.cast("double"))
@@ -374,4 +375,16 @@ def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select(F.round(est, 4).alias("est"))
+    # b-mismatch guard (the store_bands lesson), evaluated LAZILY in the
+    # same single-row job: registers built at a LARGER b address buckets
+    # >= m and would silently skew zeros/raw — fail loudly instead. (A
+    # smaller-b table is undetectable from the data — callers own b.)
+    bad_b = F.coalesce(F.col("_maxb"), F.lit(-1)) >= m
+    guarded = F.when(
+        bad_b,
+        F.expr(
+            f"assert_true(false, 'registers address a bucket >= m={m}; "
+            f"they were built with a larger b than estimate b={b}')"
+        ).cast("double"),
+    ).otherwise(est)
+    return agg.select(F.round(guarded, 4).alias("est"))

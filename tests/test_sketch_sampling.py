@@ -190,3 +190,17 @@ def test_hll_accuracy_and_merge(spark):
     )
     sym = merged.exceptAll(regs).union(regs.exceptAll(merged))
     assert sym.count() == 0
+
+
+def test_hll_estimate_rejects_larger_b_registers(spark):
+    import pytest
+
+    from flink_recommendation_system_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = load_table(spark, SF0001, "lineitem")
+    regs10 = hll_registers(li, "l_partkey", b=10)
+    with pytest.raises(Exception, match="larger b"):
+        hll_estimate(regs10, b=8).collect()
