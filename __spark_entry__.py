@@ -348,6 +348,7 @@ _WINDOW_PRIORITY = [
     "approx_order_quantiles",
     "epoch_shuffle",
     "hll_part_distinct",
+    "hll_brand_distinct",
     "triangle_counts",
     "near_dup_pipeline",
     "deduped_corpus",

@@ -388,3 +388,66 @@ def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
         ).cast("double"),
     ).otherwise(est)
     return agg.select(F.round(guarded, 4).alias("est"))
+
+
+def hll_registers_by(
+    df: DataFrame, group_col: str, key_col: str, b: int = HLL_B
+) -> DataFrame:
+    """Per-group HLL registers (group, bucket, rho) — the portable twin of
+    ``approx_count_distinct(...).groupBy(group)``: state is <= 2^b cells
+    PER GROUP, one partial-agg groupBy on (group, bucket)."""
+    if not 4 <= b <= 16:
+        raise ValueError("b must be in [4, 16]")
+    from .dedup import portable_hash32
+
+    m = 1 << b
+    keyed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).cast("string").alias("key"),
+    ).filter(F.col(key_col).isNotNull())
+    h = portable_hash32(F.col("key"))
+    w = F.shiftrightunsigned(h, b)
+    rho = F.when(w == 0, F.lit(33 - b)).otherwise(
+        F.lit(33 - b) - F.length(F.bin(w))
+    )
+    return (
+        keyed.select(
+            "grp",
+            (h % F.lit(m)).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("grp").alias(group_col), "bucket", "rho")
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_col: str, b: int = HLL_B
+) -> DataFrame:
+    """Per-group cardinality estimates from ``hll_registers_by`` output:
+    (group, est) — same estimator arithmetic (and the same cross-engine
+    exactness argument) as the global ``hll_estimate``, applied per
+    group."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+        F.max("bucket").alias("_maxb"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    raw = F.lit(alpha * m * m) / (F.col("s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    bad_b = F.coalesce(F.col("_maxb"), F.lit(-1)) >= m
+    guarded = F.when(
+        bad_b,
+        F.expr(
+            f"assert_true(false, 'registers address a bucket >= m={m}; "
+            f"they were built with a larger b than estimate b={b}')"
+        ).cast("double"),
+    ).otherwise(est)
+    return agg.select(group_col, F.round(guarded, 4).alias("est"))

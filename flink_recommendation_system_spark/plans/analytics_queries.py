@@ -878,3 +878,56 @@ FROM est
 """
 
 QUERIES["hll_part_distinct"] = (q_hll_part_distinct, HLL_PART_DISTINCT_SQL)
+
+
+def q_hll_brand_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP portable HLL: distinct-order estimates per part brand —
+    the exact query shape of `approx_supplier_counts`, but with the
+    md5-register sketch both engines reproduce, so the driver can
+    hash-check the ESTIMATES (the built-in HLL++ variant stays rows-only).
+    State <= 256 cells per brand; one (brand, bucket) partial agg."""
+    from ..operators.sketches import hll_estimate_by, hll_registers_by
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("p_brand", "l_orderkey")
+    regs = hll_registers_by(joined, "p_brand", "l_orderkey")
+    return hll_estimate_by(regs, "p_brand")
+
+
+HLL_BRAND_DISTINCT_SQL = f"""
+WITH j AS (
+    SELECT p_brand,
+           CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+                AS BIGINT) AS hv
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_orderkey IS NOT NULL
+),
+reg AS (
+    SELECT p_brand, CAST(hv % {HLL_M} AS INT) AS bucket,
+           max(CASE WHEN hv // {HLL_M} = 0 THEN {33 - 8}
+                    ELSE {33 - 8} - length(bin(hv // {HLL_M})) END) AS rho
+    FROM j GROUP BY p_brand, bucket
+),
+agg AS (
+    SELECT p_brand,
+           sum(power(2.0, -rho)) AS s,
+           count(*) AS nonzero
+    FROM reg GROUP BY p_brand
+)
+SELECT p_brand,
+       round(CASE
+               WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
+                    / (s + ({HLL_M} - nonzero)) <= 2.5 * {HLL_M}
+                    AND ({HLL_M} - nonzero) > 0
+               THEN CAST({HLL_M} AS DOUBLE)
+                    * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero))
+               ELSE (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
+                    / (s + ({HLL_M} - nonzero))
+             END, 4) AS est
+FROM agg
+"""
+
+QUERIES["hll_brand_distinct"] = (q_hll_brand_distinct, HLL_BRAND_DISTINCT_SQL)

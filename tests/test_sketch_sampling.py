@@ -204,3 +204,26 @@ def test_hll_estimate_rejects_larger_b_registers(spark):
     regs10 = hll_registers(li, "l_partkey", b=10)
     with pytest.raises(Exception, match="larger b"):
         hll_estimate(regs10, b=8).collect()
+
+
+def test_hll_per_group_accuracy(spark):
+    from flink_recommendation_system_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+
+    li = load_table(spark, SF0001, "lineitem")
+    regs = hll_registers_by(li, "l_returnflag", "l_orderkey")
+    est = {
+        r["l_returnflag"]: r["est"]
+        for r in hll_estimate_by(regs, "l_returnflag").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, e in est.items():
+        assert abs(e - exact[g]) / exact[g] < 0.2  # ~3 sigma at m=256
