@@ -353,41 +353,54 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
-    """Cardinality estimate from a register table: the classic HLL
-    estimator with the small-range linear-counting correction. Output:
-    one row (est DOUBLE, rounded to 4 dp). Every arithmetic step is
-    engine-portable: the register sum is exact in doubles (dyadic
-    rationals), alpha_m is the same closed formula, and ln() only enters
-    on the linear-counting branch over a small integer ratio."""
+
+def _hll_guarded_est(b: int):
+    """The guarded estimator over an agg row with columns (s, nonzero,
+    _maxb, _dups): one definition for the global and per-group forms.
+    Raises (lazily, inside the estimator job) on registers built with a
+    larger b (bucket >= m) or on a table with duplicate bucket rows (a
+    union instead of ``hll_merge`` — zeros would go negative / s inflate
+    silently)."""
     m = 1 << b
     alpha = 0.7213 / (1 + 1.079 / m)
-    agg = registers.agg(
-        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(
-            "s"
-        ),
-        F.count(F.lit(1)).alias("nonzero"),
-        F.max("bucket").alias("_maxb"),
-    )
     zeros = F.lit(m) - F.col("nonzero")
     raw = F.lit(alpha * m * m) / (F.col("s") + zeros.cast("double"))
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    # b-mismatch guard (the store_bands lesson), evaluated LAZILY in the
-    # same single-row job: registers built at a LARGER b address buckets
-    # >= m and would silently skew zeros/raw — fail loudly instead. (A
-    # smaller-b table is undetectable from the data — callers own b.)
-    bad_b = F.coalesce(F.col("_maxb"), F.lit(-1)) >= m
-    guarded = F.when(
-        bad_b,
+    bad = (F.coalesce(F.col("_maxb"), F.lit(-1)) >= m) | (F.col("_dups") > 0)
+    return F.when(
+        bad,
         F.expr(
-            f"assert_true(false, 'registers address a bucket >= m={m}; "
-            f"they were built with a larger b than estimate b={b}')"
+            f"assert_true(false, 'invalid HLL register table for b={b}: "
+            "either built with a larger b (bucket >= m) or it contains "
+            "duplicate bucket rows — combine sketches with hll_merge, "
+            "not union')"
         ).cast("double"),
-    ).otherwise(est)
-    return agg.select(F.round(guarded, 4).alias("est"))
+    ).otherwise(F.round(est, 4))
+
+
+def _hll_agg_cols():
+    return [
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+        F.max("bucket").alias("_maxb"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("bucket"))).alias("_dups"),
+    ]
+
+
+def hll_estimate(registers: DataFrame, b: int = HLL_B) -> DataFrame:
+    """Cardinality estimate from a register table: the classic HLL
+    estimator with the small-range linear-counting correction. Output:
+    one row (est DOUBLE, rounded to 4 dp). Every arithmetic step is
+    engine-portable: the register sum is exact in doubles (dyadic
+    rationals), alpha_m is the same closed formula, and ln() only enters
+    on the linear-counting branch over a small integer ratio. Invalid
+    register tables (larger-b build, duplicate buckets from a raw union)
+    fail loudly inside the same single-row job — see ``_hll_guarded_est``."""
+    agg = registers.agg(*_hll_agg_cols())
+    return agg.select(_hll_guarded_est(b).alias("est"))
 
 
 def hll_registers_by(
@@ -426,28 +439,7 @@ def hll_estimate_by(
     registers: DataFrame, group_col: str, b: int = HLL_B
 ) -> DataFrame:
     """Per-group cardinality estimates from ``hll_registers_by`` output:
-    (group, est) — same estimator arithmetic (and the same cross-engine
-    exactness argument) as the global ``hll_estimate``, applied per
-    group."""
-    m = 1 << b
-    alpha = 0.7213 / (1 + 1.079 / m)
-    agg = registers.groupBy(group_col).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
-        F.count(F.lit(1)).alias("nonzero"),
-        F.max("bucket").alias("_maxb"),
-    )
-    zeros = F.lit(m) - F.col("nonzero")
-    raw = F.lit(alpha * m * m) / (F.col("s") + zeros.cast("double"))
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
-    bad_b = F.coalesce(F.col("_maxb"), F.lit(-1)) >= m
-    guarded = F.when(
-        bad_b,
-        F.expr(
-            f"assert_true(false, 'registers address a bucket >= m={m}; "
-            f"they were built with a larger b than estimate b={b}')"
-        ).cast("double"),
-    ).otherwise(est)
-    return agg.select(group_col, F.round(guarded, 4).alias("est"))
+    (group, est) — the same guarded estimator as the global form
+    (``_hll_guarded_est``), applied per group."""
+    agg = registers.groupBy(group_col).agg(*_hll_agg_cols())
+    return agg.select(group_col, _hll_guarded_est(b).alias("est"))

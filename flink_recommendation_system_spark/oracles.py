@@ -378,19 +378,16 @@ PERSONALIZED_PAGERANK_SQL = (
 # singletons). This checks the Spark operator's VALUES, while its
 # cycle-merging behavior at scale stays property-tested against a
 # reference Tarjan (tests/test_graph_properties.py). The temporal edge
-# relation compares first-review times at FULL nanosecond precision,
-# mirroring the engine's epoch-nanos ts contract.
-SCC_COMPONENTS_SQL = """
-WITH RECURSIVE r AS (
-    SELECT CAST(user_id AS BIGINT) AS user_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
-           CAST(epoch_ns(ts) AS BIGINT) AS ts
-    FROM events
-),
+# relation derives from REVIEWS_CTE — the single definition of the
+# events->reviews mapping, whose ts is epoch SECONDS exactly like the
+# Spark side's reviews_from_events (an earlier inline copy compared full
+# nanoseconds and agreed only because the test data has no same-second
+# first-review collisions).
+SCC_COMPONENTS_SQL = f"""
+WITH RECURSIVE {REVIEWS_CTE},
 lk AS (
     SELECT user_id, product_id, min(ts) AS first_ts
-    FROM r WHERE user_id < 1000 AND rating > 3.0
+    FROM reviews WHERE user_id < 1000 AND rating > 3.0
     GROUP BY user_id, product_id
 ),
 e AS (

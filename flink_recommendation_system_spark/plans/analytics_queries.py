@@ -843,6 +843,22 @@ def q_hll_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+
+
+def _hll_est_sql(sum_expr: str = "s", nz: str = "nonzero") -> str:
+    """The HLL estimator CASE — ONE SQL definition for both oracle
+    queries (global and per-group), mirroring operators.sketches'
+    shared ``_hll_guarded_est``."""
+    raw = (f"(CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})"
+           f" / ({sum_expr} + ({HLL_M} - {nz}))")
+    return (
+        f"round(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ({HLL_M} - {nz}) > 0 "
+        f"THEN CAST({HLL_M} AS DOUBLE) "
+        f"* ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - {nz})) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
 HLL_PART_DISTINCT_SQL = f"""
 WITH h AS (
     SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
@@ -859,22 +875,10 @@ agg AS (
     SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
            count(*) AS nonzero
     FROM reg
-),
-est AS (
-    SELECT CASE
-             WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
-                  / (s + ({HLL_M} - nonzero)) <= 2.5 * {HLL_M}
-                  AND ({HLL_M} - nonzero) > 0
-             THEN CAST({HLL_M} AS DOUBLE)
-                  * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero))
-             ELSE (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
-                  / (s + ({HLL_M} - nonzero))
-           END AS e
-    FROM agg
 )
-SELECT round(e, 4) AS est,
+SELECT {_hll_est_sql()} AS est,
        (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
-FROM est
+FROM agg
 """
 
 QUERIES["hll_part_distinct"] = (q_hll_part_distinct, HLL_PART_DISTINCT_SQL)
@@ -917,16 +921,7 @@ agg AS (
            count(*) AS nonzero
     FROM reg GROUP BY p_brand
 )
-SELECT p_brand,
-       round(CASE
-               WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
-                    / (s + ({HLL_M} - nonzero)) <= 2.5 * {HLL_M}
-                    AND ({HLL_M} - nonzero) > 0
-               THEN CAST({HLL_M} AS DOUBLE)
-                    * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nonzero))
-               ELSE (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M})
-                    / (s + ({HLL_M} - nonzero))
-             END, 4) AS est
+SELECT p_brand, {_hll_est_sql()} AS est
 FROM agg
 """
 

@@ -1901,17 +1901,19 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EPOCH_SHUFFLE_SQL = f"""
-WITH h AS (
+WITH u AS (
     SELECT doc_id,
-           CAST(CAST(CAST('0x' || substr(md5('{EPOCH_SHUFFLE_SEED}:'
-                    || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT)
-                     AS HUGEINT)
-                - CASE WHEN CAST('0x' || substr(md5('{EPOCH_SHUFFLE_SEED}:'
-                             || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT)
-                            >= CAST(9223372036854775808 AS UBIGINT)
+           CAST('0x' || substr(md5('{EPOCH_SHUFFLE_SEED}:'
+                || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS uh
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(CAST(uh AS HUGEINT)
+                - CASE WHEN uh >= CAST(9223372036854775808 AS UBIGINT)
                        THEN CAST(18446744073709551616 AS HUGEINT)
                        ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS hh
-    FROM documents
+    FROM u
 )
 SELECT row_number() OVER (ORDER BY hh ASC NULLS LAST, doc_id ASC) AS position,
        doc_id

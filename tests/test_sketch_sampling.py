@@ -227,3 +227,18 @@ def test_hll_per_group_accuracy(spark):
     assert set(est) == set(exact)
     for g, e in est.items():
         assert abs(e - exact[g]) / exact[g] < 0.2  # ~3 sigma at m=256
+
+
+def test_hll_estimate_rejects_duplicate_buckets(spark):
+    import pytest
+
+    from flink_recommendation_system_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    li = load_table(spark, SF0001, "lineitem")
+    regs = hll_registers(li, "l_partkey")
+    raw_union = regs.unionByName(regs)  # NOT hll_merge
+    with pytest.raises(Exception, match="hll_merge"):
+        hll_estimate(raw_union).collect()
