@@ -176,6 +176,50 @@ def main() -> None:
     timed(
         f"log_histogram {n}x", lambda: force(log_histogram(evN, "value"))
     )
+
+    from flink_recommendation_system_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    timed("hll_registers 1x", lambda: force(hll_registers(ev1, "user_id")))
+    timed(
+        f"hll_registers {n}x", lambda: force(hll_registers(evN, "user_id"))
+    )
+
+    # interval-overlap join over per-user sessions: replicas have DISJOINT
+    # users (shifted ids) but the SAME time range, so cross-replica session
+    # pairs are real work — candidate volume grows ~quadratically with
+    # replicas inside each grid cell, bounded by temporal density (the
+    # documented blocking trade-off), not by a cross product
+    from flink_recommendation_system_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # user-shifted replica: N× means N× distinct users in the SAME time
+    # range — sessions grow N×, candidate pairs inside each grid cell grow
+    # ~N² (the documented temporal-density bound of the blocking scheme)
+    evU = replicate(ev1, n, {"event_id": 10_000_000, "user_id": 10_000})
+
+    def overlaps_on(ev, cutoff):
+        sess = (
+            ev.filter(F.col("user_id") % 1000 < 20)
+            .select(
+                "user_id",
+                F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+            )
+            .groupBy("user_id", (F.col("s") / 1800).cast("long").alias("w"))
+            .agg(F.min("s").alias("start_sec"), F.max("s").alias("end_sec"))
+            .drop("w")
+        )
+        pairs = interval_overlap_join(
+            sess, sess, grid=3600, start_col="start_sec", end_col="end_sec"
+        )
+        return lambda: force(
+            pairs.filter(F.col("a_user_id") < F.col("b_user_id"))
+        )
+
+    timed("interval_overlap (20 users/rep) 1x", overlaps_on(ev1, 20))
+    timed(f"interval_overlap (20 users/rep) {n}x", overlaps_on(evU, 20))
     spark.stop()
 
 
