@@ -349,6 +349,7 @@ _WINDOW_PRIORITY = [
     "epoch_shuffle",
     "hll_part_distinct",
     "hll_brand_distinct",
+    "activity_similarity",
     "triangle_counts",
     "near_dup_pipeline",
     "deduped_corpus",

@@ -128,3 +128,83 @@ def retention_cohorts(
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+def activity_similarity_topk(
+    events: DataFrame,
+    bucket_sec: int = 3600,
+    k: int = 3,
+) -> DataFrame:
+    """Time-series similarity search over per-user activity series (the
+    EDBT'19 distributed time-series-similarity shape): each user's series
+    is their event count per time bucket, and the k most similar other
+    users are ranked by squared Euclidean distance between the series —
+    computed WITHOUT ever materializing dense vectors:
+
+        dist²(u, v) = Σ_b (c_u(b) − c_v(b))²
+                    = ‖c_u‖² + ‖c_v‖² − 2·Σ_b c_u(b)·c_v(b)
+
+    The cross term is a SPARSE self-join on the bucket key (only buckets
+    where both users were active produce rows), the norms are one
+    partial-agg pass, and pairs with no shared bucket fall back to
+    ‖c_u‖² + ‖c_v‖² via a left join — so the plan is equi-join + window,
+    never a dense cross product over the series length. All counts are
+    integers → exact arithmetic end-to-end (full value oracle).
+
+    The all-pairs norm cross join is the exact baseline tier, bounded by
+    the caller's user filter (same stance as `triangle_counts` /
+    `ngram_jaccard_pairs`); at full population the same per-(user, bucket)
+    count relation feeds the SRP/IVF ANN operators instead.
+
+    Output: (user_id, neighbor_id, dist2, rank), rank 1..k by
+    (dist2 ASC, neighbor_id ASC).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        events.select(
+            "user_id",
+            F.expr(f"CAST(ts DIV {NANOS_PER_SEC} AS BIGINT)").alias("s"),
+        )
+        .select("user_id", (F.col("s") - F.pmod("s", F.lit(bucket_sec)))
+                .alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = counts.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    dots = (
+        a.join(b, "bucket")
+        .filter(F.col("a.user_id") != F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("user_id"),
+            F.col("b.user_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("user_id"), F.col("n2").alias("na2"))
+    nb = norms.select(
+        F.col("user_id").alias("neighbor_id"), F.col("n2").alias("nb2")
+    )
+    pairs = (
+        na.crossJoin(nb)
+        .filter(F.col("user_id") != F.col("neighbor_id"))
+        .join(dots, ["user_id", "neighbor_id"], "left")
+        .select(
+            "user_id",
+            "neighbor_id",
+            (
+                F.col("na2") + F.col("nb2")
+                - 2 * F.coalesce(F.col("dot"), F.lit(0))
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -387,3 +387,58 @@ GROUP BY a_user, b_user
 """
 
 QUERIES["session_overlaps"] = (q_session_overlaps, SESSION_OVERLAPS_SQL)
+
+
+SIM_USER_CUTOFF, SIM_BUCKET_SEC, SIM_K = 60, 3600, 3
+
+
+def q_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (operators.events
+    activity_similarity_topk): each user's hourly activity series vs every
+    other's, k=3 nearest by squared Euclidean distance — computed as
+    norms + a SPARSE bucket self-join (never dense vectors). Exact
+    integer arithmetic → full value oracle. Users bounded (< 60) for the
+    all-pairs exact tier; the unbounded population runs the SRP/IVF ANN
+    operators over the same per-(user, bucket) relation."""
+    from pyspark.sql import functions as F
+
+    from ..operators.events import activity_similarity_topk
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < SIM_USER_CUTOFF
+    )
+    return activity_similarity_topk(ev, SIM_BUCKET_SEC, SIM_K)
+
+
+ACTIVITY_SIMILARITY_SQL = f"""
+WITH e AS (
+    SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events WHERE user_id < {SIM_USER_CUTOFF}
+),
+c AS (
+    SELECT user_id, s - (s % {SIM_BUCKET_SEC}) AS bucket, count(*) AS c
+    FROM e GROUP BY user_id, bucket
+),
+n AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY user_id),
+d AS (
+    SELECT a.user_id AS user_id, b.user_id AS neighbor_id,
+           CAST(sum(a.c * b.c) AS BIGINT) AS dot
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.user_id != b.user_id
+    GROUP BY 1, 2
+),
+p AS (
+    SELECT na.user_id, nb.user_id AS neighbor_id,
+           na.n2 + nb.n2 - 2 * coalesce(d.dot, 0) AS dist2
+    FROM n na CROSS JOIN n nb
+    LEFT JOIN d ON d.user_id = na.user_id AND d.neighbor_id = nb.user_id
+    WHERE na.user_id != nb.user_id
+)
+SELECT user_id, neighbor_id, dist2, rank FROM (
+    SELECT p.*, row_number() OVER (
+        PARTITION BY user_id ORDER BY dist2 ASC, neighbor_id ASC
+    ) AS rank
+    FROM p
+) WHERE rank <= {SIM_K}
+"""
+
+QUERIES["activity_similarity"] = (q_activity_similarity, ACTIVITY_SIMILARITY_SQL)

@@ -54,3 +54,29 @@ def test_connected_components_invariants(spark):
         assert c == min(members)
     # the planted pair is its own two-vertex component
     assert rows[900001] == rows[900002] == 900001
+
+
+def test_activity_similarity_matches_dense_bruteforce(spark):
+    """The sparse-join distance must equal the dense per-bucket
+    subtraction on a small crafted input (incl. a user pair with NO
+    shared bucket — the left-join fallback path)."""
+    from flink_recommendation_system_spark.operators.events import (
+        activity_similarity_topk,
+    )
+
+    NS = 1_000_000_000
+    rows = []
+    # u1: buckets 0,0,1  u2: buckets 0,2  u3: bucket 5 (disjoint from u1)
+    for uid, buckets in [(1, [0, 0, 1]), (2, [0, 2]), (3, [5])]:
+        for b in buckets:
+            rows.append((uid, b * 3600 * NS))
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {
+        (r["user_id"], r["neighbor_id"]): r["dist2"]
+        for r in activity_similarity_topk(ev, 3600, k=2).collect()
+    }
+    # series: u1 = {0:2, 1:1}, u2 = {0:1, 2:1}, u3 = {5:1}
+    assert got[(1, 2)] == (2 - 1) ** 2 + 1 + 1  # 3
+    assert got[(1, 3)] == (4 + 1) + 1  # no shared bucket: n1+n3 = 6
+    assert got[(2, 3)] == 2 + 1
+    assert got[(2, 1)] == got[(1, 2)] and got[(3, 1)] == got[(1, 3)]
