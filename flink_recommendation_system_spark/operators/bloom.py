@@ -169,22 +169,22 @@ def bloom_probe_join(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Keep the rows whose ``key_col`` the filter (given as its set-bit
-    ``positions``) flags: explode the k probe positions, broadcast-join the
-    position relation, demand all k hit. Pure JVM; the probe shuffle key is
-    a single int."""
+    ``positions``) flags: probe each DISTINCT key (explode its k positions,
+    broadcast-join the position relation, demand all k hit), then semi-join
+    the flagged keys back to the input — true semi-join semantics, so input
+    multiplicity is preserved (duplicated rows stay duplicated) and the
+    k-position explosion pays per distinct key, not per row."""
     _check_m(m_bits)
-    probes = _positions_hoisted(rows, key_col, m_bits, k, "pos", pos_only=False)
-    return (
+    keys = rows.select(key_col).distinct()
+    probes = _positions_hoisted(keys, key_col, m_bits, k, "pos", pos_only=True)
+    flagged = (
         probes.join(F.broadcast(positions), "pos")
-        # distinct probe indices, not row count: duplicated input rows
-        # collapse into one group whose plain count would be k×multiplicity
-        # and fail the == k check — silently dropping rows the filter
-        # actually flags. (Output is one row per DISTINCT flagged tuple.)
-        .groupBy(*rows.columns)
-        .agg(F.countDistinct("_probe_i").alias("_hits"))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
         .filter(F.col("_hits") == k)
-        .drop("_hits")
+        .select(key_col)
     )
+    return rows.join(flagged, key_col, "semi")
 
 
 def bloom_probe_arrow(

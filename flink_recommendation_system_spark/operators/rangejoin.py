@@ -95,6 +95,12 @@ def interval_overlap_join(
     timeline/grid cells — the same hot-key hazard as any blocking scheme;
     cap or split such intervals upstream like the pair-generating dedup
     operators cap theirs.
+
+    Inverted intervals (``end < start``) denote the EMPTY interval and are
+    dropped from both sides before blocking: a closed interval with no
+    points overlaps nothing, and without the filter ``sequence()``'s
+    automatic descending step would still explode such rows to cells and
+    could emit pairs for a mathematically empty interval.
     """
     if grid < 1:
         raise ValueError("grid must be a positive integer")
@@ -110,7 +116,7 @@ def interval_overlap_join(
         )
         s = F.col(f"{prefix}{start_col}")
         e = F.col(f"{prefix}{end_col}")
-        cells = out.withColumn(
+        cells = out.filter(s <= e).withColumn(
             "_cell", F.explode(F.sequence(_cell(s, grid), _cell(e, grid)))
         )
         return cells, s, e

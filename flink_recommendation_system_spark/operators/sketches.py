@@ -196,10 +196,14 @@ def cms_estimate(
     Plan shape: the probe side fans out to depth rows per key, then joins
     the sketch — which is at most depth*width rows, so it BROADCASTS; the
     corpus itself is never touched."""
-    kx = probes.select(
-        F.col(key_col).alias("_orig"),
-        F.col(key_col).cast("string").alias("key"),
-    ).distinct()
+    kx = (
+        probes.filter(F.col(key_col).isNotNull())  # same NULL contract as cms_build
+        .select(
+            F.col(key_col).alias("_orig"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .distinct()
+    )
     addressed = _with_h1_h2(kx, "_orig").select(
         "_orig", _cms_positions(width, depth).alias("r", "j")
     )
@@ -273,7 +277,11 @@ def histogram_quantiles(
     [est, est·(1 + 2^-HIST_SUB_BITS)). Output: (q_num, q_den, est).
 
     The cumulative window is a single-partition sort over the ≤ ~8·64-row
-    histogram — metadata-scale, not a data path."""
+    histogram — metadata-scale, not a data path.
+
+    An EMPTY histogram yields one row per requested quantile with
+    ``est = NULL`` (left join below) — callers can tell 'no data' apart
+    from a dropped quantile."""
     from pyspark.sql import Window
 
     sub = HIST_SUB_BITS
@@ -296,6 +304,7 @@ def histogram_quantiles(
             F.broadcast(cum),
             F.col("cum")
             >= F.expr("(q_num * total + q_den - 1) DIV q_den"),
+            "left",
         )
         .groupBy("q_num", "q_den")
         .agg(F.min(lo).alias("est"))

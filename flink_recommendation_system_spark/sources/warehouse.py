@@ -20,6 +20,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from ..errors import is_path_not_found
 
 
 def publish_partitioned(
@@ -112,8 +115,8 @@ def merge_upsert(
             updates.select(*key_cols), key_cols, "left_anti"
         )
         result = survivors.unionByName(upserts)
-    except Exception as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+    except AnalysisException as e:
+        if not is_path_not_found(e):
             raise
         result = upserts
     staging = target_path.rstrip("/") + ".staging"

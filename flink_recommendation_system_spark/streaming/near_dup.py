@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from ..errors import is_path_not_found
 from ..operators.dedup import (
     incremental_pairs_from_signatures,
     minhash_signatures,
@@ -56,7 +57,7 @@ def _read_store(
     try:
         df = spark.read.parquet(store_path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        if is_path_not_found(e):
             return spark.createDataFrame([], SIG_SCHEMA)
         raise
     return df.filter(F.col("batch") < before_batch).select("doc_id", "sig")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from ..errors import is_path_not_found
 from ..operators.sketches import cms_build
 
 
@@ -34,7 +35,7 @@ def _read_store(spark: SparkSession, store_path: str, schema: str) -> DataFrame:
     try:
         return spark.read.parquet(store_path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        if is_path_not_found(e):
             return spark.createDataFrame([], schema)
         raise
 

@@ -98,3 +98,16 @@ def test_overlap_exact_at_nanosecond_magnitudes(spark):
         [(2, base + g, base + 3 * g)], ["id", "start", "end"]
     )
     assert len(interval_overlap_join(a, b, grid=g).collect()) == 1
+
+
+def test_inverted_interval_is_empty(spark):
+    """end < start denotes the EMPTY interval: it overlaps nothing and is
+    dropped before blocking (ADVICE r04 — sequence() would otherwise
+    auto-step descending and still explode it to cells)."""
+    a = spark.createDataFrame([(1, 20, 10)], ["id", "start", "end"])
+    b = spark.createDataFrame([(2, 0, 100)], ["id", "start", "end"])
+    assert interval_overlap_join(a, b, grid=8).collect() == []
+    assert interval_overlap_join(b, a, grid=8).collect() == []
+    # a degenerate-but-valid point interval still pairs
+    p = spark.createDataFrame([(3, 15, 15)], ["id", "start", "end"])
+    assert len(interval_overlap_join(p, b, grid=8).collect()) == 1

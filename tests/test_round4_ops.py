@@ -694,9 +694,11 @@ def test_sliding_chunks_overlap_and_coverage(spark):
 
 
 def test_bloom_probe_join_keeps_duplicated_rows(spark):
-    """Duplicated input rows must still pass the all-k check (the plain
-    row-count form saw k x multiplicity hits and dropped them): output is
-    one row per DISTINCT flagged tuple."""
+    """True semi-join semantics: duplicated input rows pass the all-k
+    check AND keep their multiplicity (the old grouped form collapsed
+    them to one row per distinct tuple)."""
+    from collections import Counter
+
     from flink_recommendation_system_spark.operators.bloom import (
         bloom_positions,
         bloom_probe_join,
@@ -707,10 +709,10 @@ def test_bloom_probe_join_keeps_duplicated_rows(spark):
     rows = spark.createDataFrame(
         [(1, "a"), (1, "a"), (2, "b"), (3, "c")], ["doc_id", "ngram"]
     )
-    got = {
+    got = Counter(
         (r["doc_id"], r["ngram"])
         for r in bloom_probe_join(rows, positions, "ngram", 1 << 10, 3).collect()
-    }
-    assert (1, "a") in got and (2, "b") in got
+    )
+    assert got[(1, "a")] == 2 and got[(2, "b")] == 1
     # "c" may or may not collide (tiny FP chance); the duplicated (1, "a")
-    # must never be dropped
+    # must keep BOTH rows

@@ -242,3 +242,35 @@ def test_hll_estimate_rejects_duplicate_buckets(spark):
     raw_union = regs.unionByName(regs)  # NOT hll_merge
     with pytest.raises(Exception, match="hll_merge"):
         hll_estimate(raw_union).collect()
+
+
+def test_cms_estimate_excludes_null_probes(spark):
+    """Probe side shares cms_build's NULL contract (ADVICE r04): a NULL
+    probe key is excluded, not silently estimated as 0."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    sk = cms_build(df, "k", width=64, depth=2)
+    probes = spark.createDataFrame(
+        [("a",), (None,)], "k string"
+    )
+    got = {r["k"]: r["est_cnt"] for r in
+           cms_estimate(sk, probes, "k", width=64, depth=2).collect()}
+    assert got == {"a": 2}
+
+
+def test_histogram_quantiles_empty_input_yields_null_rows(spark):
+    """An empty histogram returns one row per requested quantile with
+    est NULL (ADVICE r04) — 'no data' is distinguishable from a dropped
+    quantile."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "b int, p bigint, cnt bigint")
+    got = {(r["q_num"], r["q_den"]): r["est"] for r in
+           histogram_quantiles(empty, [(1, 2), (9, 10)]).collect()}
+    assert got == {(1, 2): None, (9, 10): None}
