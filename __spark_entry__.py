@@ -246,130 +246,94 @@ _SUITES = [
 # green history and remain covered at sf0.001 by tests/test_entry_queries.py
 # every CI run.
 #
-# ROUND-4 ROTATION: the six round-4 queries lead (never checked). The driver
-# regenerated testdata this round with events.ts as TIMESTAMP_MICROS (was
-# INT64 nanos) — sources.tables normalizes it back to the epoch-nanos
-# contract — so every events-derived query is promoted for re-confirmation
-# under the new encoding. The r03-green relational/text tier (checked on
-# unchanged load paths) rotates out.
+# ROUND-5 ROTATION: the 11 round-4c additions that have never had a driver
+# CORRECTNESS row lead (VERDICT r04 item 1 — nothing goes ahead of them),
+# followed by this round's new query, then the 51 queries whose last green
+# row predates the round-4 testdata regeneration, highest-risk inputs
+# first (documents corpus and embeddings were re-drawn; events re-encoded).
+# The 13 relational queries that do not fit rotate in next round. Every
+# out-of-window query keeps sf0.001 CI coverage (tests/test_entry_queries)
+# and a current sf0.01 signal via tools/local_correctness.py
+# (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. never checked (new in round 4), plus queries whose RESULTS changed
-    # when round-4 testdata renamed regions / filled in customer orders /
-    # regenerated embeddings (previously green only as empty-vs-empty)
-    "repeated_spans",
-    "heavy_users",
-    "kcore_members",
-    "scc_components",
-    "personalized_pagerank",
-    "stratified_split",
-    "funnel_stages",
-    "retention_cohorts",
-    "value_outliers",
-    "user_event_pivot",
-    "nation_balance_overview",
-    "revenue_grouping_sets",
-    "returned_items",
-    "decontaminated_corpus",
-    "large_volume_orders",
-    "table_profile",
-    "local_supplier_volume",
-    "customers_without_orders",
-    "embedding_near_dups",
-    "bigram_lm_scores",
-    "boilerplate_chunks",
-    "bloom_decontamination",
-    "quality_resample",
-    "dataset_card",
-    "bm25_topk",
-    "pii_redaction",
-    "context_packing",
-    "doc_chunks",
-    "length_histogram",
-    "semantic_dedup",
-    "cms_part_counts",
-    "corpus_sample_k",
-    "deduped_corpus_quality",
-    # 2. events-derived: input encoding changed this round — re-confirm the
-    # whole reviews/graph/reco/streaming stack on the new testdata.
-    # (graph_vertices / undirected_edges are fully determined by
-    # co_review_edges, which stays in-window; community_sizes is a trivial
-    # rollup of the in-window lpa_labels; connected_components shares its
-    # oracle with the in-window star variant. All keep sf0.001 CI
-    # coverage and cede their slots to the dedup family below.)
-    "good_ratings",
-    "co_review_edges",
-    "lpa_labels",
-    "top_products",
-    "user_recommendations",
-    "serving_snapshot",
-    "connected_components_star",
-    # triangle_counts: ts-insensitive; its input derivation (good_reviews →
-    # co_review_edges) is re-confirmed in-window via co_review_edges, and
-    # the operator was green r03 unchanged — cedes its slot to the round-4c
-    # sketch/sampling additions; sf0.001 CI keeps it covered
-    "pagerank",
-    "als_recommendations",
-    "itemcf_recommendations",
-    # kv_roundtrip / user_product_sets / split_db_part: P4/A5/X1 ops whose
-    # events-derived inputs are shared with the in-window good_ratings
-    # (and whose logic is ts-independent) — sf0.001 CI keeps them covered;
-    # never-checked queries take the slots
-    "asof_click_purchase",
-    "events_within_hour",
-    # daily_rollup: the hourly→daily cascade re-aggregates the in-window
-    # event_windows result — sf0.001 CI keeps it covered
-    "event_windows",
-    # sliding_windows: same tumbling machinery as the in-window
-    # event_windows, with overlap — sf0.001 CI keeps it covered
-    "user_sessions",
-    # 3. flagship dedup/ANN tier: green r03, but the documents corpus was
-    # regenerated with the rest of the round-4 testdata — keep the
-    # near-dup family under fresh oracle check
-    "minhash_near_dups",
-    # near_dup_pipeline: = the _EXACT_SURVIVORS filter (r03-green,
-    # unchanged) over the in-window minhash machinery — cedes its slot
-    "simhash_near_dups",
-    "near_dup_clusters_lsh",
-    # deduped_corpus: trivial filter+semi-join over the in-window
-    # near_dup_clusters_lsh; its richer successor deduped_corpus_quality
-    # (same composition + argmax representative) IS in-window
-    # --- 50-row window boundary: tiers 1-3 above fill exactly 50 ---
-    # 4. OUTSIDE the window this round (green in r01/r02, sf0.001 CI
-    # coverage): rotate back in next round after the rotation head below
-    "customers_with_orders",
-    "customer_order_counts",
-    "revenue_by_nation",
-    "token_counts",
-    "quality_stats",
-    # ROUND-5 ROTATION HEAD: these were added after the round-4 window
-    # filled and have never had a driver row — lead with them next round,
-    # then rotate the re-confirmation tiers out.
+    # 1. rotation head: never driver-checked (added after the r4 window
+    # filled)
     "session_overlaps",
     "approx_order_quantiles",
     "epoch_shuffle",
     "hll_part_distinct",
     "hll_brand_distinct",
     "activity_similarity",
-    "triangle_counts",
-    "near_dup_pipeline",
-    "deduped_corpus",
     "contamination_by_source",
     "lineitem_measures_unpivot",
     "embedding_stats",
     "sliding_chunks",
     "curriculum_order",
+    # 2. new this round: the SRP-bucketed scale tier of the registered
+    # exact embedding near-dup baseline (VERDICT r04 item 2)
+    "embedding_near_dups_lsh",
+    # 3. stale greens on regenerated inputs — documents corpus tier
+    # (re-drawn in r4; last green r01-r03)
+    "token_counts",
+    "quality_stats",
     "language_id",
-    "active_nations",
+    "tfidf_top_terms",
+    "ngram_jaccard_pairs",
+    "near_dup_pipeline",
+    "deduped_corpus",
     "near_dup_clusters",
+    "repetition_stats",
+    "decontamination",
+    "corpus_mixture",
+    "fingerprints",
+    "exact_dedup_keys",
+    "clean_corpus",
+    "top_bigrams",
+    # 4. embeddings / multimodal tier (embeddings re-drawn in r4)
     "lsh_topk",
     "cosine_topk",
     "ivf_topk",
-    "tfidf_top_terms",
-    "ngram_jaccard_pairs",
     "multimodal_features",
-    # the r03-green relational and
-    # text/cleaning tiers below all have fresh green rows on unchanged
-    # load paths ---
+    "image_resize",
+    "frame_sample_plan",
+    # 5. events-derived tier (ts re-encoded in r4; these rotated out of
+    # the r4 window in favor of the sketch/sampling additions)
+    "graph_vertices",
+    "undirected_edges",
+    "community_sizes",
+    "connected_components",
+    "triangle_counts",
+    "kv_roundtrip",
+    "user_product_sets",
+    "split_db_part",
+    "daily_rollup",
+    "sliding_windows",
+    # 6. relational tier, part 1 (fills the window to exactly 50)
+    "customers_with_orders",
+    "customer_order_counts",
+    "revenue_by_nation",
+    "active_nations",
+    "pricing_summary",
+    "shipping_priority",
+    "top_orders_per_customer",
+    # --- 50-row window boundary ---
+    # 7. relational tier, part 2: ROUND-6 ROTATION HEAD (last green r01-r03
+    # on load paths unchanged by the r4 regeneration; sf0.001 CI +
+    # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)
+    "sql_surface",
+    "customer_latest_order",
+    "revenue_cube",
+    "revenue_rollup",
+    "order_value_quantiles",
+    "nations_in_both",
+    "customer_name_parse",
+    "part_type_stats",
+    "approx_supplier_counts",
+    "order_priority_counts",
+    "conditional_agg",
+    "customer_deciles",
+    "customer_order_gaps",
+    # everything else (green in r4) follows in registration order
 ]
 
 

@@ -739,6 +739,66 @@ WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {EMB_DUP_THRESHOLD}
 """
 
 
+# SRP-bucketed tier: ~0.03% of vector pairs share an 8-plane bucket on the
+# synthetic corpus, so the threshold can sit lower than the exact tier's
+# and still be discriminating (~13 pairs at sf0.01; measured, round 5).
+EMB_LSH_THRESHOLD = 0.30
+EMB_LSH_PLANES = 8
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE tier of ``embedding_near_dups``: SRP-bucket candidate
+    equi-join + exact cosine verify (operators.similarity.embedding_near_dups)
+    — the O(N²/buckets) plan that survives 100×, vs the exact tier's
+    broadcast-nested-loop baseline. FULL value oracle: the seeded
+    hyperplanes are plan constants DuckDB reproduces bit-for-bit (same
+    recipe as lsh_topk), so bucket assignment AND the verified pair set
+    are engine-exact."""
+    emb = _emb(spark, sf_dir)
+    return S.embedding_near_dups(
+        emb, threshold=EMB_LSH_THRESHOLD, n_planes=EMB_LSH_PLANES
+    )
+
+
+def _embedding_near_dups_lsh_sql(
+    threshold: float = EMB_LSH_THRESHOLD,
+    n_planes: int = EMB_LSH_PLANES,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.similarity.embedding_near_dups: SRP bucket =
+    packed sign bits (strict > 0, weight 2^i), candidates = bucket
+    self-equi-join with a_id < b_id, exact cosine (round 6 dp) filter."""
+    planes = S._hyperplanes(dim, n_planes)
+    vals = ",\n    ".join(
+        f"({1 << i}, [{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    dot_plane = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * p.plane[j]))"
+    )
+    return f"""
+WITH planes(w, plane) AS (VALUES
+    {vals}),
+sigs AS (
+    SELECT e.vec_id,
+           SUM(CASE WHEN {dot_plane} > 0 THEN CAST(p.w AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine_sim
+FROM embeddings a JOIN sigs sa ON sa.vec_id = a.vec_id
+JOIN sigs sb ON sa.bucket = sb.bucket
+JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {threshold}
+"""
+
+
+EMBEDDING_NEAR_DUPS_LSH_SQL = _embedding_near_dups_lsh_sql()
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 TF-IDF terms — fully value-checked (exact counts, ln
     rounded to 6 dp before ranking in both engines)."""
@@ -1528,6 +1588,10 @@ QUERIES: dict[str, tuple] = {
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
+    "embedding_near_dups_lsh": (
+        q_embedding_near_dups_lsh,
+        EMBEDDING_NEAR_DUPS_LSH_SQL,
+    ),
     "multimodal_features": (q_multimodal_features, MULTIMODAL_FEATURES_SQL),
     "image_resize": (q_image_resize, IMAGE_RESIZE_SQL),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),

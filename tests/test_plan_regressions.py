@@ -194,3 +194,18 @@ def test_minhash_signature_hash_not_in_generate(spark):
     for line in plan.splitlines():
         if "Generate" in line and "explode" in line:
             assert "md5" not in line, line
+
+
+def test_embedding_near_dups_lsh_is_bucket_equi_join(spark):
+    """The SRP-bucketed near-dup tier must candidate-generate via a hash
+    equi-join on the bucket signature — never the exact tier's
+    BroadcastNestedLoopJoin (the one registered similarity plan VERDICT r04
+    flagged as dying at 100×)."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_embedding_near_dups_lsh,
+    )
+
+    plan = _plan(q_embedding_near_dups_lsh(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
