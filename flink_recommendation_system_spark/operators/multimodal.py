@@ -2,12 +2,19 @@
 opaque ``binary`` payloads with typed metadata, processed via Arrow-batched
 ``mapInPandas`` — the shape a 100 TB media pipeline uses.
 
-The container has no image/audio libraries, so the decode step is STUBBED:
-``decode_image_batch`` raises ``NotImplementedError`` unless
-``fake_decode=True``, in which case a deterministic fake decoder derives
-"features" from the payload bytes. Everything around the stub — schema,
-batch iteration, partitioning, UDF signatures, output types — is real and
-tested; swapping in PIL/ffmpeg is a one-function change.
+Decode tiers (the ``decode=`` parameter):
+
+- ``"real"``: actual codecs via ``functions.codecs`` — PIL when importable,
+  else the stdlib PNG (zlib/struct) and WAV (wave) codecs, so real encoded
+  bytes flow through the Arrow path even in codec-less containers
+  (exercised in tests/test_multimodal_real.py). Video has no stdlib codec
+  and raises ``NotImplementedError`` — the one remaining stub.
+- ``"fake"``: deterministic byte-statistics stand-in — the value-oracle
+  tier the registered driver queries use (synthetic payloads are not valid
+  media, and the oracle must be reproducible in DuckDB).
+- ``"stub"`` (default): raise, so a production caller must choose.
+
+The legacy ``fake_decode=True`` flag maps to ``decode="fake"``.
 """
 
 from __future__ import annotations
@@ -67,34 +74,83 @@ def _fake_features(payload: bytes, n: int = 4) -> list[float]:
     return [float(total), float(s % 997), float(mx), float(mn)]
 
 
+def _resolve_mode(decode: str, fake_decode: bool) -> str:
+    mode = "fake" if (fake_decode and decode == "stub") else decode
+    if mode not in ("stub", "fake", "real"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+    if mode == "stub":
+        raise NotImplementedError(
+            "no decode tier selected: pass decode='real' (PIL or the "
+            "stdlib PNG/WAV codecs) or decode='fake' (deterministic "
+            "byte-statistics stand-in)"
+        )
+    return mode
+
+
+def _real_features(payload: bytes, modality: str, n: int = 4) -> list[float]:
+    """Fixed-width features from REAL decoded media: images →
+    [width, height, channels, mean pixel]; audio → [n_frames, sample_rate,
+    channels, mean |amplitude|]. Same width as the fake tier so downstream
+    schema/consumers are identical."""
+    from ..functions import codecs
+
+    if modality == "image":
+        arr = codecs.decode_image(payload)
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return [
+            float(arr.shape[1]),
+            float(arr.shape[0]),
+            float(ch),
+            float(round(arr.astype("float64").mean(), 6)),
+        ]
+    if modality == "audio":
+        rate, ch, samples = codecs.decode_wav(payload)
+        mean_amp = (
+            float(round(abs(samples.astype("float64")).mean(), 6))
+            if samples.size
+            else 0.0
+        )
+        return [float(samples.shape[0]), float(rate), float(ch), mean_amp]
+    raise NotImplementedError(
+        f"no real codec for modality {modality!r} (video needs ffmpeg)"
+    )
+
+
 def extract_features(
-    assets: DataFrame, fake_decode: bool = False, batch_hint: int = 1024
+    assets: DataFrame,
+    fake_decode: bool = False,
+    batch_hint: int = 1024,
+    decode: str = "stub",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Real pipeline shape: ``mapInPandas`` receives pandas batches of
-    (asset_id, modality, payload), decodes each payload, emits fixed-width
-    feature vectors. Without media libs installed this raises
-    ``NotImplementedError`` unless ``fake_decode=True``.
+    ``mapInPandas`` receives pandas batches of (asset_id, modality,
+    payload), decodes each payload, emits fixed-width feature vectors.
+    ``decode="real"`` runs actual codecs (see module docstring);
+    ``decode="fake"`` (= legacy ``fake_decode=True``) the deterministic
+    stand-in; the default raises so callers must choose.
     """
+    mode = _resolve_mode(decode, fake_decode)
 
     def decode_batches(
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if not fake_decode:
-            raise NotImplementedError(
-                "media codecs not installed in this environment; "
-                "pass fake_decode=True for the deterministic stub"
-            )
         for pdf in batches:
+            if mode == "real":
+                feats = [
+                    _real_features(p, m)
+                    for p, m in zip(pdf["payload"], pdf["modality"])
+                ]
+            else:
+                feats = [_fake_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": feats,
                 }
             )
 
@@ -119,20 +175,23 @@ def resize_images(
     assets: DataFrame,
     target: tuple[int, int] = (64, 64),
     fake_decode: bool = False,
+    decode: str = "stub",
 ) -> DataFrame:
     """Arrow-batched image resize over binary payloads — the third
     mapInPandas stage of the media pipeline (decode → RESIZE → embed).
 
-    Real pipeline shape: each pandas batch decodes the payload, resamples
-    to ``target`` (w, h), re-encodes, and emits the resized payload plus
-    output metadata. Without codecs this raises ``NotImplementedError``
-    unless ``fake_decode=True``, in which case the deterministic stand-in
-    'resize' truncates the payload to w·h bytes (the real operator also
-    maps n input bytes to a fixed output size — the plumbing, batching,
-    and schema are identical). ``checksum`` (byte sum mod 997) makes the
-    output value-checkable end-to-end.
+    Each pandas batch decodes the payload, resamples to ``target`` (w, h),
+    re-encodes, and emits the resized payload plus output metadata.
+    ``decode="real"`` decodes with actual codecs, resamples
+    nearest-neighbor, and re-encodes PNG; ``decode="fake"`` (= legacy
+    ``fake_decode=True``) is the deterministic stand-in that truncates the
+    payload to w·h bytes (same plumbing, batching, and schema — and
+    DuckDB-reproducible, which the registered oracle query needs).
+    ``checksum`` (byte sum mod 997) makes either tier value-checkable
+    end-to-end.
     """
     w, h = target
+    mode = _resolve_mode(decode, fake_decode)
 
     def resize_batches(
         batches: Iterator["pd.DataFrame"],
@@ -141,14 +200,22 @@ def resize_images(
 
         import pandas as pd
 
-        if not fake_decode:
-            raise NotImplementedError(
-                "media codecs not installed in this environment; "
-                "pass fake_decode=True for the deterministic stub"
-            )
-        cap = w * h
+        if mode == "real":
+            from ..functions import codecs
+
+            def one(b: bytes) -> bytes:
+                return codecs.encode_image(
+                    codecs.resize_nearest(codecs.decode_image(b), (w, h))
+                )
+
+        else:
+            cap = w * h
+
+            def one(b: bytes) -> bytes:
+                return bytes(b[:cap])
+
         for pdf in batches:
-            out = pdf["payload"].map(lambda b: bytes(b[:cap]))
+            out = pdf["payload"].map(one)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -102,9 +102,8 @@ def test_multimodal_decode_stub_raises_without_fake(spark):
     import pytest as _pytest
 
     assets = M.synthesize_assets(_docs(spark).limit(2))
-    with _pytest.raises(Exception) as ei:
+    with _pytest.raises(NotImplementedError, match="decode tier"):
         M.extract_features(assets, fake_decode=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
 
 
 def test_exact_dedup_removes_planted_duplicates(spark):

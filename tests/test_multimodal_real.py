@@ -1,0 +1,185 @@
+"""REAL-bytes proof for the multimodal Arrow path (VERDICT r04 item 5):
+actual PNG and WAV payloads decoded through ``extract_features`` /
+``resize_images`` with ``decode="real"`` — not just the fake tier.
+
+The PNG decoder is validated against hand-assembled files built directly
+from the PNG spec (chunk layout + CRC + per-scanline filter arithmetic
+computed by hand in the test), so the check is independent of our own
+encoder; round-trips then pin encoder/decoder consistency. A PIL-backed
+cross-check runs when Pillow is importable (skipped in this container).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from flink_recommendation_system_spark.functions import codecs
+from flink_recommendation_system_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+)
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _png(w: int, h: int, color: int, raw_scanlines: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_filter_none_rgb():
+    # 2x2 RGB, filter 0: scanlines are literal pixel bytes
+    rows = bytes([0, 255, 0, 0, 0, 255, 0]) + bytes([0, 0, 0, 255, 10, 20, 30])
+    arr = codecs.decode_png(_png(2, 2, 2, rows))
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [0, 255, 0]
+    assert arr[1, 0].tolist() == [0, 0, 255]
+    assert arr[1, 1].tolist() == [10, 20, 30]
+
+
+def test_decode_png_all_filters_gray():
+    """One scanline per filter type (gray, width 3), expected pixels
+    computed by hand from the spec's reconstruction formulas."""
+    # row0 filter1 Sub:   raw 10,5,5   -> recon 10,15,20
+    # row1 filter2 Up:    raw 1,1,1    -> recon 11,16,21
+    # row2 filter3 Avg:   raw 5,5,5    -> recon 5+(0+11)/2=10, 5+(10+16)/2=18,
+    #                                     5+(18+21)/2=24
+    # row3 filter4 Paeth: raw 2,2,2    -> p(0,10,0)=10 ->12, p(12,18,10)=18
+    #                                     ->20, p(20,24,18)=24 ->26
+    raw = (
+        bytes([1, 10, 5, 5])
+        + bytes([2, 1, 1, 1])
+        + bytes([3, 5, 5, 5])
+        + bytes([4, 2, 2, 2])
+    )
+    arr = codecs.decode_png(_png(3, 4, 0, raw))
+    assert arr[:, :, 0].tolist() == [
+        [10, 15, 20],
+        [11, 16, 21],
+        [10, 18, 24],
+        [12, 20, 26],
+    ]
+
+
+def test_decode_png_rejects_corruption():
+    rows = bytes([0, 7])
+    good = _png(1, 1, 0, rows)
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_png(b"JUNK" + good)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError):
+        codecs.decode_png(_png(2, 1, 0, bytes([0, 7])))  # size mismatch
+
+
+def test_png_roundtrip_and_resize():
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(arr)), arr)
+    small = codecs.resize_nearest(arr, (2, 2))
+    # nearest-neighbor index map: ys = [0,2], xs = [0,2]
+    assert np.array_equal(small, arr[[0, 2]][:, [0, 2]])
+
+
+def test_wav_roundtrip():
+    samples = (np.sin(np.arange(64) / 4.0) * 1000).astype(np.int16)
+    rate, ch, got = codecs.decode_wav(codecs.encode_wav(8000, samples))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(got[:, 0], samples)
+
+
+@pytest.fixture(scope="module")
+def real_assets(spark):
+    """A tiny asset table whose payloads are REAL encoded media."""
+    img1 = codecs.encode_png(
+        np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    )
+    img2 = codecs.encode_png(np.full((8, 8, 1), 200, dtype=np.uint8))
+    wav = codecs.encode_wav(
+        16000, (np.ones(100) * 500).astype(np.int16)
+    )
+    return spark.createDataFrame(
+        [
+            (1, "image", bytearray(img1), "image/png"),
+            (2, "image", bytearray(img2), "image/png"),
+            (3, "audio", bytearray(wav), "audio/wav"),
+        ],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+
+
+def test_extract_features_real_bytes(spark, real_assets):
+    got = {
+        r["asset_id"]: r
+        for r in extract_features(real_assets, decode="real").collect()
+    }
+    # image 1: 6x4 RGB, mean = mean(0..71) = 35.5
+    assert got[1]["features"] == [6.0, 4.0, 3.0, 35.5]
+    assert got[2]["features"] == [8.0, 8.0, 1.0, 200.0]
+    # audio: 100 frames @16kHz mono, |amp| = 500
+    assert got[3]["features"] == [100.0, 16000.0, 1.0, 500.0]
+    assert got[1]["n_bytes"] == len(bytes(real_assets.collect()[0]["payload"]))
+
+
+def test_resize_images_real_bytes(spark, real_assets):
+    import base64
+
+    got = {
+        r["asset_id"]: r
+        for r in resize_images(
+            real_assets, target=(3, 2), decode="real"
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # audio rows filtered out
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = codecs.decode_png(base64.b64decode(got[1]["payload"]))
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out, codecs.resize_nearest(src, (3, 2)))
+    assert got[1]["checksum"] == sum(base64.b64decode(got[1]["payload"])) % 997
+
+
+def test_video_modality_still_stubbed(spark):
+    assets = spark.createDataFrame(
+        [(9, "video", bytearray(b"\x00" * 16), "video/mp4")],
+        "asset_id long, modality string, payload binary, mime_type string",
+    )
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        extract_features(assets, decode="real").collect()
+
+
+def test_default_mode_still_raises(spark, real_assets):
+    with pytest.raises(NotImplementedError, match="decode tier"):
+        extract_features(real_assets).collect()
+
+
+@pytest.mark.skipif(
+    codecs._PILImage is None, reason="Pillow not installed in this container"
+)
+def test_pil_tier_cross_checks_stdlib_codec():  # pragma: no cover
+    import io
+
+    arr = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    data = codecs.encode_png(arr)
+    pil = np.asarray(codecs._PILImage.open(io.BytesIO(data)))
+    assert np.array_equal(pil, arr)
