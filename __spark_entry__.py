@@ -211,8 +211,14 @@ def _q_serving_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     reviews = reviews_from_events(spark, sf_dir)
-    recs = user_recommendations(reviews)
-    top = top_products(reviews).select("product_id")
+    # Production shape (examples/run_lambda_architecture.py): the batch
+    # layer PUBLISHES the two model tables and serving enriches from them —
+    # it never re-derives the model inside the lookup join. localCheckpoint
+    # is the in-session equivalent of those published tables; without it
+    # the enrichment's plan re-plans the whole CF pipeline lineage
+    # (measured ~10.3 s → ~7 s at sf0.1, below scc — VERDICT r04 item 7).
+    recs = user_recommendations(reviews).localCheckpoint()
+    top = top_products(reviews).select("product_id").localCheckpoint()
     enriched = enrich_with_recommendations(reviews, recs, top)
     # Driver-gate shape: the harness canonicalizer cannot hash ARRAY columns,
     # so the registered query joins the (already sorted) list to a CSV string;
