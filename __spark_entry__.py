@@ -118,6 +118,20 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_vertex(G.undirected(G.co_review_edges(liked)))
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the user<200 co-review graph (the
+    triangle oracle's bounded vertex set): the near-complete graph's few
+    non-adjacent pairs scored by Σ 1/ln(deg) over common neighbors —
+    top-100, fully value-checked (wedge-join plan, operators.graph)."""
+    liked = G.good_reviews(
+        reviews_from_events(spark, sf_dir), user_cutoff=200
+    )
+    return G.adamic_adar(
+        G.undirected(G.co_review_edges(liked)),
+        top_k=oracles.ADAMIC_ADAR_TOP_K,
+    )
+
+
 def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank from the 3 smallest co-review vertices
     (deterministic seed set at every SF) — value-checked against an
@@ -363,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_components": _q_scc_components,
         "personalized_pagerank": _q_personalized_pagerank,
         "als_recommendations": _q_als_recommendations,
+        "adamic_adar": _q_adamic_adar,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -410,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_members": oracles.KCORE_MEMBERS_SQL,
         "personalized_pagerank": oracles.PERSONALIZED_PAGERANK_SQL,
         "scc_components": oracles.SCC_COMPONENTS_SQL,
+        "adamic_adar": oracles.ADAMIC_ADAR_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -883,3 +883,50 @@ def personalized_pagerank(
             checkpoint,
         )
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def adamic_adar(
+    undirected_edges: DataFrame, top_k: int = 100
+) -> DataFrame:
+    """Adamic-Adar link prediction: for each NON-adjacent vertex pair
+    (a < b) with at least one common neighbor, score = Σ_z 1/ln(deg(z))
+    over common neighbors z; returns the ``top_k`` pairs as
+    (a, b, score, rank), score rounded to 6 dp before ranking and ties
+    broken on (a, b) — fully deterministic, value-oracle-checkable
+    (common neighbors always have deg ≥ 2, so ln(deg) > 0).
+
+    Input: the both-direction undirected edge set (``undirected``'s
+    output contract). Scale shape: candidate pairs are wedges generated
+    FROM each common neighbor (self-join of the adjacency list on the
+    center vertex) — cost Σ_z deg(z)², the same wedge budget as triangle
+    counting; cap hub degrees upstream the way ``triangles_per_vertex``
+    caps oriented degrees if the graph is power-law. The existing-edge
+    exclusion is one anti-join on the (a, b) pair key, and the final
+    top-k is a single TakeOrdered over the scored pairs.
+    """
+    E = undirected_edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    deg = E.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centered = E.join(deg, "src").select(
+        F.col("src").alias("z"), F.col("dst").alias("x"), "deg"
+    )
+    w1 = centered.select("z", F.col("x").alias("a"), "deg")
+    w2 = centered.select("z", F.col("x").alias("b"))
+    wedges = w1.join(w2, "z").filter(F.col("a") < F.col("b"))
+    existing = E.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    scored = (
+        wedges.join(existing, ["a", "b"], "left_anti")
+        .groupBy("a", "b")
+        .agg(F.round(F.sum(F.lit(1.0) / F.log("deg")), 6).alias("score"))
+    )
+    # TakeOrderedAndProject (distributed per-partition heaps) for the
+    # top-k; rank is then a window over at most top_k rows — metadata
+    # scale, never a whole-data single-partition sort.
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col("a").asc(), F.col("b").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

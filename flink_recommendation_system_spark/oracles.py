@@ -412,3 +412,35 @@ comp AS (
 )
 SELECT id, component FROM comp
 """
+
+
+# Adamic-Adar link prediction on the user<200 co-review graph (same bounded
+# vertex set as the triangle oracle; the graph is near-complete there, so
+# the non-adjacent pairs are exactly the handful of missing links —
+# link prediction's actual target set). score = Σ 1/ln(deg z) over common
+# neighbors z, rounded to 6 dp before ranking; deg from the both-direction
+# edge set; DuckDB's ln == Spark's log (natural).
+ADAMIC_ADAR_TOP_K = 100
+ADAMIC_ADAR_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_200_CTE},\n{EDGES_CTES},\n"
+    f"""deg AS (
+    SELECT src AS v, count(*) AS deg FROM edges GROUP BY src
+),
+wedges AS (
+    SELECT e1.dst AS a, e2.dst AS b, e1.src AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+),
+scored AS (
+    SELECT w.a, w.b, round(sum(1.0 / ln(d.deg)), 6) AS score
+    FROM wedges w
+    JOIN deg d ON d.v = w.z
+    LEFT JOIN pairs p ON p.src = w.a AND p.dst = w.b
+    WHERE p.src IS NULL
+    GROUP BY w.a, w.b
+)
+SELECT a, b, score, rank FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, a ASC, b ASC) AS rank
+    FROM scored
+) WHERE rank <= {ADAMIC_ADAR_TOP_K}"""
+)

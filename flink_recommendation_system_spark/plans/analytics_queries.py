@@ -926,3 +926,182 @@ FROM agg
 """
 
 QUERIES["hll_brand_distinct"] = (q_hll_brand_distinct, HLL_BRAND_DISTINCT_SQL)
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per ship month, the percentage of gross discounted
+    revenue that comes from PROMO-type parts. One lineitem scan, part dim
+    broadcast, conditional partial agg — the scan-bound plan a 100 TB fact
+    table wants (no shuffle of lineitem beyond the month-key agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                3,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 3) AS promo_pct,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+QUERIES["promo_revenue"] = (q_promo_revenue, PROMO_REVENUE_SQL)
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum discounted revenue
+    over a fixed ship-date quarter — the revenue view is aggregated once,
+    the max is a broadcast single-row join back (no window over the whole
+    supplier set), and ties are all returned (deterministic set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("total_revenue"))
+    return (
+        revenue.join(F.broadcast(mx), "total_revenue")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+QUERIES["top_supplier"] = (q_top_supplier, TOP_SUPPLIER_SQL)
+
+
+def q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender training-set construction (operators.training): every
+    liked (user, product) pair labeled 1 plus an equal number of
+    deterministic hash-sampled negatives per user labeled 0 — seeded-hash
+    negative sampling, so the sampled dataset itself is value-checkable."""
+    from ..operators.training import negative_sampled_pairs
+    from ..sources.tables import reviews_from_events
+
+    reviews = reviews_from_events(spark, sf_dir)
+    liked = (
+        reviews.filter((F.col("user_id") < 1000) & (F.col("rating") > 3.0))
+        .select("user_id", "product_id")
+        .distinct()
+    )
+    items = reviews.select("product_id").distinct()
+    return negative_sampled_pairs(liked, items)
+
+
+TRAINING_PAIRS_SQL = """
+WITH reviews AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+    FROM events
+),
+pos AS (
+    SELECT DISTINCT user_id, product_id FROM reviews
+    WHERE user_id < 1000 AND rating > 3.0
+),
+k AS (SELECT user_id, count(*) AS _k FROM pos GROUP BY user_id),
+items AS (SELECT DISTINCT product_id FROM reviews),
+cand AS (
+    SELECT k.user_id, i.product_id, k._k,
+           md5('negsample' || '|' || CAST(k.user_id AS VARCHAR)
+               || '|' || CAST(i.product_id AS VARCHAR)) AS _h
+    FROM k CROSS JOIN items i
+    ANTI JOIN pos p ON p.user_id = k.user_id AND p.product_id = i.product_id
+),
+negs AS (
+    SELECT user_id, product_id FROM (
+        SELECT user_id, product_id, _k,
+               row_number() OVER (PARTITION BY user_id ORDER BY _h ASC) AS rn
+        FROM cand
+    ) WHERE rn <= _k
+)
+SELECT user_id, product_id, CAST(1 AS BIGINT) AS label FROM pos
+UNION ALL
+SELECT user_id, product_id, CAST(0 AS BIGINT) AS label FROM negs
+"""
+
+
+QUERIES["training_pairs"] = (q_training_pairs, TRAINING_PAIRS_SQL)
+
+
+def q_click_conversion_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised conversion labels (operators.training): each click event
+    marked with whether the same user purchased within the next hour —
+    bucketed (user, window) equi-join, never an unbounded theta join."""
+    from ..operators.training import conversion_labels
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    )
+    return conversion_labels(ev)
+
+
+CLICK_CONVERSION_LABELS_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+clicks AS (SELECT event_id, user_id, s FROM ev WHERE event_type = 'click'),
+purch AS (SELECT user_id, s FROM ev WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.s,
+       EXISTS (SELECT 1 FROM purch p
+               WHERE p.user_id = c.user_id
+                 AND p.s > c.s AND p.s <= c.s + 3600) AS converted
+FROM clicks c
+"""
+
+
+QUERIES["click_conversion_labels"] = (
+    q_click_conversion_labels,
+    CLICK_CONVERSION_LABELS_SQL,
+)

@@ -659,3 +659,29 @@ def test_personalized_pagerank_dedupes_seed_ids(spark):
     )
     # duplicate seed rows must not duplicate output rows or double mass
     assert a == b
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path graph 1-2-3 plus 3-4: AA scores only non-adjacent pairs with
+    common neighbors; deg-2 centers contribute 1/ln 2 each."""
+    import math
+
+    from flink_recommendation_system_spark.operators.graph import (
+        adamic_adar,
+        undirected,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {
+        (r["a"], r["b"]): (r["score"], r["rank"])
+        for r in adamic_adar(undirected(pairs)).collect()
+    }
+    inv_ln2 = round(1.0 / math.log(2.0), 6)
+    # (1,3) via 2 (deg 2); (2,4) via 3 (deg 2); (1,4) no common neighbor;
+    # adjacent pairs excluded
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)][0] == inv_ln2 and got[(2, 4)][0] == inv_ln2
+    # deterministic tie-break: (1,3) before (2,4)
+    assert got[(1, 3)][1] == 1 and got[(2, 4)][1] == 2
