@@ -220,6 +220,82 @@ def main() -> None:
 
     timed("interval_overlap (20 users/rep) 1x", overlaps_on(ev1, 20))
     timed(f"interval_overlap (20 users/rep) {n}x", overlaps_on(evU, 20))
+
+    # round-5 operators ------------------------------------------------------
+
+    # SRP-bucketed embedding near-dups: replicas get their embedding array
+    # ROTATED by the replica index — deterministic, norm-preserving, and it
+    # decorrelates replica buckets (a straight copy would plant N exact
+    # duplicates of every vector, making the OUTPUT itself grow N² — the
+    # documented duplicate-density bound of any near-dup operator, not a
+    # plan property).
+    from flink_recommendation_system_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb1 = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+
+    def rotated_embeddings(n):
+        parts = [emb1]
+        for i in range(1, n):
+            rot = emb1.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i),
+                    F.slice("embedding", 1, i),
+                ).alias("embedding"),
+                "label",
+            )
+            parts.append(rot)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint()
+
+    embN = rotated_embeddings(n)
+    timed(
+        "embedding_near_dups_lsh 1x",
+        lambda: force(embedding_near_dups(emb1, threshold=0.3)),
+    )
+    timed(
+        f"embedding_near_dups_lsh {n}x",
+        lambda: force(embedding_near_dups(embN, threshold=0.3)),
+    )
+
+    # Adamic-Adar on disjoint edge replicas: wedge volume grows linearly
+    timed("adamic_adar 1x", lambda: force(G.adamic_adar(edges1)))
+    timed(f"adamic_adar {n}x", lambda: force(G.adamic_adar(edgesN)))
+
+    # training-set construction: users replicate, catalog stays fixed (the
+    # recommended deployment shape — a huge catalog takes the documented
+    # hash-prefix pre-filter instead)
+    from flink_recommendation_system_spark.operators.training import (
+        conversion_labels,
+        negative_sampled_pairs,
+    )
+
+    items1 = liked1.select("product_id").distinct().localCheckpoint()
+    likedU = replicate(liked1, n, {"user_id": 10_000})
+    timed(
+        "training_pairs 1x",
+        lambda: force(negative_sampled_pairs(liked1, items1)),
+    )
+    timed(
+        f"training_pairs {n}x",
+        lambda: force(negative_sampled_pairs(likedU, items1)),
+    )
+
+    def conv_on(ev):
+        base = ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+        )
+        return lambda: force(conversion_labels(base))
+
+    timed("click_conversion_labels 1x", conv_on(ev1))
+    timed(f"click_conversion_labels {n}x", conv_on(evU))
     spark.stop()
 
 

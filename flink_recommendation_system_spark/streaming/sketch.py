@@ -107,3 +107,45 @@ def read_histogram(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("b", "p")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_hll_refresh(
+    stream: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    b: int | None = None,
+):
+    """Maintain a per-batch portable-HLL register store over
+    ``stream[key_col]`` — the distinct-count member of the streaming
+    sketch trio (CMS = frequency, log-histogram = quantiles, HLL =
+    cardinality). Same idempotence story: each micro-batch OVERWRITES its
+    own partition, so replays are harmless; the corpus-wide registers are
+    the read-side per-bucket MAX (the HLL union — max of maxes equals the
+    registers of the concatenated input). Feed ``read_hll`` to
+    ``operators.sketches.hll_estimate``."""
+    from ..operators.sketches import HLL_B, hll_registers
+
+    b_eff = HLL_B if b is None else b
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, key_col, b_eff)
+        regs.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_hll(spark: SparkSession, store_path: str) -> DataFrame:
+    """The current corpus-wide HLL registers: per-bucket MAX over every
+    batch's registers (union semantics; NOT a sum — summing rho values
+    would inflate the estimate, which is why this reader exists instead of
+    reusing the additive ones above)."""
+    return (
+        _read_store(spark, store_path, "bucket INT, rho INT")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -153,3 +153,59 @@ def test_read_cms_empty_before_first_batch(spark, tmp_path):
 
     assert read_cms(spark, str(tmp_path / "nope")).count() == 0
     assert read_histogram(spark, str(tmp_path / "nope2")).count() == 0
+
+
+def test_streaming_hll_equals_batch_registers(spark, tmp_path):
+    """3-batch replay must converge to the EXACT batch register table
+    (per-bucket max is the HLL union), and the served estimate must equal
+    the batch estimate bit-for-bit."""
+    from flink_recommendation_system_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from flink_recommendation_system_spark.streaming.sketch import (
+        read_hll,
+        start_hll_refresh,
+    )
+
+    events = load_table(spark, SF0001, "events").select("user_id")
+    src = str(tmp_path / "in")
+    for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 10**9)]):
+        (
+            events.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .json(f"{src}/b{i}")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = start_hll_refresh(
+        stream,
+        "user_id",
+        store_path=str(tmp_path / "hll"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    merged = {
+        (r["bucket"], r["rho"])
+        for r in read_hll(spark, str(tmp_path / "hll")).collect()
+    }
+    batch = {
+        (r["bucket"], r["rho"])
+        for r in hll_registers(events, "user_id").collect()
+    }
+    assert merged == batch
+    served = hll_estimate(read_hll(spark, str(tmp_path / "hll"))).collect()
+    direct = hll_estimate(hll_registers(events, "user_id")).collect()
+    assert served[0]["est"] == direct[0]["est"]
+
+
+def test_read_hll_empty_before_first_batch(spark, tmp_path):
+    from flink_recommendation_system_spark.streaming.sketch import read_hll
+
+    assert read_hll(spark, str(tmp_path / "missing")).count() == 0
