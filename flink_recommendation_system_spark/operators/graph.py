@@ -886,7 +886,9 @@ def personalized_pagerank(
 
 
 def adamic_adar(
-    undirected_edges: DataFrame, top_k: int = 100
+    undirected_edges: DataFrame,
+    top_k: int = 100,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Adamic-Adar link prediction: for each NON-adjacent vertex pair
     (a < b) with at least one common neighbor, score = Σ_z 1/ln(deg(z))
@@ -899,10 +901,16 @@ def adamic_adar(
     output contract). Scale shape: candidate pairs are wedges generated
     FROM each common neighbor (self-join of the adjacency list on the
     center vertex) — cost Σ_z deg(z)², the same wedge budget as triangle
-    counting; cap hub degrees upstream the way ``triangles_per_vertex``
-    caps oriented degrees if the graph is power-law. The existing-edge
-    exclusion is one anti-join on the (a, b) pair key, and the final
-    top-k is a single TakeOrdered over the scored pairs.
+    counting (measured: the UNBOUNDED sf0.1 co-review near-clique is
+    ~4×10⁹ wedges / ~120 s, scaling linearly in wedge count —
+    PERFORMANCE.md). Exact by default; ``max_center_degree`` opts into
+    the same guard contract as ``triangles_per_vertex``: hubs above the
+    cap keep only their ``max_center_degree`` smallest neighbors as wedge
+    CENTERS (deterministic), scores become lower bounds, and a warning
+    quantifies the clipped-hub count. Degrees in 1/ln(deg) always stay
+    exact — the cap bounds wedge generation, not the degree statistic.
+    The existing-edge exclusion is one anti-join on the (a, b) pair key,
+    and the final top-k is a single TakeOrdered over the scored pairs.
     """
     E = undirected_edges.select("src", "dst").filter(
         F.col("src") != F.col("dst")
@@ -911,6 +919,27 @@ def adamic_adar(
     centered = E.join(deg, "src").select(
         F.col("src").alias("z"), F.col("dst").alias("x"), "deg"
     )
+    if max_center_degree is not None:
+        clipped = (
+            deg.filter(F.col("deg") > max_center_degree).count()
+        )
+        if clipped:
+            warnings.warn(
+                f"adamic_adar: {clipped} centers exceed "
+                f"max_center_degree={max_center_degree}; clipped neighbor "
+                "lists make scores a lower bound. Pass "
+                "max_center_degree=None for exact scores (wedge-bound on "
+                "near-cliques).",
+                UserWarning,
+                stacklevel=2,
+            )
+            wcap = Window.partitionBy("z").orderBy(F.col("x").asc())
+            centered = (
+                centered.withColumn("_rn", F.row_number().over(wcap))
+                .filter(F.col("_rn") <= max_center_degree)
+                .drop("_rn")
+                .localCheckpoint()
+            )
     w1 = centered.select("z", F.col("x").alias("a"), "deg")
     w2 = centered.select("z", F.col("x").alias("b"))
     wedges = w1.join(w2, "z").filter(F.col("a") < F.col("b"))

@@ -685,3 +685,46 @@ def test_adamic_adar_hand_graph(spark):
     assert got[(1, 3)][0] == inv_ln2 and got[(2, 4)][0] == inv_ln2
     # deterministic tie-break: (1,3) before (2,4)
     assert got[(1, 3)][1] == 1 and got[(2, 4)][1] == 2
+
+
+def test_adamic_adar_center_cap_is_lower_bound_and_warns(spark):
+    """The hub cap clips wedge CENTERS deterministically: scores become
+    lower bounds, never new pairs; an uncapped run equals cap=None."""
+    import warnings as w
+
+    from flink_recommendation_system_spark.operators.graph import (
+        adamic_adar,
+        undirected,
+    )
+
+    # star center 0 joined to 1..5 plus a 1-2 chord
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2)], ["src", "dst"]
+    )
+    exact = {
+        (r["a"], r["b"]): r["score"]
+        for r in adamic_adar(undirected(pairs)).collect()
+    }
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        capped = {
+            (r["a"], r["b"]): r["score"]
+            for r in adamic_adar(
+                undirected(pairs), max_center_degree=3
+            ).collect()
+        }
+    assert any("clipped" in str(c.message) for c in caught)
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k]
+    # a cap that never binds is a no-op and must not warn
+    with w.catch_warnings(record=True) as caught2:
+        w.simplefilter("always")
+        same = {
+            (r["a"], r["b"]): r["score"]
+            for r in adamic_adar(
+                undirected(pairs), max_center_degree=10
+            ).collect()
+        }
+    assert same == exact
+    assert not [c for c in caught2 if "clipped" in str(c.message)]
