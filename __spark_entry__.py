@@ -289,9 +289,16 @@ _WINDOW_PRIORITY = [
     "embedding_stats",
     "sliding_chunks",
     "curriculum_order",
-    # 2. new this round: the SRP-bucketed scale tier of the registered
-    # exact embedding near-dup baseline (VERDICT r04 item 2)
+    # 2. new this round (never checked anywhere; priority above the stale
+    # re-confirmation tier, per the rotation scheme): the SRP-bucketed
+    # scale tier of the exact embedding near-dup baseline (VERDICT r04
+    # item 2), then the round-5 additions
     "embedding_near_dups_lsh",
+    "adamic_adar",
+    "promo_revenue",
+    "top_supplier",
+    "training_pairs",
+    "click_conversion_labels",
     # 3. stale greens on regenerated inputs — documents corpus tier
     # (re-drawn in r4; last green r01-r03)
     "token_counts",
@@ -331,15 +338,15 @@ _WINDOW_PRIORITY = [
     # 6. relational tier, part 1 (fills the window to exactly 50)
     "customers_with_orders",
     "customer_order_counts",
+    # --- 50-row window boundary ---
+    # 7. relational tier, part 2: ROUND-6 ROTATION HEAD (last green r01-r03
+    # on load paths unchanged by the r4 regeneration; sf0.001 CI +
+    # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)
     "revenue_by_nation",
     "active_nations",
     "pricing_summary",
     "shipping_priority",
     "top_orders_per_customer",
-    # --- 50-row window boundary ---
-    # 7. relational tier, part 2: ROUND-6 ROTATION HEAD (last green r01-r03
-    # on load paths unchanged by the r4 regeneration; sf0.001 CI +
-    # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)
     "sql_surface",
     "customer_latest_order",
     "revenue_cube",

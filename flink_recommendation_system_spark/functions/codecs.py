@@ -72,7 +72,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported compression/filter/interlace method")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # per-row quarantineable error, per the documented ValueError
+        # contract — zlib.error would otherwise leak through it
+        raise ValueError(f"bad IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("decompressed size mismatch")
@@ -180,9 +185,14 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as f:
-        rate, ch, width = f.getframerate(), f.getnchannels(), f.getsampwidth()
-        frames = f.readframes(f.getnframes())
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            rate, ch = f.getframerate(), f.getnchannels()
+            width = f.getsampwidth()
+            frames = f.readframes(f.getnframes())
+    except (wave.Error, struct.error, EOFError) as e:
+        # same quarantineable-ValueError contract as decode_png
+        raise ValueError(f"bad WAV payload: {e}") from e
     if width == 2:
         arr = np.frombuffer(frames, dtype="<i2")
     elif width == 1:

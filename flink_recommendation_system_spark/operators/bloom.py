@@ -178,7 +178,10 @@ def bloom_probe_join(
     keys = rows.select(key_col).distinct()
     probes = _positions_hoisted(keys, key_col, m_bits, k, "pos", pos_only=True)
     flagged = (
-        probes.join(F.broadcast(positions), "pos")
+        # positions must act as a SET: a duplicated pos row (e.g. a raw
+        # union of two fitted filters) would otherwise double-count one
+        # hit and let a key with only k-1 set bits pass the == k check
+        probes.join(F.broadcast(positions.select("pos").distinct()), "pos")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_hits"))
         .filter(F.col("_hits") == k)

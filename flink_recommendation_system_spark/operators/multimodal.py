@@ -87,7 +87,7 @@ def _resolve_mode(decode: str, fake_decode: bool) -> str:
     return mode
 
 
-def _real_features(payload: bytes, modality: str, n: int = 4) -> list[float]:
+def _real_features(payload: bytes, modality: str) -> list[float]:
     """Fixed-width features from REAL decoded media: images →
     [width, height, channels, mean pixel]; audio → [n_frames, sample_rate,
     channels, mean |amplitude|]. Same width as the fake tier so downstream

@@ -129,7 +129,12 @@ def start_hll_refresh(
     b_eff = HLL_B if b is None else b
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        regs = hll_registers(batch_df, key_col, b_eff)
+        # persist b with the registers: the estimator's math depends on it,
+        # and a reader defaulting to the wrong width would silently compute
+        # a wrong cardinality — read_hll validates it instead
+        regs = hll_registers(batch_df, key_col, b_eff).withColumn(
+            "b", F.lit(b_eff)
+        )
         regs.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
 
     return (
@@ -139,13 +144,31 @@ def start_hll_refresh(
     )
 
 
-def read_hll(spark: SparkSession, store_path: str) -> DataFrame:
+def read_hll(
+    spark: SparkSession, store_path: str, b: int | None = None
+) -> DataFrame:
     """The current corpus-wide HLL registers: per-bucket MAX over every
     batch's registers (union semantics; NOT a sum — summing rho values
     would inflate the estimate, which is why this reader exists instead of
-    reusing the additive ones above)."""
+    reusing the additive ones above).
+
+    The store records the register width ``b`` each batch was built with;
+    the read RAISES if batches disagree or if the caller's expected ``b``
+    (default ``HLL_B``, matching ``hll_estimate``'s default) does not
+    match — a silent width mismatch would feed ``hll_estimate`` the wrong
+    m and return a wrong number with no error."""
+    from ..operators.sketches import HLL_B
+
+    df = _read_store(spark, store_path, "bucket INT, rho INT, b INT")
+    expect = HLL_B if b is None else b
+    bs = [r["b"] for r in df.select("b").distinct().collect()]
+    if len(bs) > 1:
+        raise ValueError(f"HLL store mixes register widths b={sorted(bs)}")
+    if bs and bs[0] != expect:
+        raise ValueError(
+            f"HLL store was built with b={bs[0]}, reader expects b={expect}; "
+            "pass the matching b to read_hll AND hll_estimate"
+        )
     return (
-        _read_store(spark, store_path, "bucket INT, rho INT")
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
+        df.groupBy("bucket").agg(F.max("rho").alias("rho"))
     )

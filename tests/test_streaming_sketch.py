@@ -209,3 +209,34 @@ def test_read_hll_empty_before_first_batch(spark, tmp_path):
     from flink_recommendation_system_spark.streaming.sketch import read_hll
 
     assert read_hll(spark, str(tmp_path / "missing")).count() == 0
+
+
+def test_read_hll_rejects_width_mismatch(spark, tmp_path):
+    """A store built with a non-default register width must fail loudly on
+    a default-width read (silent mismatch = wrong estimate)."""
+    import pytest as _pytest
+
+    from flink_recommendation_system_spark.streaming.sketch import (
+        read_hll,
+        start_hll_refresh,
+    )
+
+    events = load_table(spark, SF0001, "events").select("user_id")
+    src = str(tmp_path / "in")
+    events.coalesce(1).write.mode("append").json(f"{src}/b0")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = start_hll_refresh(
+        stream, "user_id",
+        store_path=str(tmp_path / "hll"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        b=6,
+    )
+    q.processAllAvailable()
+    q.stop()
+    with _pytest.raises(ValueError, match="b=6"):
+        read_hll(spark, str(tmp_path / "hll"))
+    assert read_hll(spark, str(tmp_path / "hll"), b=6).count() <= 64

@@ -41,8 +41,10 @@ def run_one(spark, fn, sql: str | None, sf_dir: str) -> dict:
         srows = [tuple(r) for r in df.collect()]
         row["spark_rows"] = len(srows)
         if sql is None:
-            # rows-only check, like the driver's weaker gate
-            row["rows_match"] = row["spark_rows"] >= 0
+            # rows-only tier: stricter than the driver's >= 0 gate — every
+            # registered oracle-less query is non-empty at sf0.01, so an
+            # empty result here means total breakage, not a pass
+            row["rows_match"] = row["spark_rows"] > 0
             return row
         ocols, orows = duckdb_run(sql, sf_dir)
         row["oracle_rows"] = len(orows)
