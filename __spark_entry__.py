@@ -299,6 +299,9 @@ _WINDOW_PRIORITY = [
     "top_supplier",
     "training_pairs",
     "click_conversion_labels",
+    "pq_topk",
+    "nation_trade_flows",
+    "special_discount_revenue",
     # 3. stale greens on regenerated inputs — documents corpus tier
     # (re-drawn in r4; last green r01-r03)
     "token_counts",
@@ -333,12 +336,13 @@ _WINDOW_PRIORITY = [
     "kv_roundtrip",
     "user_product_sets",
     "split_db_part",
-    "daily_rollup",
     "sliding_windows",
-    # 6. relational tier, part 1 (fills the window to exactly 50)
+    # --- 50-row window boundary ---
+    # daily_rollup: trivial cascade over the in-window event_windows —
+    # cedes its slot to the round-5 relational additions
+    "daily_rollup",
     "customers_with_orders",
     "customer_order_counts",
-    # --- 50-row window boundary ---
     # 7. relational tier, part 2: ROUND-6 ROTATION HEAD (last green r01-r03
     # on load paths unchanged by the r4 regeneration; sf0.001 CI +
     # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)

@@ -445,3 +445,200 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# --- product quantization (ADC) ---------------------------------------------
+
+
+class PQIndex:
+    """A fitted product-quantization index: ``codebooks`` (sub, code,
+    codeword ARRAY<DOUBLE>) — m·k rows, always broadcastable — and
+    ``codes`` (vec_id, sub, code) — the corpus compressed to m small ints
+    per vector (the memory story: 64 float dims → m code bytes)."""
+
+    def __init__(self, codebooks: DataFrame, codes: DataFrame, m: int, sub_dim: int):
+        self.codebooks = codebooks
+        self.codes = codes
+        self.m = m
+        self.sub_dim = sub_dim
+
+
+def _sub_slices(vec_col: str, m: int, sub_dim: int):
+    """(sub_idx, slice) pairs splitting a dim-length array into m
+    contiguous sub_dim-length subvectors (cast to double once)."""
+    return [
+        (s, F.slice(F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim))
+        for s in range(m)
+    ]
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQIndex:
+    """Fit a product quantizer (Jégou et al. 2011): split each vector into
+    ``m`` contiguous subspaces of dim/m and run ``iters`` Lloyd rounds of
+    k-means PER SUBSPACE — all subspaces trained in ONE DataFrame job per
+    round (the subspace id is just another grouping key), not m driver
+    loops. Deterministic: initial codewords are the k lowest-salted-hash
+    training vectors per subspace and every argmin breaks ties on code id,
+    so refits are reproducible across runs/partitionings (the same
+    determinism stance as the SRP hyperplanes; the float means still make
+    the fit non-SQL-expressible, hence rows-only + recall tests).
+
+    Scale shape: per round, assignment is corpus×(broadcast m·k codebook)
+    with a per-(vec, sub) argmin, and the update is one partial-agg mean
+    per (sub, code). The fitted artifact is m·k codewords + m small ints
+    per corpus vector.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub_dim = dim // m
+    parts = [
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(s).alias("sub"),
+            sl.alias("sv"),
+        )
+        for s, sl in _sub_slices(vec_col, m, sub_dim)
+    ]
+    subs = parts[0]
+    for p in parts[1:]:
+        subs = subs.unionByName(p)
+    subs = subs.localCheckpoint()
+
+    # deterministic init: k lowest md5('pq'||sub||vec_id) vectors per sub
+    iw = Window.partitionBy("sub").orderBy(
+        F.md5(F.concat_ws("|", F.lit("pq"), "sub", "vec_id")).asc(),
+        F.col("vec_id").asc(),
+    )
+    books = (
+        subs.withColumn("_rn", F.row_number().over(iw))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("cw")
+        )
+        .localCheckpoint()
+    )
+    aw = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(books), "sub")
+            .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
+            .withColumn("_rn", F.row_number().over(aw))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "sub", "code", "sv")
+        )
+        # mean per (sub, code); a code that lost every vector keeps its
+        # old codeword (coalesce after the left join)
+        means = assigned.groupBy("sub", "code").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("sv", i + 1)).alias(f"c{i}")
+                    for i in range(sub_dim)
+                ]
+            ).alias("new_cw")
+        )
+        books = (
+            books.join(means, ["sub", "code"], "left")
+            .select(
+                "sub",
+                "code",
+                F.coalesce(F.col("new_cw"), F.col("cw")).alias("cw"),
+            )
+            .localCheckpoint()
+        )
+    codes = (
+        subs.join(F.broadcast(books), "sub")
+        .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "code")
+        .localCheckpoint()
+    )
+    return PQIndex(books, codes, m, sub_dim)
+
+
+def pq_topk(
+    index: PQIndex,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a fitted ``PQIndex``: each
+    query precomputes its m·k subspace distance table (broadcast — the
+    classic lookup table), the compressed corpus joins it on (sub, code),
+    and the approximate squared L2 distance is the per-vector SUM of m
+    table lookups — one linear pass over m·N code rows, never a
+    full-vector distance per pair. Output: (query_id, neighbor_id,
+    approx_dist rounded 6dp, rank), rank by ascending distance with id
+    tie-break. Recall vs the exact baseline is test-asserted (rows-only
+    registered tier, like IVF)."""
+    m, sub_dim = index.m, index.sub_dim
+    qparts = [
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(s).alias("sub"),
+            sl.alias("qv"),
+        )
+        for s, sl in _sub_slices(vec_col, m, sub_dim)
+    ]
+    qsubs = qparts[0]
+    for p in qparts[1:]:
+        qsubs = qsubs.unionByName(p)
+    table = (
+        qsubs.join(F.broadcast(index.codebooks), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            _l2sq(F.col("qv"), F.col("cw")).alias("_d"),
+        )
+    )
+    scored = (
+        index.codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("_d"), 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_topk_oneshot(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``pq_fit`` + ``pq_topk`` in one call (the registered-query shape);
+    fit once and probe many in production.
+
+    Default m=16/n_codes=32 (80 bits per vector) is sized for the
+    synthetic UNIFORM-RANDOM embeddings — quantization's worst case (no
+    cluster structure to exploit; measured recall@5 0.10/0.42/0.57 at
+    m=8k16 / m=16k32 / m=32k16). Real embedding distributions cluster and
+    quantize far better at the same bit budget."""
+    index = pq_fit(corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col)
+    return pq_topk(index, queries, k=k, id_col=id_col, vec_col=vec_col)

@@ -1105,3 +1105,133 @@ QUERIES["click_conversion_labels"] = (
     q_click_conversion_labels,
     CLICK_CONVERSION_LABELS_SQL,
 )
+
+
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: discounted revenue between (supplier nation →
+    customer nation) pairs per ship year — the 6-way join (lineitem ⨝
+    orders ⨝ customer ⨝ supplier ⨝ nation ⨝ nation). Both nation dims
+    broadcast; the fact-fact join (lineitem ⨝ orders) carries only the
+    keys + measures, and Catalyst reorders the dim joins freely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    # exact integer-cents revenue grid: prices/discounts are 2-dp in the
+    # data, so cents × (100 − pct) is an exact BIGINT per item and the SUM
+    # is order-independent — round(sum(double),2) would differ between
+    # engines exactly at a half-cent boundary (observed: single-item
+    # groups off by 0.01 between Spark's BigDecimal HALF_UP and DuckDB's
+    # float rounding)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(n1), sup["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nk"))
+        .withColumn("rev_e4", rev_e4)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            # integer half-up to CENTS, then one exact division: both
+            # engines round the same BIGINT and map the same rational to
+            # the same double — no double-rounding function in the path
+            (
+                F.expr("(sum(rev_e4) + 50) DIV 100").cast("double") / F.lit(100.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATION_TRADE_FLOWS_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+            // 100 AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["nation_trade_flows"] = (q_nation_trade_flows, NATION_TRADE_FLOWS_SQL)
+
+
+def q_special_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand AND size AND
+    quantity-range) conjunctions — the disjunctive-predicate pattern that
+    tests Catalyst's boolean simplification + pushdown. One row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 35))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        joined.filter(cond)
+        .withColumn("rev_e4", rev_e4)
+        .agg(
+            (
+                F.expr("(sum(rev_e4) + 50) DIV 100").cast("double") / F.lit(100.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SPECIAL_DISCOUNT_REVENUE_SQL = """
+SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+            // 100 AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+QUERIES["special_discount_revenue"] = (
+    q_special_discount_revenue,
+    SPECIAL_DISCOUNT_REVENUE_SQL,
+)

@@ -647,6 +647,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization (ADC) approximate top-k — the third ANN tier
+    beside SRP-LSH and IVF (Jégou et al. 2011): corpus compressed to m
+    subspace codes, per-query distance TABLE broadcast, approximate
+    distance = sum of m lookups. Rows-only (the Lloyd fit is iterative —
+    deterministic but not SQL-expressible); recall vs the exact baseline
+    asserted in tests like IVF."""
+    emb = _emb(spark, sf_dir)
+    return S.pq_topk_oneshot(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleaning gate: keep documents passing all three
     quality heuristics, attach predicted language — the filter a corpus
@@ -1585,6 +1596,7 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, COSINE_TOPK_SQL),
     "lsh_topk": (q_lsh_topk, LSH_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, None),
+    "pq_topk": (q_pq_topk, None),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),

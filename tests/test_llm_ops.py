@@ -612,3 +612,76 @@ def test_incremental_rejects_mismatched_legacy_band_store(spark):
         D.incremental_minhash_pairs(
             new, store16, num_hashes=16, bands=4, store_bands=legacy
         ).collect()
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ-ADC top-k must (a) be deterministic across refits, (b) reach
+    reasonable recall@5 vs the exact L2 baseline on the synthetic
+    embeddings, (c) compress to exactly m codes per vector."""
+    from pyspark.sql import Window as W
+
+    from flink_recommendation_system_spark.operators import similarity as S
+
+    emb = _emb(spark).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    a = S.pq_topk_oneshot(queries, emb, k=5)
+    b = S.pq_topk_oneshot(queries, emb, k=5)
+    ra = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
+    rb = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
+    assert ra == rb and len(ra) == 8 * 5
+
+    # exact L2 top-5
+    qa = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    ca = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        qa.crossJoin(ca)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for (q, _rk), n in ra.items():
+        got.setdefault(q, set()).add(n)
+    recall = sum(len(truth[q] & got[q]) for q in truth) / sum(
+        len(truth[q]) for q in truth
+    )
+    # uniform-random vectors are quantization's worst case; measured 0.42
+    # at the m=16/k=32 default — assert a non-flaky floor far above the
+    # 1% random-chance baseline
+    assert recall >= 0.3, f"recall {recall}"
+
+    idx = S.pq_fit(emb, m=16, k=32)
+    per_vec = (
+        idx.codes.groupBy("vec_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_vec] == [16]
+    assert idx.codebooks.count() == 16 * 32
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    import pytest
+
+    from flink_recommendation_system_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        S.pq_fit(emb, m=7)
