@@ -118,6 +118,37 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_vertex(G.undirected(G.co_review_edges(liked)))
 
 
+def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop counts on the bipartite user-product liked
+    graph (the kcore vertex space), sources = 3 smallest liked users,
+    max 3 hops — per-round frontier equi-join + min-agg, exact-integer
+    value oracle (unrolled frontier CTEs)."""
+    from pyspark.sql import functions as F
+
+    liked = _liked(spark, sf_dir)
+    off = oracles.KCORE_PRODUCT_OFFSET
+    bedges = liked.select(
+        F.col("user_id").alias("src"),
+        (F.col("product_id") + off).alias("dst"),
+    )
+    sources = (
+        liked.select(F.col("user_id").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(oracles.BFS_N_SOURCES)
+    )
+    dist = G.bfs_hops(
+        G.undirected(bedges), sources, max_hops=oracles.BFS_MAX_HOPS
+    )
+    return dist.select(
+        F.when(F.col("id") >= off, "product").otherwise("user").alias("role"),
+        F.when(F.col("id") >= off, F.col("id") - off)
+        .otherwise(F.col("id"))
+        .alias("id"),
+        "hops",
+    )
+
+
 def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction on the user<200 co-review graph (the
     triangle oracle's bounded vertex set): the near-complete graph's few
@@ -302,6 +333,7 @@ _WINDOW_PRIORITY = [
     "pq_topk",
     "nation_trade_flows",
     "special_discount_revenue",
+    "bfs_hops",
     # 3. stale greens on regenerated inputs — documents corpus tier
     # (re-drawn in r4; last green r01-r03)
     "token_counts",
@@ -336,8 +368,8 @@ _WINDOW_PRIORITY = [
     "kv_roundtrip",
     "user_product_sets",
     "split_db_part",
-    "sliding_windows",
     # --- 50-row window boundary ---
+    "sliding_windows",
     # daily_rollup: trivial cascade over the in-window event_windows —
     # cedes its slot to the round-5 relational additions
     "daily_rollup",
@@ -389,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "als_recommendations": _q_als_recommendations,
         "adamic_adar": _q_adamic_adar,
+        "bfs_hops": _q_bfs_hops,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -437,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": oracles.PERSONALIZED_PAGERANK_SQL,
         "scc_components": oracles.SCC_COMPONENTS_SQL,
         "adamic_adar": oracles.ADAMIC_ADAR_SQL,
+        "bfs_hops": oracles.BFS_HOPS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -959,3 +959,43 @@ def adamic_adar(
     ).limit(top_k)
     w = Window.orderBy(F.col("score").desc(), F.col("a").asc(), F.col("b").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bfs_hops(
+    undirected_edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any ``sources`` row
+    (column ``id``) to every vertex reachable within ``max_hops``.
+    Output: (id, hops), hops ∈ [0, max_hops] — exact integers, so the
+    DuckDB oracle (unrolled frontier CTEs) is bit-for-bit.
+
+    Distributed shape: the classic synchronous frontier expansion — per
+    round one equi-join of the CURRENT frontier against the edge list and
+    a min-agg; the frontier is the only shuffled relation (never the full
+    distance table re-joined), and each round's result is lineage-truncated
+    like the other iterative operators. max_hops bounds the rounds, which
+    is what a 100 TB caller wants anyway (unbounded BFS on a social-scale
+    graph is a connected-components question — use those operators)."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    edges = undirected_edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    dist = sources.select(F.col("id")).distinct().withColumn(
+        "hops", F.lit(0).cast("long")
+    ).localCheckpoint()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

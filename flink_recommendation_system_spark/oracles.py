@@ -444,3 +444,51 @@ SELECT a, b, score, rank FROM (
     FROM scored
 ) WHERE rank <= {ADAMIC_ADAR_TOP_K}"""
 )
+
+
+# Multi-source BFS hop counts on the bipartite user-product liked graph
+# (the kcore vertex space): sources = the 3 smallest liked user ids, 3
+# rounds unrolled. min(hops) over all levels equals BFS distance because
+# level d contains every vertex at distance <= d that any distance-(d-1)
+# vertex reaches; exact integers, bit-for-bit oracle.
+BFS_N_SOURCES = 3
+BFS_MAX_HOPS = 3
+
+
+def bfs_ctes() -> str:
+    off = KCORE_PRODUCT_OFFSET
+    return f"""bedges AS (
+    SELECT user_id AS src, product_id + {off} AS dst FROM liked
+    UNION ALL
+    SELECT product_id + {off} AS src, user_id AS dst FROM liked
+),
+d0 AS (
+    SELECT CAST(user_id AS BIGINT) AS id, CAST(0 AS BIGINT) AS hops
+    FROM (SELECT DISTINCT user_id FROM liked ORDER BY user_id
+          LIMIT {BFS_N_SOURCES})
+),
+d1 AS (
+    SELECT DISTINCT e.dst AS id, CAST(1 AS BIGINT) AS hops
+    FROM bedges e JOIN d0 ON e.src = d0.id
+),
+d2 AS (
+    SELECT DISTINCT e.dst AS id, CAST(2 AS BIGINT) AS hops
+    FROM bedges e JOIN d1 ON e.src = d1.id
+),
+d3 AS (
+    SELECT DISTINCT e.dst AS id, CAST(3 AS BIGINT) AS hops
+    FROM bedges e JOIN d2 ON e.src = d2.id
+)"""
+
+
+BFS_HOPS_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{bfs_ctes()}\n"
+    f"""SELECT CASE WHEN id >= {KCORE_PRODUCT_OFFSET}
+            THEN 'product' ELSE 'user' END AS role,
+       CASE WHEN id >= {KCORE_PRODUCT_OFFSET}
+            THEN id - {KCORE_PRODUCT_OFFSET} ELSE id END AS id,
+       min(hops) AS hops
+FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+GROUP BY 1, 2"""
+)

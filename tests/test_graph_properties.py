@@ -728,3 +728,33 @@ def test_adamic_adar_center_cap_is_lower_bound_and_warns(spark):
         }
     assert same == exact
     assert not [c for c in caught2 if "clipped" in str(c.message)]
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Path 1-2-3-4-5 from source 1 with max_hops=3: exact hop counts,
+    vertex 5 unreached; early termination on empty frontier."""
+    from flink_recommendation_system_spark.operators.graph import (
+        bfs_hops,
+        undirected,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], ["src", "dst"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    got = {r["id"]: r["hops"] for r in bfs_hops(undirected(pairs), src).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # multi-source: min distance wins; disconnected component reached only
+    # from its own source
+    src2 = spark.createDataFrame([(1,), (5,), (7,)], ["id"])
+    got2 = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(undirected(pairs), src2, max_hops=2).collect()
+    }
+    assert got2 == {1: 0, 5: 0, 7: 0, 2: 1, 4: 1, 3: 2, 8: 1}
+    # max_hops=0 → sources only
+    got0 = {
+        r["id"]: r["hops"]
+        for r in bfs_hops(undirected(pairs), src, max_hops=0).collect()
+    }
+    assert got0 == {1: 0}
