@@ -368,16 +368,16 @@ _WINDOW_PRIORITY = [
     "kv_roundtrip",
     "user_product_sets",
     "split_db_part",
-    # --- 50-row window boundary ---
+    # --- 50-row window boundary (tiers 1-5 above sum to exactly 50) ---
+    # 6. ROUND-6 ROTATION HEAD: the remaining stale-green tier (last green
+    # r01-r03; sliding_windows/daily_rollup share machinery with the
+    # in-window event_windows, the relational tier's load paths were
+    # unchanged by the r4 regeneration; all keep sf0.001 CI +
+    # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)
     "sliding_windows",
-    # daily_rollup: trivial cascade over the in-window event_windows —
-    # cedes its slot to the round-5 relational additions
     "daily_rollup",
     "customers_with_orders",
     "customer_order_counts",
-    # 7. relational tier, part 2: ROUND-6 ROTATION HEAD (last green r01-r03
-    # on load paths unchanged by the r4 regeneration; sf0.001 CI +
-    # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)
     "revenue_by_nation",
     "active_nations",
     "pricing_summary",
