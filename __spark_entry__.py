@@ -369,7 +369,12 @@ _WINDOW_PRIORITY = [
     "user_product_sets",
     "split_db_part",
     # --- 50-row window boundary (tiers 1-5 above sum to exactly 50) ---
-    # 6. ROUND-6 ROTATION HEAD: the remaining stale-green tier (last green
+    # 6. ROUND-6 ROTATION HEAD, part 0: round-5 additions that no longer
+    # fit the window (never driver-checked; green at sf0.001 in CI and at
+    # sf0.01 in CORRECTNESS_LOCAL.json)
+    "domain_capped_corpus",
+    "temperature_mixture",
+    # ROUND-6 ROTATION HEAD, part 1: the remaining stale-green tier (last green
     # r01-r03; sliding_windows/daily_rollup share machinery with the
     # in-window event_windows, the relational tier's load paths were
     # unchanged by the r4 regeneration; all keep sf0.001 CI +

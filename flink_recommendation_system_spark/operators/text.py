@@ -602,3 +602,101 @@ def sliding_chunks(
         chunk.alias("chunk_text"),
         F.length(chunk).cast("long").alias("n_chunk_chars"),
     )
+
+
+def domain_capped_corpus(
+    docs: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "domcap",
+) -> DataFrame:
+    """Per-domain document cap — the anti-hoarding step of corpus curation
+    (no single domain may contribute more than ``cap`` docs): within each
+    domain, rows are ranked by the salted portable hash of their id (a
+    stable pseudo-random order — reproducible across runs, engines, and
+    partitionings, and a doc's verdict never changes as OTHER docs of the
+    same domain come and go only if the population is fixed; the ordering
+    is what makes the kept subset unbiased rather than
+    first-N-by-ingest-order) and only the ``cap`` lowest survive.
+
+    One per-domain window sort, no other shuffle; quota-EXACT (unlike the
+    Bernoulli mixers, which hold rates only in expectation)."""
+    from .dedup import portable_hash32
+
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    w = Window.partitionBy(key_col).orderBy(
+        portable_hash32(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    target_total: int,
+    alpha: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-pretraining
+    recipe: sample sources ∝ size^alpha, so small domains are upweighted
+    relative to their natural share): keep each doc of source s with
+    probability ``min(1, target_total · w_s / (Σw · n_s))`` where
+    ``w_s = n_s^alpha`` — decided by the salted portable hash, like
+    ``sample_mixture``, so the draw is reproducible everywhere.
+
+    EXACT cross-engine arithmetic: alpha is restricted to {0.0, 0.5, 1.0}
+    (w = 1, floor(sqrt(n)) — IEEE sqrt is correctly rounded so the floor
+    is engine-identical — or n), and the acceptance threshold is pure
+    BIGINT math: ``hash % 1e6 < (1e6·T·w_s) DIV (Σw·n_s)``. The per-source
+    weights are one tiny count aggregation, broadcast back; the corpus
+    pass stays per-row."""
+    from .dedup import portable_hash32
+
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(
+            "alpha restricted to {0.0, 0.5, 1.0} for exact integer "
+            "thresholds (see docstring)"
+        )
+    if target_total < 0:
+        raise ValueError("target_total must be >= 0")
+    sizes = docs.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    if alpha == 0.0:
+        wcol = F.lit(1).cast("long")
+    elif alpha == 1.0:
+        wcol = F.col("_n")
+    else:
+        wcol = F.floor(F.sqrt(F.col("_n"))).cast("long")
+    weights = sizes.select(key_col, "_n", wcol.alias("_w"))
+    total_w = weights.agg(F.sum("_w").alias("_tw"))
+    thr = (
+        weights.crossJoin(F.broadcast(total_w))
+        .select(
+            key_col,
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr(f"(CAST(1000000 AS BIGINT) * {target_total} * _w)"
+                       " DIV (_tw * _n)"),
+            ).alias("_thr"),
+        )
+    )
+    u = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    return (
+        docs.join(F.broadcast(thr), key_col)
+        .filter(u < F.col("_thr"))
+        .drop("_thr")
+    )

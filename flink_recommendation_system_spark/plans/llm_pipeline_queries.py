@@ -1997,3 +1997,73 @@ FROM h
 """
 
 QUERIES["epoch_shuffle"] = (q_epoch_shuffle, EPOCH_SHUFFLE_SQL)
+
+
+DOMAIN_CAP = 20
+
+
+def q_domain_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (anti-hoarding curation): at most DOMAIN_CAP docs per
+    source, chosen by portable-hash rank — quota-exact, full value
+    oracle."""
+    return T.domain_capped_corpus(_docs(spark, sf_dir), DOMAIN_CAP).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DOMAIN_CAPPED_CORPUS_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('domcap'
+                             || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        ASC,
+                        doc_id ASC
+           ) AS rn
+    FROM documents
+) WHERE rn <= {DOMAIN_CAP}
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (sample ∝ size^0.5): target 40% of
+    the corpus, small sources upweighted — exact BIGINT thresholds, full
+    value oracle."""
+    docs = _docs(spark, sf_dir)
+    target = docs.count() * 2 // 5
+    return T.temperature_mixture(docs, target_total=target).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH t AS (SELECT 2 * count(*) // 5 AS target FROM documents),
+w AS (
+    SELECT source, count(*) AS n,
+           CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+    FROM documents GROUP BY source
+),
+tw AS (SELECT sum(w) AS tw FROM w),
+thr AS (
+    SELECT source,
+           least(CAST(1000000 AS BIGINT),
+                 (CAST(1000000 AS BIGINT) * t.target * w.w) // (tw.tw * w.n))
+           AS thr
+    FROM w CROSS JOIN tw CROSS JOIN t
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE (CAST('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 1000000) < thr.thr
+"""
+
+
+QUERIES["domain_capped_corpus"] = (
+    q_domain_capped_corpus,
+    DOMAIN_CAPPED_CORPUS_SQL,
+)
+QUERIES["temperature_mixture"] = (
+    q_temperature_mixture,
+    TEMPERATURE_MIXTURE_SQL,
+)

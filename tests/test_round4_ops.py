@@ -716,3 +716,45 @@ def test_bloom_probe_join_keeps_duplicated_rows(spark):
     assert got[(1, "a")] == 2 and got[(2, "b")] == 1
     # "c" may or may not collide (tiny FP chance); the duplicated (1, "a")
     # must keep BOTH rows
+
+
+def test_domain_cap_quota_exact_and_deterministic(spark):
+    from flink_recommendation_system_spark.operators.text import (
+        domain_capped_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], ["doc_id", "source"]
+    )
+    a = domain_capped_corpus(docs, cap=4)
+    counts = {r["source"]: r["count"] for r in a.groupBy("source").count().collect()}
+    assert counts == {"s0": 4, "s1": 4, "s2": 4}
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, domain_capped_corpus(docs, cap=4).collect())
+    )
+    # cap above the domain size keeps everything
+    assert domain_capped_corpus(docs, cap=100).count() == 30
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """alpha=0.5: the small source's KEEP RATE must exceed the big
+    source's (that's what temperature mixing is for); alpha=1.0 gives
+    every source the same keep rate (natural distribution)."""
+    from flink_recommendation_system_spark.operators.text import (
+        temperature_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(1900)] + [(10000 + i, "small") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    out = temperature_mixture(docs, target_total=400, alpha=0.5)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    rate_small = got.get("small", 0) / 100
+    rate_big = got.get("big", 0) / 1900
+    assert rate_small > rate_big * 2
+    # exact-arithmetic guard rails
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(docs, target_total=10, alpha=0.3)
