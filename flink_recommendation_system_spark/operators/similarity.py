@@ -492,9 +492,12 @@ def pq_fit(
     round (the subspace id is just another grouping key), not m driver
     loops. Deterministic: initial codewords are the k lowest-salted-hash
     training vectors per subspace and every argmin breaks ties on code id,
-    so refits are reproducible across runs/partitionings (the same
-    determinism stance as the SRP hyperplanes; the float means still make
-    the fit non-SQL-expressible, hence rows-only + recall tests).
+    so refits are reproducible within a partitioning layout (the codeword
+    means are ``F.avg`` over doubles, whose partial-aggregation order —
+    and therefore last-ulp value — can shift if the cluster layout
+    changes; near-tie assignments may then flip, which is why the fit is
+    rows-only + recall-tested rather than value-oracled. For the
+    engine-exact ADC tier see ``pq_adc_topk``).
 
     Scale shape: per round, assignment is corpus×(broadcast m·k codebook)
     with a per-(vec, sub) argmin, and the update is one partial-agg mean
@@ -616,6 +619,223 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _lcg_vectors(n: int, dim: int, seed: int) -> list[list[float]]:
+    """Seeded LCG pseudo-vectors in [-1, 1] — the same portable-constant
+    recipe as ``_hyperplanes``: pure Python doubles baked into the plan,
+    repr()-round-trippable, so Spark literals and DuckDB-parsed literals
+    hold identical binary values."""
+    state = seed
+    out = []
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def pq_fixed_codebooks(m: int, k: int, sub_dim: int, seed: int = 7):
+    """(sub, code, codeword) triples for a FIXED hash-derived codebook —
+    no Lloyd fit. One shared LCG stream in (sub, code, component) order,
+    so the constants are a pure function of (m, k, sub_dim, seed)."""
+    vecs = _lcg_vectors(m * k, sub_dim, seed)
+    return [
+        (s, c, vecs[s * k + c]) for s in range(m) for c in range(k)
+    ]
+
+
+def pq_assign_codes(
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress ``corpus`` against an existing codebook: per (vector,
+    subspace), the argmin-L2 code with id tie-break. The codebook (m·k
+    rows) is broadcast; the corpus is scanned once per subspace union leg
+    and never shuffled beyond the per-(vec, sub) argmin window. Output:
+    (vec_id, sub, code)."""
+    parts = [
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(s).alias("sub"),
+            sl.alias("sv"),
+        )
+        for s, sl in _sub_slices(vec_col, m, sub_dim)
+    ]
+    subs = parts[0]
+    for p in parts[1:]:
+        subs = subs.unionByName(p)
+    aw = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("_d").asc(), F.col("code").asc()
+    )
+    return (
+        subs.join(F.broadcast(books), "sub")
+        .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ/ADC *machinery* — subspace codes, per-query distance tables,
+    table-lookup argmin top-k — on a FIXED hash-derived codebook, which
+    makes every step deterministic arithmetic a SQL oracle can reproduce
+    (the Lloyd-fitted tier ``pq_topk_oneshot`` stays rows-only; this tier
+    value-checks the pipeline those fits feed).
+
+    Engine-exactness: codewords are shared LCG constants; every L2 is the
+    same left-fold both engines evaluate on bit-identical doubles; and the
+    per-pair ADC distance is summed on an exact 1e-6 integer grid
+    (``round(d·1e6)`` per sub-table cell, BIGINT sum) so the m-term
+    reduction is order-independent — ``approx_dist`` is that grid divided
+    back, never a float sum.
+
+    Output: (query_id, neighbor_id, approx_dist, rank), rank by ascending
+    distance with id tie-break, self-matches excluded.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub_dim = dim // m
+    spark = corpus.sparkSession
+    books = F.broadcast(
+        spark.createDataFrame(
+            pq_fixed_codebooks(m, n_codes, sub_dim, seed),
+            "sub INT, code INT, cw ARRAY<DOUBLE>",
+        )
+    )
+    codes = pq_assign_codes(
+        corpus, books, m, sub_dim, id_col=id_col, vec_col=vec_col
+    )
+    qparts = [
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(s).alias("sub"),
+            sl.alias("qv"),
+        )
+        for s, sl in _sub_slices(vec_col, m, sub_dim)
+    ]
+    qsubs = qparts[0]
+    for p in qparts[1:]:
+        qsubs = qsubs.unionByName(p)
+    table = qsubs.join(books, "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(_l2sq(F.col("qv"), F.col("cw")) * 1e6)
+        .cast("long")
+        .alias("_de6"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            (F.sum("_de6").cast("double") / F.lit(1e6)).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_probe_fixed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe machinery on FIXED hash-derived centroids (no KMeans):
+    corpus → argmin-L2 cell, query → its ``n_probe`` nearest cells, exact
+    cosine re-rank within the probed cells. Same candidate-generation and
+    re-rank plan as the fitted ``ivf_topk`` tier, but every number is
+    deterministic arithmetic — the value-oracle twin of the rows-only
+    Lloyd fit.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank) like ``lsh_topk``.
+    """
+    spark = corpus.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(_lcg_vectors(n_cells, dim, seed))],
+            "cell INT, cv ARRAY<DOUBLE>",
+        )
+    )
+    dv = F.col(vec_col).cast("array<double>")
+    aw = Window.partitionBy("_id").orderBy(F.col("_d").asc(), F.col("cell").asc())
+    assigned = (
+        corpus.select(F.col(id_col).alias("_id"), dv.alias("_v"))
+        .join(cents, F.lit(True))
+        .withColumn("_d", _l2sq(F.col("_v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_id").alias("neighbor_id"), "cell")
+    )
+    probed = (
+        queries.select(F.col(id_col).alias("_id"), dv.alias("_v"))
+        .join(cents, F.lit(True))
+        .withColumn("_d", _l2sq(F.col("_v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") <= n_probe)
+        .select(F.col("_id").alias("query_id"), "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    cand = probed.join(assigned, "cell").select("query_id", "neighbor_id")
+    scored = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -40,7 +40,19 @@ def negative_sampled_pairs(
     (md5 % B == user % B) before the window so each user scores catalog/B
     candidates instead of the full dim.
     """
-    pos = positives.select(user_col, item_col).distinct()
+    # NULL keys are dropped up front: a NULL user/item would make the hash
+    # inputs NULL, where Spark's concat_ws SKIPS the element but ANSI '||'
+    # propagates NULL — the one expression in this operator whose engines
+    # disagree. Filtering both sides keeps the hash domain NULL-free (and a
+    # NULL interaction key is not a usable training example anyway).
+    pos = (
+        positives.filter(
+            F.col(user_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(user_col, item_col)
+        .distinct()
+    )
+    items = items.filter(F.col(item_col).isNotNull())
     k_per_user = pos.groupBy(user_col).agg(
         (F.count(F.lit(1)) * ratio).alias("_k")
     )

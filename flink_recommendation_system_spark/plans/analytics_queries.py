@@ -935,30 +935,56 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     table wants (no shuffle of lineitem beyond the month-key agg)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # exact integer-cents revenue grid (same recipe as nation_trade_flows):
+    # round(sum(double), 2) differs between engines at half-cent boundaries,
+    # so both the total and the percentage are derived from exact BIGINT
+    # sums — the pct is an integer half-up division, never a double round.
+    # (BIGINT headroom: ≤1e9/item × monthly group sizes at the test SFs;
+    # a 100 TB deployment would swap the e4 grid for DECIMAL(38,4).)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .withColumn("rev_e4", rev_e4)
+        .withColumn(
+            "promo_e4",
+            F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                3,
+            (
+                F.expr(
+                    "(100000 * sum(promo_e4) + sum(rev_e4) DIV 2)"
+                    " DIV sum(rev_e4)"
+                ).cast("double")
+                / F.lit(1000.0)
             ).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            (
+                F.expr("(sum(rev_e4) + 50) DIV 100").cast("double") / F.lit(100.0)
+            ).alias("total_revenue"),
         )
     )
 
 
 PROMO_REVENUE_SQL = """
-SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
-       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1.0 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 3) AS promo_pct,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
+WITH j AS (
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+           CASE WHEN p_type = 'PROMO'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END AS promo_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(ship_month AS TIMESTAMP) AS ship_month,
+       CAST((100000 * sum(promo_e4) + sum(rev_e4) // 2)
+            // sum(rev_e4) AS DOUBLE) / 1000.0 AS promo_pct,
+       CAST((sum(rev_e4) + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
+FROM j
 GROUP BY 1
 """
 
@@ -973,27 +999,32 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier set), and ties are all returned (deterministic set)."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
+    # exact integer-cents grid: the max lookup and the equi-join back both
+    # run on the exact BIGINT sum, so a half-cent rounding flip can never
+    # change WHICH supplier wins; the double conversion happens once, on
+    # the already-selected row(s).
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
     revenue = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
+        .withColumn("rev_e4", rev_e4)
         .groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
-                2,
-            ).alias("total_revenue")
-        )
+        .agg(F.sum("rev_e4").alias("rev_e4s"))
     )
-    mx = revenue.agg(F.max("total_revenue").alias("total_revenue"))
+    mx = revenue.agg(F.max("rev_e4s").alias("rev_e4s"))
     return (
-        revenue.join(F.broadcast(mx), "total_revenue")
+        revenue.join(F.broadcast(mx), "rev_e4s")
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
-            "total_revenue",
+            (
+                F.expr("(rev_e4s + 50) DIV 100").cast("double") / F.lit(100.0)
+            ).alias("total_revenue"),
         )
     )
 
@@ -1001,15 +1032,17 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_SUPPLIER_SQL = """
 WITH revenue AS (
     SELECT l_suppkey,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4s
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
     GROUP BY l_suppkey
 )
-SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST((rev_e4s + 50) // 100 AS DOUBLE) / 100.0 AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+WHERE rev_e4s = (SELECT max(rev_e4s) FROM revenue)
 """
 
 
@@ -1042,11 +1075,14 @@ WITH reviews AS (
     FROM events
 ),
 pos AS (
+    -- NULL keys excluded to mirror the operator's NULL-free hash domain
     SELECT DISTINCT user_id, product_id FROM reviews
-    WHERE user_id < 1000 AND rating > 3.0
+    WHERE user_id < 1000 AND rating > 3.0 AND product_id IS NOT NULL
 ),
 k AS (SELECT user_id, count(*) AS _k FROM pos GROUP BY user_id),
-items AS (SELECT DISTINCT product_id FROM reviews),
+items AS (
+    SELECT DISTINCT product_id FROM reviews WHERE product_id IS NOT NULL
+),
 cand AS (
     SELECT k.user_id, i.product_id, k._k,
            md5('negsample' || '|' || CAST(k.user_id AS VARCHAR)

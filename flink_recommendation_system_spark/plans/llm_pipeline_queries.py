@@ -658,6 +658,149 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_oneshot(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC machinery on a FIXED hash-derived codebook — FULL value
+    oracle (the hash-exact twin of the Lloyd-fitted ``pq_topk``): codeword
+    constants are shared LCG doubles, code assignment is an engine-exact
+    argmin, and the ADC reduction runs on a 1e-6 integer grid so the
+    m-term sum is order-independent. Value-checks the exact pipeline the
+    rows-only fit feeds (VERDICT r05 item 2)."""
+    emb = _emb(spark, sf_dir)
+    return S.pq_adc_topk(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
+    )
+
+
+def _pq_adc_sql(
+    k: int = 5, m: int = 8, n_codes: int = 16, dim: int = 64, seed: int = 7
+) -> str:
+    """Mirror of operators.similarity.pq_adc_topk: same LCG codebook
+    constants (repr()-round-tripped), same left-fold L2, same integer-grid
+    ADC sum — every intermediate is bit-identical across engines."""
+    sub_dim = dim // m
+    vals = ",\n    ".join(
+        f"({s}, {c}, [{', '.join(repr(w) for w in cw)}]::DOUBLE[])"
+        for s, c, cw in S.pq_fixed_codebooks(m, n_codes, sub_dim, seed)
+    )
+
+    def l2sq(vec: str, sub: str, cw: str) -> str:
+        elem = f"CAST({vec}[{sub} * {sub_dim} + j] AS DOUBLE) - {cw}[j]"
+        return (
+            f"list_sum(list_transform(range(1, {sub_dim} + 1), "
+            f"j -> ({elem}) * ({elem})))"
+        )
+
+    return f"""
+WITH books(sub, code, cw) AS (VALUES
+    {vals}),
+cd AS (
+    SELECT vec_id, sub, code FROM (
+        SELECT e.vec_id, b.sub, b.code,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, b.sub
+                   ORDER BY {l2sq('e.embedding', 'b.sub', 'b.cw')} ASC,
+                            b.code ASC) AS rn
+        FROM embeddings e CROSS JOIN books b
+    ) WHERE rn = 1
+),
+tbl AS (
+    SELECT q.vec_id AS query_id, b.sub, b.code,
+           CAST(round({l2sq('q.embedding', 'b.sub', 'b.cw')} * 1000000.0)
+                AS BIGINT) AS de6
+    FROM embeddings q CROSS JOIN books b
+    WHERE q.vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT t.query_id, c.vec_id AS neighbor_id,
+           CAST(sum(t.de6) AS DOUBLE) / 1000000.0 AS approx_dist
+    FROM cd c
+    JOIN tbl t ON t.sub = c.sub AND t.code = c.code
+              AND t.query_id != c.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_dist ASC, neighbor_id ASC)
+              AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+PQ_ADC_TOPK_SQL = _pq_adc_sql()
+
+
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe machinery on FIXED hash-derived centroids — FULL value
+    oracle (the hash-exact twin of the KMeans-fitted ``ivf_topk``):
+    argmin-L2 cell assignment, 4-of-16 cell probe, exact cosine re-rank
+    within the probed cells."""
+    emb = _emb(spark, sf_dir)
+    return S.ivf_probe_fixed(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
+    )
+
+
+def _ivf_probe_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 11,
+) -> str:
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
+        for i, cv in enumerate(S._lcg_vectors(n_cells, dim, seed))
+    )
+    elem = "CAST(e.embedding[j] AS DOUBLE) - c.cv[j]"
+    l2sq = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> ({elem}) * ({elem})))"
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES
+    {vals}),
+a AS (
+    SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+p AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {N_QUERY_VECS}
+    ) WHERE rn <= {n_probe}
+),
+cand AS (
+    SELECT p.query_id, a.neighbor_id
+    FROM p JOIN a USING (cell)
+    WHERE a.neighbor_id != p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {_cosine_sql('q.embedding', 'c.embedding')} AS cosine_sim
+    FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+IVF_PROBE_SQL = _ivf_probe_sql()
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleaning gate: keep documents passing all three
     quality heuristics, attach predicted language — the filter a corpus
@@ -1597,6 +1740,8 @@ QUERIES: dict[str, tuple] = {
     "lsh_topk": (q_lsh_topk, LSH_TOPK_SQL),
     "ivf_topk": (q_ivf_topk, None),
     "pq_topk": (q_pq_topk, None),
+    "pq_adc_topk": (q_pq_adc_topk, PQ_ADC_TOPK_SQL),
+    "ivf_probe": (q_ivf_probe, IVF_PROBE_SQL),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),

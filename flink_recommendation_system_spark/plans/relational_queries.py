@@ -529,3 +529,183 @@ QUERIES["nation_balance_overview"] = (
     q_nation_balance_overview,
     NATION_BALANCE_OVERVIEW_SQL,
 )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (left-outer join + two-level aggregation — the
+    classic skew distribution): per customer, the count of their
+    non-urgent orders INCLUDING customers with none (left outer, so the
+    zero bucket exists), then the distribution of customers over that
+    count. The schema has no o_comment, so the reference query's comment
+    NOT-LIKE filter becomes an o_orderpriority exclusion — same plan
+    shape: filtered fact left-joined under a dim, count(join-key) per
+    customer (NULL-safe zero), re-aggregate. At 100 TB the first agg is a
+    partial-agg shuffle on c_custkey and the second on the (tiny) count
+    domain; the all-customers left side never collapses to the driver."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+                    AND o_orderpriority != '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+QUERIES["customer_distribution"] = (
+    q_customer_distribution,
+    CUSTOMER_DISTRIBUTION_SQL,
+)
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (multi-correlated EXISTS / NOT-EXISTS against the
+    same fact table): suppliers who were the SOLE late shipper on a
+    finalized multi-supplier order. The schema has no
+    l_receiptdate/l_commitdate, so "late" is l_shipdate more than 90 days
+    after o_orderdate — the correlation structure (EXISTS another supplier
+    on the order, NOT EXISTS another LATE supplier on the order) is
+    unchanged. Expressed Spark-first as one per-order aggregate (distinct
+    supplier count, distinct late-supplier count) joined back to the late
+    lineitems — two scans of lineitem instead of three correlated probes,
+    the rewrite Catalyst cannot derive from EXISTS itself. Top 10 by
+    numwait with name tie-break."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_items = (
+        li.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    )
+    waiting = (
+        late_items.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(
+        waiting.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        ).select("s_name", "numwait"),
+        10,
+        F.col("numwait").desc(),
+        F.col("s_name").asc(),
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+    FROM li GROUP BY l_orderkey
+),
+waiting AS (
+    SELECT l_suppkey, count(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) x
+    JOIN per_order USING (l_orderkey)
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY l_suppkey
+)
+SELECT s_name, numwait FROM waiting
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+QUERIES["waiting_suppliers"] = (q_waiting_suppliers, WAITING_SUPPLIERS_SQL)
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (anti-join + scalar-subquery threshold): customers
+    with above-average account balance who have NO orders, grouped by
+    nation (the schema's stand-in for Q22's phone country code). The
+    average is over positive-balance customers — a scalar subquery Spark
+    expresses as a 1-row broadcast cross join. Engine-exactness: balances
+    are a 2-dp grid, so the threshold test multiplies out the division
+    (bal_e2 · n > sum_e2, exact BIGINTs) instead of comparing against a
+    float average, and the output sum is integer cents divided once."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_e2", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    thr = (
+        cust.filter(F.col("bal_e2") > 0)
+        .agg(
+            F.sum("bal_e2").alias("sum_e2"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("bal_e2") * F.col("n_pos") > F.col("sum_e2"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (
+                F.sum("bal_e2").cast("double") / F.lit(100.0)
+            ).alias("totacctbal"),
+        )
+    )
+
+
+GLOBAL_SALES_OPPORTUNITY_SQL = """
+WITH c AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+    FROM customer
+),
+thr AS (
+    SELECT sum(bal_e2) AS sum_e2, count(*) AS n_pos
+    FROM c WHERE bal_e2 > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       count(*) AS numcust,
+       CAST(sum(bal_e2) AS DOUBLE) / 100.0 AS totacctbal
+FROM c CROSS JOIN thr
+WHERE bal_e2 * n_pos > sum_e2
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+QUERIES["global_sales_opportunity"] = (
+    q_global_sales_opportunity,
+    GLOBAL_SALES_OPPORTUNITY_SQL,
+)
