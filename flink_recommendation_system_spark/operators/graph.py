@@ -659,7 +659,7 @@ def kcore_vertices(
     )
 
 
-def _directed_min_reach(
+def _bidirectional_min_reach(
     edges: DataFrame,
     vertices: DataFrame,
     checkpoint: str,
@@ -667,43 +667,76 @@ def _directed_min_reach(
     on_no_convergence: str,
     broadcast_labels: bool,
 ) -> DataFrame:
-    """Fixpoint of label(v) = min(v, label(w) for (v,w) in edges) — the
-    minimum vertex id REACHABLE from v along directed edges. Same physical
-    loop as ``connected_components`` (join → partial-agg min → lineage
-    truncation, label side broadcast when the vertex set allows), but
-    propagation follows edge direction only."""
-    labels = vertices.withColumn("label", F.col("id"))
-    reference = labels
+    """Both directed min-reach fixpoints at once: f(v) = min id REACHABLE
+    FROM v (labels flow dst→src) and b(v) = min id that REACHES v (labels
+    flow src→dst). Output: (id, f_label, b_label).
+
+    The two fixpoints run over the same edge list, so one propagation
+    relation carries both directions (``dir`` 0 = forward, 1 = backward)
+    and each superstep is ONE join + partial-agg job over 2|E| rows
+    instead of two sequential |E| jobs — on overhead-dominated iterative
+    workloads (small dense graphs, many supersteps) this halves the
+    per-superstep fixed cost (scheduling, broadcast, lineage truncation).
+
+    Convergence detection is an exact monotone fingerprint: labels only
+    ever DECREASE, so the fixpoint is reached exactly when
+    sum(label) (DECIMAL(38) — overflow-proof) stops changing. That turns
+    change detection into an O(|V|) aggregate per superstep — checked
+    EVERY superstep, so the loop exits at the first converged state,
+    where the previous join-based check (every 3rd step) could run up to
+    two redundant supersteps."""
+    labels = vertices.select("id").withColumn(
+        "dir", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).withColumn("label", F.col("id"))
+    labels = _truncate_lineage(labels, checkpoint)
+    prop = _truncate_lineage(
+        edges.select(
+            F.lit(0).alias("dir"),
+            F.col("dst").alias("from_id"),
+            F.col("src").alias("to_id"),
+        ).unionByName(
+            edges.select(
+                F.lit(1).alias("dir"),
+                F.col("src").alias("from_id"),
+                F.col("dst").alias("to_id"),
+            )
+        ),
+        checkpoint,
+    )
+    # metadata-sized scalar loop control (like the CC convergence
+    # fingerprint), not a data path
+    prev = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
     converged = False
-    for i in range(1, max_iterations + 1):
-        lab = F.broadcast(labels) if broadcast_labels else labels
-        successor_min = (
-            edges.join(lab, edges["dst"] == lab["id"])
-            .select(F.col("src").alias("id"), "label")
-            .groupBy("id")
-            .agg(F.min("label").alias("succ_min"))
+    for _i in range(max_iterations):
+        lab = labels.select(
+            F.col("id").alias("from_id"), "dir", "label"
+        )
+        if broadcast_labels:
+            lab = F.broadcast(lab)
+        nbr_min = (
+            prop.join(lab, ["from_id", "dir"])
+            .groupBy(F.col("to_id").alias("id"), F.col("dir"))
+            .agg(F.min("label").alias("nbr_min"))
         )
         labels = _truncate_lineage(
-            labels.join(successor_min, "id", "left").select(
+            labels.join(nbr_min, ["id", "dir"], "left").select(
                 "id",
+                "dir",
                 F.least(
-                    F.col("label"), F.coalesce("succ_min", F.col("label"))
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             ),
             checkpoint,
         )
-        if i % 3 == 0 or i == max_iterations:
-            changed = (
-                labels.alias("n")
-                .join(reference.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                converged = True
-                break
-            reference = labels
+        cur = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
     if not converged:
         msg = (
             "directed min-reach propagation stopped before its fixpoint "
@@ -713,7 +746,10 @@ def _directed_min_reach(
         if on_no_convergence == "raise":
             raise RuntimeError(msg)
         warnings.warn(msg, UserWarning, stacklevel=3)
-    return labels
+    return labels.groupBy("id").agg(
+        F.min(F.when(F.col("dir") == 0, F.col("label"))).alias("f_label"),
+        F.min(F.when(F.col("dir") == 1, F.col("label"))).alias("b_label"),
+    )
 
 
 def strongly_connected_components(
@@ -746,9 +782,11 @@ def strongly_connected_components(
     could mis-assign components, not just under-assign, so silent
     truncation is never acceptable for SCC.
 
-    Scale shape: each round is two ``connected_components``-shaped loops
-    (broadcast-able label side, partial-agg min, per-superstep lineage
-    truncation) plus one equi-join to intersect them; the remainder
+    Scale shape: each round is ONE ``connected_components``-shaped loop
+    carrying both direction labels at once (``_bidirectional_min_reach``:
+    broadcast-able label side, partial-agg min, per-superstep lineage
+    truncation, exact monotone sum fingerprint for convergence); the
+    f = b intersection falls out of the same relation and the remainder
     shrinks monotonically. Not SQL-expressible (nested fixpoints) — the
     registered query takes the driver's rows-only check; exactness is
     property-tested against a reference Tarjan on random digraphs.
@@ -766,23 +804,13 @@ def strongly_connected_components(
     for _round in range(max_rounds):
         if not verts.take(1):
             break
-        fwd = _directed_min_reach(
+        fb = _bidirectional_min_reach(
             remaining, verts, checkpoint, max_iterations,
             on_no_convergence, broadcast_labels,
         )
-        rev = remaining.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-        bwd = _directed_min_reach(
-            rev, verts, checkpoint, max_iterations,
-            on_no_convergence, broadcast_labels,
-        )
-        assigned = (
-            fwd.alias("f")
-            .join(bwd.alias("b"), "id")
-            .filter(F.col("f.label") == F.col("b.label"))
-            .select("id", F.col("f.label").alias("component"))
-        )
+        assigned = fb.filter(
+            F.col("f_label") == F.col("b_label")
+        ).select("id", F.col("f_label").alias("component"))
         assigned = _truncate_lineage(assigned, checkpoint)
         result = assigned if result is None else result.unionByName(assigned)
         verts = _truncate_lineage(
