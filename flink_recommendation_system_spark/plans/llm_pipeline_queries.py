@@ -801,6 +801,61 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 IVF_PROBE_SQL = _ivf_probe_sql()
 
 
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring machinery (operators.classifier) with a
+    FIXED hash-derived weight vector — FULL value oracle: features are
+    engine-exact arithmetic over the quality_stats columns, the logit is a
+    fixed-order linear expression both engines evaluate identically, and
+    the keep decision is the sigmoid-0.5 boundary expressed on the logit
+    (no exp() in either engine). Value-checks the exact scoring pass the
+    rows-only MLlib fit (quality_classifier) feeds."""
+    from ..operators import classifier as C
+
+    feats = C.quality_features(_docs(spark, sf_dir))
+    w = S._lcg_vectors(1, C.N_FEATURES, seed=13)[0]
+    return C.linear_scores(feats, w, bias=-0.5)
+
+
+def _classifier_scores_sql() -> str:
+    from ..operators import classifier as C
+
+    w = S._lcg_vectors(1, C.N_FEATURES, seed=13)[0]
+    logit = (
+        f"round(-0.5 + {w[0]!r} * (CAST(len(toks) AS DOUBLE) / 100.0) "
+        f"+ {w[1]!r} * mean_token_len "
+        f"+ {w[2]!r} * stopword_ratio "
+        f"+ {w[3]!r} * (CAST(n_chars AS DOUBLE) / 1000.0), 6)"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           string_split(text, ' ') AS toks,
+           len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
+    FROM documents
+),
+f AS (
+    SELECT doc_id, toks, n_chars,
+           round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                 / len(toks), 6) AS mean_token_len,
+           round(CAST(sw AS DOUBLE) / len(toks), 6) AS stopword_ratio
+    FROM t
+)
+SELECT doc_id, {logit} AS logit, {logit} > 0 AS keep
+FROM f
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (the DCLM shape): MLlib
+    LogisticRegression fit on the rule-gate weak labels, coefficients
+    pulled once and applied as a codegen'd linear projection. Rows-only
+    (L-BFGS fit is iterative, like ALS); separation/determinism invariants
+    in tests/test_classifier.py."""
+    from ..operators import classifier as C
+
+    return C.score_with_model(_docs(spark, sf_dir))
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleaning gate: keep documents passing all three
     quality heuristics, attach predicted language — the filter a corpus
@@ -1742,6 +1797,8 @@ QUERIES: dict[str, tuple] = {
     "pq_topk": (q_pq_topk, None),
     "pq_adc_topk": (q_pq_adc_topk, PQ_ADC_TOPK_SQL),
     "ivf_probe": (q_ivf_probe, IVF_PROBE_SQL),
+    "classifier_scores": (q_classifier_scores, _classifier_scores_sql()),
+    "quality_classifier": (q_quality_classifier, None),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
