@@ -11,7 +11,8 @@ Two tiers, tried in order by ``decode_image`` / ``encode_image``:
   decode path in ``operators.multimodal`` is exercised with REAL encoded
   bytes even in codec-less containers.
 
-Video has no stdlib codec; it stays stubbed in ``operators.multimodal``.
+Video uses the spec-minimal uncompressed-AVI (RIFF) reader/writer at the
+bottom of this module — no codec library needed for BI_RGB 24-bit frames.
 
 Pixel arrays are numpy ``uint8`` of shape (height, width, channels).
 """
@@ -216,3 +217,121 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
         f.setframerate(rate)
         f.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# --- uncompressed AVI (RIFF) video -----------------------------------------
+#
+# Spec-minimal reader/writer for the one video container the stdlib can
+# handle without a codec library: RIFF 'AVI ' with a single 'vids' stream,
+# BI_RGB 24-bit DIB frames ('00db'/'00dc' chunks in LIST 'movi', bottom-up
+# BGR rows padded to 4 bytes — the classic uncompressed-AVI layout).
+# Same quarantineable-ValueError contract as decode_png: malformed or
+# unsupported input is a per-row error, never a silent wrong frame.
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) walking a RIFF chunk list;
+    raises ValueError on truncation (chunks are word-aligned)."""
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + length > end:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, pos + 8, length
+        pos += 8 + length + (length & 1)
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB 24-bit) AVI to a
+    (n_frames, height, width, 3) uint8 RGB array (top-down row order).
+    Raises ``ValueError`` on malformed or unsupported input."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI signature")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(8 + riff_len, len(data))
+    width = height = bitcount = compression = None
+    frames: list[bytes] = []
+    for fourcc, body, length in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[body:body + 4]
+        if list_type == b"hdrl":
+            for fcc2, b2, l2 in _riff_chunks(data, body + 4, body + length):
+                if fcc2 != b"LIST" or data[b2:b2 + 4] != b"strl":
+                    continue
+                fcc_type = None
+                for fcc3, b3, l3 in _riff_chunks(data, b2 + 4, b2 + l2):
+                    if fcc3 == b"strh":
+                        fcc_type = data[b3:b3 + 4]
+                    elif fcc3 == b"strf" and fcc_type == b"vids":
+                        if l3 < 40:
+                            raise ValueError("strf too short for BITMAPINFOHEADER")
+                        (_sz, width, height, _planes, bitcount, compression) = (
+                            struct.unpack("<IiiHHI", data[b3:b3 + 20])
+                        )
+        elif list_type == b"movi":
+            for fcc2, b2, l2 in _riff_chunks(data, body + 4, body + length):
+                if fcc2[2:4] in (b"db", b"dc"):
+                    frames.append(data[b2:b2 + l2])
+    if width is None:
+        raise ValueError("no video ('vids') stream header found")
+    if compression != 0 or bitcount != 24:
+        raise ValueError(
+            f"unsupported AVI encoding (compression={compression}, "
+            f"bits={bitcount}); only BI_RGB 24-bit is supported"
+        )
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = np.empty((len(frames), h, width, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        if len(raw) < stride * h:
+            raise ValueError(f"frame {i}: {len(raw)} bytes < {stride * h}")
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(
+            h, stride
+        )[:, : width * 3].reshape(h, width, 3)
+        if height > 0:  # positive biHeight = bottom-up rows
+            rows = rows[::-1]
+        out[i] = rows[:, :, ::-1]  # BGR -> RGB
+    return out
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as an uncompressed BI_RGB
+    24-bit AVI (bottom-up BGR DIB rows, '00db' chunks)."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3)")
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    frame_bytes = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_bytes.append(rows.tobytes())
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, stride * h * fps, 0, 0x10, n, 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, n, stride * h, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)

@@ -4,11 +4,11 @@ opaque ``binary`` payloads with typed metadata, processed via Arrow-batched
 
 Decode tiers (the ``decode=`` parameter):
 
-- ``"real"``: actual codecs via ``functions.codecs`` — PIL when importable,
-  else the stdlib PNG (zlib/struct) and WAV (wave) codecs, so real encoded
-  bytes flow through the Arrow path even in codec-less containers
-  (exercised in tests/test_multimodal_real.py). Video has no stdlib codec
-  and raises ``NotImplementedError`` — the one remaining stub.
+- ``"real"``: actual codecs via ``functions.codecs`` — PIL when importable
+  for images, else the stdlib PNG (zlib/struct) codec; WAV PCM (wave) for
+  audio; uncompressed BI_RGB AVI (RIFF) for video — so real encoded bytes
+  flow through the Arrow path for every modality even in codec-less
+  containers (exercised in tests/test_multimodal_real.py).
 - ``"fake"``: deterministic byte-statistics stand-in — the value-oracle
   tier the registered driver queries use (synthetic payloads are not valid
   media, and the oracle must be reproducible in DuckDB).
@@ -111,9 +111,20 @@ def _real_features(payload: bytes, modality: str) -> list[float]:
             else 0.0
         )
         return [float(samples.shape[0]), float(rate), float(ch), mean_amp]
-    raise NotImplementedError(
-        f"no real codec for modality {modality!r} (video needs ffmpeg)"
-    )
+    if modality == "video":
+        frames = codecs.decode_avi(payload)
+        mean_px = (
+            float(round(frames.astype("float64").mean(), 6))
+            if frames.size
+            else 0.0
+        )
+        return [
+            float(frames.shape[0]),
+            float(frames.shape[2]),
+            float(frames.shape[1]),
+            mean_px,
+        ]
+    raise ValueError(f"unknown modality {modality!r}")
 
 
 def extract_features(
@@ -236,11 +247,88 @@ def resize_images(
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def extract_frames(
+    assets: DataFrame,
+    every_n: int = 10,
+    fake_decode: bool = False,
+    decode: str = "stub",
+) -> DataFrame:
+    """Frame sampling WITH decode — the mapInPandas stage
+    ``frame_sample_plan`` plans for: every ``every_n``-th frame of each
+    video payload, one output row per sampled frame with its dimensions
+    and a pixel checksum (byte sum mod 997 — the value-checkable
+    fingerprint the media pipeline carries instead of raw pixels).
+
+    ``decode="real"`` decodes uncompressed AVI via ``functions.codecs``;
+    ``decode="fake"`` treats the payload as 1024-byte pseudo-frames
+    (frame i = payload[1024·i : 1024·(i+1)], width = frame length,
+    height = 1) — the same frame-count arithmetic as
+    ``frame_sample_plan``, DuckDB-reproducible for the registered oracle.
+
+    Scale shape: one Arrow batch pass over the (already filtered) video
+    assets; the per-frame fan-out happens inside the batch, so a payload
+    never crosses the wire more than once.
+    """
+    mode = _resolve_mode(decode, fake_decode)
+
+    def frame_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if mode == "real":
+                    from ..functions import codecs
+
+                    frames = codecs.decode_avi(payload)
+                    for i in range(0, frames.shape[0], every_n):
+                        f = frames[i]
+                        rows.append(
+                            (
+                                aid,
+                                i,
+                                f.shape[1],
+                                f.shape[0],
+                                int(f.sum()) % 997,
+                            )
+                        )
+                else:
+                    n_frames = len(payload) // 1024
+                    for i in range(0, n_frames, every_n):
+                        fb = payload[1024 * i: 1024 * (i + 1)]
+                        rows.append((aid, i, len(fb), 1, sum(fb) % 997))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_idx", "width", "height", "checksum",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(frame_batches, FRAME_SCHEMA)
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan* shape: one row per sampled frame index,
     derived from metadata only (frame count = payload size // 1024 as the
     stand-in). Shows the explode-based fan-out a real frame sampler uses —
-    the decode of each frame would be another mapInPandas over this."""
+    ``extract_frames`` is the mapInPandas stage that actually decodes."""
     frames = F.sequence(
         F.lit(0),
         F.greatest((F.length("payload") / 1024).cast("long"), F.lit(0)),

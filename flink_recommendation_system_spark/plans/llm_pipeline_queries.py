@@ -1128,6 +1128,38 @@ WHERE doc_id % 3 = 2
 """
 
 
+def q_frame_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling WITH decode (mapInPandas over video payloads) —
+    deterministic fake tier for the oracle (1024-byte pseudo-frames,
+    byte-sum checksums; the ASCII corpus makes DuckDB reproduce the slices
+    exactly); the REAL tier decodes uncompressed AVI and is exercised on
+    hand-assembled fixtures in tests/test_multimodal_real.py."""
+    assets = M.synthesize_assets(_docs(spark, sf_dir))
+    return M.extract_frames(assets, every_n=10, decode="fake")
+
+
+FRAME_EXTRACTION_SQL = """
+WITH v AS (
+    SELECT doc_id AS asset_id, text, strlen(text) // 1024 AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+idx AS (
+    SELECT asset_id, text,
+           unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10))
+               AS frame_idx
+    FROM v WHERE n_frames > 0
+)
+SELECT asset_id, frame_idx,
+       CAST(1024 AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS height,
+       CAST(list_sum(list_transform(
+                range(1, 1025),
+                i -> ord(substr(text, CAST(1024 * frame_idx AS INT) + i, 1))))
+            % 997 AS BIGINT) AS checksum
+FROM idx
+"""
+
+
 # --- round-4 additions: retrieval, PII, packing, chunking, histogram --------
 
 
@@ -1809,6 +1841,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, MULTIMODAL_FEATURES_SQL),
     "image_resize": (q_image_resize, IMAGE_RESIZE_SQL),
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),
+    "frame_extraction": (q_frame_extraction, FRAME_EXTRACTION_SQL),
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
     "context_packing": (q_context_packing, CONTEXT_PACKING_SQL),

@@ -109,6 +109,37 @@ def test_wav_roundtrip():
     assert np.array_equal(got[:, 0], samples)
 
 
+def test_avi_roundtrip():
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 5, 7, 3), dtype=np.uint8)
+    got = codecs.decode_avi(codecs.encode_avi(frames, fps=12))
+    assert got.shape == frames.shape
+    assert np.array_equal(got, frames)
+
+
+def test_avi_odd_width_padding():
+    """Width 5 → 15-byte rows padded to 16; the stride math must not leak
+    padding bytes into pixels."""
+    frames = np.arange(2 * 3 * 5 * 3, dtype=np.uint8).reshape(2, 3, 5, 3)
+    got = codecs.decode_avi(codecs.encode_avi(frames))
+    assert np.array_equal(got, frames)
+
+
+def test_avi_rejects_corruption():
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    data = codecs.encode_avi(frames)
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_avi(b"RIFX" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_avi(data[:40])
+    # flip compression field (strf offset: BI_RGB dword) → unsupported
+    bad = bytearray(data)
+    i = data.index(b"strf")
+    bad[i + 8 + 16] = 1  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_avi(bytes(bad))
+
+
 @pytest.fixture(scope="module")
 def real_assets(spark):
     """A tiny asset table whose payloads are REAL encoded media."""
@@ -119,11 +150,15 @@ def real_assets(spark):
     wav = codecs.encode_wav(
         16000, (np.ones(100) * 500).astype(np.int16)
     )
+    vid = codecs.encode_avi(
+        np.full((6, 2, 3, 3), 17, dtype=np.uint8), fps=10
+    )
     return spark.createDataFrame(
         [
             (1, "image", bytearray(img1), "image/png"),
             (2, "image", bytearray(img2), "image/png"),
             (3, "audio", bytearray(wav), "audio/wav"),
+            (4, "video", bytearray(vid), "video/x-msvideo"),
         ],
         "asset_id long, modality string, payload binary, mime_type string",
     )
@@ -139,6 +174,8 @@ def test_extract_features_real_bytes(spark, real_assets):
     assert got[2]["features"] == [8.0, 8.0, 1.0, 200.0]
     # audio: 100 frames @16kHz mono, |amp| = 500
     assert got[3]["features"] == [100.0, 16000.0, 1.0, 500.0]
+    # video: 6 frames of 3x2 constant 17
+    assert got[4]["features"] == [6.0, 3.0, 2.0, 17.0]
     assert got[1]["n_bytes"] == len(bytes(real_assets.collect()[0]["payload"]))
 
 
@@ -159,12 +196,28 @@ def test_resize_images_real_bytes(spark, real_assets):
     assert got[1]["checksum"] == sum(base64.b64decode(got[1]["payload"])) % 997
 
 
-def test_video_modality_still_stubbed(spark):
+def test_extract_frames_real_avi(spark, real_assets):
+    """The decode-tier frame sampler over the Arrow path: every 2nd frame
+    of the 6-frame fixture, constant-17 pixels → checksum 17·2·3·3 % 997."""
+    from flink_recommendation_system_spark.operators.multimodal import (
+        extract_frames,
+    )
+
+    rows = sorted(
+        (r["frame_idx"], r["width"], r["height"], r["checksum"])
+        for r in extract_frames(
+            real_assets, every_n=2, decode="real"
+        ).collect()
+    )
+    assert rows == [(i, 3, 2, (17 * 2 * 3 * 3) % 997) for i in (0, 2, 4)]
+
+
+def test_malformed_video_payload_raises(spark):
     assets = spark.createDataFrame(
         [(9, "video", bytearray(b"\x00" * 16), "video/mp4")],
         "asset_id long, modality string, payload binary, mime_type string",
     )
-    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+    with pytest.raises(Exception, match="AVI|signature"):
         extract_features(assets, decode="real").collect()
 
 
