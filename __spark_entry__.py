@@ -297,88 +297,21 @@ _SUITES = [
 # green history and remain covered at sf0.001 by tests/test_entry_queries.py
 # every CI run.
 #
-# ROUND-5 ROTATION: the 11 round-4c additions that have never had a driver
-# CORRECTNESS row lead (VERDICT r04 item 1 — nothing goes ahead of them),
-# followed by this round's new query, then the 51 queries whose last green
-# row predates the round-4 testdata regeneration, highest-risk inputs
-# first (documents corpus and embeddings were re-drawn; events re-encoded).
-# The 13 relational queries that do not fit rotate in next round. Every
-# out-of-window query keeps sf0.001 CI coverage (tests/test_entry_queries)
-# and a current sf0.01 signal via tools/local_correctness.py
-# (CORRECTNESS_LOCAL.json).
+# ROUND-6 ROTATION (VERDICT r05 item 1 — the staged tier-6 head leads,
+# NOTHING ahead of it): the ~24 queries whose last driver green predates
+# the round-4 testdata regeneration get their post-regeneration driver row
+# first; then this round's new queries (never checked anywhere); then the
+# implementation-changed re-confirmations. After this window lands, every
+# registered query has a post-r4-regeneration driver CORRECTNESS row.
+# Every out-of-window query keeps sf0.001 CI coverage
+# (tests/test_entry_queries) and a current sf0.01 signal via
+# tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. rotation head: never driver-checked (added after the r4 window
-    # filled)
-    "session_overlaps",
-    "approx_order_quantiles",
-    "epoch_shuffle",
-    "hll_part_distinct",
-    "hll_brand_distinct",
-    "activity_similarity",
-    "contamination_by_source",
-    "lineitem_measures_unpivot",
-    "embedding_stats",
-    "sliding_chunks",
-    "curriculum_order",
-    # 2. new this round (never checked anywhere; priority above the stale
-    # re-confirmation tier, per the rotation scheme): the SRP-bucketed
-    # scale tier of the exact embedding near-dup baseline (VERDICT r04
-    # item 2), then the round-5 additions
-    "embedding_near_dups_lsh",
-    "adamic_adar",
-    "promo_revenue",
-    "top_supplier",
-    "training_pairs",
-    "click_conversion_labels",
-    "pq_topk",
-    "nation_trade_flows",
-    "special_discount_revenue",
-    "bfs_hops",
-    # 3. stale greens on regenerated inputs — documents corpus tier
-    # (re-drawn in r4; last green r01-r03)
-    "token_counts",
-    "quality_stats",
-    "language_id",
-    "tfidf_top_terms",
-    "ngram_jaccard_pairs",
-    "near_dup_pipeline",
-    "deduped_corpus",
-    "near_dup_clusters",
-    "repetition_stats",
-    "decontamination",
-    "corpus_mixture",
-    "fingerprints",
-    "exact_dedup_keys",
-    "clean_corpus",
-    "top_bigrams",
-    # 4. embeddings / multimodal tier (embeddings re-drawn in r4)
-    "lsh_topk",
-    "cosine_topk",
-    "ivf_topk",
-    "multimodal_features",
-    "image_resize",
-    "frame_sample_plan",
-    # 5. events-derived tier (ts re-encoded in r4; these rotated out of
-    # the r4 window in favor of the sketch/sampling additions)
-    "graph_vertices",
-    "undirected_edges",
-    "community_sizes",
-    "connected_components",
-    "triangle_counts",
-    "kv_roundtrip",
-    "user_product_sets",
-    "split_db_part",
-    # --- 50-row window boundary (tiers 1-5 above sum to exactly 50) ---
-    # 6. ROUND-6 ROTATION HEAD, part 0: round-5 additions that no longer
-    # fit the window (never driver-checked; green at sf0.001 in CI and at
-    # sf0.01 in CORRECTNESS_LOCAL.json)
+    # 1. tier-6 rotation head staged in round 5: round-5 additions that
+    # never fit the r5 window, then the stale-green relational/window tier
+    # (last driver green r01-r03)
     "domain_capped_corpus",
     "temperature_mixture",
-    # ROUND-6 ROTATION HEAD, part 1: the remaining stale-green tier (last green
-    # r01-r03; sliding_windows/daily_rollup share machinery with the
-    # in-window event_windows, the relational tier's load paths were
-    # unchanged by the r4 regeneration; all keep sf0.001 CI +
-    # CORRECTNESS_LOCAL.json sf0.01 coverage meanwhile)
     "sliding_windows",
     "daily_rollup",
     "customers_with_orders",
@@ -401,7 +334,44 @@ _WINDOW_PRIORITY = [
     "conditional_agg",
     "customer_deciles",
     "customer_order_gaps",
-    # everything else (green in r4) follows in registration order
+    # 2. new this round (never checked in any driver window): the
+    # hash-exact PQ/IVF machinery twins (VERDICT r05 item 2), the learned
+    # quality classifier (item 6), the TPC-H Q13/Q21/Q22 shapes (item 5),
+    # and the decode-tier frame sampler (item 3)
+    "pq_adc_topk",
+    "ivf_probe",
+    "classifier_scores",
+    "quality_classifier",
+    "customer_distribution",
+    "waiting_suppliers",
+    "global_sales_opportunity",
+    "frame_extraction",
+    # 3. implementation changed this round — re-confirm: exact-cents
+    # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
+    # SCC loop
+    "promo_revenue",
+    "top_supplier",
+    "training_pairs",
+    "scc_components",
+    # 4. window filler to 50, freshest-need first: the r5 greens whose
+    # inputs the above tiers do not re-touch, in r5-window order
+    "session_overlaps",
+    "approx_order_quantiles",
+    "epoch_shuffle",
+    "hll_part_distinct",
+    "hll_brand_distinct",
+    "activity_similarity",
+    "contamination_by_source",
+    "lineitem_measures_unpivot",
+    "embedding_stats",
+    "sliding_chunks",
+    "curriculum_order",
+    "embedding_near_dups_lsh",
+    "adamic_adar",
+    "click_conversion_labels",
+    # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
+    # everything else (all with post-r4 driver greens: r4 or r5 windows)
+    # follows in registration order
 ]
 
 

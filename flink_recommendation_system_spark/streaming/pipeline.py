@@ -200,6 +200,7 @@ def start_speed_layer(
     user_ratings_out: str,
     output_out: str,
     checkpoint_dir: str,
+    trigger: dict | None = None,
 ):
     """Wire the full speed layer: one micro-batch does both sinks (T3) —
     (a) append new ratings to the `user_ratings` table (S6: Redis SADD →
@@ -227,12 +228,14 @@ def start_speed_layer(
     LATENCY MODE: the reference processes each event individually
     (RealTimeRecommendations.java:50-51); Spark Structured Streaming is
     micro-batch, so per-record latency is bounded by the trigger interval
-    rather than zero. Pass ``trigger={"processingTime": "0 seconds"}``-
-    style arguments through the caller's ``.trigger(...)`` on the returned
-    query's writer for the lowest-latency micro-batches; Spark's
-    continuous-processing trigger is NOT applicable because this sink is
-    ``foreachBatch`` (dual-sink fan-out), which continuous mode does not
-    support — the micro-batch substitution is the documented,
+    rather than zero. The ``trigger`` knob passes straight through to
+    ``DataStreamWriter.trigger``: ``{"processingTime": "0 seconds"}``
+    (the default when None) starts the next micro-batch as soon as the
+    previous one finishes — the lowest-latency mode this sink supports —
+    while ``{"availableNow": True}`` drains-and-stops for backfills.
+    Spark's continuous-processing trigger is NOT applicable because this
+    sink is ``foreachBatch`` (dual-sink fan-out), which continuous mode
+    does not support — the micro-batch substitution is the documented,
     architecturally sound Spark equivalent (SURVEY §3.3).
     """
 
@@ -259,8 +262,9 @@ def start_speed_layer(
         enriched = enrich_with_recommendations(batch, user_recs, top)
         to_output_json(enriched).write.mode("append").parquet(output_out)
 
-    return (
+    writer = (
         reviews_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
+        .trigger(**(trigger if trigger is not None else {"processingTime": "0 seconds"}))
     )
+    return writer.start()
