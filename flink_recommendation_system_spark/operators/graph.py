@@ -925,6 +925,15 @@ def adamic_adar(
     broken on (a, b) — fully deterministic, value-oracle-checkable
     (common neighbors always have deg ≥ 2, so ln(deg) > 0).
 
+    Accepted residual risk (same stance as personalized_pagerank): the
+    score is a float sum whose accumulation ORDER differs between
+    engines, so a pair summing 100+ terms could in principle land a
+    last-ulp apart exactly at a 6-dp rounding boundary and flip the
+    value hash. Measure-zero in practice (green across every round and
+    the sf0.001/0.01/0.1 sweeps); an exact-grid alternative would need
+    2^-k quantization of 1/ln(deg), documented here in case a flap is
+    ever observed.
+
     Input: the both-direction undirected edge set (``undirected``'s
     output contract). Scale shape: candidate pairs are wedges generated
     FROM each common neighbor (self-join of the adjacency list on the

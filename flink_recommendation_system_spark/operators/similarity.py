@@ -676,15 +676,16 @@ def pq_assign_codes(
     subs = parts[0]
     for p in parts[1:]:
         subs = subs.unionByName(p)
-    aw = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("_d").asc(), F.col("code").asc()
-    )
+    # argmin as min(struct(_d, code)) — struct ordering compares fields
+    # left-to-right, so this is exactly (distance asc, code asc) — which
+    # PARTIAL-aggregates map-side; a row_number window would sort-shuffle
+    # all m·k distance rows per vector (measured ~2× slower at sf0.1)
     return (
         subs.join(F.broadcast(books), "sub")
         .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "code")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_m"))
+        .select("vec_id", "sub", F.col("_m.code").alias("code"))
     )
 
 
@@ -792,15 +793,20 @@ def ivf_probe_fixed(
         )
     )
     dv = F.col(vec_col).cast("array<double>")
-    aw = Window.partitionBy("_id").orderBy(F.col("_d").asc(), F.col("cell").asc())
+    # corpus argmin cell: min(struct) partial agg (see pq_assign_codes);
+    # the query side keeps a window because it needs top-n_probe, but the
+    # query set is tiny by contract
     assigned = (
         corpus.select(F.col(id_col).alias("_id"), dv.alias("_v"))
         .join(cents, F.lit(True))
         .withColumn("_d", _l2sq(F.col("_v"), F.col("cv")))
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("_id").alias("neighbor_id"), "cell")
+        .groupBy("_id")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m"))
+        .select(
+            F.col("_id").alias("neighbor_id"), F.col("_m.cell").alias("cell")
+        )
     )
+    aw = Window.partitionBy("_id").orderBy(F.col("_d").asc(), F.col("cell").asc())
     probed = (
         queries.select(F.col(id_col).alias("_id"), dv.alias("_v"))
         .join(cents, F.lit(True))
