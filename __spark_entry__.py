@@ -346,6 +346,8 @@ _WINDOW_PRIORITY = [
     "waiting_suppliers",
     "global_sales_opportunity",
     "frame_extraction",
+    "small_quantity_revenue",
+    "national_market_share",
     # 3. implementation changed this round — re-confirm: exact-cents
     # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
     # SCC loop
@@ -367,8 +369,6 @@ _WINDOW_PRIORITY = [
     "sliding_chunks",
     "curriculum_order",
     "embedding_near_dups_lsh",
-    "adamic_adar",
-    "click_conversion_labels",
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order

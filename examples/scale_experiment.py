@@ -309,6 +309,71 @@ def main() -> None:
 
     timed("click_conversion_labels 1x", conv_on(ev1))
     timed(f"click_conversion_labels {n}x", conv_on(evU))
+
+    # round-6 operators: classifier scoring, hash-codebook PQ/ADC, frame
+    # extraction, fused-bidirectional SCC
+    from flink_recommendation_system_spark.operators import classifier as C
+    from flink_recommendation_system_spark.operators import (
+        multimodal as M,
+        similarity as S,
+    )
+
+    w6 = S._lcg_vectors(1, C.N_FEATURES, seed=13)[0]
+
+    def clf_on(docs):
+        return lambda: force(
+            C.linear_scores(C.quality_features(docs), w6, -0.5)
+        )
+
+    timed("classifier_scores 1x", clf_on(docs1))
+    timed(f"classifier_scores {n}x", clf_on(docsN))
+
+    q1 = emb1.filter(F.col("vec_id") < 10)
+    timed(
+        "pq_adc_topk 1x", lambda: force(S.pq_adc_topk(q1, emb1, k=5))
+    )
+    timed(
+        f"pq_adc_topk {n}x (fixed queries)",
+        lambda: force(S.pq_adc_topk(q1, embN, k=5)),
+    )
+
+    def frames_on(docs):
+        assets = M.synthesize_assets(docs)
+        return lambda: force(M.extract_frames(assets, decode="fake"))
+
+    timed("frame_extraction 1x", frames_on(docs1))
+    timed(f"frame_extraction {n}x", frames_on(docsN))
+
+    # SCC on disjoint temporal-digraph replicas: component count grows n×,
+    # per-replica structure unchanged — the fused loop should stay
+    # ~superstep-bound (supersteps don't grow), i.e. sublinear.
+    liked_ts = (
+        reviews_from_events(spark, sf_dir)
+        .filter((F.col("user_id") < 1000) & (F.col("rating") > 3.0))
+        .groupBy("user_id", "product_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    a, b = liked_ts.alias("a"), liked_ts.alias("b")
+    scc_edges1 = (
+        a.join(b, "product_id")
+        .filter(F.col("a.first_ts") < F.col("b.first_ts"))
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    scc_edgesN = replicate(
+        scc_edges1, n, {"src": 10_000, "dst": 10_000}
+    ).localCheckpoint()
+    timed(
+        "scc_components 1x",
+        lambda: force(G.strongly_connected_components(scc_edges1)),
+    )
+    timed(
+        f"scc_components {n}x",
+        lambda: force(G.strongly_connected_components(scc_edgesN)),
+    )
     spark.stop()
 
 

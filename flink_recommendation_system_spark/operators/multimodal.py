@@ -263,6 +263,7 @@ def extract_frames(
     every_n: int = 10,
     fake_decode: bool = False,
     decode: str = "stub",
+    fake_frame_bytes: int = 1024,
 ) -> DataFrame:
     """Frame sampling WITH decode — the mapInPandas stage
     ``frame_sample_plan`` plans for: every ``every_n``-th frame of each
@@ -271,9 +272,9 @@ def extract_frames(
     fingerprint the media pipeline carries instead of raw pixels).
 
     ``decode="real"`` decodes uncompressed AVI via ``functions.codecs``;
-    ``decode="fake"`` treats the payload as 1024-byte pseudo-frames
-    (frame i = payload[1024·i : 1024·(i+1)], width = frame length,
-    height = 1) — the same frame-count arithmetic as
+    ``decode="fake"`` treats the payload as ``fake_frame_bytes``-sized
+    pseudo-frames (frame i = payload[F·i : F·(i+1)], width = frame
+    length, height = 1) — the same frame-count arithmetic as
     ``frame_sample_plan``, DuckDB-reproducible for the registered oracle.
 
     Scale shape: one Arrow batch pass over the (already filtered) video
@@ -306,9 +307,10 @@ def extract_frames(
                             )
                         )
                 else:
-                    n_frames = len(payload) // 1024
+                    fsz = fake_frame_bytes
+                    n_frames = len(payload) // fsz
                     for i in range(0, n_frames, every_n):
-                        fb = payload[1024 * i: 1024 * (i + 1)]
+                        fb = payload[fsz * i: fsz * (i + 1)]
                         rows.append((aid, i, len(fb), 1, sum(fb) % 997))
             yield pd.DataFrame(
                 rows,

@@ -1271,3 +1271,140 @@ QUERIES["special_discount_revenue"] = (
     q_special_discount_revenue,
     SPECIAL_DISCOUNT_REVENUE_SQL,
 )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated per-group scalar subquery): yearly-ized
+    revenue from orders of a brand's parts whose quantity is below 20% of
+    that part's average order quantity. Spark-first rewrite: the
+    correlated subquery becomes ONE per-part aggregate joined back — the
+    fact table is scanned twice (once for the stats, once for the probe),
+    never once per part. Engine-exactness: quantities are integral, so
+    the 0.2·avg test multiplies out to exact BIGINTs
+    (5·n·qty < sum_qty ⟺ qty < 0.2·avg), and revenue sums on the
+    integer-cents grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per_part = (
+        li.select("l_partkey", qty.alias("q"))
+        .groupBy("l_partkey")
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n_q"))
+    )
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select("l_partkey", qty.alias("q"), price_e2.alias("p_e2"))
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("n_q") * F.col("q") < F.col("sum_q"))
+        .agg(
+            (
+                F.sum("p_e2").cast("double") / F.lit(100.0) / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS sum_q,
+           count(*) AS n_q
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+JOIN per_part USING (l_partkey)
+WHERE 5 * n_q * CAST(round(l_quantity) AS BIGINT) < sum_q
+"""
+
+QUERIES["small_quantity_revenue"] = (
+    q_small_quantity_revenue,
+    SMALL_QUANTITY_REVENUE_SQL,
+)
+
+
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): NATION_7's share of discounted
+    revenue among ASIA-region customers per order year — the 7-way join
+    (lineitem ⨝ orders ⨝ customer ⨝ supplier + broadcast nation×2/region)
+    with a conditional-share aggregate. Revenue on the exact integer-cents
+    grid; the share is one double division of exact BIGINTs rounded at
+    6 dp (identical quotient bits cross-engine — the accepted
+    personalized_pagerank rounding stance)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cn = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sn), sup["s_nationkey"] == F.col("s_nk"))
+        .withColumn("rev_e4", rev_e4)
+        .withColumn(
+            "focal_e4",
+            F.when(
+                F.col("supp_nation") == "NATION_7", F.col("rev_e4")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum("focal_e4").cast("double") / F.sum("rev_e4").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATIONAL_MARKET_SHARE_SQL = """
+WITH j AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+           CASE WHEN sn.n_name = 'NATION_7'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END AS focal_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT o_year,
+       round(CAST(sum(focal_e4) AS DOUBLE) / CAST(sum(rev_e4) AS DOUBLE), 6)
+           AS mkt_share,
+       count(*) AS n_items
+FROM j GROUP BY o_year
+"""
+
+QUERIES["national_market_share"] = (
+    q_national_market_share,
+    NATIONAL_MARKET_SHARE_SQL,
+)

@@ -1130,31 +1130,35 @@ WHERE doc_id % 3 = 2
 
 def q_frame_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling WITH decode (mapInPandas over video payloads) —
-    deterministic fake tier for the oracle (1024-byte pseudo-frames,
-    byte-sum checksums; the ASCII corpus makes DuckDB reproduce the slices
-    exactly); the REAL tier decodes uncompressed AVI and is exercised on
-    hand-assembled fixtures in tests/test_multimodal_real.py."""
+    deterministic fake tier for the oracle (128-byte pseudo-frames, every
+    frame, byte-sum checksums; the ASCII corpus makes DuckDB reproduce the
+    slices exactly — the frame size is sized to the corpus' ~300-550-char
+    docs so every SF yields a multi-frame fan-out); the REAL tier decodes
+    uncompressed AVI and is exercised on hand-assembled fixtures in
+    tests/test_multimodal_real.py."""
     assets = M.synthesize_assets(_docs(spark, sf_dir))
-    return M.extract_frames(assets, every_n=10, decode="fake")
+    return M.extract_frames(
+        assets, every_n=1, decode="fake", fake_frame_bytes=128
+    )
 
 
 FRAME_EXTRACTION_SQL = """
 WITH v AS (
-    SELECT doc_id AS asset_id, text, strlen(text) // 1024 AS n_frames
+    SELECT doc_id AS asset_id, text, strlen(text) // 128 AS n_frames
     FROM documents WHERE doc_id % 3 = 2
 ),
 idx AS (
     SELECT asset_id, text,
-           unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10))
+           unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 1))
                AS frame_idx
     FROM v WHERE n_frames > 0
 )
 SELECT asset_id, frame_idx,
-       CAST(1024 AS BIGINT) AS width,
+       CAST(128 AS BIGINT) AS width,
        CAST(1 AS BIGINT) AS height,
        CAST(list_sum(list_transform(
-                range(1, 1025),
-                i -> ord(substr(text, CAST(1024 * frame_idx AS INT) + i, 1))))
+                range(1, 129),
+                i -> ord(substr(text, CAST(128 * frame_idx AS INT) + i, 1))))
             % 997 AS BIGINT) AS checksum
 FROM idx
 """

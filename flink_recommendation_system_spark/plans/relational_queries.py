@@ -654,13 +654,16 @@ QUERIES["waiting_suppliers"] = (q_waiting_suppliers, WAITING_SUPPLIERS_SQL)
 
 def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (anti-join + scalar-subquery threshold): customers
-    with above-average account balance who have NO orders, grouped by
-    nation (the schema's stand-in for Q22's phone country code). The
-    average is over positive-balance customers — a scalar subquery Spark
-    expresses as a 1-row broadcast cross join. Engine-exactness: balances
-    are a 2-dp grid, so the threshold test multiplies out the division
-    (bal_e2 · n > sum_e2, exact BIGINTs) instead of comparing against a
-    float average, and the output sum is integer cents divided once."""
+    with above-average account balance and no RECENT order (none since
+    1999-01-01 — every customer in this dataset has SOME order, so like
+    Q22's own 7-year recency clause the anti-join runs against the
+    filtered fact), grouped by nation (the schema's stand-in for Q22's
+    phone country code). The average is over positive-balance customers —
+    a scalar subquery Spark expresses as a 1-row broadcast cross join.
+    Engine-exactness: balances are a 2-dp grid, so the threshold test
+    multiplies out the division (bal_e2 · n > sum_e2, exact BIGINTs)
+    instead of comparing against a float average, and the output sum is
+    integer cents divided once."""
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "bal_e2", F.round(F.col("c_acctbal") * 100).cast("long")
     )
@@ -671,7 +674,9 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pos"),
         )
     )
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
+    )
     return (
         cust.crossJoin(F.broadcast(thr))
         .filter(F.col("bal_e2") * F.col("n_pos") > F.col("sum_e2"))
@@ -701,7 +706,9 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
        CAST(sum(bal_e2) AS DOUBLE) / 100.0 AS totacctbal
 FROM c CROSS JOIN thr
 WHERE bal_e2 * n_pos > sum_e2
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 """
 
