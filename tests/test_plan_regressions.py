@@ -209,3 +209,59 @@ def test_embedding_near_dups_lsh_is_bucket_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "bucket" in plan
+
+
+def test_pq_adc_assignment_partial_aggregates(spark):
+    """The code argmin must be a hash aggregate over the broadcast-codebook
+    join (partial map-side combine), never a window sort of all m·k
+    distance rows, and the candidate join must stay a hash equi-join."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_pq_adc_topk,
+    )
+
+    plan = _plan(q_pq_adc_topk(spark, SF0001))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one Window node remains (the final per-query top-k rank;
+    # its WindowGroupLimit pushdown nodes also print "Window")
+    assert plan.count("Window [") <= 1, plan[:3000]
+
+
+def test_classifier_scores_is_shuffle_free_scan(spark):
+    """The scoring pass is plan literals over one corpus scan — the only
+    exchange allowed is the quality_stats join back on doc_id."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_classifier_scores,
+    )
+
+    plan = _plan(q_classifier_scores(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no Python evaluation in the scoring path — stays JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_waiting_suppliers_no_correlated_rescan(spark):
+    """Q21 rewrite contract: the supplier dim broadcasts and the per-order
+    stats come from aggregates, so the plan has no nested-loop probe."""
+    from flink_recommendation_system_spark.plans.relational_queries import (
+        q_waiting_suppliers,
+    )
+
+    plan = _plan(q_waiting_suppliers(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_small_quantity_revenue_stats_join_is_hash(spark):
+    """Q17 rewrite contract: the correlated subquery is a per-part
+    aggregate hash-joined back — no per-part rescans."""
+    from flink_recommendation_system_spark.plans.analytics_queries import (
+        q_small_quantity_revenue,
+    )
+
+    plan = _plan(q_small_quantity_revenue(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
