@@ -339,7 +339,11 @@ def main() -> None:
 
     def frames_on(docs):
         assets = M.synthesize_assets(docs)
-        return lambda: force(M.extract_frames(assets, decode="fake"))
+        return lambda: force(
+            M.extract_frames(
+                assets, every_n=1, decode="fake", fake_frame_bytes=128
+            )
+        )
 
     timed("frame_extraction 1x", frames_on(docs1))
     timed(f"frame_extraction {n}x", frames_on(docsN))

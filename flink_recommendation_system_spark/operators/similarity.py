@@ -849,6 +849,47 @@ def ivf_probe_fixed(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage path for a
+    100 TB embedding corpus (float32 → 1 byte/dim + one scale/vector, 4×
+    smaller; int8 dot products then run in SIMD on modern hardware):
+    scale = max|x|/127, q_i = round(x_i·127/max|x|) ∈ [-127, 127]. The
+    all-zero vector quantizes to zeros with scale 0.
+
+    Output: (id, scale DOUBLE, qvec ARRAY<BIGINT>, orig ARRAY<DOUBLE>) —
+    ``orig`` kept alongside so callers can digest reconstruction error
+    without re-joining the source. Engine-exact: the quantized values are
+    integer results of round() on bit-identical doubles
+    (half-away-from-zero in both engines).
+
+    One scan, no shuffle — embarrassingly parallel at any corpus size.
+    """
+    dv = F.col(vec_col).cast("array<double>")
+    maxabs = F.aggregate(
+        dv, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"), dv.alias("orig"), maxabs.alias("_m")
+    )
+    q = F.when(
+        F.col("_m") == 0.0,
+        F.transform("orig", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "orig",
+            lambda x: F.round(x * F.lit(127.0) / F.col("_m")).cast("long"),
+        )
+    )
+    scale = F.when(F.col("_m") == 0.0, F.lit(0.0)).otherwise(
+        F.col("_m") / F.lit(127.0)
+    )
+    return v.select("id", scale.alias("scale"), q.alias("qvec"), "orig")
+
+
 def pq_topk_oneshot(
     queries: DataFrame,
     corpus: DataFrame,

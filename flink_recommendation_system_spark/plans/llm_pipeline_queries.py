@@ -856,6 +856,83 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.score_with_model(_docs(spark, sf_dir))
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization digest (operators.similarity.
+    quantize_embeddings — the 4× storage-compression path for a 100 TB
+    embedding corpus) — FULL value oracle: per-vector scale, exact integer
+    checksum of the quantized codes, and the max reconstruction error
+    (≤ scale/2 by construction; also asserted in the oracle via the
+    output). The driver canonicalizer cannot hash arrays, so the
+    registered shape digests qvec to (q_sum, q_min, q_max)."""
+    emb = _emb(spark, sf_dir)
+    q = S.quantize_embeddings(emb)
+    err = F.aggregate(
+        F.zip_with(
+            "orig",
+            "qvec",
+            lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    # two-stage select: aliasing the ROUNDED scale as "scale" in the same
+    # projection would make F.col("scale") inside the err fold resolve to
+    # the lateral alias (Spark lateral column references), silently
+    # computing the error against the 6-dp scale — caught by the oracle
+    digested = q.select(
+        "id",
+        "scale",
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, qi: acc + qi
+        ).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        err.alias("_err"),
+    )
+    return digested.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        "q_min",
+        "q_max",
+        F.round("_err", 6).alias("max_abs_err"),
+    )
+
+
+EMBEDDING_QUANTIZATION_SQL = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, dv,
+           list_aggregate(list_transform(dv, x -> abs(x)), 'max') AS maxabs
+    FROM v
+),
+q AS (
+    SELECT vec_id, dv,
+           CASE WHEN maxabs = 0 THEN 0.0 ELSE maxabs / 127.0 END AS scale,
+           CASE WHEN maxabs = 0
+                THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(
+                     dv, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT))
+           END AS qvec
+    FROM m
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       CAST(list_min(qvec) AS BIGINT) AS q_min,
+       CAST(list_max(qvec) AS BIGINT) AS q_max,
+       round(list_aggregate(
+           list_transform(range(1, len(dv) + 1),
+                          i -> abs(dv[i] - CAST(qvec[i] AS DOUBLE) * scale)),
+           'max'), 6) AS max_abs_err
+FROM q
+"""
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleaning gate: keep documents passing all three
     quality heuristics, attach predicted language — the filter a corpus
@@ -1835,6 +1912,10 @@ QUERIES: dict[str, tuple] = {
     "ivf_probe": (q_ivf_probe, IVF_PROBE_SQL),
     "classifier_scores": (q_classifier_scores, _classifier_scores_sql()),
     "quality_classifier": (q_quality_classifier, None),
+    "embedding_quantization": (
+        q_embedding_quantization,
+        EMBEDDING_QUANTIZATION_SQL,
+    ),
     "clean_corpus": (q_clean_corpus, CLEAN_CORPUS_SQL),
     "tfidf_top_terms": (q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "embedding_near_dups": (q_embedding_near_dups_exact, EMBEDDING_NEAR_DUPS_SQL),
