@@ -768,7 +768,7 @@ def publish_corpus_artifacts(
     """
     if representative not in ("min_id", "quality"):
         raise ValueError(f"unknown representative policy {representative!r}")
-    from .graph import connected_components_star, undirected
+    from .graph import contracted_components, undirected
 
     paths = {
         name: f"{base_path}/{name}"
@@ -784,7 +784,7 @@ def publish_corpus_artifacts(
     ).localCheckpoint()
     pairs.write.mode("overwrite").parquet(paths["pairs"])
 
-    comp = connected_components_star(
+    comp = contracted_components(
         undirected(
             pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         )

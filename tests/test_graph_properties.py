@@ -758,3 +758,41 @@ def test_bfs_hops_hand_graph(spark):
         for r in bfs_hops(undirected(pairs), src, max_hops=0).collect()
     }
     assert got0 == {1: 0}
+
+
+def test_contracted_components_equals_plain_cc_on_random_graphs(spark):
+    """The fused min-neighbor contraction round must be output-identical
+    to min-propagation CC on arbitrary graphs (incl. self-loops and
+    isolated-in-pair-list vertices)."""
+    import random
+
+    from flink_recommendation_system_spark.operators.graph import (
+        connected_components,
+        contracted_components,
+        undirected,
+    )
+
+    for trial in range(4):
+        rng = random.Random(100 + trial)
+        n = 20
+        edges = sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(26)}
+        )
+        df = undirected(spark.createDataFrame(edges, ["src", "dst"]))
+        a = {r.id: r.component for r in connected_components(df).collect()}
+        b = {r.id: r.component for r in contracted_components(df).collect()}
+        assert a == b, f"trial {trial}: {edges}"
+
+
+def test_contracted_components_clique_residual_is_empty_fastpath(spark):
+    """On a clique the single contraction round must solve the whole
+    component (the dense near-dup case the operator exists for)."""
+    from flink_recommendation_system_spark.operators.graph import (
+        contracted_components,
+        undirected,
+    )
+
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    df = undirected(spark.createDataFrame(clique, ["src", "dst"]))
+    got = {r.id: r.component for r in contracted_components(df).collect()}
+    assert got == {v: 0 for v in range(6)}
