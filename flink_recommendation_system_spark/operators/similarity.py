@@ -533,16 +533,25 @@ def pq_fit(
         )
         .localCheckpoint()
     )
-    aw = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("_d").asc(), F.col("code").asc()
-    )
+    # argmin as min(struct(_d, code, sv)) — lexicographic struct order is
+    # (distance asc, code asc); code is unique per (vec, sub) group so sv
+    # never participates in the comparison, it just rides along for the
+    # mean update. Partial-aggregates map-side instead of a row_number
+    # sort-shuffle (same rewrite as pq_assign_codes, where it measured
+    # ~2×; the fit loop is means/checkpoint-bound so here it's parity —
+    # kept for the shuffle-volume story at real corpus sizes).
     for _ in range(iters):
         assigned = (
             subs.join(F.broadcast(books), "sub")
             .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
-            .withColumn("_rn", F.row_number().over(aw))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "sub", "code", "sv")
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("_d", "code", "sv")).alias("_a"))
+            .select(
+                "vec_id",
+                "sub",
+                F.col("_a.code").alias("code"),
+                F.col("_a.sv").alias("sv"),
+            )
         )
         # mean per (sub, code); a code that lost every vector keeps its
         # old codeword (coalesce after the left join)
@@ -566,9 +575,9 @@ def pq_fit(
     codes = (
         subs.join(F.broadcast(books), "sub")
         .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "code")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("_d", "code")).alias("_a"))
+        .select("vec_id", "sub", F.col("_a.code").alias("code"))
         .localCheckpoint()
     )
     return PQIndex(books, codes, m, sub_dim)
