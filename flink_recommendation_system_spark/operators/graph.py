@@ -995,14 +995,14 @@ def adamic_adar(
     broken on (a, b) — fully deterministic, value-oracle-checkable
     (common neighbors always have deg ≥ 2, so ln(deg) > 0).
 
-    Accepted residual risk (same stance as personalized_pagerank): the
-    score is a float sum whose accumulation ORDER differs between
-    engines, so a pair summing 100+ terms could in principle land a
-    last-ulp apart exactly at a 6-dp rounding boundary and flip the
-    value hash. Measure-zero in practice (green across every round and
-    the sf0.001/0.01/0.1 sweeps); an exact-grid alternative would need
-    2^-k quantization of 1/ln(deg), documented here in case a flap is
-    ever observed.
+    Cross-engine exactness (since round 6 — the pagerank construction):
+    every 1/ln(deg) term is quantized to the 2^-38 binary grid before
+    summation, so the per-pair score is an exact, order-independent sum
+    of grid multiples (≤ 1.443 each; exact up to 2^15 total) and the
+    value hash no longer rests on float accumulation order. The residual
+    exposure is only ln() itself landing within 1 ulp of a grid
+    boundary — the same measure-zero class personalized_pagerank
+    accepts for its division.
 
     Input: the both-direction undirected edge set (``undirected``'s
     output contract). Scale shape: candidate pairs are wedges generated
@@ -1053,10 +1053,22 @@ def adamic_adar(
     existing = E.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
+    # each 1/ln(deg) term is quantized to the 2^-38 binary grid BEFORE
+    # the sum (the pagerank construction): grid multiples ≤ 1.443 sum
+    # exactly in doubles up to 2^15 total, so the per-pair score is
+    # order-independent and the cross-engine hash match no longer rests
+    # on float summation order (VERDICT r05 ADVICE item 4)
+    grid = float(1 << 38)
+    term = (
+        F.floor(F.lit(1.0) / F.log("deg") * F.lit(grid) + F.lit(0.5)).cast(
+            "double"
+        )
+        / F.lit(grid)
+    )
     scored = (
         wedges.join(existing, ["a", "b"], "left_anti")
         .groupBy("a", "b")
-        .agg(F.round(F.sum(F.lit(1.0) / F.log("deg")), 6).alias("score"))
+        .agg(F.round(F.sum(term), 6).alias("score"))
     )
     # TakeOrderedAndProject (distributed per-partition heaps) for the
     # top-k; rank is then a window over at most top_k rows — metadata

@@ -432,7 +432,10 @@ wedges AS (
     JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
 ),
 scored AS (
-    SELECT w.a, w.b, round(sum(1.0 / ln(d.deg)), 6) AS score
+    SELECT w.a, w.b,
+           round(sum(floor(1.0 / ln(d.deg) * CAST(274877906944 AS DOUBLE)
+                           + 0.5)
+                     / CAST(274877906944 AS DOUBLE)), 6) AS score
     FROM wedges w
     JOIN deg d ON d.v = w.z
     LEFT JOIN pairs p ON p.src = w.a AND p.dst = w.b
