@@ -349,6 +349,7 @@ _WINDOW_PRIORITY = [
     "small_quantity_revenue",
     "national_market_share",
     "embedding_quantization",
+    "skew_safe_event_stats",
     # 3. implementation changed this round — re-confirm: exact-cents
     # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
     # SCC loop
@@ -368,7 +369,6 @@ _WINDOW_PRIORITY = [
     "lineitem_measures_unpivot",
     "embedding_stats",
     "sliding_chunks",
-    "curriculum_order",
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order

@@ -1408,3 +1408,36 @@ QUERIES["national_market_share"] = (
     q_national_market_share,
     NATIONAL_MARKET_SHARE_SQL,
 )
+
+
+def q_skew_safe_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators.skew.salted_aggregate) on
+    the engine's most skewed key — event_type has ~4 values over the whole
+    fact table, so a plain groupBy funnels everything into 4 reducers.
+    The salted form aggregates on (key, salt) first (spreading each hot
+    key over 16 partials) and combines second; output is EXACTLY the
+    plain groupBy (integer measures, so the value oracle proves the
+    two-stage reduction end-to-end — the explicit tool for skew AQE's
+    join splitting cannot fix, SURVEY §4)."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").cast("long").alias("v_int")
+    )
+    s = salted_aggregate(ev, "event_type", "v_int", "sum")
+    c = salted_aggregate(ev, "event_type", "v_int", "count")
+    return s.join(c, "event_type")
+
+
+SKEW_SAFE_EVENT_STATS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v_int,
+       count(CAST(floor(value) AS BIGINT)) AS count_v_int
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["skew_safe_event_stats"] = (
+    q_skew_safe_event_stats,
+    SKEW_SAFE_EVENT_STATS_SQL,
+)
