@@ -350,6 +350,8 @@ _WINDOW_PRIORITY = [
     "national_market_share",
     "embedding_quantization",
     "skew_safe_event_stats",
+    "customer_running_spend",
+    "lsh_quality_report",
     # 3. implementation changed this round — re-confirm: exact-cents
     # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
     # SCC loop
@@ -367,8 +369,6 @@ _WINDOW_PRIORITY = [
     "activity_similarity",
     "contamination_by_source",
     "lineitem_measures_unpivot",
-    "embedding_stats",
-    "sliding_chunks",
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order

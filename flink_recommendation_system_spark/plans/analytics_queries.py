@@ -1441,3 +1441,56 @@ QUERIES["skew_safe_event_stats"] = (
     q_skew_safe_event_stats,
     SKEW_SAFE_EVENT_STATS_SQL,
 )
+
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative spend per customer over their order history —
+    the UNBOUNDED-PRECEDING window frame (the one ranking-window family
+    member not yet registered: rank/ntile/lag/max_by all are). Exact
+    integer-cents accumulation so every prefix sum is engine-identical;
+    (o_orderdate, o_orderkey) ordering makes the frame total and
+    deterministic. At scale this is one range-partitioned sort per
+    customer partition — no global sort."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_e2", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.sum("price_e2").over(w).cast("double") / F.lit(100.0)
+        ).alias("running_spend"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+            )
+        )
+        .cast("long")
+        .alias("order_seq"),
+    )
+
+
+CUSTOMER_RUNNING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS running_spend,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC)
+            AS BIGINT) AS order_seq
+FROM orders
+"""
+
+QUERIES["customer_running_spend"] = (
+    q_customer_running_spend,
+    CUSTOMER_RUNNING_SPEND_SQL,
+)

@@ -449,6 +449,93 @@ MINHASH_NEAR_DUPS_SQL = (
     + "\nSELECT a_id, b_id, est_jaccard FROM p"
 )
 
+
+def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-audit of the LSH scale path: confusion counts of the banded
+    MinHash candidate set against EXACT character-shingle Jaccard ≥ 0.5 on
+    a bounded audit slice (doc_id < 200 — the bounded-exact-tier stance of
+    triangle_counts). The ≥ 0.5 test is pure integers (3·|A∩B| ≥ |A|+|B|),
+    so both pair sets and the single-row report are engine-exact — the
+    recall/precision measurement a production dedup pipeline runs on a
+    sample before trusting the banding parameters at full scale."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sh = docs.select(
+        "doc_id", F.explode(D.char_shingles("text", 5)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb")),
+            "b_id",
+        )
+        .filter(F.lit(3) * F.col("i") >= F.col("sa") + F.col("sb"))
+        .select("a_id", "b_id")
+    )
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    tp = exact.intersect(lsh)
+    tagged = (
+        exact.withColumn("t", F.lit("exact"))
+        .unionByName(lsh.withColumn("t", F.lit("lsh")))
+        .unionByName(tp.withColumn("t", F.lit("tp")))
+    )
+    return (
+        tagged.groupBy()
+        .agg(
+            F.sum((F.col("t") == "exact").cast("long")).alias("n_exact"),
+            F.sum((F.col("t") == "lsh").cast("long")).alias("n_lsh"),
+            F.sum((F.col("t") == "tp").cast("long")).alias("n_true_pos"),
+        )
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_true_pos",
+            (F.col("n_lsh") - F.col("n_true_pos")).alias("n_false_pos"),
+            (F.col("n_exact") - F.col("n_true_pos")).alias("n_false_neg"),
+        )
+    )
+
+
+LSH_QUALITY_REPORT_SQL = (
+    "WITH " + _minhash_ctes("WHERE doc_id < 200", 32, 8, 5, 0.5)
+    + """,
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT a_id, b_id FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE 3 * i >= sa.sz + sb.sz
+),
+lshp AS (SELECT a_id, b_id FROM p),
+tp AS (SELECT a_id, b_id FROM exact INTERSECT SELECT a_id, b_id FROM lshp)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM lshp) AS n_lsh,
+       (SELECT count(*) FROM tp) AS n_true_pos,
+       (SELECT count(*) FROM lshp) - (SELECT count(*) FROM tp) AS n_false_pos,
+       (SELECT count(*) FROM exact) - (SELECT count(*) FROM tp) AS n_false_neg
+"""
+)
+
 NEAR_DUP_PIPELINE_SQL = (
     "WITH " + _minhash_ctes(_EXACT_SURVIVORS, 32, 8, 5, 0.5)
     + "\nSELECT a_id, b_id, est_jaccard FROM p"
@@ -1904,6 +1991,7 @@ QUERIES: dict[str, tuple] = {
     "near_dup_clusters": (q_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
     "near_dup_clusters_lsh": (q_near_dup_clusters_lsh, NEAR_DUP_CLUSTERS_LSH_SQL),
     "deduped_corpus": (q_deduped_corpus, DEDUPED_CORPUS_SQL),
+    "lsh_quality_report": (q_lsh_quality_report, LSH_QUALITY_REPORT_SQL),
     "minhash_near_dups": (q_minhash_near_dups, MINHASH_NEAR_DUPS_SQL),
     "near_dup_pipeline": (q_near_dup_pipeline, NEAR_DUP_PIPELINE_SQL),
     "simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
