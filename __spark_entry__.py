@@ -149,6 +149,54 @@ def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_closeness_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled closeness centrality (Eppstein & Wang 2001) on the bipartite
+    liked graph: per-source BFS from the 3 smallest liked users (all runs
+    advancing in one job per round — the source id is just a grouping
+    column), then per vertex (sources reached, total hops, closeness =
+    n/Σhops). Exact integers + one double division → full value oracle."""
+    from pyspark.sql import functions as F
+
+    liked = _liked(spark, sf_dir)
+    off = oracles.KCORE_PRODUCT_OFFSET
+    bedges = liked.select(
+        F.col("user_id").alias("src"),
+        (F.col("product_id") + off).alias("dst"),
+    )
+    sources = (
+        liked.select(F.col("user_id").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(oracles.BFS_N_SOURCES)
+    )
+    d = G.bfs_hops_per_source(
+        G.undirected(bedges), sources, max_hops=oracles.BFS_MAX_HOPS
+    )
+    agg = d.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("hops").alias("total_hops"),
+    )
+    return agg.select(
+        F.when(F.col("id") >= off, "product").otherwise("user").alias("role"),
+        F.when(F.col("id") >= off, F.col("id") - off)
+        .otherwise(F.col("id"))
+        .alias("id"),
+        "n_sources",
+        "total_hops",
+        F.when(
+            F.col("total_hops") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.col("n_sources").cast("double")
+                / F.col("total_hops").cast("double"),
+                6,
+            )
+        )
+        .alias("closeness"),
+    )
+
+
 def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction on the user<200 co-review graph (the
     triangle oracle's bounded vertex set): the near-complete graph's few
@@ -352,6 +400,7 @@ _WINDOW_PRIORITY = [
     "skew_safe_event_stats",
     "customer_running_spend",
     "lsh_quality_report",
+    "closeness_estimates",
     # 3. implementation changed this round — re-confirm: exact-cents
     # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
     # SCC loop
@@ -368,7 +417,6 @@ _WINDOW_PRIORITY = [
     "hll_brand_distinct",
     "activity_similarity",
     "contamination_by_source",
-    "lineitem_measures_unpivot",
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order
@@ -397,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_recommendations": _q_als_recommendations,
         "adamic_adar": _q_adamic_adar,
         "bfs_hops": _q_bfs_hops,
+        "closeness_estimates": _q_closeness_estimates,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -446,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_components": oracles.SCC_COMPONENTS_SQL,
         "adamic_adar": oracles.ADAMIC_ADAR_SQL,
         "bfs_hops": oracles.BFS_HOPS_SQL,
+        "closeness_estimates": oracles.CLOSENESS_ESTIMATES_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -1118,3 +1118,43 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return dist
+
+
+def bfs_hops_per_source(
+    undirected_edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """PER-SOURCE BFS distances: (source, id, hops) for every (source,
+    vertex) pair within ``max_hops`` — the building block for
+    sampled-centrality estimation (Eppstein & Wang 2001: closeness from k
+    sampled single-source BFS runs instead of all-pairs). Same synchronous
+    frontier expansion as ``bfs_hops``, with the source id carried as a
+    grouping column, so all k BFS runs advance in ONE job per round — k
+    never multiplies the round count, only the frontier width.
+    Exact integers → unrolled-CTE value oracle like ``bfs_hops``."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    edges = undirected_edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    dist = (
+        sources.select(F.col("id").alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("id"))
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("source", "id"), ["source", "id"], "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist

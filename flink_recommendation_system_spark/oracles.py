@@ -495,3 +495,58 @@ FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
 GROUP BY 1, 2"""
 )
+
+
+# Sampled closeness centrality (Eppstein & Wang 2001): per-source BFS
+# distances from the same 3 seeds, aggregated per vertex — n_sources
+# reached, total hop sum, closeness = n_sources/total_hops. All exact
+# integers plus one double division of exact ints, so the oracle is
+# bit-for-bit.
+def _bfs_per_source_ctes() -> str:
+    off = KCORE_PRODUCT_OFFSET
+    return f"""bedges AS (
+    SELECT user_id AS src, product_id + {off} AS dst FROM liked
+    UNION ALL
+    SELECT product_id + {off} AS src, user_id AS dst FROM liked
+),
+ds0 AS (
+    SELECT CAST(user_id AS BIGINT) AS source, CAST(user_id AS BIGINT) AS id,
+           CAST(0 AS BIGINT) AS hops
+    FROM (SELECT DISTINCT user_id FROM liked ORDER BY user_id
+          LIMIT {BFS_N_SOURCES})
+),
+ds1 AS (
+    SELECT DISTINCT d.source, e.dst AS id, CAST(1 AS BIGINT) AS hops
+    FROM bedges e JOIN ds0 d ON e.src = d.id
+),
+ds2 AS (
+    SELECT DISTINCT d.source, e.dst AS id, CAST(2 AS BIGINT) AS hops
+    FROM bedges e JOIN ds1 d ON e.src = d.id
+),
+ds3 AS (
+    SELECT DISTINCT d.source, e.dst AS id, CAST(3 AS BIGINT) AS hops
+    FROM bedges e JOIN ds2 d ON e.src = d.id
+),
+dmin AS (
+    SELECT source, id, min(hops) AS hops
+    FROM (SELECT * FROM ds0 UNION ALL SELECT * FROM ds1
+          UNION ALL SELECT * FROM ds2 UNION ALL SELECT * FROM ds3)
+    GROUP BY source, id
+)"""
+
+
+CLOSENESS_ESTIMATES_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{_bfs_per_source_ctes()}\n"
+    f"""SELECT CASE WHEN id >= {KCORE_PRODUCT_OFFSET}
+            THEN 'product' ELSE 'user' END AS role,
+       CASE WHEN id >= {KCORE_PRODUCT_OFFSET}
+            THEN id - {KCORE_PRODUCT_OFFSET} ELSE id END AS id,
+       count(*) AS n_sources,
+       CAST(sum(hops) AS BIGINT) AS total_hops,
+       CASE WHEN sum(hops) = 0 THEN NULL
+            ELSE round(CAST(count(*) AS DOUBLE)
+                       / CAST(sum(hops) AS DOUBLE), 6)
+       END AS closeness
+FROM dmin
+GROUP BY 1, 2"""
+)
