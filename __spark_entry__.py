@@ -401,6 +401,8 @@ _WINDOW_PRIORITY = [
     "customer_running_spend",
     "lsh_quality_report",
     "closeness_estimates",
+    "price_size_correlation",
+    "degree_distribution",
     # 3. implementation changed this round — re-confirm: exact-cents
     # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
     # SCC loop
@@ -415,8 +417,6 @@ _WINDOW_PRIORITY = [
     "epoch_shuffle",
     "hll_part_distinct",
     "hll_brand_distinct",
-    "activity_similarity",
-    "contamination_by_source",
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order

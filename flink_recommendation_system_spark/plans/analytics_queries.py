@@ -1494,3 +1494,121 @@ QUERIES["customer_running_spend"] = (
     q_customer_running_spend,
     CUSTOMER_RUNNING_SPEND_SQL,
 )
+
+
+def q_price_size_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / covariance / stddev per part brand — computed
+    from EXACT INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² on
+    the cents/size grids) rather than the engines' native corr()/stddev()
+    aggregates, whose float accumulation differs cross-engine. The five
+    sums are one partial-agg pass (the mergeable-statistics pattern every
+    distributed stats library uses); the final formula is a single double
+    expression over identical BIGINTs, so the 6-dp values hash-match."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    s = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_num = (n * sxy - sx * sy).cast("double")
+    vx = (n * sxx - sx * sx).cast("double")
+    vy = (n * syy - sy * sy).cast("double")
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(cov_num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("price_size_corr"),
+        F.round(
+            cov_num / (n * (n - 1)).cast("double") / F.lit(100.0), 6
+        ).alias("sample_cov"),
+        F.round(
+            F.sqrt(vx / (n * (n - 1)).cast("double")) / F.lit(100.0), 6
+        ).alias("price_stddev"),
+    )
+
+
+PRICE_SIZE_CORRELATION_SQL = """
+WITH s AS (
+    SELECT p_brand,
+           count(*) AS n,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sx,
+           sum(CAST(p_size AS BIGINT)) AS sy,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(p_size AS BIGINT)) AS sxy,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(round(p_retailprice * 100) AS BIGINT)) AS sxx,
+           sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS syy
+    FROM part GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           AS price_size_corr,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 100.0, 6) AS sample_cov,
+       round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6)
+           AS price_stddev
+FROM s
+"""
+
+QUERIES["price_size_correlation"] = (
+    q_price_size_correlation,
+    PRICE_SIZE_CORRELATION_SQL,
+)
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected co-review graph — the first
+    summary a graph workload computes (and the skew diagnostic the
+    fan-out caps in co_review_edges/adamic_adar are sized from): per
+    degree value, how many vertices hold it. Exact integers."""
+    from ..operators import graph as G
+    from ..sources.tables import reviews_from_events
+
+    liked = G.good_reviews(reviews_from_events(spark, sf_dir))
+    edges = G.undirected(G.co_review_edges(liked))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+
+
+DEGREE_DISTRIBUTION_SQL = """
+WITH reviews AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+    FROM events
+),
+liked AS (
+    SELECT DISTINCT user_id, product_id FROM reviews
+    WHERE user_id < 1000 AND rating > 3.0
+),
+pairs AS (
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM liked a JOIN liked b ON a.product_id = b.product_id
+    WHERE a.user_id < b.user_id
+),
+edges AS (
+    SELECT src, dst FROM pairs
+    UNION
+    SELECT dst AS src, src AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+"""
+
+QUERIES["degree_distribution"] = (
+    q_degree_distribution,
+    DEGREE_DISTRIBUTION_SQL,
+)
