@@ -118,6 +118,39 @@ def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangles_per_vertex(G.undirected(G.co_review_edges(liked)))
 
 
+def _q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients on the triangle tier's bounded
+    (user<200) co-review graph: c(v) = 2·T(v)/(deg·(deg−1)), vertices with
+    degree < 2 excluded (undefined). Triangle counts + one degree agg +
+    an exact-integer division — full value oracle on the same unrolled
+    triangle CTEs as `triangle_counts`."""
+    from pyspark.sql import functions as F
+
+    liked = G.good_reviews(
+        reviews_from_events(spark, sf_dir), user_cutoff=200
+    )
+    edges = G.undirected(G.co_review_edges(liked)).localCheckpoint()
+    tri = G.triangles_per_vertex(edges)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .filter(F.col("degree") >= 2)
+        .select(
+            "id",
+            "degree",
+            "triangles",
+            F.round(
+                (F.lit(2) * F.col("triangles")).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop counts on the bipartite user-product liked
     graph (the kcore vertex space), sources = 3 smallest liked users,
@@ -403,6 +436,7 @@ _WINDOW_PRIORITY = [
     "closeness_estimates",
     "price_size_correlation",
     "degree_distribution",
+    "clustering_coefficients",
     # 3. implementation changed this round — re-confirm: exact-cents
     # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
     # SCC loop
@@ -416,7 +450,6 @@ _WINDOW_PRIORITY = [
     "approx_order_quantiles",
     "epoch_shuffle",
     "hll_part_distinct",
-    "hll_brand_distinct",
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order
@@ -446,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic_adar,
         "bfs_hops": _q_bfs_hops,
         "closeness_estimates": _q_closeness_estimates,
+        "clustering_coefficients": _q_clustering_coefficients,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -496,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": oracles.ADAMIC_ADAR_SQL,
         "bfs_hops": oracles.BFS_HOPS_SQL,
         "closeness_estimates": oracles.CLOSENESS_ESTIMATES_SQL,
+        "clustering_coefficients": oracles.CLUSTERING_COEFFICIENTS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -171,6 +171,34 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id"""
 )
 
 
+# Local clustering coefficients on the triangle tier's bounded graph:
+# c(v) = 2·T(v)/(deg(v)·(deg(v)−1)), degrees from the both-direction edge
+# list, vertices with deg < 2 excluded (coefficient undefined). One double
+# division of exact integers → bit-for-bit.
+CLUSTERING_COEFFICIENTS_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_200_CTE},\n{EDGES_CTES},\n"
+    """tri AS (
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e2.src = e1.dst
+    JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+),
+tcounts AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)
+SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles,
+       round(CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+           AS clustering_coeff
+FROM deg d LEFT JOIN tcounts t ON t.id = d.id
+WHERE d.degree >= 2"""
+)
+
+
 def pagerank_ctes(iterations: int = 3) -> str:
     """Unrolled power-iteration PageRank (damping 0.85) over the co-review
     edge set. All literals go through CAST(... AS DOUBLE) so both engines
