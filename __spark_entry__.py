@@ -415,10 +415,13 @@ _WINDOW_PRIORITY = [
     "conditional_agg",
     "customer_deciles",
     "customer_order_gaps",
-    # 2. new this round (never checked in any driver window): the
-    # hash-exact PQ/IVF machinery twins (VERDICT r05 item 2), the learned
-    # quality classifier (item 6), the TPC-H Q13/Q21/Q22 shapes (item 5),
-    # and the decode-tier frame sampler (item 3)
+    # 2. new this round (never checked in any driver window, 19 entries):
+    # the hash-exact PQ/IVF machinery twins (VERDICT r05 item 2), the
+    # learned quality classifier (item 6), the TPC-H Q13/Q21/Q22 + Q17/Q8
+    # shapes (item 5), the decode-tier frame sampler (item 3), int8
+    # quantization, the salted-agg skew tool, the running-spend frame,
+    # the LSH quality audit, sampled closeness, exact-stats correlation,
+    # degree distribution, and clustering coefficients
     "pq_adc_topk",
     "ivf_probe",
     "classifier_scores",
