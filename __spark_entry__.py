@@ -415,7 +415,7 @@ _WINDOW_PRIORITY = [
     "conditional_agg",
     "customer_deciles",
     "customer_order_gaps",
-    # 2. new this round (never checked in any driver window, 19 entries):
+    # 2. new this round (never checked in any driver window, 18 entries):
     # the hash-exact PQ/IVF machinery twins (VERDICT r05 item 2), the
     # learned quality classifier (item 6), the TPC-H Q13/Q21/Q22 + Q17/Q8
     # shapes (item 5), the decode-tier frame sampler (item 3), int8

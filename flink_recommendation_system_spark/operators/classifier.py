@@ -81,10 +81,13 @@ def linear_scores(
     decision boundary — monotone in the logit, so thresholds and buckets
     on the logit equal thresholds on the probability without either
     engine calling exp())."""
-    return features.select(
-        "doc_id",
-        linear_logit(weights, bias).alias("logit"),
-        (linear_logit(weights, bias) > 0).alias("keep"),
+    scored = features.select(
+        "doc_id", linear_logit(weights, bias).alias("logit")
+    )
+    # keep derived FROM the logit column (not a second expression copy),
+    # so keep == (logit > 0) holds structurally
+    return scored.select(
+        "doc_id", "logit", (F.col("logit") > 0).alias("keep")
     )
 
 

@@ -438,9 +438,13 @@ def contracted_components(
     remains. Exactness: (v, label0(v)) is an edge (or identity), so the
     contraction stays within components, and the component's global min m
     keeps label0(m) = m, so residual component ids ARE the original min
-    ids. Output contract identical to ``connected_components_star`` /
-    ``connected_components`` on all inputs (self-loops included);
-    equivalence property-tested on random graphs.
+    ids. Input contract: BOTH-DIRECTION edges (``undirected``'s output,
+    the same contract as ``connected_components``/``label_propagation`` —
+    label0 groups on ``src``, so a one-direction pair list would leave
+    dst-only vertices unlabeled; ``connected_components_star`` is the
+    member of the family that also canonicalizes raw pair lists).
+    Output contract on such inputs identical to both CC forms
+    (self-loops included); equivalence property-tested on random graphs.
     """
     edges = _truncate_lineage(
         undirected_edges.select("src", "dst"), checkpoint
@@ -868,8 +872,11 @@ def strongly_connected_components(
         remaining.select(F.col("dst").alias("id"))
     ).distinct()
     # one count decides the broadcast tier for every inner fixpoint (the
-    # vertex set only shrinks across rounds, so the decision is stable)
-    broadcast_labels = verts.count() <= BROADCAST_LABELS_MAX
+    # vertex set only shrinks across rounds, so the decision is stable);
+    # the fused loop's label relation carries BOTH directions — 2 rows
+    # per vertex — so the cap is halved to preserve the documented
+    # broadcast sizing
+    broadcast_labels = verts.count() <= BROADCAST_LABELS_MAX // 2
     result: DataFrame | None = None
     for _round in range(max_rounds):
         if not verts.take(1):

@@ -288,30 +288,31 @@ def extract_frames(
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        # dispatch + codec import hoisted out of the per-row hot loop
+        if mode == "real":
+            from ..functions import codecs
+
+            def one(aid, payload, rows):
+                frames = codecs.decode_avi(payload)
+                for i in range(0, frames.shape[0], every_n):
+                    f = frames[i]
+                    rows.append(
+                        (aid, i, f.shape[1], f.shape[0], int(f.sum()) % 997)
+                    )
+
+        else:
+            fsz = fake_frame_bytes
+
+            def one(aid, payload, rows):
+                n_frames = len(payload) // fsz
+                for i in range(0, n_frames, every_n):
+                    fb = payload[fsz * i: fsz * (i + 1)]
+                    rows.append((aid, i, len(fb), 1, sum(fb) % 997))
+
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if mode == "real":
-                    from ..functions import codecs
-
-                    frames = codecs.decode_avi(payload)
-                    for i in range(0, frames.shape[0], every_n):
-                        f = frames[i]
-                        rows.append(
-                            (
-                                aid,
-                                i,
-                                f.shape[1],
-                                f.shape[0],
-                                int(f.sum()) % 997,
-                            )
-                        )
-                else:
-                    fsz = fake_frame_bytes
-                    n_frames = len(payload) // fsz
-                    for i in range(0, n_frames, every_n):
-                        fb = payload[fsz * i: fsz * (i + 1)]
-                        rows.append((aid, i, len(fb), 1, sum(fb) % 997))
+                one(aid, payload, rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

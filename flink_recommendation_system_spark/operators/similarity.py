@@ -672,7 +672,8 @@ def pq_assign_codes(
     """Compress ``corpus`` against an existing codebook: per (vector,
     subspace), the argmin-L2 code with id tie-break. The codebook (m·k
     rows) is broadcast; the corpus is scanned once per subspace union leg
-    and never shuffled beyond the per-(vec, sub) argmin window. Output:
+    and never shuffled beyond the per-(vec, sub) argmin partial
+    aggregate (min(struct) — no window, no sort). Output:
     (vec_id, sub, code)."""
     parts = [
         corpus.select(

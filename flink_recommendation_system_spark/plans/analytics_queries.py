@@ -955,10 +955,15 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
+            # the ×100000 pct numerator goes through DECIMAL(38,0): a
+            # BIGINT intermediate would silently wrap once a month's
+            # promo_e4 sum passes ~9.2e13 (≈ $9.2e9 of monthly promo
+            # revenue), while DuckDB auto-promotes its sum to HUGEINT —
+            # decimal keeps both engines exact to 38 digits
             (
                 F.expr(
-                    "(100000 * sum(promo_e4) + sum(rev_e4) DIV 2)"
-                    " DIV sum(rev_e4)"
+                    "(CAST(sum(promo_e4) AS DECIMAL(38,0)) * 100000"
+                    " + sum(rev_e4) DIV 2) DIV sum(rev_e4)"
                 ).cast("double")
                 / F.lit(1000.0)
             ).alias("promo_pct"),
@@ -1522,6 +1527,15 @@ def q_price_size_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_num = (n * sxy - sx * sy).cast("double")
     vx = (n * sxx - sx * sx).cast("double")
     vy = (n * syy - sy * sy).cast("double")
+    # degenerate-group guard (n=1 or zero variance): Spark's non-ANSI
+    # double division yields NULL on a zero divisor where DuckDB yields
+    # NaN/inf — exclude such groups in BOTH engines (the clustering_coeff
+    # deg>=2 stance) rather than hash-mismatch on them
+    s = s.filter(
+        (n > 1)
+        & (n * sxx - sx * sx > 0)
+        & (n * syy - sy * sy > 0)
+    )
     return s.select(
         "p_brand",
         "n",
@@ -1559,6 +1573,7 @@ SELECT p_brand, n,
                   / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 6)
            AS price_stddev
 FROM s
+WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 """
 
 QUERIES["price_size_correlation"] = (

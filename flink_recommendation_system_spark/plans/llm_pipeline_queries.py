@@ -487,7 +487,16 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(3) * F.col("i") >= F.col("sa") + F.col("sb"))
         .select("a_id", "b_id")
     )
-    lsh = D.minhash_lsh_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    # localCheckpoint both pair sets: each feeds two/three legs below
+    # (intersect + union), and without materialization Spark re-executes
+    # the quadratic shingle self-join and the LSH banding pipeline once
+    # per leg in the same action
+    exact = exact.localCheckpoint()
+    lsh = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
     tp = exact.intersect(lsh)
     tagged = (
         exact.withColumn("t", F.lit("exact"))
@@ -497,9 +506,18 @@ def q_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tagged.groupBy()
         .agg(
-            F.sum((F.col("t") == "exact").cast("long")).alias("n_exact"),
-            F.sum((F.col("t") == "lsh").cast("long")).alias("n_lsh"),
-            F.sum((F.col("t") == "tp").cast("long")).alias("n_true_pos"),
+            # coalesce(0): on an empty audit slice the global agg still
+            # emits one row, but sum over zero rows is NULL where the SQL
+            # mirror's scalar COUNT subqueries return 0
+            F.coalesce(
+                F.sum((F.col("t") == "exact").cast("long")), F.lit(0)
+            ).alias("n_exact"),
+            F.coalesce(
+                F.sum((F.col("t") == "lsh").cast("long")), F.lit(0)
+            ).alias("n_lsh"),
+            F.coalesce(
+                F.sum((F.col("t") == "tp").cast("long")), F.lit(0)
+            ).alias("n_true_pos"),
         )
         .select(
             "n_exact",
