@@ -716,3 +716,362 @@ QUERIES["global_sales_opportunity"] = (
     q_global_sales_opportunity,
     GLOBAL_SALES_OPPORTUNITY_SQL,
 )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated minimum-cost subquery): for each
+    STANDARD part of size >= 40, the supplier who shipped it at the
+    lowest observed price. The schema has no partsupp, so the observed
+    lineitem prices stand in for ps_supplycost — the correlation
+    structure (per-part MIN, equi-join back on the minimum to recover
+    the supplying row) is unchanged. Prices compare on the exact
+    integer-cents grid and the supplier tie-break is MIN(s_suppkey),
+    expressed as one ``min(struct(price, suppkey))`` argmin aggregate —
+    a single partial-aggregatable shuffle on l_partkey instead of
+    Q2's correlated re-probe, which is the rewrite Catalyst cannot
+    derive from a correlated subquery at 100 TB. Dimension joins
+    (part/supplier/nation) broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 40)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey", "p_name")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pick = (
+        li.select("p_partkey", "p_name", cents.alias("cents"), "l_suppkey")
+        .groupBy("p_partkey", "p_name")
+        .agg(F.min(F.struct("cents", "l_suppkey")).alias("best"))
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("best.cents").cast("double") / 100.0).alias("min_price"),
+            F.col("best.l_suppkey").alias("best_supp"),
+        )
+    )
+    return (
+        pick.join(
+            F.broadcast(sup), F.col("best_supp") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("p_partkey", "p_name", "min_price", "s_name", "n_name")
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'STANDARD' AND p_size >= 40
+    GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT l_partkey, min(cents) AS best_cents
+    FROM costs GROUP BY l_partkey
+),
+pick AS (
+    SELECT c.l_partkey, best_cents, min(l_suppkey) AS best_supp
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.cents = b.best_cents
+    GROUP BY c.l_partkey, best_cents
+)
+SELECT p_partkey, p_name,
+       CAST(best_cents AS DOUBLE) / 100.0 AS min_price, s_name, n_name
+FROM pick
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON best_supp = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+QUERIES["min_cost_supplier"] = (q_min_cost_supplier, MIN_COST_SUPPLIER_SQL)
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year — the
+    widest join tree in TPC-H: fact + 3 dims + substring part filter):
+    profit per supplier-nation per order-year over widget-named parts.
+    The schema has no ps_supplycost, so cost is 60% of the part's
+    retail price per unit — the measure structure
+    (revenue - cost, both per lineitem) is unchanged. All arithmetic on
+    the integer 1e-4-dollar grid (rev_e4 carries the discount exactly:
+    price-cents x (100 - discount-pct)); the group sum stays a BIGINT
+    until the final exact /10000 conversion, so cross-engine float
+    summation order cannot flip a bit. Per-group sums stay far under
+    2^63 (~max 1e9/row x rows-per-nation-year); the nation/part dims
+    broadcast and the fact shuffles once on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    cost_e4 = (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(60)
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev_e4 - cost_e4).cast("double") / 10000.0).alias(
+                "profit"
+            )
+        )
+    )
+
+
+NATION_PROFIT_SQL = """
+SELECT n_name, year(o_orderdate) AS o_year,
+       CAST(sum(
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT) * 60
+       ) AS DOUBLE) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+QUERIES["nation_profit"] = (q_nation_profit, NATION_PROFIT_SQL)
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (scalar-subquery threshold as a fraction of a
+    global aggregate): parts whose total shipped value exceeds 1/1500
+    of the whole corpus's value. The share test runs entirely on the
+    integer-cents grid (``part_cents * 1500 > global_cents`` — no
+    float division anywhere), so the cut is exact in both engines.
+    Spark-first: one partial-agg shuffle on l_partkey, then the
+    single-row global sum re-aggregated from the per-part sums (not a
+    second fact scan) and broadcast back as a cross join — at 100 TB
+    the fact is read once and the threshold join moves one row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = (
+        li.select(F.col("l_partkey").alias("p_partkey"), cents.alias("c"))
+        .groupBy("p_partkey")
+        .agg(F.sum("c").alias("v"))
+    )
+    total = per_part.agg(F.sum("v").alias("g"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("v") * 1500 > F.col("g"))
+        .select(
+            "p_partkey",
+            (F.col("v").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+    SELECT l_partkey AS p_partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS v
+    FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, CAST(v AS DOUBLE) / 100.0 AS part_value
+FROM pv, (SELECT sum(v) AS g FROM pv)
+WHERE v * 1500 > g
+"""
+
+QUERIES["important_parts"] = (q_important_parts, IMPORTANT_PARTS_SQL)
+
+
+def q_shipping_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (join + two-way CASE split over a derived mode):
+    lineitems bucketed by shipping delay (days from order date to ship
+    date: <=30 FAST, <=90 MEDIUM, else SLOW — the schema has no
+    l_shipmode), counting high-priority (1-URGENT/2-HIGH) vs
+    low-priority order lines per bucket. Both engines compute the delay
+    on midnight-aligned timestamps so the day arithmetic is exact;
+    outputs are pure counts. One fact-fact join (orders side projected
+    to two columns) and a 3-group aggregate — map-side combine leaves
+    ~3 rows per task at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    mode = (
+        F.when(delay <= 30, "FAST")
+        .when(delay <= 90, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+SHIPPING_MODE_STATS_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_mode,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_mode
+"""
+
+QUERIES["shipping_mode_stats"] = (
+    q_shipping_mode_stats,
+    SHIPPING_MODE_STATS_SQL,
+)
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN exclusion subquery + grouped
+    COUNT DISTINCT): distinct suppliers per (brand, type, size) over a
+    brand/size-filtered slice, excluding "complaint" suppliers (here:
+    negative account balance — the schema has no s_comment). The NOT IN
+    becomes a broadcast LEFT ANTI join (l_suppkey is non-null, so the
+    NULL-poisoning NOT-IN edge case cannot arise and anti-join is
+    exactly equivalent); the distinct count is one partial-aggregatable
+    expand on the (tiny) group domain. Outputs are pure counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_VARIETY_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#13'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+QUERIES["supplier_part_variety"] = (
+    q_supplier_part_variety,
+    SUPPLIER_PART_VARIETY_SQL,
+)
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested IN chain with a correlated half-sum
+    threshold): suppliers who in 1998 shipped MORE THAN HALF of some
+    small-named part's total 1998 volume (Q20's
+    ``ps_availqty > 0.5 * sum(l_quantity)`` correlated test, re-rooted
+    on shipped volume since the schema has no partsupp). The half-sum
+    compares as ``2 * supp_qty > total_qty`` on exact BIGINT quantities.
+    Spark-first: one shuffle on (partkey, suppkey), the per-part total
+    re-aggregated from those partials (fact read once), and the final
+    supplier set deduplicated before the broadcast dim joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sq = (
+        li.filter(F.year("l_shipdate") == 1998)
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    return (
+        sq.join(pt, "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = """
+WITH sq AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(round(l_quantity) AS BIGINT)) AS supp_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1998
+    GROUP BY 1, 2
+),
+pt AS (
+    SELECT l_partkey, sum(supp_qty) AS total_qty FROM sq GROUP BY 1
+)
+SELECT DISTINCT s_name, n_name
+FROM sq
+JOIN pt USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * supp_qty > total_qty
+"""
+
+QUERIES["dominant_part_suppliers"] = (
+    q_dominant_part_suppliers,
+    DOMINANT_PART_SUPPLIERS_SQL,
+)
