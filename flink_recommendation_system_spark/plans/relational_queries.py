@@ -877,9 +877,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents grid (``part_cents * 1500 > global_cents`` — no
     float division anywhere), so the cut is exact in both engines.
     Spark-first: one partial-agg shuffle on l_partkey, then the
-    single-row global sum re-aggregated from the per-part sums (not a
-    second fact scan) and broadcast back as a cross join — at 100 TB
-    the fact is read once and the threshold join moves one row."""
+    single-row global sum re-aggregated from the per-part sums and
+    broadcast back as a cross join. The global branch shares the
+    per-part partial-agg exchange via AQE exchange reuse (pinned in
+    tests/test_plan_regressions.py), so at 100 TB the fact is read and
+    shuffled ONCE and the threshold join moves one row."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     per_part = (
@@ -1020,8 +1022,10 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shipped volume since the schema has no partsupp). The half-sum
     compares as ``2 * supp_qty > total_qty`` on exact BIGINT quantities.
     Spark-first: one shuffle on (partkey, suppkey), the per-part total
-    re-aggregated from those partials (fact read once), and the final
-    supplier set deduplicated before the broadcast dim joins."""
+    re-aggregated from those partials (AQE exchange reuse keeps the
+    fact single-scan — pinned in tests/test_plan_regressions.py), and
+    the final supplier set deduplicated before the broadcast dim
+    joins."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")

@@ -265,3 +265,53 @@ def test_small_quantity_revenue_stats_join_is_hash(spark):
     plan = _plan(q_small_quantity_revenue(spark, SF0001))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_is_one_argmin_shuffle(spark):
+    """Q2 shape: the correlated-min rewrite must compile to a single
+    hash shuffle (the per-part argmin aggregate) with every dimension
+    join broadcast — no sort-merge join, no second fact exchange."""
+    from flink_recommendation_system_spark.plans.relational_queries import (
+        q_min_cost_supplier,
+    )
+    plan = _plan(q_min_cost_supplier(spark, SF0001))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_supplier_part_variety_not_in_is_broadcast_anti(spark):
+    """Q16 shape: the NOT IN subquery must plan as a broadcast LEFT
+    ANTI hash join (l_suppkey is non-null), never a nested-loop."""
+    from flink_recommendation_system_spark.plans.relational_queries import (
+        q_supplier_part_variety,
+    )
+    plan = _plan(q_supplier_part_variety(spark, SF0001))
+    assert "LeftAnti, BuildRight" in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_important_parts_reuses_partial_agg_exchange(spark):
+    """Q11 shape: the global-sum branch must read the per-part
+    aggregate's shuffle output (AQE ReusedExchange), not rescan the
+    fact — the single-scan claim in the operator docstring."""
+    from flink_recommendation_system_spark.plans.relational_queries import (
+        q_important_parts,
+    )
+    df = q_important_parts(spark, SF0001)
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_dominant_part_suppliers_reuses_sq_exchange(spark):
+    """Q20 shape: the per-part total must re-aggregate the
+    (part, supplier) partials' shuffle output via AQE ReusedExchange,
+    keeping the filtered fact single-scan."""
+    from flink_recommendation_system_spark.plans.relational_queries import (
+        q_dominant_part_suppliers,
+    )
+    df = q_dominant_part_suppliers(spark, SF0001)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, plan[:3000]
