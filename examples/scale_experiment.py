@@ -378,6 +378,72 @@ def main() -> None:
         f"scc_components {n}x",
         lambda: force(G.strongly_connected_components(scc_edgesN)),
     )
+
+    # Round-6b TPC-H shapes on replicated facts: lineitem replicas shift
+    # l_orderkey/l_partkey and part replicates to match, so per-part
+    # cardinality is unchanged — the argmin and share shapes should scale
+    # ~linearly in fact volume (one partial-agg shuffle each, broadcast
+    # dims; the 10x part dim is ~20k rows, still broadcast-sized).
+    li1 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice",
+        )
+        .localCheckpoint()
+    )
+    liN = replicate(li1, n, {"l_orderkey": 10_000_000, "l_partkey": 1_000_000})
+    part1 = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_type", "p_size")
+        .localCheckpoint()
+    )
+    partN = replicate(part1, n, {"p_partkey": 1_000_000})
+
+    def min_cost_on(li, part):
+        def run():
+            dim = part.filter(
+                (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 40)
+            ).select("p_partkey")
+            cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+            return force(
+                li.join(
+                    F.broadcast(dim),
+                    F.col("l_partkey") == F.col("p_partkey"),
+                )
+                .select("l_partkey", cents.alias("cents"), "l_suppkey")
+                .groupBy("l_partkey")
+                .agg(F.min(F.struct("cents", "l_suppkey")).alias("best"))
+            )
+
+        return run
+
+    def important_on(li, reps):
+        # threshold scaled by the replica count so selectivity (and the
+        # output row count per replica) is scale-invariant; the factor is
+        # 15000 (not the registered query's 1500) because at sf0.1 no
+        # single part holds 1/1500 of a 20k-part corpus — 15000 keeps
+        # ~1.2k rows/replica, a discriminating output
+        def run():
+            cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+            pp = (
+                li.select("l_partkey", cents.alias("c"))
+                .groupBy("l_partkey")
+                .agg(F.sum("c").alias("v"))
+            )
+            tot = pp.agg(F.sum("v").alias("g"))
+            return force(
+                pp.join(F.broadcast(tot))
+                .filter(F.col("v") * 15000 * reps > F.col("g"))
+                .select("l_partkey", "v")
+            )
+
+        return run
+
+    timed("min_cost_supplier core 1x", min_cost_on(li1, part1))
+    timed(f"min_cost_supplier core {n}x", min_cost_on(liN, partN))
+    timed("important_parts core 1x", important_on(li1, 1))
+    timed(f"important_parts core {n}x", important_on(liN, n))
     spark.stop()
 
 
