@@ -951,3 +951,72 @@ def repeated_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance near-duplicate candidate join (entity-resolution /
+    fuzzy-dedup tier — the dedup family the exact/MinHash/SimHash/embedding
+    tiers don't cover): all id pairs whose strings are within Levenshtein
+    distance 1, found via FastSS deletion-neighborhood blocking.
+
+    Blocking (Bocek et al., "Fast Similarity Search in Large Dictionaries"):
+    each string emits L+1 signatures — itself plus every single-character
+    deletion. Two strings within edit distance 1 ALWAYS share a signature
+    (substitution at i → both delete i; insertion → the shorter string IS
+    one of the longer's deletions; equality → the identity signature), so
+    the signature equi-join is a lossless candidate generator and the
+    final ``levenshtein`` check is exact verification, not a filter over
+    a heuristic. Naive prefix/suffix pigeonhole blocking degenerates on
+    shared-prefix corpora (every TPC-H name starts 'Customer#' → one
+    quadratic block); deletion blocks stay near-singleton regardless of
+    shared affixes, so candidates scale linearly in row count.
+
+    At 100 TB: the signature explode is a bounded (L+1)× row
+    amplification with no shuffle; candidates shuffle once on the
+    signature, the pair-distinct shuffles once on (id1, id2); the
+    verification uses Spark's thresholded ``levenshtein(l, r, 1)``
+    (O(L) band, early-exit) rather than the full O(L²) matrix.
+
+    Only ``max_dist=1`` is supported — FastSS-k for k>1 needs the
+    k-deletion neighborhood (C(L,k) signatures/row), a different cost
+    class; raising keeps the contract explicit.
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 (FastSS-1)")
+    deletions = (
+        f"transform(sequence(1, length({text_col})), "
+        f"i -> concat(substring({text_col}, 1, i-1), "
+        f"substring({text_col}, i+1, length({text_col}))))"
+    )
+    sigs = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.expr(f"array_prepend({deletions}, {text_col})")).alias(
+            "sig"
+        ),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col(f"a.{text_col}").alias("s1"),
+            F.col(f"b.{text_col}").alias("s2"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("s1", "s2", 1)  # -1 when the band exceeds 1
+    return (
+        cand.select("id1", "id2", dist.cast("long").alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )

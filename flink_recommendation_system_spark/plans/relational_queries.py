@@ -1079,3 +1079,40 @@ QUERIES["dominant_part_suppliers"] = (
     q_dominant_part_suppliers,
     DOMINANT_PART_SUPPLIERS_SQL,
 )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer-name pairs within edit
+    distance 1, via FastSS deletion-neighborhood blocking (see
+    ``operators.dedup.edit_distance_pairs`` — lossless candidate
+    generation that stays linear even though every name shares the
+    'Customer#' prefix, where prefix blocking would go quadratic).
+    Output ids + exact distance; the oracle replays the same blocking
+    and DuckDB's levenshtein agrees with Spark's on every pair."""
+    from ..operators.dedup import edit_distance_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return edit_distance_pairs(cust, id_col="c_custkey", text_col="c_name")
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH sigs AS (
+    SELECT c_custkey, c_name,
+           unnest(list_prepend(c_name,
+               list_transform(range(1, length(c_name) + 1),
+                   i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))
+           ) AS sig
+    FROM customer
+),
+cand AS (
+    SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
+                    a.c_name AS s1, b.c_name AS s2
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.c_custkey < b.c_custkey
+)
+SELECT id1, id2, CAST(levenshtein(s1, s2) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(s1, s2) <= 1
+"""
+
+QUERIES["fuzzy_name_pairs"] = (q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL)

@@ -110,3 +110,47 @@ def test_supplier_part_variety_excludes_complaint_suppliers(spark, tmp_path):
     assert (r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"]) == (
         "Brand#1", "SMALL", 1, 2,
     )
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """FastSS-1 blocking must be LOSSLESS: equal output to the quadratic
+    brute force, including insertion pairs (different lengths),
+    substitution pairs, and exact duplicates (dist 0)."""
+    from flink_recommendation_system_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    names = [
+        "abc", "abcd",          # insertion apart
+        "xbc",                  # substitution from abc
+        "abc",                  # exact duplicate (dist 0)
+        "zzz",                  # unrelated
+        "Customer#000000001", "Customer#000000002",  # shared-prefix subst
+        "Customer#00000001",    # deletion from ...001
+        "a", "",                # tiny / empty edge
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id long, s string"
+    )
+    got = {
+        (r["id1"], r["id2"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s").collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want and len(want) >= 5
