@@ -251,3 +251,56 @@ def uniform_sample_k(
     # DuckDB defaults to NULLS LAST — a NULL id (hash is then NULL too)
     # would be deterministically included here and excluded by the oracle
     return df.orderBy(h.asc_nulls_last(), F.col(id_col).asc_nulls_last()).limit(k)
+
+
+# 52·ln(2) as an exact double literal (the same 17-sig-digit constant is
+# inlined in the DuckDB oracle, so neither engine evaluates ln(2) itself)
+_LN2_52 = 36.04365338911715
+# 2^38 quantization grid (the pagerank/bm25 construction): both engines'
+# libm ln() agree to <1 ulp on identical integer-exact arguments, and the
+# grid absorbs that before the rank comparison
+_KEY_GRID = 274877906944.0
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement (PPS — probability
+    proportional to size), deterministic and partition-invariant: the
+    Efraimidis-Spirakis exponential-key scheme with hash-derived
+    randomness. Each row gets E_i = -ln(u_i) / w_i where u_i is the
+    portable md5 hash of (salt, id) — E_i ~ Exp(rate w_i), so the k
+    smallest keys are a PPS-without-replacement draw — and the same
+    (input, salt) returns the same rows on ANY cluster layout, the
+    reproducibility contract ``uniform_sample_k`` gives the uniform case.
+
+    Cross-engine exactness: u_i is the hash's top 52 bits + 1 (an
+    integer-exact double, so both engines take ln() of bit-identical
+    arguments); -ln(u) unfolds to 52·ln2 - ln(u_int) with 52·ln2 inlined
+    as one shared literal; the final key is quantized to the 2^-38 grid
+    before ranking (ties broken by id). Rows with NULL or non-positive
+    weight are excluded (a zero weight has infinite key; a negative one
+    is undefined).
+
+    Plan shape: orderBy+limit compiles to ``TakeOrderedAndProject`` —
+    per-partition top-k heaps, single k-row merge, no global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    from .dedup import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    u_int = (F.shiftrightunsigned(h, 12) + F.lit(1)).cast("double")
+    key = (F.lit(_LN2_52) - F.log(u_int)) / F.col(weight_col).cast("double")
+    key_q = F.floor(key * _KEY_GRID + F.lit(0.5)) / F.lit(_KEY_GRID)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .orderBy(key_q.asc_nulls_last(), F.col(id_col).asc_nulls_last())
+        .limit(k)
+    )

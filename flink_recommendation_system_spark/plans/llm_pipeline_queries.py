@@ -2318,6 +2318,54 @@ LIMIT {SAMPLE_K}
 QUERIES["corpus_sample_k"] = (q_corpus_sample_k, CORPUS_SAMPLE_K_SQL)
 
 
+WSAMPLE_SALT = "token-budget-v1"
+
+
+def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 LENGTH-WEIGHTED document sample (PPS without
+    replacement — the token-budget-aware cousin of `corpus_sample_k`):
+    Efraimidis-Spirakis exponential keys -ln(u)/n_chars from the portable
+    hash, k smallest kept. Longer documents are proportionally likelier,
+    the draw is deterministic across runs/engines/partitionings, and the
+    plan is the same TakeOrderedAndProject as the uniform tier. See
+    ``operators.relational.weighted_sample_k`` for the integer-exact
+    log-argument + 2^-38 grid construction that makes the ranking
+    cross-engine stable."""
+    from ..operators.relational import weighted_sample_k
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample_k(
+        docs, SAMPLE_K, "n_chars", "doc_id", WSAMPLE_SALT
+    ).select("doc_id", "source", "n_chars")
+
+
+WEIGHTED_CORPUS_SAMPLE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, source, n_chars,
+           CAST('0x' || substr(md5('{WSAMPLE_SALT}:'
+                || CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS u
+    FROM documents
+    WHERE n_chars > 0
+),
+keys AS (
+    SELECT doc_id, source, n_chars,
+           floor((36.04365338911715 - ln(CAST((u >> 12) + 1 AS DOUBLE)))
+                 / CAST(n_chars AS DOUBLE)
+                 * 274877906944.0 + 0.5) / 274877906944.0 AS key_q
+    FROM h
+)
+SELECT doc_id, source, n_chars
+FROM keys
+ORDER BY key_q ASC NULLS LAST, doc_id ASC NULLS LAST
+LIMIT {SAMPLE_K}
+"""
+
+QUERIES["weighted_corpus_sample"] = (
+    q_weighted_corpus_sample,
+    WEIGHTED_CORPUS_SAMPLE_SQL,
+)
+
+
 def q_deduped_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup representatives: within each scale-path near-dup
     cluster (MinHash-LSH edges → star-CC, as `deduped_corpus`), keep the

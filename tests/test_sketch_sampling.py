@@ -274,3 +274,32 @@ def test_histogram_quantiles_empty_input_yields_null_rows(spark):
     got = {(r["q_num"], r["q_den"]): r["est"] for r in
            histogram_quantiles(empty, [(1, 2), (9, 10)]).collect()}
     assert got == {(1, 2): None, (9, 10): None}
+
+
+def test_weighted_sample_pps_bias_and_invariance(spark):
+    from flink_recommendation_system_spark.operators.relational import (
+        weighted_sample_k,
+    )
+
+    # 500 light rows (w=1) + 100 heavy rows (w=100): heavy mass fraction
+    # is 100*100/(100*100+500) ≈ 0.952, so a 50-row PPS draw should be
+    # heavy-dominated; a uniform draw would give ~8 heavy rows.
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = weighted_sample_k(df, 50, "w", "id")
+    got1 = sorted(r["id"] for r in s1.select("id").collect())
+    assert len(got1) == 50
+    n_heavy = sum(1 for i in got1 if i >= 1000)
+    assert n_heavy >= 35, f"PPS draw not weight-biased: {n_heavy}/50 heavy"
+
+    # layout-invariant: identical draw from a different partitioning
+    s2 = weighted_sample_k(df.repartition(7), 50, "w", "id")
+    assert got1 == sorted(r["id"] for r in s2.select("id").collect())
+
+    # salt re-draws; non-positive weights are excluded even with k > n
+    s3 = weighted_sample_k(df, 50, "w", "id", salt="other")
+    assert got1 != sorted(r["id"] for r in s3.select("id").collect())
+    df0 = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1)], "id long, w long"
+    )
+    assert [r["id"] for r in weighted_sample_k(df0, 10, "w", "id").collect()] == [1]
