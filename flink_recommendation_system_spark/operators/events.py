@@ -208,3 +208,68 @@ def activity_similarity_topk(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def gap_fill_locf(events: DataFrame, width_sec: int = 3600) -> DataFrame:
+    """Time-series gap filling over a dense bucket spine with
+    last-observation-carried-forward (the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape): bucket the stream per
+    event_type, then LEFT-join those aggregates onto the complete
+    [min, max] bucket grid so silent periods appear as explicit rows —
+    ``n_events = 0``, ``is_gap = 1``, and ``filled_avg`` carrying the
+    last observed bucket average forward (NULL before the first
+    observation, same in both engines).
+
+    Scale shape: the heavy work is one partial-agg shuffle of the raw
+    stream on (event_type, bucket); the spine is O(types × buckets) —
+    a function of the TIME RANGE, not event volume, so at 100 TB it is
+    still thousands of rows. The LOCF window partitions by event_type
+    over that bounded spine, never over raw events, and the bounds row
+    broadcasts. Exact-integer bucket arithmetic (epoch-nanos DIV);
+    bucket averages round to 6 dp before the carry-forward copies them.
+    """
+    from pyspark.sql import Window
+
+    sec = F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    bucket = (sec - sec % width_sec).alias("bucket_sec")
+    per_bucket = (
+        events.select("event_type", bucket, "value")
+        .groupBy("event_type", "bucket_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("value"), 6).alias("bucket_avg"),
+        )
+    )
+    bounds = per_bucket.agg(
+        F.min("bucket_sec").alias("mn"), F.max("bucket_sec").alias("mx")
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("mn"), F.col("mx"), F.lit(width_sec).cast("long")
+                )
+            ).alias("bucket_sec"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(per_bucket, ["event_type", "bucket_sec"], "left")
+        .select(
+            "event_type",
+            "bucket_sec",
+            F.coalesce("n_obs", F.lit(0)).alias("n_events"),
+            F.when(F.col("n_obs").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("bucket_avg", ignorenulls=True).over(w).alias(
+                "filled_avg"
+            ),
+        )
+    )

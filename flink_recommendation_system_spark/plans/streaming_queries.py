@@ -229,6 +229,49 @@ GROUP BY 1, 2
 """
 
 
+def q_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type (operators.events
+    gap_fill_locf — the TimescaleDB time_bucket_gapfill + locf shape):
+    silent hours become explicit rows with n_events=0, is_gap=1 and the
+    last observed hourly average carried forward. The spine is bounded
+    by the time range (720 h x 5 types here), not event volume."""
+    from ..operators.events import gap_fill_locf
+
+    return gap_fill_locf(load_table(spark, sf_dir, "events"), TUMBLE_SEC)
+
+
+GAP_FILLED_HOURLY_SQL = f"""
+WITH e AS (
+    SELECT event_type,
+           (CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // {TUMBLE_SEC})
+               * {TUMBLE_SEC} AS bucket_sec,
+           value
+    FROM events
+),
+hourly AS (
+    SELECT event_type, bucket_sec, count(*) AS n,
+           round(avg(value), 6) AS bucket_avg
+    FROM e GROUP BY 1, 2
+),
+b AS (SELECT min(bucket_sec) AS mn, max(bucket_sec) AS mx FROM hourly),
+spine AS (
+    SELECT t.event_type, g.bucket_sec
+    FROM (SELECT DISTINCT event_type FROM events) t,
+         (SELECT unnest(generate_series(mn, mx, {TUMBLE_SEC}))
+              AS bucket_sec FROM b) g
+)
+SELECT s.event_type, s.bucket_sec,
+       coalesce(h.n, 0) AS n_events,
+       CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+       last_value(h.bucket_avg IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket_sec
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+FROM spine s
+LEFT JOIN hourly h
+       ON s.event_type = h.event_type AND s.bucket_sec = h.bucket_sec
+"""
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 RETENTION_BUCKET_SEC = 86400  # daily cohorts — the events table spans ~30d
 
@@ -300,6 +343,7 @@ QUERIES: dict[str, tuple] = {
     "asof_click_purchase": (q_asof_click_purchase, ASOF_CLICK_PURCHASE_SQL),
     "events_within_hour": (q_events_within_hour, EVENTS_WITHIN_HOUR_SQL),
     "daily_rollup": (q_daily_rollup, DAILY_ROLLUP_SQL),
+    "gap_filled_hourly": (q_gap_filled_hourly, GAP_FILLED_HOURLY_SQL),
     "event_windows": (q_event_windows, EVENT_WINDOWS_SQL),
     "sliding_windows": (q_sliding_windows, SLIDING_WINDOWS_SQL),
     "user_sessions": (q_user_sessions, USER_SESSIONS_SQL),

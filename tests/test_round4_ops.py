@@ -758,3 +758,39 @@ def test_temperature_mixture_upweights_small_sources(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture(docs, target_total=10, alpha=0.3)
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Planted series: type A observes hours 0 and 2 (hour 1 silent),
+    type B only hour 2 — the hour-1 gap row must carry hour 0's average
+    forward, and B's spine rows before its first observation must have
+    NULL filled_avg. Spine bounds are global (min/max over all types)."""
+    from flink_recommendation_system_spark.operators.events import (
+        gap_fill_locf,
+    )
+
+    H = 3_600_000_000_000  # one hour in nanos
+    rows = [
+        (1, 0 * H, 7, "A", 10.0, "{}"),
+        (2, 0 * H + 1, 8, "A", 20.0, "{}"),   # same bucket as row 1
+        (3, 2 * H, 9, "A", 5.0, "{}"),
+        (4, 2 * H, 9, "B", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r["event_type"], r["bucket_sec"]): (
+            r["n_events"], r["is_gap"], r["filled_avg"]
+        )
+        for r in gap_fill_locf(ev, 3600).collect()
+    }
+    assert len(out) == 6  # 2 types x 3 hourly buckets
+    assert out[("A", 0)] == (2, 0, 15.0)
+    assert out[("A", 3600)] == (0, 1, 15.0)      # gap carries hour 0 avg
+    assert out[("A", 7200)] == (1, 0, 5.0)
+    assert out[("B", 0)] == (0, 1, None)          # before first observation
+    assert out[("B", 3600)] == (0, 1, None)
+    assert out[("B", 7200)] == (1, 0, 1.0)
