@@ -486,3 +486,60 @@ SELECT user_id, neighbor_id, dist2, rank FROM (
 """
 
 QUERIES["activity_similarity"] = (q_activity_similarity, ACTIVITY_SIMILARITY_SQL)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-flow transition matrix (the product-analytics
+    "Markov chain" shape): consecutive event pairs per user (ordered by
+    ts with event_id tie-break — a total order, so the lag is
+    deterministic), aggregated to counts and transition probabilities
+    per source state. Scale shape: one shuffle on user_id for the lag
+    window (per-user partitions are session-sized), then a partial-agg
+    shuffle on the tiny (from, to) domain; probability is an exact
+    IEEE division of two BIGINTs, identical in both engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias(
+            "prob"
+        ),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS prob
+FROM pairs
+"""
+
+
+QUERIES["event_transitions"] = (q_event_transitions, EVENT_TRANSITIONS_SQL)
