@@ -1116,3 +1116,112 @@ FROM cand WHERE levenshtein(s1, s2) <= 1
 """
 
 QUERIES["fuzzy_name_pairs"] = (q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL)
+
+
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit in long format (the dbt-test /
+    data-quality-gate shape a pipeline runs before publishing a
+    snapshot): one row per check with its violation count — FK orphans
+    via LEFT ANTI joins against the (broadcastable or partial-agg'd)
+    key sets, primary-key duplicate counts via a grouped HAVING, NULL
+    checks as conditional counts. Every check is a count over one scan
+    + one anti-join/agg; the union of single-row aggregates moves a
+    handful of rows regardless of fact volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    orphan_li_orders = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    )
+    orphan_li_parts = li.join(
+        part.select("p_partkey"),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_anti",
+    )
+    orphan_orders_cust = orders.join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup_orderkeys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    null_price = li.filter(F.col("l_extendedprice").isNull())
+    neg_qty = li.filter(F.col("l_quantity") <= 0)
+    # cross-table consistency (both genuinely violated by this synthetic
+    # generator — ship dates and order totals are drawn independently of
+    # the order rows, so the report's counts discriminate, not just pass)
+    shipped_before_ordered = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
+    li_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    order_sum = (
+        li.groupBy("l_orderkey").agg(F.sum(li_cents).alias("li_total_e2"))
+    )
+    totalprice_mismatch = orders.join(
+        order_sum, orders["o_orderkey"] == F.col("l_orderkey")
+    ).filter(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        != F.col("li_total_e2")
+    )
+    checks = [
+        ("lineitem_orphan_orderkey", orphan_li_orders),
+        ("lineitem_orphan_partkey", orphan_li_parts),
+        ("orders_orphan_custkey", orphan_orders_cust),
+        ("orders_duplicate_pk", dup_orderkeys),
+        ("lineitem_null_extendedprice", null_price),
+        ("lineitem_nonpositive_quantity", neg_qty),
+        ("lineitem_shipped_before_ordered", shipped_before_ordered),
+        ("orders_totalprice_mismatch", totalprice_mismatch),
+    ]
+    out = count_row(*checks[0])
+    for name, df in checks[1:]:
+        out = out.unionByName(count_row(name, df))
+    return out
+
+
+INTEGRITY_REPORT_SQL = """
+SELECT 'lineitem_orphan_orderkey' AS check_name, count(*) AS n_violations
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem_orphan_partkey', count(*)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'orders_orphan_custkey', count(*)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'orders_duplicate_pk', count(*)
+FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'lineitem_null_extendedprice', count(*)
+FROM lineitem WHERE l_extendedprice IS NULL
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity', count(*)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_shipped_before_ordered', count(*)
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate < o_orderdate
+UNION ALL
+SELECT 'orders_totalprice_mismatch', count(*)
+FROM orders
+JOIN (SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_total_e2
+      FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) != li_total_e2
+"""
+
+QUERIES["integrity_report"] = (q_integrity_report, INTEGRITY_REPORT_SQL)
