@@ -318,6 +318,31 @@ def _q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.strongly_connected_components(edges)
 
 
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (2 unnormalized iterations — exact BIGINT
+    scores) on the temporal co-review digraph, the same edge construction
+    as `scc_components`; value-checked against an unrolled-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    reviews = reviews_from_events(spark, sf_dir)
+    liked = (
+        reviews.filter(F.col("user_id") < 1000)
+        .filter(F.col("rating") > 3.0)
+        .groupBy("user_id", "product_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    a, b = liked.alias("a"), liked.alias("b")
+    edges = (
+        a.join(b, "product_id")
+        .filter(F.col("a.first_ts") < F.col("b.first_ts"))
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .distinct()
+    )
+    return G.hits_scores(edges, iterations=2)
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -483,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": _q_bfs_hops,
         "closeness_estimates": _q_closeness_estimates,
         "clustering_coefficients": _q_clustering_coefficients,
+        "hits_scores": _q_hits_scores,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -534,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": oracles.BFS_HOPS_SQL,
         "closeness_estimates": oracles.CLOSENESS_ESTIMATES_SQL,
         "clustering_coefficients": oracles.CLUSTERING_COEFFICIENTS_SQL,
+        "hits_scores": oracles.HITS_SCORES_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

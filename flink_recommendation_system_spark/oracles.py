@@ -578,3 +578,56 @@ CLOSENESS_ESTIMATES_SQL = (
 FROM dmin
 GROUP BY 1, 2"""
 )
+
+
+# HITS hubs/authorities on the temporal co-review digraph (same edge CTE as
+# SCC): 2 unrolled unnormalized iterations — every score an exact BIGINT sum,
+# one final double division for the normalized authority. Mirrors
+# operators.graph.hits_scores(iterations=2) bit-for-bit.
+HITS_SCORES_SQL = f"""
+WITH {REVIEWS_CTE},
+lk AS (
+    SELECT user_id, product_id, min(ts) AS first_ts
+    FROM reviews WHERE user_id < 1000 AND rating > 3.0
+    GROUP BY user_id, product_id
+),
+e AS (
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM lk a JOIN lk b ON a.product_id = b.product_id
+    WHERE a.first_ts < b.first_ts
+),
+verts AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+a1 AS (
+    SELECT v.id, CAST(coalesce(t.s, 0) AS BIGINT) AS a
+    FROM verts v LEFT JOIN (
+        SELECT dst, count(*) AS s FROM e GROUP BY dst
+    ) t ON t.dst = v.id
+),
+h1 AS (
+    SELECT v.id, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+    FROM verts v LEFT JOIN (
+        SELECT e.src, sum(a1.a) AS s FROM e JOIN a1 ON a1.id = e.dst
+        GROUP BY e.src
+    ) t ON t.src = v.id
+),
+a2 AS (
+    SELECT v.id, CAST(coalesce(t.s, 0) AS BIGINT) AS a
+    FROM verts v LEFT JOIN (
+        SELECT e.dst, sum(h1.h) AS s FROM e JOIN h1 ON h1.id = e.src
+        GROUP BY e.dst
+    ) t ON t.dst = v.id
+),
+h2 AS (
+    SELECT v.id, CAST(coalesce(t.s, 0) AS BIGINT) AS h
+    FROM verts v LEFT JOIN (
+        SELECT e.src, sum(a2.a) AS s FROM e JOIN a2 ON a2.id = e.dst
+        GROUP BY e.src
+    ) t ON t.src = v.id
+)
+SELECT a2.id, a2.a AS authority, h2.h AS hub,
+       CASE WHEN (SELECT max(a) FROM a2) > 0
+            THEN round(CAST(a2.a AS DOUBLE)
+                       / CAST((SELECT max(a) FROM a2) AS DOUBLE), 6)
+       END AS authority_norm
+FROM a2 JOIN h2 ON h2.id = a2.id
+"""

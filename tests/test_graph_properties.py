@@ -796,3 +796,34 @@ def test_contracted_components_clique_residual_is_empty_fastpath(spark):
     df = undirected(spark.createDataFrame(clique, ["src", "dst"]))
     got = {r.id: r.component for r in contracted_components(df).collect()}
     assert got == {v: 0 for v in range(6)}
+
+
+def test_hits_hand_graph(spark):
+    # path 1→2→3 plus 4→3: authority concentrates on 3, hubs on 1 and 4's
+    # feeders. Hand-unrolled 2 iterations (unnormalized):
+    #   a1 = indeg: {1:0, 2:1, 3:2, 4:0}
+    #   h1(v) = Σ a1(out): {1: a1(2)=1, 2: a1(3)=2, 4: a1(3)=2, 3: 0}
+    #   a2(v) = Σ h1(in):  {2: h1(1)=1, 3: h1(2)+h1(4)=4, 1:0, 4:0}
+    #   h2(v) = Σ a2(out): {1: a2(2)=1, 2: a2(3)=4, 4: a2(3)=4, 3: 0}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], ["src", "dst"]
+    )
+    rows = {
+        r["id"]: (r["authority"], r["hub"], r["authority_norm"])
+        for r in G.hits_scores(edges, iterations=2).collect()
+    }
+    assert rows[3][:2] == (4, 0)
+    assert rows[2][:2] == (1, 4)
+    assert rows[1][:2] == (0, 1)
+    assert rows[4][:2] == (0, 4)
+    assert rows[3][2] == 1.0 and rows[2][2] == 0.25
+
+
+def test_hits_empty_and_duplicate_edges(spark):
+    # duplicate directed edges collapse (distinct) — scores unchanged
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (2, 3), (4, 3)], ["src", "dst"]
+    )
+    dup = {r["id"]: r["authority"] for r in
+           G.hits_scores(edges, iterations=2).collect()}
+    assert dup == {1: 0, 2: 1, 3: 4, 4: 0}
