@@ -2544,3 +2544,84 @@ QUERIES["temperature_mixture"] = (
     q_temperature_mixture,
     TEMPERATURE_MIXTURE_SQL,
 )
+
+
+# --- PMI collocations (round 6b) ---------------------------------------------
+
+# Bigrams must recur at least this often to be scored (rare pairs have
+# degenerate, noise-dominated PMI — the standard Church & Hanks guard).
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 100
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990) —
+    the classic corpus-linguistics "find the multi-word expressions" pass:
+    ``pmi(x,y) = ln(c_xy · N) − ln(c_x· · c_·y)`` over the corpus bigram
+    relation, marginals taken from the same relation so the distribution
+    is self-consistent. Both log arguments are exact BIGINT products
+    (c_x·c_y ≤ N² keeps sf1-scale counts far inside 2^63), each term is
+    quantized to the 2^-38 dyadic grid before the 6-dp rounding, and the
+    top-k orders by (pmi DESC, w1, w2) — fully deterministic cross-engine.
+
+    Scale design (100 TB): one corpus scan builds the bigram relation
+    (localCheckpoint'd — counts, marginals and the total reuse it without
+    re-tokenizing); three partial-agg shuffles on token keys; the scalar
+    total broadcasts. The min-count HAVING prunes the scored relation to
+    the recurring tail before any join."""
+    from ..operators.lm import _bigrams
+
+    docs = _docs(spark, sf_dir)
+    bg = _bigrams(docs, "text", "doc_id").localCheckpoint()
+    cxy = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_x"))
+    cy = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c_y"))
+    n = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    raw = F.log(F.col("c_xy") * F.col("n_total")) - F.log(
+        F.col("c_x") * F.col("c_y")
+    )
+    quant = (
+        F.floor(raw * F.lit(274877906944.0) + F.lit(0.5)).cast("double")
+        / F.lit(274877906944.0)
+    )
+    return (
+        cxy.join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_xy", F.round(quant, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOP_K)
+    )
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           toks[CAST(i AS INT)] AS w1,
+           toks[CAST(i AS INT) + 1] AS w2
+    FROM t, unnest(range(1, len(toks))) AS u(i)
+    WHERE toks[CAST(i AS INT)] != '' AND toks[CAST(i AS INT) + 1] != ''
+),
+cxy AS (
+    SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+    HAVING count(*) >= 5
+),
+cx AS (SELECT w1, count(*) AS c_x FROM bg GROUP BY 1),
+cy AS (SELECT w2, count(*) AS c_y FROM bg GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM bg)
+SELECT w1, w2, c_xy,
+       round(floor((ln(c_xy * n_total) - ln(c_x * c_y))
+                   * 274877906944.0 + 0.5) / 274877906944.0, 6) AS pmi
+FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+QUERIES["pmi_collocations"] = (q_pmi_collocations, PMI_COLLOCATIONS_SQL)
