@@ -543,3 +543,152 @@ FROM pairs
 
 
 QUERIES["event_transitions"] = (q_event_transitions, EVENT_TRANSITIONS_SQL)
+
+
+# --- A/B experiment analysis (round 6b) --------------------------------------
+
+AB_SALT = "|ab-exp-1"
+
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the product-analytics significance shape:
+    users are deterministically bucketed into control/treatment by the
+    portable md5 hash of their id (reproducible across runs, engines and
+    partitionings — the property a real experiment assignment needs), the
+    conversion metric is "more purchase events than view events" (any-
+    purchase saturates to 1.0 on this generator — every user buys
+    eventually; the ratio metric genuinely splits the population at every
+    SF), and the report is ONE row with per-arm counts, rates,
+    absolute/relative lift and the two-proportion z-statistic.
+
+    Cross-engine exactness: every count is an integer aggregate; every
+    double (rates, pooled rate, standard error, z) is a FIXED expression
+    tree over those integers — IEEE +,-,*,/,sqrt are correctly rounded, so
+    identical inputs give bit-identical results with NO order-dependent
+    double summation anywhere; 6-dp rounding at the end is then identical
+    too.
+
+    Scale design (100 TB): one scan → per-user partial agg (any purchase),
+    hash assignment is a codegen'd projection, the final reduction is a
+    single row."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    assigned = per_user.withColumn(
+        "variant",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(AB_SALT))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2,
+    )
+    agg = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("converted") == 1), 1)
+              .otherwise(0)).alias("conv_control"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_treatment"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("converted") == 1), 1)
+              .otherwise(0)).alias("conv_treatment"),
+    )
+    na = F.col("n_control").cast("double")
+    nb = F.col("n_treatment").cast("double")
+    ca = F.col("conv_control").cast("double")
+    cb = F.col("conv_treatment").cast("double")
+    ra = ca / na
+    rb = cb / nb
+    pooled = (ca + cb) / (na + nb)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    both_arms = (F.col("n_control") > 0) & (F.col("n_treatment") > 0)
+    # z undefined when pooled rate is 0 or 1 (zero standard error) — the
+    # degenerate small-SF corners; NULL in both engines, never a div-by-zero
+    se_pos = (
+        both_arms
+        & (F.col("conv_control") + F.col("conv_treatment") > 0)
+        & (
+            F.col("conv_control") + F.col("conv_treatment")
+            < F.col("n_control") + F.col("n_treatment")
+        )
+    )
+    return agg.select(
+        "n_control",
+        "conv_control",
+        "n_treatment",
+        "conv_treatment",
+        F.when(F.col("n_control") > 0, F.round(ra, 6)).alias("rate_control"),
+        F.when(F.col("n_treatment") > 0, F.round(rb, 6)).alias("rate_treatment"),
+        F.when(both_arms, F.round(rb - ra, 6)).alias("abs_lift"),
+        F.when(both_arms & (F.col("conv_control") > 0),
+               F.round((rb - ra) / ra, 6)).alias("rel_lift"),
+        F.when(se_pos, F.round((rb - ra) / se, 6)).alias("z_score"),
+    )
+
+
+AB_TEST_REPORT_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS converted
+    FROM events GROUP BY user_id
+),
+assigned AS (
+    SELECT converted,
+           CAST(('0x' || substr(
+               md5(CAST(user_id AS VARCHAR) || '|ab-exp-1'), 1, 8)
+           ) AS BIGINT) % 2 AS variant
+    FROM per_user
+),
+agg AS (
+    SELECT
+        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_control,
+        SUM(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END)
+            AS conv_control,
+        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_treatment,
+        SUM(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END)
+            AS conv_treatment
+    FROM assigned
+),
+d AS (
+    SELECT CAST(n_control AS BIGINT) AS n_control,
+           CAST(conv_control AS BIGINT) AS conv_control,
+           CAST(n_treatment AS BIGINT) AS n_treatment,
+           CAST(conv_treatment AS BIGINT) AS conv_treatment,
+           CAST(n_control AS DOUBLE) AS na,
+           CAST(conv_control AS DOUBLE) AS ca,
+           CAST(n_treatment AS DOUBLE) AS nb,
+           CAST(conv_treatment AS DOUBLE) AS cb
+    FROM agg
+)
+SELECT n_control, conv_control, n_treatment, conv_treatment,
+       CASE WHEN n_control > 0 THEN round(ca / na, 6) END AS rate_control,
+       CASE WHEN n_treatment > 0 THEN round(cb / nb, 6) END AS rate_treatment,
+       CASE WHEN n_control > 0 AND n_treatment > 0
+            THEN round(cb / nb - ca / na, 6) END AS abs_lift,
+       CASE WHEN n_control > 0 AND n_treatment > 0 AND conv_control > 0
+            THEN round((cb / nb - ca / na) / (ca / na), 6) END AS rel_lift,
+       CASE WHEN n_control > 0 AND n_treatment > 0
+                 AND conv_control + conv_treatment > 0
+                 AND conv_control + conv_treatment < n_control + n_treatment
+            THEN round((cb / nb - ca / na)
+                       / sqrt(((ca + cb) / (na + nb))
+                              * (1.0 - (ca + cb) / (na + nb))
+                              * (1.0 / na + 1.0 / nb)), 6)
+       END AS z_score
+FROM d
+"""
+
+QUERIES["ab_test_report"] = (q_ab_test_report, AB_TEST_REPORT_SQL)
