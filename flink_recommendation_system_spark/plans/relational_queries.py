@@ -1225,3 +1225,91 @@ WHERE CAST(round(o_totalprice * 100) AS BIGINT) != li_total_e2
 """
 
 QUERIES["integrity_report"] = (q_integrity_report, INTEGRITY_REPORT_SQL)
+
+
+# --- SCD Type-2 dimension build (round 6b) ------------------------------------
+
+
+def q_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build — the warehouse CDC shape: a
+    customer's order-priority "state history" as versioned validity
+    intervals. Orders are sequenced per customer under the total
+    (o_orderdate, o_orderkey) order; consecutive runs of the same priority
+    collapse into one version (gaps-and-islands: change flag → running
+    sum); each version carries valid_from = first order date of the run,
+    valid_to = the next version's valid_from (NULL = current), and the
+    run's order count. All arithmetic is integers and timestamps — exact
+    in both engines.
+
+    Scale design (100 TB): ONE shuffle on o_custkey serves the sequencing
+    window, the run collapse (partial agg on (custkey, version)) and the
+    valid_to lead — Spark reuses the exchange across the three window/agg
+    stages since they share the partitioning key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    seq = orders.select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1)
+        .otherwise(0),
+    )
+    seq = seq.withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    runs = seq.groupBy("o_custkey", "version").agg(
+        F.min("o_orderpriority").alias("o_orderpriority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("version")
+    return runs.select(
+        "o_custkey",
+        "version",
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+    ).withColumn(
+        "is_current",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long"),
+    )
+
+
+PRIORITY_SCD2_SQL = """
+WITH seq AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                     OR lag(o_orderpriority) OVER w <> o_orderpriority
+                THEN 1 ELSE 0 END AS chg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+v AS (
+    SELECT *, CAST(sum(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+    FROM seq
+),
+runs AS (
+    SELECT o_custkey, version,
+           min(o_orderpriority) AS o_orderpriority,
+           min(o_orderdate) AS valid_from,
+           count(*) AS n_orders
+    FROM v GROUP BY 1, 2
+)
+SELECT o_custkey, version, o_orderpriority, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+           AS valid_to,
+       n_orders,
+       CASE WHEN lead(valid_from) OVER (
+                PARTITION BY o_custkey ORDER BY version) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM runs
+"""
+
+QUERIES["priority_scd2"] = (q_priority_scd2, PRIORITY_SCD2_SQL)
