@@ -692,3 +692,194 @@ FROM d
 """
 
 QUERIES["ab_test_report"] = (q_ab_test_report, AB_TEST_REPORT_SQL)
+
+
+# --- exponentially-decayed trending products (round 6b) -----------------------
+
+# Half-life = 1 day, window capped at 28 days so every decayed contribution
+# count·2^(28-age) is an exact BIGINT (the whole score is integer arithmetic
+# in units of 2^-28 — no floating-point accumulation anywhere).
+TREND_MAX_AGE_DAYS = 28
+TREND_UNIT_BITS = 28
+TREND_TOP_K = 20
+
+
+def q_trending_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed trending products — the "what's hot now"
+    leaderboard shape: each click contributes 2^-age_days (half-life one
+    day) and products rank by the decayed sum. The twist that makes it
+    value-checkable: scores are computed in UNITS OF 2^-28 — each
+    (product, day) bucket contributes count · 2^(28-age) which is an exact
+    BIGINT, so the total is pure integer arithmetic and the displayed
+    double is one exact dyadic conversion at the end. Clicks older than 28
+    days contribute nothing (their unit weight would round below 1 — the
+    window cap is also the exactness bound).
+
+    Scale design (100 TB): one scan → (product, day) partial agg (the
+    only shuffle), scalar max-day broadcast, TakeOrderedAndProject top-k.
+    A streaming deployment maintains the same (product, day) counts
+    incrementally and re-weights at read time — decay needs no state
+    rewrite (the count relation is decay-free)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.get_json_object("props", "$.k").cast("long").alias("product_id"),
+        (F.expr("CAST(ts DIV 1000000000 AS BIGINT)") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    ).filter(F.col("product_id").isNotNull())
+    per_day = clicks.groupBy("product_id", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    latest = per_day.agg(F.max("day").alias("latest_day"))
+    scored = (
+        per_day.crossJoin(F.broadcast(latest))
+        .withColumn("age", F.col("latest_day") - F.col("day"))
+        .filter(F.col("age") <= TREND_MAX_AGE_DAYS)
+        .withColumn(
+            "units",
+            F.expr(
+                f"n * shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({TREND_UNIT_BITS} - age AS INT))"
+            ),
+        )
+        .groupBy("product_id")
+        .agg(F.sum("units").alias("score_units"))
+    )
+    return (
+        scored.select(
+            "product_id",
+            "score_units",
+            (F.col("score_units").cast("double")
+             / F.lit(float(1 << TREND_UNIT_BITS))).alias("score"),
+        )
+        .orderBy(F.col("score_units").desc(), F.col("product_id").asc())
+        .limit(TREND_TOP_K)
+    )
+
+
+TRENDING_PRODUCTS_SQL = """
+WITH clicks AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day
+    FROM events
+    WHERE event_type = 'click'
+      AND json_extract_string(props, '$.k') IS NOT NULL
+),
+per_day AS (
+    SELECT product_id, day, count(*) AS n FROM clicks GROUP BY 1, 2
+),
+latest AS (SELECT max(day) AS latest_day FROM per_day),
+scored AS (
+    SELECT product_id,
+           CAST(sum(n * (CAST(1 AS BIGINT) << CAST(28 - (l.latest_day - day) AS INT)))
+                AS BIGINT) AS score_units
+    FROM per_day, latest l
+    WHERE l.latest_day - day <= 28
+    GROUP BY product_id
+)
+SELECT product_id, score_units,
+       CAST(score_units AS DOUBLE) / 268435456.0 AS score
+FROM scored
+ORDER BY score_units DESC, product_id ASC
+LIMIT 20
+"""
+
+QUERIES["trending_products"] = (q_trending_products, TRENDING_PRODUCTS_SQL)
+
+
+# --- per-type hourly OLS trend (round 6b) --------------------------------------
+
+
+def q_event_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of the hourly event rate per event type — the
+    capacity-planning "is traffic growing" shape. Semantics: OLS over the
+    OBSERVED hourly buckets (count ≥ 1) of y = bucket count against
+    x = hour index re-based to the global minimum hour. Slope and intercept
+    come from exact BIGINT sufficient statistics (n, Σx, Σy, Σxy, Σx²) via
+    the closed forms
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²sum)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²sum)
+
+    — each ONE IEEE division of two exact integers, then 6-dp rounding:
+    bit-identical cross-engine, no float accumulation anywhere (the same
+    mergeable-statistics pattern as `price_size_correlation`). Degenerate
+    types with a single observed bucket emit NULL slope/intercept.
+
+    Scale design (100 TB): one scan → (type, hour) partial agg → per-type
+    integer moments; the global min-hour scalar broadcasts."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(ts DIV 1000000000 AS BIGINT) DIV 3600").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    base = hourly.agg(F.min("h").alias("h0"))
+    m = (
+        hourly.crossJoin(F.broadcast(base))
+        .withColumn("x", F.col("h") - F.col("h0"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    den = F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icpt_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return m.select(
+        "event_type",
+        "n_buckets",
+        "sy",
+        F.when(den > 0,
+               F.round(slope_num.cast("double") / den.cast("double"), 6))
+        .alias("slope_per_hour"),
+        F.when(den > 0,
+               F.round(icpt_num.cast("double") / den.cast("double"), 6))
+        .alias("intercept"),
+    )
+
+
+EVENT_RATE_TREND_SQL = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 3600 AS h,
+           count(*) AS y
+    FROM events GROUP BY 1, 2
+),
+base AS (SELECT min(h) AS h0 FROM hourly),
+m AS (
+    SELECT event_type,
+           count(*) AS n_buckets,
+           sum(h - h0) AS sx,
+           sum(y) AS sy,
+           sum((h - h0) * y) AS sxy,
+           sum((h - h0) * (h - h0)) AS sxx
+    FROM hourly, base
+    GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(sy AS BIGINT) AS sy,
+       CASE WHEN n_buckets * sxx - sx * sx > 0
+            THEN round(CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_buckets * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope_per_hour,
+       CASE WHEN n_buckets * sxx - sx * sx > 0
+            THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / CAST(n_buckets * sxx - sx * sx AS DOUBLE), 6)
+       END AS intercept
+FROM m
+"""
+
+QUERIES["event_rate_trend"] = (q_event_rate_trend, EVENT_RATE_TREND_SQL)
