@@ -1020,3 +1020,108 @@ def edit_distance_pairs(
         cand.select("id1", "id2", dist.cast("long").alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (the PPJoin family —
+    Chaudhuri et al. 2006, Xiao et al. 2008): all pairs with distinct-token
+    Jaccard ≥ t, threshold given as the exact rational t = threshold_num /
+    threshold_den so every pruning and acceptance test is pure integer
+    arithmetic. Unlike `minhash_lsh_pairs` (approximate) this returns the
+    EXACT pair set of `ngram_jaccard_pairs` WITHOUT the all-pairs join:
+
+    1. order each document's token set by (global document frequency ASC,
+       token ASC) — rarest first, a single total order shared by all docs;
+    2. PREFIX = the first |s| − ceil(t·|s|) + 1 tokens. Two sets with
+       Jaccard ≥ t MUST share a prefix token under any common total order
+       (pigeonhole: missing all of A's prefix leaves fewer than ceil(t·|A|)
+       common elements) — rarest-first makes prefixes selective;
+    3. candidates = equi-join on (block, prefix token), id-ordered, plus
+       the length filter t·max(|A|,|B|) ≤ min(|A|,|B|) (integer form);
+    4. exact verification: intersection counted via two candidate-bounded
+       equi-joins; accept iff t_den·|∩| ≥ t_num·(|A|+|B|−|∩|).
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id — the same contract as
+    `ngram_jaccard_pairs`, so the quadratic SQL baseline is the value
+    oracle AND a standing losslessness proof of the filter.
+
+    Scale design (100 TB): every join is a bucketed equi-join on token or
+    pair keys; the candidate volume is bounded by the prefix postings'
+    Σ df² over RARE tokens (frequency-ascending ordering puts each doc's
+    rarest tokens in its prefix), not by N²; verification touches only
+    candidates. At 10× document count the frequent-token postings never
+    enter the prefix join — the standard reason PPJoin scales where naive
+    token-inverted-index joins explode.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    tn, td = threshold_num, threshold_den
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("_block"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .localCheckpoint()
+    )
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("freq").asc(), F.col("tok").asc()
+    )
+    ranked = (
+        toks.join(df, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        # prefix length |s| - ceil(t*|s|) + 1, ceil as integer arithmetic
+        .filter(
+            F.col("rn")
+            <= F.col("sz")
+            - ((F.col("sz") * tn + (td - 1)) / td).cast("long")
+            + 1
+        )
+        .select("doc_id", "_block", "tok", "sz")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a._block") == F.col("b._block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz")) * td
+            >= F.greatest(F.col("a.sz"), F.col("b.sz")) * tn
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sz").alias("a_sz"),
+            F.col("b.sz").alias("b_sz"),
+        )
+        .distinct()
+    )
+    t1 = toks.select(F.col("doc_id").alias("a_id"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    inter = (
+        cand.join(t1, "a_id")
+        .join(t2, ["b_id", "tok"])
+        .groupBy("a_id", "b_id", "a_sz", "b_sz")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    union = F.col("a_sz") + F.col("b_sz") - F.col("i")
+    return inter.filter(F.col("i") * td >= union * tn).select(
+        "a_id",
+        "b_id",
+        F.round(F.col("i").cast("double") / union.cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -2625,3 +2625,61 @@ LIMIT 100
 """
 
 QUERIES["pmi_collocations"] = (q_pmi_collocations, PMI_COLLOCATIONS_SQL)
+
+
+# --- PPJoin exact set-similarity join (round 6b) ------------------------------
+
+# Exact rational threshold t = 1/2: every prune/accept test is integer
+# arithmetic (2·|∩| ≥ |A|+|B|−|∩|), no float thresholding anywhere.
+PPJOIN_T_NUM, PPJOIN_T_DEN = 1, 2
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (PPJoin family)
+    — the third dedup tier beside the quadratic exact baseline
+    (`ngram_jaccard_pairs`) and the approximate banded MinHash
+    (`minhash_near_dups`): EXACT Jaccard ≥ 1/2 pairs at sub-quadratic
+    candidate cost. The oracle is the plain quadratic join, so every green
+    check is a standing losslessness proof of the prefix filter.
+
+    Registered on the deterministic doc_id % 4 == 0 quarter slice: this
+    word-soup generator is pathologically self-similar (t=1/2 qualifies
+    ~2.3M of the 12.5M same-lang pairs at sf0.1 — the OUTPUT, not the
+    filter, is the cost), so the registered tier bounds the slice the way
+    `triangle_counts` bounds its near-clique; the operator itself is
+    unbounded and the slice keeps ~1.5k exact pairs at the driver's
+    sf0.01 check scale."""
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    return prefix_filter_jaccard_pairs(
+        docs,
+        threshold_num=PPJOIN_T_NUM,
+        threshold_den=PPJOIN_T_DEN,
+    )
+
+
+PPJOIN_PAIRS_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' ')))
+               AS tok
+    FROM documents WHERE doc_id % 4 = 0
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM toks a
+    JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE)
+             / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = a_id
+JOIN sz sb ON sb.doc_id = b_id
+WHERE i * 2 >= (sa.sz + sb.sz - i) * 1
+"""
+
+QUERIES["ppjoin_pairs"] = (q_ppjoin_pairs, PPJOIN_PAIRS_SQL)

@@ -144,3 +144,44 @@ def test_quantization_roundtrip_bound_on_random_vectors(spark):
         assert math.isclose(
             r.scale * 127.0, max(abs(x) for x in orig), rel_tol=1e-12
         )
+
+
+def test_prefix_filter_jaccard_lossless_vs_brute_force(spark):
+    """The PPJoin prefix filter must return EXACTLY the brute-force
+    Jaccard >= t pair set — losslessness of prefix + length filtering on
+    random token-set corpora, at two thresholds."""
+    from flink_recommendation_system_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for did in range(40):
+        k = rng.randint(1, 12)
+        toks = rng.sample(vocab, k)
+        # plant some near-duplicates by copying a previous doc with a tweak
+        if did % 5 == 4 and docs:
+            base = docs[rng.randrange(len(docs))][1].split(" ")
+            toks = base + ([rng.choice(vocab)] if rng.random() < 0.7 else [])
+        docs.append((did, " ".join(toks), "en" if did % 3 else "de"))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+
+    sets = {d: (set(t.split(" ")), lang) for d, t, lang in docs}
+    for tn, td in ((1, 2), (2, 3)):
+        expected = set()
+        for a in sets:
+            for b in sets:
+                if a >= b or sets[a][1] != sets[b][1]:
+                    continue
+                inter = len(sets[a][0] & sets[b][0])
+                union = len(sets[a][0] | sets[b][0])
+                if inter * td >= union * tn:
+                    expected.add((a, b))
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in prefix_filter_jaccard_pairs(
+                df, threshold_num=tn, threshold_den=td
+            ).collect()
+        }
+        assert got == expected, f"t={tn}/{td}: {got ^ expected}"
