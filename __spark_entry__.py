@@ -343,6 +343,44 @@ def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.hits_scores(edges, iterations=2)
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (DeepWalk data prep) on the
+    bipartite liked graph from the 3 smallest liked users, 2 walks × 3
+    steps — next hop is the portable-hash argmin over neighbors, so the
+    walks value-check against an unrolled-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    liked = _liked(spark, sf_dir)
+    off = oracles.KCORE_PRODUCT_OFFSET
+    bedges = liked.select(
+        F.col("user_id").alias("src"),
+        (F.col("product_id") + off).alias("dst"),
+    )
+    sources = (
+        liked.select(F.col("user_id").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(oracles.BFS_N_SOURCES)
+    )
+    walks = G.deterministic_random_walks(
+        G.undirected(bedges),
+        sources,
+        n_walks=oracles.WALK_N_WALKS,
+        steps=oracles.WALK_STEPS,
+    )
+    return walks.select(
+        "source",
+        "walk_no",
+        "step",
+        F.when(F.col("vertex") >= off, "product").otherwise("user").alias(
+            "role"
+        ),
+        F.when(F.col("vertex") >= off, F.col("vertex") - off)
+        .otherwise(F.col("vertex"))
+        .alias("vertex"),
+    )
+
+
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
@@ -509,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_estimates": _q_closeness_estimates,
         "clustering_coefficients": _q_clustering_coefficients,
         "hits_scores": _q_hits_scores,
+        "random_walks": _q_random_walks,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -561,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_estimates": oracles.CLOSENESS_ESTIMATES_SQL,
         "clustering_coefficients": oracles.CLUSTERING_COEFFICIENTS_SQL,
         "hits_scores": oracles.HITS_SCORES_SQL,
+        "random_walks": oracles.RANDOM_WALKS_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

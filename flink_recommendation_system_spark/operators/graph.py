@@ -1236,3 +1236,74 @@ def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .alias("authority_norm"),
         )
     )
+
+
+def deterministic_random_walks(
+    undirected_edges: DataFrame,
+    sources: DataFrame,
+    n_walks: int = 2,
+    steps: int = 3,
+) -> DataFrame:
+    """Random-walk corpus generation (the DeepWalk/node2vec data-prep
+    stage, Perozzi et al. 2014) with DETERMINISTIC pseudo-randomness: from
+    each source vertex, ``n_walks`` walks of ``steps`` hops where the next
+    hop from vertex v in walk w at step k is
+    ``argmin_{u ∈ N(v)} md5(w|k|v|u)`` — the portable-hash analogue of a
+    uniform neighbor draw, reproducible across runs, engines and
+    partitionings (the property a training corpus needs) and therefore
+    value-checkable by an unrolled-CTE SQL oracle.
+
+    Returns (source, walk_no, step, vertex) — step 0 is the source itself.
+    Walks stop early at a dead-end vertex (no out-edges in the relation).
+
+    Scale design (100 TB): per step ONE frontier⨝edges equi-join and a
+    min(struct) partial-agg argmin (never a window over the fan-out);
+    lineage truncated per step. All walks advance in the same job — walk
+    count multiplies frontier width, never round count.
+    """
+    if n_walks < 1 or steps < 0:
+        raise ValueError("n_walks >= 1 and steps >= 0 required")
+    from .dedup import portable_hash32
+
+    edges = (
+        undirected_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = undirected_edges.sparkSession
+    wdf = spark.range(n_walks).select(F.col("id").alias("walk_no"))
+    cur = (
+        sources.select(F.col("id").alias("source"))
+        .distinct()
+        .crossJoin(F.broadcast(wdf))
+        .withColumn("step", F.lit(0).cast("long"))
+        .withColumn("vertex", F.col("source"))
+    )
+    out = cur
+    for k in range(1, steps + 1):
+        h = portable_hash32(
+            F.concat_ws(
+                "|",
+                F.col("walk_no"),
+                F.lit(k),
+                F.col("vertex"),
+                F.col("dst"),
+            )
+        )
+        nxt = (
+            cur.join(edges, cur["vertex"] == edges["src"])
+            .withColumn("_h", h)
+            .groupBy("source", "walk_no")
+            .agg(F.min(F.struct(F.col("_h"), F.col("dst"))).alias("_m"))
+            .select(
+                "source",
+                "walk_no",
+                F.lit(k).cast("long").alias("step"),
+                F.col("_m.dst").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out

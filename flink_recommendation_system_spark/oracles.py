@@ -631,3 +631,62 @@ SELECT a2.id, a2.a AS authority, h2.h AS hub,
        END AS authority_norm
 FROM a2 JOIN h2 ON h2.id = a2.id
 """
+
+
+# Deterministic random walks (DeepWalk corpus prep) on the bipartite liked
+# graph: next hop = argmin md5(walk|step|cur|neighbor) — the portable-hash
+# neighbor draw, unrolled per step; row_number implements the (hash, dst)
+# argmin tie-break. Mirrors operators.graph.deterministic_random_walks.
+WALK_N_WALKS = 2
+WALK_STEPS = 3
+
+
+def _walk_step_cte(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f"""s{k} AS (
+    SELECT source, walk_no, CAST({k} AS BIGINT) AS step, vertex FROM (
+        SELECT s.source, s.walk_no, e.dst AS vertex,
+               row_number() OVER (
+                   PARTITION BY s.source, s.walk_no
+                   ORDER BY CAST(('0x' || substr(md5(
+                       CAST(s.walk_no AS VARCHAR) || '|{k}|' ||
+                       CAST(s.vertex AS VARCHAR) || '|' ||
+                       CAST(e.dst AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                   e.dst ASC
+               ) AS rn
+        FROM {prev} s JOIN bedges e ON e.src = s.vertex
+    ) WHERE rn = 1
+)"""
+
+
+RANDOM_WALKS_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n"
+    f"""bedges AS (
+    SELECT user_id AS src, product_id + {KCORE_PRODUCT_OFFSET} AS dst
+    FROM liked
+    UNION ALL
+    SELECT product_id + {KCORE_PRODUCT_OFFSET} AS src, user_id AS dst
+    FROM liked
+),
+srcs AS (
+    SELECT CAST(user_id AS BIGINT) AS source
+    FROM (SELECT DISTINCT user_id FROM liked ORDER BY user_id
+          LIMIT {BFS_N_SOURCES})
+),
+s0 AS (
+    SELECT source, CAST(walk_no AS BIGINT) AS walk_no,
+           CAST(0 AS BIGINT) AS step, source AS vertex
+    FROM srcs, (VALUES (0), (1)) AS t(walk_no)
+),
+"""
+    + ",\n".join(_walk_step_cte(k) for k in range(1, WALK_STEPS + 1))
+    + f"""
+SELECT source, walk_no, step,
+       CASE WHEN vertex >= {KCORE_PRODUCT_OFFSET}
+            THEN 'product' ELSE 'user' END AS role,
+       CASE WHEN vertex >= {KCORE_PRODUCT_OFFSET}
+            THEN vertex - {KCORE_PRODUCT_OFFSET} ELSE vertex END AS vertex
+FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+"""
+)

@@ -883,3 +883,110 @@ FROM m
 """
 
 QUERIES["event_rate_trend"] = (q_event_rate_trend, EVENT_RATE_TREND_SQL)
+
+
+# --- session path analysis (round 6b) ------------------------------------------
+
+# First-N events of each session define its "entry path" (caps the path
+# string and makes journeys comparable across session lengths).
+PATH_MAX_EVENTS = 8
+PATH_TOP_K = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys — the product-analytics "path analysis" shape:
+    sessionize each user's events (same 1800 s inactivity gap as
+    `user_sessions`), take each session's first 8 events under the total
+    (ts, event_id) order, join their types into an entry path
+    ('view>click>purchase…'), and rank the top-20 paths by frequency.
+    Counting and ordering are exact integers/strings; the per-session
+    ordered aggregation is made deterministic by sorting on the UNIQUE
+    (ts, event_id) pair in both engines.
+
+    Scale design (100 TB): one user_id shuffle serves sessionization and
+    the per-session window; the path rollup is a partial agg on bounded
+    path strings (≤ 8 type names); TakeOrderedAndProject top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    gap = F.col("s") - F.lag("s").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap >= SESSION_GAP_SEC), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("s", "event_id")
+    paths = (
+        flagged.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PATH_MAX_EVENTS)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("s", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+m AS (
+    SELECT *, CASE WHEN lag(s) OVER w IS NULL
+                        OR s - lag(s) OVER w >= {SESSION_GAP_SEC}
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+g AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM m
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                                 ORDER BY s, event_id) AS rn
+    FROM g
+),
+paths AS (
+    SELECT user_id, sess_id,
+           string_agg(event_type, '>' ORDER BY s, event_id) AS path
+    FROM r WHERE rn <= {PATH_MAX_EVENTS}
+    GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+QUERIES["session_paths"] = (q_session_paths, SESSION_PATHS_SQL)

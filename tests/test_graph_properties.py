@@ -827,3 +827,41 @@ def test_hits_empty_and_duplicate_edges(spark):
     dup = {r["id"]: r["authority"] for r in
            G.hits_scores(edges, iterations=2).collect()}
     assert dup == {1: 0, 2: 1, 3: 4, 4: 0}
+
+
+def test_random_walks_semantics(spark):
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([(1,), (4,)], ["id"])
+    walks = G.deterministic_random_walks(edges, sources, n_walks=2, steps=3)
+    rows = walks.collect()
+    # every (source, walk) has steps 0..3 (no dead ends here)
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault((r["source"], r["walk_no"]), {})[r["step"]] = r["vertex"]
+    assert set(by_walk) == {(1, 0), (1, 1), (4, 0), (4, 1)}
+    adj = {1: {2}, 2: {1, 3}, 3: {2}, 4: {5}, 5: {4}}
+    for (_s, _w), path in by_walk.items():
+        assert set(path) == {0, 1, 2, 3}
+        for k in range(1, 4):
+            assert path[k] in adj[path[k - 1]]  # every hop a real edge
+    # component {4,5} only alternates 4,5,4
+    assert by_walk[(4, 0)] == {0: 4, 1: 5, 2: 4, 3: 5}
+    # determinism across layouts: repartitioned input gives identical walks
+    walks2 = G.deterministic_random_walks(
+        edges.repartition(7), sources, n_walks=2, steps=3
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, walks2.collect()))
+
+
+def test_random_walks_stop_at_dead_end(spark):
+    # directed relation passed as-is: 1→2 and nothing out of 2
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    sources = spark.createDataFrame([(1,)], ["id"])
+    rows = G.deterministic_random_walks(
+        edges, sources, n_walks=1, steps=3
+    ).collect()
+    assert sorted((r["step"], r["vertex"]) for r in rows) == [(0, 1), (1, 2)]
