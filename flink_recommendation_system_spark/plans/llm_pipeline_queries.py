@@ -2683,3 +2683,91 @@ WHERE i * 2 >= (sa.sz + sb.sz - i) * 1
 """
 
 QUERIES["ppjoin_pairs"] = (q_ppjoin_pairs, PPJOIN_PAIRS_SQL)
+
+
+# --- positional phrase search (round 6b) ---------------------------------------
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search — the retrieval shape BM25 can't
+    express (BM25 is bag-of-words; phrases need positions): build the
+    (doc_id, position, token) postings relation, self-join with offset
+    equality (p, p+1, p+2) to enumerate trigram occurrences, pick the
+    corpus's most frequent trigram (tie-broken lexicographically) as the
+    query phrase, and return every (doc, start position) occurrence.
+    All keys are strings and exact integers.
+
+    Scale design (100 TB): postings shard by token; with a KNOWN query
+    phrase the offset joins touch only that phrase's postings lists
+    (predicate pushdown on the token), which is the classic positional
+    inverted-index plan — the corpus-wide trigram count here exists only
+    to derive a deterministic query phrase at every SF."""
+    from ..operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("p", "tok")
+    ).withColumn("p", (F.col("p") + 1).cast("long"))
+    t1, t2, t3 = pos.alias("t1"), pos.alias("t2"), pos.alias("t3")
+    tri = (
+        t1.join(
+            t2,
+            (F.col("t2.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t2.p") == F.col("t1.p") + 1),
+        )
+        .join(
+            t3,
+            (F.col("t3.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t3.p") == F.col("t1.p") + 2),
+        )
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.col("t1.p").alias("start_pos"),
+            F.col("t1.tok").alias("w1"),
+            F.col("t2.tok").alias("w2"),
+            F.col("t3.tok").alias("w3"),
+        )
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+        .localCheckpoint()
+    )
+    top = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2", "w3")
+        .limit(1)
+        .select("w1", "w2", "w3")
+    )
+    return tri.join(F.broadcast(top), ["w1", "w2", "w3"]).select(
+        "doc_id", "start_pos", "w1", "w2", "w3"
+    )
+
+
+PHRASE_SEARCH_SQL = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+pos AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS p, toks[CAST(i AS INT)] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+tri AS (
+    SELECT a.doc_id, a.p AS start_pos,
+           a.tok AS w1, b.tok AS w2, c.tok AS w3
+    FROM pos a
+    JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+    WHERE a.tok != '' AND b.tok != '' AND c.tok != ''
+),
+top AS (
+    SELECT w1, w2, w3 FROM tri
+    GROUP BY 1, 2, 3
+    ORDER BY count(*) DESC, w1 ASC, w2 ASC, w3 ASC
+    LIMIT 1
+)
+SELECT tri.doc_id, tri.start_pos, tri.w1, tri.w2, tri.w3
+FROM tri JOIN top USING (w1, w2, w3)
+"""
+
+QUERIES["phrase_search"] = (q_phrase_search, PHRASE_SEARCH_SQL)
