@@ -22,6 +22,7 @@ from flink_recommendation_system_spark.plans import (
     analytics_queries,
     itemcf,
     llm_pipeline_queries,
+    mining_queries,
     relational_queries,
     streaming_queries,
 )
@@ -425,6 +426,7 @@ _SUITES = [
     streaming_queries.QUERIES,
     analytics_queries.QUERIES,
     itemcf.QUERIES,
+    mining_queries.QUERIES,
 ]
 
 # Driver correctness-window rotation. The driver's oracle gate checks the

@@ -1,0 +1,590 @@
+"""Data-mining / warehouse-maintenance suite: market-basket association
+rules, 2-D skyline (Pareto frontier), Z-order layout clustering with
+data-skipping stats, lag-k autocorrelation and CUSUM changepoint over the
+event stream, and a CDC snapshot diff — six shapes a production analytics
+engine is asked for that the earlier suites don't cover.
+
+Everything follows the repo-wide exactness discipline: money on the
+integer-cents grid, correlations from exact BIGINT sufficient statistics
+with ONE final IEEE division/sqrt, every top-k and window with a total-order
+tie-break — so the DuckDB value oracles match bit-for-bit at any SF.
+
+Entries: ``name → (spark_fn, oracle_sql | None)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+
+_NS_PER_HOUR = 3_600_000_000_000
+_NS_PER_DAY = 86_400_000_000_000
+
+
+# --- market-basket association rules -----------------------------------------
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at the brand level: for every
+    unordered brand pair appearing in ≥5 common orders, the pair count and
+    the lift  cnt(ab)·N / (cnt(a)·cnt(b))  — the classic market-basket
+    output (Agrawal et al., VLDB'94) restricted to 2-itemsets.
+
+    Exactness: all counts are BIGINT; lift is ONE IEEE division of two
+    exact integer products (cnt_ab·N ≲ 1e9, cnt_a·cnt_b ≲ 1e9 even at
+    sf100 brand cardinality stays 25), rounded to 6 dp.
+
+    Scale design (100 TB): baskets are distinct (order, brand) — a
+    partial-aggregated groupBy; the pair expansion self-joins on the order
+    key, so it shuffles once on l_orderkey and the per-order fan-out is
+    bounded by the basket size squared (~7² here); brand marginals are a
+    25-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 5)
+    )
+    ma = marg.select(
+        F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    mb = marg.select(
+        F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+BASKET_LIFT_SQL = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+marg AS (SELECT p_brand, count(*) AS cnt FROM baskets GROUP BY p_brand),
+pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS pair_cnt
+    FROM baskets a
+    JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+)
+SELECT brand_a, brand_b, pair_cnt,
+       ma.cnt AS cnt_a, mb.cnt AS cnt_b,
+       round(CAST(pair_cnt * n_orders AS DOUBLE)
+             / CAST(ma.cnt * mb.cnt AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.p_brand = brand_a
+JOIN marg mb ON mb.p_brand = brand_b
+CROSS JOIN n
+"""
+
+QUERIES["basket_lift"] = (q_basket_lift, BASKET_LIFT_SQL)
+
+
+# --- 2-D skyline (Pareto frontier) --------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (Börzsönyi et al., ICDE'01): parts not dominated on
+    (retail price MINIMIZED, size MAXIMIZED). q dominates p iff
+    (q.price < p.price AND q.size >= p.size) OR
+    (q.price <= p.price AND q.size > p.size).
+
+    Instead of the O(n²) dominance self-join, the 2-D skyline falls out of
+    ONE sort: order by price (integer cents), track the running max size —
+    p is dominated iff  max size over strictly-cheaper rows >= p.size,
+    or max size over cheaper-or-equal rows (incl. p itself) > p.size.
+    Both window frames are RANGE frames over the exact BIGINT cents key,
+    so price ties group correctly in both engines.
+
+    Scale design (100 TB): a global ORDER BY price is a range-partitioned
+    sort (what the skyline's sort-filter-skyline algorithm distributes to:
+    per-range local skyline + a cheap prefix-max merge of the range
+    boundaries); no shuffle beyond the one sort, no pairwise join."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.withColumn(
+        "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    w_strict = Window.orderBy("price_e2").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_leq = Window.orderBy("price_e2").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = p.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "price_e2",
+        F.max("p_size").over(w_strict).alias("best_cheaper"),
+        F.max("p_size").over(w_leq).alias("best_leq"),
+    )
+    return (
+        flagged.filter(
+            ~(
+                (
+                    F.col("best_cheaper").isNotNull()
+                    & (F.col("best_cheaper") >= F.col("p_size"))
+                )
+                | (F.col("best_leq") > F.col("p_size"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            (F.col("price_e2").cast("double") / F.lit(100.0)).alias(
+                "p_retailprice"
+            ),
+        )
+    )
+
+
+PARETO_FRONTIER_SQL = """
+WITH p AS (
+    SELECT p_partkey, p_name, p_size,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_e2
+    FROM part
+),
+flagged AS (
+    SELECT p_partkey, p_name, p_size, price_e2,
+           max(p_size) OVER (ORDER BY price_e2
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+           max(p_size) OVER (ORDER BY price_e2
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS best_leq
+    FROM p
+)
+SELECT p_partkey, p_name, p_size,
+       CAST(price_e2 AS DOUBLE) / 100.0 AS p_retailprice
+FROM flagged
+WHERE NOT ((best_cheaper IS NOT NULL AND best_cheaper >= p_size)
+           OR best_leq > p_size)
+"""
+
+QUERIES["pareto_frontier"] = (q_pareto_frontier, PARETO_FRONTIER_SQL)
+
+
+# --- Z-order layout clustering ------------------------------------------------
+
+
+def _morton_expr(x, y):
+    """Interleave the low 6 bits of x (even positions) and y (odd): the
+    Morton / Z-order curve key. Pure shift/mask integer arithmetic so both
+    engines compute the identical BIGINT."""
+    out = F.lit(0).cast("long")
+    for i in range(6):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(6):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file layout over part(p_size, price-rank) —
+    what `OPTIMIZE ZORDER BY` does in lakehouse table formats: interleave
+    the bit representations of the clustering columns, sort by the Morton
+    key, cut into fixed-size files, and report per-file min/max stats for
+    BOTH dimensions. Tight per-file ranges on both columns = effective
+    data skipping for predicates on EITHER column, which a single-column
+    sort cannot give.
+
+    The price dimension is quantized to 64 rank buckets via ntile over the
+    exact integer-cents price (tie-broken by p_partkey → total order, so
+    ntile is deterministic in both engines). Output: file id, row count,
+    and min/max of each dimension — the footer stats a scan planner would
+    prune on.
+
+    Scale design (100 TB): the Morton sort is a range-partitioned global
+    sort (one shuffle); file cuts by row_number are what a writer's
+    maxRecordsPerFile does; the ntile quantization would come from an
+    approx-quantile sketch of the price column instead of an exact rank at
+    real scale (same bucket semantics)."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.withColumn(
+        "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    w_rank = Window.orderBy("price_e2", "p_partkey")
+    p = p.withColumn(
+        "price_bucket", (F.ntile(64).over(w_rank) - 1).cast("long")
+    )
+    p = p.withColumn(
+        "morton",
+        _morton_expr(F.col("p_size").cast("long"), F.col("price_bucket")),
+    )
+    w_file = Window.orderBy("morton", "p_partkey")
+    p = p.withColumn(
+        "file_id",
+        ((F.row_number().over(w_file) - F.lit(1)) / F.lit(100))
+        .cast("long"),
+    )
+    return (
+        p.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            F.min("price_bucket").alias("min_price_bucket"),
+            F.max("price_bucket").alias("max_price_bucket"),
+        )
+    )
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH p AS (
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_e2
+    FROM part
+),
+ranked AS (
+    SELECT p_partkey, sz,
+           CAST(ntile(64) OVER (ORDER BY price_e2, p_partkey) - 1 AS BIGINT)
+               AS price_bucket
+    FROM p
+),
+keyed AS (
+    SELECT p_partkey, sz, price_bucket,
+           ({_morton_sql('sz', 'price_bucket')}) AS morton
+    FROM ranked
+),
+filed AS (
+    SELECT sz, price_bucket,
+           CAST((row_number() OVER (ORDER BY morton, p_partkey) - 1) // 100
+                AS BIGINT) AS file_id
+    FROM keyed
+)
+SELECT file_id, count(*) AS n_rows,
+       min(sz) AS min_size, max(sz) AS max_size,
+       min(price_bucket) AS min_price_bucket,
+       max(price_bucket) AS max_price_bucket
+FROM filed
+GROUP BY file_id
+"""
+
+QUERIES["zorder_layout"] = (q_zorder_layout, ZORDER_LAYOUT_SQL)
+
+
+# --- lag-k autocorrelation of the event rate ----------------------------------
+
+_ACF_LAGS = [1, 2, 3, 6, 12, 24]
+
+
+def q_event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the hourly event count series (k ∈ {1, 2,
+    3, 6, 12, 24}) — the seasonality detector (a strong lag-24 peak =
+    daily cycle). The series is the DENSE hourly spine from the first to
+    the last observed hour with missing buckets as zero (autocorrelation
+    requires regular spacing), then Pearson r over the (x_t, x_{t+k})
+    pairs from exact BIGINT sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²):  r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²)).
+
+    Exactness: every moment is an exact BIGINT (hourly counts ≤ ~1e4 even
+    at sf100, squares·720 hours ≪ 2^63); the variance terms are exact
+    integers below 2^53 so their double casts are exact; one IEEE multiply
+    + sqrt + divide, rounded to 6 dp — bit-identical cross-engine.
+
+    Scale design (100 TB): the raw scan partial-aggregates to (hour,
+    count) — at most one row per hour regardless of input size; the dense
+    spine, lag join, and moments all run on that tiny series."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select((F.col("ts") / _NS_PER_HOUR).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    series = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag long")
+    s1, s2 = series.alias("s1"), series.alias("s2")
+    pairs = s1.crossJoin(F.broadcast(lags)).join(
+        s2, F.col("s2.h") == F.col("s1.h") + F.col("lag")
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s1.x").alias("sx"),
+        F.sum("s2.x").alias("sy"),
+        F.sum(F.col("s1.x") * F.col("s2.x")).alias("sxy"),
+        F.sum(F.col("s1.x") * F.col("s1.x")).alias("sxx"),
+        F.sum(F.col("s2.x") * F.col("s2.x")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return stats.select(
+        "lag",
+        "n",
+        F.round(num / F.sqrt(vx * vy), 6).alias("acf"),
+    )
+
+
+EVENT_AUTOCORRELATION_SQL = f"""
+WITH hourly AS (
+    SELECT CAST(epoch_ns(ts) // {_NS_PER_HOUR} AS BIGINT) AS h,
+           count(*) AS x
+    FROM events GROUP BY 1
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+spine AS (
+    SELECT CAST(u.i AS BIGINT) AS h
+    FROM bounds, unnest(range(h0, h1 + 1)) AS u(i)
+),
+series AS (
+    SELECT spine.h, CAST(coalesce(hourly.x, 0) AS BIGINT) AS x
+    FROM spine LEFT JOIN hourly ON hourly.h = spine.h
+),
+lags AS (
+    SELECT CAST(u.k AS BIGINT) AS lag
+    FROM unnest(ARRAY{_ACF_LAGS}) AS u(k)
+),
+stats AS (
+    SELECT lag, count(*) AS n,
+           sum(s1.x) AS sx, sum(s2.x) AS sy,
+           sum(s1.x * s2.x) AS sxy,
+           sum(s1.x * s1.x) AS sxx,
+           sum(s2.x * s2.x) AS syy
+    FROM series s1
+    CROSS JOIN lags
+    JOIN series s2 ON s2.h = s1.h + lag
+    GROUP BY lag
+)
+SELECT lag, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf
+FROM stats
+"""
+
+QUERIES["event_autocorrelation"] = (
+    q_event_autocorrelation,
+    EVENT_AUTOCORRELATION_SQL,
+)
+
+
+# --- CUSUM changepoint --------------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event count series (Page
+    1954): S_t = Σ_{i≤t} (x_i − mean); the day where |S_t| peaks is the
+    most likely single changepoint. Kept EXACT by scaling out the mean
+    division — dev_t = n·x_t − Σx is integer, so the running sum S'_t =
+    n·S_t is an exact BIGINT (n ≤ ~30 days, n·x ≲ 1e6·30 ≪ 2^63).
+
+    Output: one row per day with the count, the scaled CUSUM statistic,
+    and is_changepoint on the argmax-|S'| row (earliest day wins ties).
+
+    Scale design (100 TB): the scan partial-aggregates to one row per day;
+    the running sum is a window over ≤ thousands of rows on the driver-
+    scale series; nothing else touches the raw table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select((F.col("ts") / _NS_PER_DAY).cast("long").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "d", "x", (F.col("n") * F.col("x") - F.col("sx")).alias("dev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cus = dev.select(
+        "d", "x", F.sum("dev").over(w).alias("cusum_scaled")
+    )
+    peak = cus.select(
+        F.abs(F.col("cusum_scaled")).alias("a"), F.col("d").alias("pd")
+    ).orderBy(F.col("a").desc(), "pd").limit(1)
+    return cus.crossJoin(F.broadcast(peak)).select(
+        "d",
+        "x",
+        "cusum_scaled",
+        (
+            (F.abs(F.col("cusum_scaled")) == F.col("a"))
+            & (F.col("d") == F.col("pd"))
+        ).alias("is_changepoint"),
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = f"""
+WITH daily AS (
+    SELECT CAST(epoch_ns(ts) // {_NS_PER_DAY} AS BIGINT) AS d,
+           count(*) AS x
+    FROM events GROUP BY 1
+),
+tot AS (SELECT count(*) AS n, sum(x) AS sx FROM daily),
+cus AS (
+    SELECT d, x,
+           sum(n * x - sx) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_scaled
+    FROM daily CROSS JOIN tot
+),
+peak AS (
+    SELECT abs(cusum_scaled) AS a, d AS pd FROM cus
+    ORDER BY a DESC, pd ASC LIMIT 1
+)
+SELECT cus.d, cus.x, cus.cusum_scaled,
+       (abs(cus.cusum_scaled) = peak.a AND cus.d = peak.pd)
+           AS is_changepoint
+FROM cus CROSS JOIN peak
+"""
+
+QUERIES["cusum_changepoint"] = (q_cusum_changepoint, CUSUM_CHANGEPOINT_SQL)
+
+
+# --- CDC snapshot diff ---------------------------------------------------------
+
+_SNAP_T1 = "1999-01-01"
+_SNAP_T2 = "2000-01-01"
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two as-of snapshots of the
+    per-customer order aggregate (orders before 1999-01-01 vs before
+    2000-01-01): each customer is classified insert (absent from the old
+    snapshot), update (present in both, aggregate changed) or unchanged —
+    the comparison a MERGE INTO / incremental-materialization pipeline
+    performs on every refresh. Totals stay on the integer-cents grid until
+    the final divide so 'update vs unchanged' can never flip on a rounding
+    boundary.
+
+    Scale design (100 TB): both snapshots partial-aggregate per customer
+    key, then ONE full outer join co-partitioned on that key (at real
+    scale both sides come bucketed by customer, making the join
+    shuffle-free); no row-level diff of the raw fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            orders.filter(
+                F.col("o_orderdate")
+                < F.lit(cutoff).cast("timestamp_ntz")
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(price_e2).alias("tot_e2"),
+            )
+        )
+
+    old = snap(_SNAP_T1).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cnt").alias("old_cnt"),
+        F.col("tot_e2").alias("old_e2"),
+    )
+    new = snap(_SNAP_T2).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("cnt").alias("new_cnt"),
+        F.col("tot_e2").alias("new_e2"),
+    )
+    joined = old.join(new, "custkey", "full_outer")
+    change = (
+        F.when(F.col("old_cnt").isNull(), F.lit("insert"))
+        .when(
+            (F.col("old_cnt") != F.col("new_cnt"))
+            | (F.col("old_e2") != F.col("new_e2")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "custkey",
+        change.alias("change_type"),
+        "old_cnt",
+        "new_cnt",
+        (F.col("old_e2").cast("double") / F.lit(100.0)).alias("old_total"),
+        (F.col("new_e2").cast("double") / F.lit(100.0)).alias("new_total"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+    SELECT o_custkey AS custkey, count(*) AS old_cnt,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS old_e2
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_T1}'
+    GROUP BY 1
+),
+new AS (
+    SELECT o_custkey AS custkey, count(*) AS new_cnt,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS new_e2
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_T2}'
+    GROUP BY 1
+)
+SELECT coalesce(old.custkey, new.custkey) AS custkey,
+       CASE WHEN old.old_cnt IS NULL THEN 'insert'
+            WHEN old.old_cnt != new.new_cnt OR old.old_e2 != new.new_e2
+                THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       old_cnt, new_cnt,
+       CAST(old_e2 AS DOUBLE) / 100.0 AS old_total,
+       CAST(new_e2 AS DOUBLE) / 100.0 AS new_total
+FROM old FULL OUTER JOIN new ON old.custkey = new.custkey
+"""
+
+QUERIES["snapshot_diff"] = (q_snapshot_diff, SNAPSHOT_DIFF_SQL)
