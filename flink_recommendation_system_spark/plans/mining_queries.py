@@ -588,3 +588,284 @@ FROM old FULL OUTER JOIN new ON old.custkey = new.custkey
 """
 
 QUERIES["snapshot_diff"] = (q_snapshot_diff, SNAPSHOT_DIFF_SQL)
+
+
+# --- chi-square independence cells ---------------------------------------------
+
+
+def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × 6-hour time-of-day
+    bucket, reported per contingency cell: observed count, expected count
+    R·C/N, and the cell contribution (O − E)²/E. The per-cell arithmetic
+    is a FIXED expression tree over exact BIGINTs (R·C ≲ 1e10 ≪ 2^53, one
+    division, one subtraction, one square, one division) so each double is
+    bit-identical cross-engine; the grand chi² statistic is deliberately
+    NOT summed here (a float sum over cells would be order-dependent) —
+    the caller sums the 6-dp-rounded contributions, which is stable.
+
+    Scale design (100 TB): the raw scan partial-aggregates straight to the
+    ≤ |types|×4 cell grid; marginals are window sums over that tiny grid
+    (broadcast-scale), never a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            (
+                (F.col("ts") % F.lit(_NS_PER_DAY))
+                / F.lit(6 * _NS_PER_HOUR)
+            )
+            .cast("long")
+            .alias("hour_bucket"),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("hour_bucket")
+    w_n = Window.partitionBy()
+    g = cells.select(
+        "event_type",
+        "hour_bucket",
+        "observed",
+        F.sum("observed").over(w_r).alias("r_tot"),
+        F.sum("observed").over(w_c).alias("c_tot"),
+        F.sum("observed").over(w_n).alias("n_tot"),
+    )
+    expected = (F.col("r_tot") * F.col("c_tot")).cast("double") / F.col(
+        "n_tot"
+    ).cast("double")
+    diff = F.col("observed").cast("double") - expected
+    return g.select(
+        "event_type",
+        "hour_bucket",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(diff * diff / expected, 6).alias("contribution"),
+    )
+
+
+CHI_SQUARE_CELLS_SQL = f"""
+WITH cells AS (
+    SELECT event_type,
+           CAST((epoch_ns(ts) % {_NS_PER_DAY}) // {6 * _NS_PER_HOUR}
+                AS BIGINT) AS hour_bucket,
+           count(*) AS observed
+    FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT event_type, hour_bucket, observed,
+           sum(observed) OVER (PARTITION BY event_type) AS r_tot,
+           sum(observed) OVER (PARTITION BY hour_bucket) AS c_tot,
+           sum(observed) OVER () AS n_tot
+    FROM cells
+)
+SELECT event_type, hour_bucket, observed,
+       round(CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 6)
+           AS expected,
+       round((CAST(observed AS DOUBLE)
+              - CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             * (CAST(observed AS DOUBLE)
+                - CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+             / (CAST(r_tot * c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)), 6)
+           AS contribution
+FROM g
+"""
+
+QUERIES["chi_square_cells"] = (q_chi_square_cells, CHI_SQUARE_CELLS_SQL)
+
+
+# --- gaps-and-islands activity streaks ------------------------------------------
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the gaps-and-islands
+    shape): distinct active days, grouped into islands by the classic
+    day − row_number() difference (constant within a run of consecutive
+    days), then per user the longest streak, its start day (earliest on
+    ties), and the total number of streaks. Pure integer arithmetic.
+
+    Scale design (100 TB): one scan → distinct (user, day) partial agg;
+    the row_number window and the island groupBy are all partitioned BY
+    USER, so no global sort and no skew beyond a single user's day count
+    (bounded by the calendar)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id", (F.col("ts") / _NS_PER_DAY).cast("long").alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("start_d")
+    )
+    w_u = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("longest_streak", F.max("len").over(w_u))
+        .groupBy("user_id", "longest_streak")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("len") == F.col("longest_streak"),
+                    F.col("start_d"),
+                )
+            ).alias("longest_start_d"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .select(
+            "user_id", "longest_streak", "longest_start_d", "n_streaks"
+        )
+    )
+
+
+ACTIVITY_STREAKS_SQL = f"""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_ns(ts) // {_NS_PER_DAY} AS BIGINT) AS d
+    FROM events
+),
+isl AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, grp, count(*) AS len, min(d) AS start_d
+    FROM isl GROUP BY 1, 2
+),
+mx AS (
+    SELECT user_id, max(len) AS longest_streak FROM streaks GROUP BY 1
+)
+SELECT s.user_id, mx.longest_streak,
+       min(CASE WHEN s.len = mx.longest_streak THEN s.start_d END)
+           AS longest_start_d,
+       count(*) AS n_streaks
+FROM streaks s JOIN mx ON s.user_id = mx.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["activity_streaks"] = (q_activity_streaks, ACTIVITY_STREAKS_SQL)
+
+
+# --- multi-touch attribution -----------------------------------------------------
+
+_ATTR_WINDOW_SEC = 3600
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the click/view touches by
+    the same user in the preceding hour (s in (purchase−3600, purchase]),
+    with the touch count and the first-/last-touch event types. Touch
+    order is the total order (s, event_id) — event ids are unique — via a
+    single BIGINT sort key s·1e9 + event_id, so min_by/arg_min can never
+    tie.
+
+    Scale design (100 TB): equi-join on user_id (one hash shuffle, both
+    sides co-partitioned) with the time-range predicate evaluated inside
+    the join; per-user fan-out is bounded by the hour window. At real
+    scale the same plan runs as a bucketed join on user_id or a
+    range-bucketed interval join (bucket by hour, join adjacent buckets)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("s").alias("ps"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        F.col("s").alias("ts_s"),
+        (F.col("s") * F.lit(1_000_000_000) + F.col("event_id")).alias(
+            "ord"
+        ),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("ts_s") <= F.col("ps"))
+        & (F.col("ts_s") > F.col("ps") - _ATTR_WINDOW_SEC)
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min_by("touch_type", "ord").alias("first_touch"),
+        F.max_by("touch_type", "ord").alias("last_touch"),
+    )
+
+
+TOUCH_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+purchases AS (
+    SELECT event_id AS purchase_id, user_id, s AS ps
+    FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, s AS ts_s,
+           s * 1000000000 + event_id AS ord,
+           event_type AS touch_type
+    FROM ev WHERE event_type IN ('click', 'view')
+)
+SELECT purchase_id, count(*) AS n_touches,
+       arg_min(touch_type, ord) AS first_touch,
+       arg_max(touch_type, ord) AS last_touch
+FROM purchases JOIN touches USING (user_id)
+WHERE ts_s <= ps AND ts_s > ps - {_ATTR_WINDOW_SEC}
+GROUP BY purchase_id
+"""
+
+QUERIES["touch_attribution"] = (q_touch_attribution, TOUCH_ATTRIBUTION_SQL)
+
+
+# --- k-anonymity audit ------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) of the customer table under the
+    quasi-identifier (nation, market segment, account-balance bucket of
+    1000 currency units): every equivalence class with its size and
+    whether it meets k=5 — classes below k are the re-identification risk
+    a privacy review flags before a dataset release. The balance bucket is
+    integer cents shifted positive before the floor division, so negative
+    balances bucket identically in both engines (no truncate-vs-floor
+    divergence).
+
+    Scale design (100 TB): one partial-aggregated groupBy on the QID
+    columns; the audit output is at most the QID-combination cardinality,
+    independent of row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = F.expr(
+        "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
+        " DIV 100000 AS BIGINT)"
+    )
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "c_mktsegment",
+            bucket.alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("meets_k", F.col("class_size") >= _K_ANON)
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+       CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000
+            AS BIGINT) AS bal_bucket,
+       count(*) AS class_size,
+       count(*) >= {_K_ANON} AS meets_k
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["k_anonymity"] = (q_k_anonymity, K_ANONYMITY_SQL)
