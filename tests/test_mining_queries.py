@@ -1,0 +1,181 @@
+"""Hand-computed semantics pins for the mining suite — the subtleties the
+sf0.01 oracle rows can't isolate: the Morton bit interleave, skyline
+dominance at price ties, gaps-and-islands streak boundaries, attribution
+window edges (inclusive end / exclusive start), and CDC change
+classification.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.plans.mining_queries import (
+    _morton_expr,
+    q_activity_streaks,
+    q_cusum_changepoint,
+    q_pareto_frontier,
+    q_snapshot_diff,
+    q_touch_attribution,
+)
+
+TS = datetime.datetime
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value, props)."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_morton_interleave_known_bits(spark):
+    # x=5 (101b) → bits at even positions 0,4; y=3 (011b) → odd 1,3:
+    # 1 + 2 + 8 + 16 = 27
+    df = spark.range(1).select(
+        _morton_expr(F.lit(5).cast("long"), F.lit(3).cast("long")).alias(
+            "m"
+        )
+    )
+    assert df.collect()[0]["m"] == 27
+
+
+def test_pareto_frontier_dominance_and_ties(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "a", "B", "T", 5, 10.0),   # tied price, smaller size → dominated by 2
+            (2, "b", "B", "T", 7, 10.0),   # skyline
+            (3, "c", "B", "T", 7, 12.0),   # same size, pricier → dominated
+            (4, "d", "B", "T", 3, 9.0),    # cheapest → skyline
+            (5, "e", "B", "T", 9, 15.0),   # biggest → skyline
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = sorted(r["p_partkey"] for r in q_pareto_frontier(spark, d).collect())
+    assert got == [2, 4, 5]
+
+
+def test_activity_streaks_islands(spark, tmp_path):
+    def ev(eid, uid, day):
+        return (
+            eid,
+            TS(2024, 1, 1) + datetime.timedelta(days=day, hours=3),
+            uid,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    # user 1 active days {0,1,2,5,6} → streaks [3 @ d0, 2 @ d5];
+    # user 2 active day {3} only (two events same day dedup to one)
+    d = _write_events(
+        spark,
+        tmp_path,
+        [
+            ev(1, 1, 0), ev(2, 1, 1), ev(3, 1, 2),
+            ev(4, 1, 5), ev(5, 1, 6),
+            ev(6, 2, 3), ev(7, 2, 3),
+        ],
+    )
+    rows = {r["user_id"]: r for r in q_activity_streaks(spark, d).collect()}
+    base = (TS(2024, 1, 1) - TS(1970, 1, 1)).days
+    assert rows[1]["longest_streak"] == 3
+    assert rows[1]["longest_start_d"] == base
+    assert rows[1]["n_streaks"] == 2
+    assert rows[2]["longest_streak"] == 1
+    assert rows[2]["n_streaks"] == 1
+
+
+def test_touch_attribution_window_edges(spark, tmp_path):
+    t0 = TS(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, sec_offset):
+        return (
+            eid,
+            t0 + datetime.timedelta(seconds=sec_offset),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    # purchase at t0+3600; touches at +0 (exactly 3600 before → EXCLUDED,
+    # window is (ps-3600, ps]), +1 (included, first), +3600 (same second as
+    # purchase → included, last), other user excluded
+    d = _write_events(
+        spark,
+        tmp_path,
+        [
+            ev(10, 1, "purchase", 3600),
+            ev(1, 1, "click", 0),
+            ev(2, 1, "view", 1),
+            ev(3, 1, "click", 3600),
+            ev(4, 2, "click", 1800),
+        ],
+    )
+    rows = q_touch_attribution(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["purchase_id"] == 10
+    assert r["n_touches"] == 2
+    assert r["first_touch"] == "view"
+    assert r["last_touch"] == "click"
+
+
+def test_cusum_flags_single_changepoint(spark, tmp_path):
+    # counts per day: [1,1,1,5,5] (shift after day 2) — CUSUM |S| peaks at
+    # the last pre-shift day (day index 2)
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([1, 1, 1, 5, 5]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    TS(2024, 1, 1) + datetime.timedelta(days=day, hours=1),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["d"]: r for r in q_cusum_changepoint(spark, d).collect()}
+    base = (TS(2024, 1, 1) - TS(1970, 1, 1)).days
+    flagged = [k for k, v in out.items() if v["is_changepoint"]]
+    assert flagged == [base + 2]
+
+
+def test_snapshot_diff_classification(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # cust 1: one order before T1, another between T1 and T2 → update
+            (1, 1, "O", 100.0, TS(1998, 1, 1), "1-URGENT"),
+            (2, 1, "O", 50.0, TS(1999, 6, 1), "1-URGENT"),
+            # cust 2: only after T1 → insert
+            (3, 2, "O", 75.0, TS(1999, 2, 1), "1-URGENT"),
+            # cust 3: only before T1, nothing new → unchanged
+            (4, 3, "O", 20.0, TS(1997, 1, 1), "1-URGENT"),
+            # cust 4: only after T2 → absent from both snapshots
+            (5, 4, "O", 10.0, TS(2000, 6, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    rows = {r["custkey"]: r for r in q_snapshot_diff(spark, d).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["change_type"] == "update"
+    assert rows[1]["old_total"] == 100.0 and rows[1]["new_total"] == 150.0
+    assert rows[2]["change_type"] == "insert"
+    assert rows[2]["old_cnt"] is None and rows[2]["new_cnt"] == 1
+    assert rows[3]["change_type"] == "unchanged"
