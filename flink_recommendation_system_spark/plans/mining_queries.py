@@ -869,3 +869,309 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["k_anonymity"] = (q_k_anonymity, K_ANONYMITY_SQL)
+
+
+# --- exact weighted median --------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact revenue-weighted median quantity per return flag: the smallest
+    quantity q with  2·(cumulative revenue through q) ≥ total revenue —
+    the lower weighted median, a shape neither engine has as a builtin.
+    Weights are integer revenue cents and quantities sit on the integer-e2
+    grid, so the cumulative comparison is pure BIGINT (2·Σ ≲ 1e13·2 ≪
+    2^63) and can never flip on a rounding boundary.
+
+    Scale design (100 TB): the raw scan partial-aggregates to one row per
+    (flag, quantity) — bounded by the quantity domain, not the row count;
+    the cumulative window then runs per flag over ≤ |quantities| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("qty_e2"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("w_e2"),
+        )
+        .groupBy("l_returnflag", "qty_e2")
+        .agg(F.sum("w_e2").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("qty_e2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    flagged = grid.select(
+        "l_returnflag",
+        "qty_e2",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return (
+        flagged.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("qty_e2").alias("med_e2"))
+        .select(
+            "l_returnflag",
+            (F.col("med_e2").cast("double") / F.lit(100.0)).alias(
+                "weighted_median_qty"
+            ),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH grid AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+flagged AS (
+    SELECT l_returnflag, qty_e2,
+           sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty_e2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(w) OVER (PARTITION BY l_returnflag) AS tot
+    FROM grid
+)
+SELECT l_returnflag,
+       CAST(min(qty_e2) AS DOUBLE) / 100.0 AS weighted_median_qty
+FROM flagged WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+"""
+
+QUERIES["weighted_median"] = (q_weighted_median, WEIGHTED_MEDIAN_SQL)
+
+
+# --- Benford first-digit audit -----------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, precomputed ONCE in Python and inlined as
+# identical literals in both engines — no cross-engine libm dependence.
+_BENFORD = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed share of each leading
+    significant digit vs the Benford expectation log10(1+1/d) — the
+    classic fraud / synthetic-data screen. The leading digit comes from
+    the integer-cents string (totals are positive), counts are exact, the
+    expectation is an inlined constant, and the deviation is ONE IEEE
+    division minus a literal, rounded 6 dp.
+
+    Scale design (100 TB): one scan collapsing to ≤9 rows via partial agg;
+    the grand total is a window sum over those 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("long")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = Window.partitionBy()
+    expected = F.element_at(
+        F.lit([_BENFORD[d] for d in range(1, 10)]), F.col("digit").cast("int")
+    )
+    return counts.select(
+        "digit",
+        "observed",
+        F.round(
+            F.col("observed").cast("double")
+            / F.sum("observed").over(tot).cast("double")
+            - expected,
+            6,
+        ).alias("deviation"),
+    )
+
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+) + " END"
+
+BENFORD_DEVIATION_SQL = f"""
+WITH counts AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS observed
+    FROM orders GROUP BY 1
+)
+SELECT digit, observed,
+       round(CAST(observed AS DOUBLE)
+             / CAST(sum(observed) OVER () AS DOUBLE)
+             - ({_BENFORD_CASE}), 6) AS deviation
+FROM counts
+"""
+
+QUERIES["benford_deviation"] = (q_benford_deviation, BENFORD_DEVIATION_SQL)
+
+
+# --- incremental aggregate maintenance ----------------------------------------------
+
+_INC_BASE_CUTOFF = "1999-01-01"
+_INC_DELTA_END = "1999-07-01"
+
+
+def q_incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a base per-priority
+    aggregate (orders before 1999-01-01) is REFRESHED by merging only the
+    delta partition [1999-01-01, 1999-07-01) — count and integer-cents
+    revenue are associative/commutative, so  merge(base, agg(delta)) =
+    agg(base ∪ delta)  exactly. The oracle recomputes from scratch over
+    the full range, proving the incremental path bit-identical — the
+    correctness contract every incremental-materialization engine
+    (dbt incremental, Materialize, Delta MERGE rollups) relies on.
+
+    Scale design (100 TB): the refresh touches ONLY the delta partition
+    (partition pruning on the date) plus the existing aggregate (one row
+    per group), instead of rescanning the full history."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg_range(lo: str | None, hi: str) -> DataFrame:
+        df = orders.filter(
+            F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz")
+        )
+        if lo is not None:
+            df = df.filter(
+                F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz")
+            )
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(price_e2).alias("rev_e2")
+        )
+
+    base = agg_range(None, _INC_BASE_CUTOFF)
+    delta = agg_range(_INC_BASE_CUTOFF, _INC_DELTA_END)
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("rev_e2").alias("rev_e2"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("rev_e2").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+INCREMENTAL_AGG_UPDATE_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
+FROM orders
+WHERE o_orderdate < TIMESTAMP '{_INC_DELTA_END}'
+GROUP BY 1
+"""
+
+QUERIES["incremental_agg_update"] = (
+    q_incremental_agg_update,
+    INCREMENTAL_AGG_UPDATE_SQL,
+)
+
+
+# --- conversion latency quantiles ----------------------------------------------------
+
+
+def q_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete (type-1) quantiles of click→purchase latency: per user,
+    each purchase is matched to the most recent prior-or-same-second click
+    (the as-of shape); the latency distribution is then summarized at
+    p50/p90/p99 by EXACT rank selection — value at row_number ceil(q·n)
+    under the total order (latency, purchase_id) — not interpolation, so
+    every output is an observed integer latency and the engines cannot
+    drift.
+
+    Scale design (100 TB): the as-of match is a per-user window (one hash
+    shuffle on user_id); the final rank selection runs on the aggregated
+    latency multiset. The global n is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    )
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type", "s"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        both.withColumn(
+            "last_click_s",
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("s"))
+            ).over(w),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_s").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            (F.col("s") - F.col("last_click_s")).alias("latency_s"),
+        )
+    )
+    w_rank = Window.orderBy("latency_s", "purchase_id")
+    ranked = lat.select(
+        "latency_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(50,), (90,), (99,)], "q_pct long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("rn")
+            == -F.floor(-(F.col("q_pct") * F.col("n")) / F.lit(100))
+        )
+        .select("q_pct", F.col("latency_s").alias("latency"))
+    )
+
+
+CONVERSION_LATENCY_QUANTILES_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+lat AS (
+    SELECT event_id AS purchase_id,
+           s - max(CASE WHEN event_type = 'click' THEN s END) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS latency_s,
+           event_type
+    FROM ev
+),
+purch AS (
+    SELECT purchase_id, latency_s FROM lat
+    WHERE event_type = 'purchase' AND latency_s IS NOT NULL
+),
+ranked AS (
+    SELECT latency_s,
+           row_number() OVER (ORDER BY latency_s, purchase_id) AS rn,
+           count(*) OVER () AS n
+    FROM purch
+),
+qs AS (SELECT CAST(u.q AS BIGINT) AS q_pct FROM unnest([50, 90, 99]) AS u(q))
+SELECT q_pct, latency_s AS latency
+FROM ranked CROSS JOIN qs
+WHERE rn = CAST(ceil(q_pct * n / 100.0) AS BIGINT)
+"""
+
+QUERIES["conversion_latency_quantiles"] = (
+    q_conversion_latency_quantiles,
+    CONVERSION_LATENCY_QUANTILES_SQL,
+)
