@@ -315,3 +315,47 @@ def test_dominant_part_suppliers_reuses_sq_exchange(spark):
     df.collect()
     plan = _plan(df)
     assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_basket_lift_broadcasts_marginals(spark):
+    """The brand marginals and the order-count scalar must broadcast; the
+    only shuffled join is the basket self-join on the order key."""
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_basket_lift,
+    )
+
+    plan = _plan(q_basket_lift(spark, SF0001))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_prunes_and_pushes_cutoff(spark):
+    """Both snapshot scans must push the o_orderdate cutoff to parquet and
+    read only the three needed columns."""
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_snapshot_diff,
+    )
+
+    plan = _plan(q_snapshot_diff(spark, SF0001))
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:3000]
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_incremental_agg_prunes_delta_partition(spark):
+    """The delta leg must push BOTH date bounds down to the scan — at real
+    scale that's the partition pruning that makes the refresh touch only
+    the delta."""
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_incremental_agg_update,
+    )
+
+    plan = _plan(q_incremental_agg_update(spark, SF0001))
+    pushed = [
+        seg[:300] for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(
+        "GreaterThanOrEqual(o_orderdate" in seg and "LessThan(o_orderdate" in seg
+        for seg in pushed
+    ), plan[:4000]
