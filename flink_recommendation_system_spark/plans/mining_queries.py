@@ -269,12 +269,13 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.row_number().over(w_file) - F.lit(1)) / F.lit(100))
         .cast("long"),
     )
+    p = p.withColumn("sz", F.col("p_size").cast("long"))
     return (
         p.groupBy("file_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.min("p_size").alias("min_size"),
-            F.max("p_size").alias("max_size"),
+            F.min("sz").alias("min_size"),
+            F.max("sz").alias("max_size"),
             F.min("price_bucket").alias("min_price_bucket"),
             F.max("price_bucket").alias("max_price_bucket"),
         )
@@ -479,9 +480,9 @@ WITH daily AS (
 tot AS (SELECT count(*) AS n, sum(x) AS sx FROM daily),
 cus AS (
     SELECT d, x,
-           sum(n * x - sx) OVER (ORDER BY d
+           CAST(sum(n * x - sx) OVER (ORDER BY d
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cusum_scaled
+               AS BIGINT) AS cusum_scaled
     FROM daily CROSS JOIN tot
 ),
 peak AS (
