@@ -2689,46 +2689,46 @@ QUERIES["ppjoin_pairs"] = (q_ppjoin_pairs, PPJOIN_PAIRS_SQL)
 
 
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional-index phrase search — the retrieval shape BM25 can't
-    express (BM25 is bag-of-words; phrases need positions): build the
-    (doc_id, position, token) postings relation, self-join with offset
-    equality (p, p+1, p+2) to enumerate trigram occurrences, pick the
-    corpus's most frequent trigram (tie-broken lexicographically) as the
-    query phrase, and return every (doc, start position) occurrence.
-    All keys are strings and exact integers.
+    """Positional phrase search — the retrieval shape BM25 can't express
+    (BM25 is bag-of-words; phrases need positions): enumerate trigram
+    occurrences, pick the corpus's most frequent trigram (tie-broken
+    lexicographically) as the query phrase, and return every (doc, start
+    position) occurrence. All keys are strings and exact integers.
 
-    Scale design (100 TB): postings shard by token; with a KNOWN query
-    phrase the offset joins touch only that phrase's postings lists
-    (predicate pushdown on the token), which is the classic positional
-    inverted-index plan — the corpus-wide trigram count here exists only
-    to derive a deterministic query phrase at every SF."""
+    Positions never leave the row: ONE posexplode over the token array
+    with element_at lookahead for w2/w3 — no positional self-joins, no
+    shuffle until the trigram count (which is map-side combined) — where
+    a naive positional-index formulation (the oracle SQL's shape) pays
+    two offset-equality joins over the full postings relation.
+
+    Scale design (100 TB): the trigram enumeration is embarrassingly
+    parallel per document; a KNOWN query phrase additionally prunes via a
+    token-sharded positional inverted index — the corpus-wide trigram
+    count here exists only to derive a deterministic query phrase at
+    every SF."""
     from ..operators.text import tokens
 
     docs = _docs(spark, sf_dir)
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("p", "tok")
-    ).withColumn("p", (F.col("p") + 1).cast("long"))
-    t1, t2, t3 = pos.alias("t1"), pos.alias("t2"), pos.alias("t3")
     tri = (
-        t1.join(
-            t2,
-            (F.col("t2.doc_id") == F.col("t1.doc_id"))
-            & (F.col("t2.p") == F.col("t1.p") + 1),
-        )
-        .join(
-            t3,
-            (F.col("t3.doc_id") == F.col("t1.doc_id"))
-            & (F.col("t3.p") == F.col("t1.p") + 2),
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.col("toks")).alias("p0", "w1"),
         )
         .select(
-            F.col("t1.doc_id").alias("doc_id"),
-            F.col("t1.p").alias("start_pos"),
-            F.col("t1.tok").alias("w1"),
-            F.col("t2.tok").alias("w2"),
-            F.col("t3.tok").alias("w3"),
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("start_pos"),
+            "w1",
+            F.try_element_at(F.col("toks"), F.col("p0") + 2).alias("w2"),
+            F.try_element_at(F.col("toks"), F.col("p0") + 3).alias("w3"),
         )
         .filter(
-            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+            F.col("w2").isNotNull()
+            & F.col("w3").isNotNull()
+            & (F.col("w1") != "")
+            & (F.col("w2") != "")
+            & (F.col("w3") != "")
         )
         .localCheckpoint()
     )
