@@ -521,6 +521,23 @@ _WINDOW_PRIORITY = [
     # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
     # everything else (all with post-r4 driver greens: r4 or r5 windows)
     # follows in registration order
+    #
+    # ROUND-7 ROTATION HEAD (staged — activate at the START of round 7 by
+    # moving these names to the top of this list; do NOT reorder before the
+    # round-6 driver check lands, it must cover the tier-1 stale head
+    # above). Never driver-checked round-6b additions, in registration
+    # order; all have sf0.001 CI greens (tests/test_entry_queries.py) and
+    # sf0.01 CORRECTNESS_LOCAL greens this round:
+    #   min_cost_supplier nation_profit important_parts shipping_mode_stats
+    #   supplier_part_variety dominant_part_suppliers fuzzy_name_pairs
+    #   weighted_corpus_sample gap_filled_hourly event_transitions
+    #   integrity_report recommender_eval hits_scores pmi_collocations
+    #   ab_test_report priority_scd2 trending_products event_rate_trend
+    #   ppjoin_pairs session_paths random_walks phrase_search basket_lift
+    #   pareto_frontier zorder_layout event_autocorrelation
+    #   cusum_changepoint snapshot_diff chi_square_cells activity_streaks
+    #   touch_attribution k_anonymity weighted_median benford_deviation
+    #   incremental_agg_update conversion_latency_quantiles
 ]
 
 

@@ -1306,9 +1306,9 @@ SELECT o_custkey, version, o_orderpriority, valid_from,
        lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
            AS valid_to,
        n_orders,
-       CASE WHEN lead(valid_from) OVER (
+       CAST(CASE WHEN lead(valid_from) OVER (
                 PARTITION BY o_custkey ORDER BY version) IS NULL
-            THEN 1 ELSE 0 END AS is_current
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
 FROM runs
 """
 
