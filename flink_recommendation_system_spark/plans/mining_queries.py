@@ -340,7 +340,7 @@ def q_event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine, lag join, and moments all run on that tiny series."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
-        ev.select((F.col("ts") / _NS_PER_HOUR).cast("long").alias("h"))
+        ev.select(F.expr(f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT)").alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("x"))
     )
@@ -443,7 +443,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale series; nothing else touches the raw table."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.select((F.col("ts") / _NS_PER_DAY).cast("long").alias("d"))
+        ev.select(F.expr(f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT)").alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("x"))
     )
@@ -611,12 +611,10 @@ def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         ev.select(
             "event_type",
-            (
-                (F.col("ts") % F.lit(_NS_PER_DAY))
-                / F.lit(6 * _NS_PER_HOUR)
-            )
-            .cast("long")
-            .alias("hour_bucket"),
+            F.expr(
+                f"CAST((ts % {_NS_PER_DAY}) DIV {6 * _NS_PER_HOUR}"
+                " AS BIGINT)"
+            ).alias("hour_bucket"),
         )
         .groupBy("event_type", "hour_bucket")
         .agg(F.count(F.lit(1)).alias("observed"))
@@ -692,7 +690,7 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     days = (
         ev.select(
-            "user_id", (F.col("ts") / _NS_PER_DAY).cast("long").alias("d")
+            "user_id", F.expr(f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT)").alias("d")
         )
         .distinct()
     )
