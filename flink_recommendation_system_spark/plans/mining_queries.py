@@ -1174,3 +1174,81 @@ QUERIES["conversion_latency_quantiles"] = (
     q_conversion_latency_quantiles,
     CONVERSION_LATENCY_QUANTILES_SQL,
 )
+
+
+# --- popularity concentration (Gini) -------------------------------------------
+
+
+def q_popularity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity concentration of product interactions — the Gini
+    coefficient a recommender-health dashboard tracks (how head-heavy is
+    engagement): with per-product counts x sorted ascending and ranked
+    i = 1..n,  G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x).  Both sums are
+    exact BIGINTs (ranks ≤ catalog size, counts ≤ row count), so G is ONE
+    IEEE division of exact integers, rounded 6 dp; ties in x are ordered
+    by product id — any tie order yields the same Σ i·x_i within a tie
+    group sum, and the fixed order makes the intermediate relation
+    deterministic too.
+
+    Scale design (100 TB): the event scan partial-aggregates to one row
+    per product; the rank is a window over the catalog-sized aggregate,
+    not the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias(
+                "product_id"
+            )
+        )
+        .filter(F.col("product_id").isNotNull())
+        .groupBy("product_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("x", "product_id")
+    ranked = counts.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return stats.select(
+        "n",
+        F.col("sx").alias("total_interactions"),
+        F.round(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+POPULARITY_GINI_SQL = """
+WITH counts AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           count(*) AS x
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+),
+ranked AS (
+    SELECT x,
+           CAST(row_number() OVER (ORDER BY x, product_id) AS BIGINT) AS i
+    FROM counts
+),
+stats AS (
+    SELECT count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(i * x) AS BIGINT) AS six
+    FROM ranked
+)
+SELECT n, sx AS total_interactions,
+       round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM stats
+"""
+
+QUERIES["popularity_gini"] = (q_popularity_gini, POPULARITY_GINI_SQL)
