@@ -179,3 +179,56 @@ def test_snapshot_diff_classification(spark, tmp_path):
     assert rows[2]["change_type"] == "insert"
     assert rows[2]["old_cnt"] is None and rows[2]["new_cnt"] == 1
     assert rows[3]["change_type"] == "unchanged"
+
+
+def test_zorder_beats_single_column_sort_on_combined_skipping(spark):
+    """The point of Z-order: per-file min/max ranges must be tight on BOTH
+    dimensions. Compare the Morton layout's combined per-file range metric
+    (size range + price-bucket range, averaged over files) against a
+    price-only sorted layout of the same file size — the Morton layout
+    must be at least as good, and strictly better on the size dimension."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_zorder_layout,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+    from tests.conftest import SF001
+
+    # sf0.01: 2000 parts -> 20 files; sf0.001's 2 files are too coarse for
+    # any layout to differentiate
+    z = q_zorder_layout(spark, SF001).agg(
+        F.avg(
+            (F.col("max_size") - F.col("min_size"))
+            + (F.col("max_price_bucket") - F.col("min_price_bucket"))
+        ).alias("m"),
+        F.avg(F.col("max_size") - F.col("min_size")).alias("size_m"),
+    ).collect()[0]
+
+    part = load_table(spark, SF001, "part").withColumn(
+        "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
+    )
+    w_rank = Window.orderBy("price_e2", "p_partkey")
+    p = part.withColumn(
+        "price_bucket", (F.ntile(64).over(w_rank) - 1).cast("long")
+    ).withColumn(
+        "file_id",
+        ((F.row_number().over(w_rank) - F.lit(1)) / F.lit(100)).cast(
+            "long"
+        ),
+    )
+    s = (
+        p.groupBy("file_id")
+        .agg(
+            (F.max("p_size") - F.min("p_size")).alias("sr"),
+            (F.max("price_bucket") - F.min("price_bucket")).alias("pr"),
+        )
+        .agg(
+            F.avg(F.col("sr") + F.col("pr")).alias("m"),
+            F.avg("sr").alias("size_m"),
+        )
+        .collect()[0]
+    )
+    assert z["m"] <= s["m"], (z, s)
+    assert z["size_m"] < s["size_m"], (z, s)
