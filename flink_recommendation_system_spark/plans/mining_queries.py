@@ -440,35 +440,15 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): the scan partial-aggregates to one row per day;
     the running sum is a window over ≤ thousands of rows on the driver-
-    scale series; nothing else touches the raw table."""
+    scale series; nothing else touches the raw table. The scan body is
+    shared with the streaming monitor (`streaming.monitor.read_cusum`) via
+    `operators.monitoring.cusum_over_daily` — replay parity by
+    construction."""
+    from ..operators.monitoring import cusum_over_daily
+    from ..streaming.monitor import daily_counts
+
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.select(F.expr(f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT)").alias("d"))
-        .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("x"))
-    )
-    tot = daily.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
-    )
-    dev = daily.crossJoin(F.broadcast(tot)).select(
-        "d", "x", (F.col("n") * F.col("x") - F.col("sx")).alias("dev")
-    )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    cus = dev.select(
-        "d", "x", F.sum("dev").over(w).alias("cusum_scaled")
-    )
-    peak = cus.select(
-        F.abs(F.col("cusum_scaled")).alias("a"), F.col("d").alias("pd")
-    ).orderBy(F.col("a").desc(), "pd").limit(1)
-    return cus.crossJoin(F.broadcast(peak)).select(
-        "d",
-        "x",
-        "cusum_scaled",
-        (
-            (F.abs(F.col("cusum_scaled")) == F.col("a"))
-            & (F.col("d") == F.col("pd"))
-        ).alias("is_changepoint"),
-    )
+    return cusum_over_daily(daily_counts(ev))
 
 
 CUSUM_CHANGEPOINT_SQL = f"""
