@@ -232,3 +232,138 @@ def test_zorder_beats_single_column_sort_on_combined_skipping(spark):
     )
     assert z["m"] <= s["m"], (z, s)
     assert z["size_m"] < s["size_m"], (z, s)
+
+
+def test_weighted_median_lower_median_semantics(spark, tmp_path):
+    # flag A: qty 1 w=10, qty 2 w=10 → cum at qty1 = 10, 2*10 >= 20 → median 1
+    # flag B: qty 1 w=9, qty 5 w=11 → cum at qty1 = 9, 18 < 20 → median 5
+    d = str(tmp_path)
+    rows = [
+        (1, 1, 1, 1, 1.0, 0.10, 0.0, 0.0, "A", "O", TS(1996, 1, 1)),
+        (2, 1, 1, 1, 2.0, 0.10, 0.0, 0.0, "A", "O", TS(1996, 1, 1)),
+        (3, 1, 1, 1, 1.0, 0.09, 0.0, 0.0, "B", "O", TS(1996, 1, 1)),
+        (4, 1, 1, 1, 5.0, 0.11, 0.0, 0.0, "B", "O", TS(1996, 1, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_weighted_median,
+    )
+
+    got = {
+        r["l_returnflag"]: r["weighted_median_qty"]
+        for r in q_weighted_median(spark, d).collect()
+    }
+    assert got == {"A": 1.0, "B": 5.0}
+
+
+def test_benford_digit_extraction_small_and_large(spark, tmp_path):
+    # 0.50 → cents "50" → digit 5; 123.00 → "12300" → digit 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 0.50, TS(1996, 1, 1), "1-URGENT"),
+            (2, 1, "O", 123.00, TS(1996, 1, 1), "1-URGENT"),
+            (3, 1, "O", 190.00, TS(1996, 1, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_benford_deviation,
+    )
+
+    got = {
+        r["digit"]: r["observed"]
+        for r in q_benford_deviation(spark, d).collect()
+    }
+    assert got == {5: 1, 1: 2}
+
+
+def test_k_anonymity_negative_balance_buckets_by_floor(spark, tmp_path):
+    # -0.01 and -999.99 must land in DIFFERENT buckets than +0.01, and the
+    # offset keeps the floor division exact for negatives in both engines
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "a", 0, -0.01, "SEG"),
+            (2, "b", 0, 0.01, "SEG"),
+            (3, "c", 0, -999.99, "SEG"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_k_anonymity,
+    )
+
+    rows = q_k_anonymity(spark, d).collect()
+    # -0.01 → (1e8 - 1) // 1e5 = 999; +0.01 → 1000; -999.99 → 999 too
+    # (both in the (-1000, 0) bucket) — so two classes: {999: 2, 1000: 1}
+    got = {r["bal_bucket"]: r["class_size"] for r in rows}
+    assert got == {999: 2, 1000: 1}
+    assert all(not r["meets_k"] for r in rows)
+
+
+def test_incremental_refresh_equals_full_recompute(spark):
+    """The merge identity the query exists to prove: incremental base+delta
+    == full recompute over the union range, on the real sf0.001 data."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        _INC_DELTA_END,
+        q_incremental_agg_update,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    got = {
+        tuple(r)
+        for r in q_incremental_agg_update(spark, SF0001).collect()
+    }
+    orders = load_table(spark, SF0001, "orders")
+    full = (
+        orders.filter(
+            F.col("o_orderdate") < F.lit(_INC_DELTA_END).cast("timestamp_ntz")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+    want = {tuple(r) for r in full.collect()}
+    assert got == want and got
+
+
+def test_popularity_gini_known_distribution(spark, tmp_path):
+    # counts [1, 3] → sorted x=[1,3], ranks [1,2]: six = 1 + 6 = 7, sx = 4,
+    # n = 2 → G = (14 - 12) / 8 = 0.25
+    d = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, TS(2024, 1, 1), 1, "view", 1.0, '{"k": 7}'),
+            (2, TS(2024, 1, 1), 1, "view", 1.0, '{"k": 9}'),
+            (3, TS(2024, 1, 1), 2, "view", 1.0, '{"k": 9}'),
+            (4, TS(2024, 1, 1), 3, "view", 1.0, '{"k": 9}'),
+        ],
+    )
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        q_popularity_gini,
+    )
+
+    r = q_popularity_gini(spark, d).collect()[0]
+    assert r["n"] == 2 and r["total_interactions"] == 4
+    assert r["gini"] == 0.25
