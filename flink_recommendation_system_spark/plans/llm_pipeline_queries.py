@@ -2771,3 +2771,96 @@ FROM tri JOIN top USING (w1, w2, w3)
 """
 
 QUERIES["phrase_search"] = (q_phrase_search, PHRASE_SEARCH_SQL)
+
+
+# --- classifier calibration report (round 6b) -----------------------------------
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the quality classifier — the MLOps
+    calibration report: bucket the (hash-derived, value-oracled) linear
+    model's logit into width-0.25 bins and report, per bin, the document
+    count, the weak-label positive count, and the observed positive rate.
+    A calibrated scorer's observed rate rises monotonically with the bin.
+
+    Determinism: the logit is the same fixed-order 6-dp expression as
+    `classifier_scores`; the bin is floor((logit + 100) / 0.25) — division
+    by 0.25 is an exact power-of-two scaling, so identical logit doubles
+    bin identically in both engines; counts are integers and the rate is
+    one IEEE division rounded 6 dp.
+
+    Scale design (100 TB): scoring is a codegen'd projection (weights are
+    plan literals); the report is one partial-aggregated groupBy to a
+    ≤ few-dozen-bin grid."""
+    from ..operators import classifier as C
+
+    feats = C.quality_features(_docs(spark, sf_dir))
+    logit = C.linear_logit(S._lcg_vectors(1, C.N_FEATURES, seed=13)[0], -0.5)
+    binned = feats.select(
+        F.floor((logit + F.lit(100.0)) / F.lit(0.25)).alias("bin"),
+        F.col("label").cast("long").alias("y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("positives"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(0.25) - F.lit(100.0)).alias("bin_lo"),
+            "n",
+            "positives",
+            F.round(
+                F.col("positives").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("observed_rate"),
+        )
+    )
+
+
+def _classifier_calibration_sql() -> str:
+    from ..operators import classifier as C
+
+    w = S._lcg_vectors(1, C.N_FEATURES, seed=13)[0]
+    logit = (
+        f"round(-0.5 + {w[0]!r} * (CAST(len(toks) AS DOUBLE) / 100.0) "
+        f"+ {w[1]!r} * mean_token_len "
+        f"+ {w[2]!r} * stopword_ratio "
+        f"+ {w[3]!r} * (CAST(n_chars AS DOUBLE) / 1000.0), 6)"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, n_chars,
+           string_split(text, ' ') AS toks,
+           len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
+    FROM documents
+),
+f AS (
+    SELECT doc_id, toks, n_chars, sw,
+           round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                 / len(toks), 6) AS mean_token_len,
+           round(CAST(sw AS DOUBLE) / len(toks), 6) AS stopword_ratio
+    FROM t
+),
+scored AS (
+    SELECT CAST(floor(({logit} + 100.0) / 0.25) AS BIGINT) AS bin,
+           (CASE WHEN len(toks) >= 10 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END
+            + CASE WHEN sw > 0 THEN 1 ELSE 0 END) AS qs
+    FROM f
+)
+SELECT bin, CAST(bin AS DOUBLE) * 0.25 - 100.0 AS bin_lo,
+       count(*) AS n,
+       CAST(sum(CASE WHEN qs = 3 THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+       round(CAST(sum(CASE WHEN qs = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS observed_rate
+FROM scored
+GROUP BY bin
+"""
+
+
+QUERIES["classifier_calibration"] = (
+    q_classifier_calibration,
+    _classifier_calibration_sql(),
+)
