@@ -993,15 +993,31 @@ def edit_distance_pairs(
         f"i -> concat(substring({text_col}, 1, i-1), "
         f"substring({text_col}, i+1, length({text_col}))))"
     )
+    # the signature string only needs to EQUI-join — hash it to a 64-bit
+    # key (separate projection: generators can't nest in expressions) so
+    # the self-join exchanges 8-byte longs instead of ~L-char strings; a
+    # hash collision merely adds a candidate the exact verify removes
     sigs = df.select(
         F.col(id_col),
         F.col(text_col),
         F.explode(F.expr(f"array_prepend({deletions}, {text_col})")).alias(
-            "sig"
+            "_sig_str"
         ),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.xxhash64("_sig_str").alias("sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
+    dist = F.levenshtein(
+        F.col(f"a.{text_col}"), F.col(f"b.{text_col}"), 1
+    )  # -1 when the band exceeds 1
+    # verify BEFORE the pair-dedup: the banded levenshtein is a cheap
+    # map-side scalar, while the distinct is a shuffle — filtering first
+    # shrinks the shuffle to the true pairs (× their shared-signature
+    # multiplicity) and drops the strings from the exchanged rows
+    # entirely (dist is functionally determined by the pair)
+    return (
         a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
@@ -1010,15 +1026,10 @@ def edit_distance_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id1"),
             F.col(f"b.{id_col}").alias("id2"),
-            F.col(f"a.{text_col}").alias("s1"),
-            F.col(f"b.{text_col}").alias("s2"),
+            dist.cast("long").alias("dist"),
         )
-        .distinct()
-    )
-    dist = F.levenshtein("s1", "s2", 1)  # -1 when the band exceeds 1
-    return (
-        cand.select("id1", "id2", dist.cast("long").alias("dist"))
         .filter(F.col("dist") >= 0)
+        .distinct()
     )
 
 
