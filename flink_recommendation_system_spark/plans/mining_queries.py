@@ -1232,3 +1232,65 @@ FROM stats
 """
 
 QUERIES["popularity_gini"] = (q_popularity_gini, POPULARITY_GINI_SQL)
+
+
+# --- incremental join-view maintenance ------------------------------------------
+
+
+def q_incremental_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the other half of IVM,
+    complementing `incremental_agg_update`'s aggregate): the materialized
+    view V = orders ⋈ customer over orders before 1999-01-01 is refreshed
+    with only the delta partition's join  ΔV = Δorders ⋈ customer  and
+    unioned — joins distribute over union, so  V ∪ ΔV  is EXACTLY the view
+    recomputed over the full range (the oracle recomputes from scratch).
+
+    Scale design (100 TB): the refresh scans only the date-pruned delta
+    (plan-pinned pushdown shape shared with `incremental_agg_update`) and
+    re-joins it against the dimension; the existing view rows are reused
+    verbatim — no re-join of the historical fact volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+    def view_rows(lo: str | None, hi: str) -> DataFrame:
+        df = orders.filter(
+            F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz")
+        )
+        if lo is not None:
+            df = df.filter(
+                F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz")
+            )
+        return df.join(
+            F.broadcast(cust), df["o_custkey"] == cust["c_custkey"]
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            (
+                F.round(F.col("o_totalprice") * 100).cast("long").cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("o_totalprice"),
+        )
+
+    base = view_rows(None, _INC_BASE_CUTOFF)
+    delta = view_rows(_INC_BASE_CUTOFF, _INC_DELTA_END)
+    return base.unionByName(delta)
+
+
+INCREMENTAL_JOIN_UPDATE_SQL = f"""
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0
+           AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '{_INC_DELTA_END}'
+"""
+
+QUERIES["incremental_join_update"] = (
+    q_incremental_join_update,
+    INCREMENTAL_JOIN_UPDATE_SQL,
+)
