@@ -359,3 +359,32 @@ def test_incremental_agg_prunes_delta_partition(spark):
         "GreaterThanOrEqual(o_orderdate" in seg and "LessThan(o_orderdate" in seg
         for seg in pushed
     ), plan[:4000]
+
+
+def test_phrase_search_has_no_positional_self_join(spark):
+    """The lookahead rewrite's contract: trigram enumeration is ONE
+    generate (posexplode) with element_at lookahead — the only join in the
+    plan is the broadcast of the 1-row top phrase; a SortMergeJoin would
+    mean the positional self-join crept back."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_phrase_search,
+    )
+
+    plan = _plan(q_phrase_search(spark, SF0001))
+    # the trigram relation is localCheckpointed, so the visible plan scans
+    # ExistingRDD — the pin is that NOTHING above it is a shuffled join
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_pairs_exchange_hashed_signatures(spark):
+    """The FastSS self-join must key on the 64-bit hashed signature (the
+    exchange carries longs, not L-char strings) and verify-before-dedup
+    (levenshtein appears under the join, before the distinct's exchange)."""
+    from flink_recommendation_system_spark.plans.relational_queries import (
+        q_fuzzy_name_pairs,
+    )
+
+    plan = _plan(q_fuzzy_name_pairs(spark, SF0001))
+    assert "xxhash64" in plan, plan[:3000]
+    assert "levenshtein" in plan
