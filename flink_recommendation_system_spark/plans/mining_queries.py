@@ -46,7 +46,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
     )
@@ -957,7 +957,7 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("observed"))
     )
     tot = Window.partitionBy()
-    expected = F.element_at(
+    expected = F.try_element_at(
         F.lit([_BENFORD[d] for d in range(1, 10)]), F.col("digit").cast("int")
     )
     return counts.select(
@@ -1263,7 +1263,7 @@ def q_incremental_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz")
             )
         return df.join(
-            F.broadcast(cust), df["o_custkey"] == cust["c_custkey"]
+            cust, df["o_custkey"] == cust["c_custkey"]
         ).select(
             "o_orderkey",
             "o_custkey",
