@@ -537,7 +537,8 @@ _WINDOW_PRIORITY = [
     #   pareto_frontier zorder_layout event_autocorrelation
     #   cusum_changepoint snapshot_diff chi_square_cells activity_streaks
     #   touch_attribution k_anonymity weighted_median benford_deviation
-    #   incremental_agg_update conversion_latency_quantiles
+    #   incremental_agg_update conversion_latency_quantiles popularity_gini
+    #   classifier_calibration incremental_join_update
 ]
 
 
