@@ -1294,3 +1294,260 @@ QUERIES["incremental_join_update"] = (
     q_incremental_join_update,
     INCREMENTAL_JOIN_UPDATE_SQL,
 )
+
+
+# --- product-analytics KPIs -------------------------------------------------------
+
+
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of (user, session)s with exactly one event,
+    sessionized by the same 1800 s inactivity gap as `user_sessions`.
+    Counts are exact; the rate is one IEEE division rounded 6 dp; a
+    session is attributed to the day of its FIRST event.
+
+    Scale design (100 TB): sessionization is the one user_id-partitioned
+    window pass; the rollup partial-aggregates to ≤ |days| rows."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    sess = ev.select(
+        "user_id",
+        "s",
+        "event_id",
+        F.when(
+            (F.col("s") - F.lag("s").over(w)) > 1800, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("s").alias("first_s"),
+    )
+    daily = per_sess.groupBy(
+        F.expr("CAST(first_s DIV 86400 AS BIGINT)").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("n_events") == 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("bounces"),
+    )
+    return daily.select(
+        "d",
+        "n_sessions",
+        "bounces",
+        F.round(
+            F.col("bounces").cast("double")
+            / F.col("n_sessions").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+BOUNCE_RATE_DAILY_SQL = """
+WITH ev AS (
+    SELECT user_id, event_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s,
+           CASE WHEN s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+sess AS (
+    SELECT user_id, s,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+),
+per_sess AS (
+    SELECT user_id, sess_id, count(*) AS n_events, min(s) AS first_s
+    FROM sess GROUP BY 1, 2
+),
+daily AS (
+    SELECT CAST(first_s // 86400 AS BIGINT) AS d,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bounces
+    FROM per_sess GROUP BY 1
+)
+SELECT d, n_sessions, bounces,
+       round(CAST(bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+           AS bounce_rate
+FROM daily
+"""
+
+QUERIES["bounce_rate_daily"] = (q_bounce_rate_daily, BOUNCE_RATE_DAILY_SQL)
+
+
+def q_lead_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment lead time distribution: integer days between the
+    order date and each line's ship date, counted per (priority, days) —
+    the ops KPI behind shipping SLAs. Day diffs are exact integer
+    arithmetic on epoch days.
+
+    Scale design (100 TB): fact⨝fact equi-join on the order key (both
+    sides bucketed at real scale), then a partial-aggregated rollup to the
+    (priority × ~120-day) grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    days = (
+        F.unix_date(F.col("l_shipdate").cast("date"))
+        - F.unix_date(F.col("o_orderdate").cast("date"))
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_orderpriority", days.alias("lead_days"))
+        .groupBy("o_orderpriority", "lead_days")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+LEAD_TIME_HISTOGRAM_SQL = """
+SELECT o_orderpriority,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(l_shipdate AS DATE)) AS BIGINT) AS lead_days,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+QUERIES["lead_time_histogram"] = (
+    q_lead_time_histogram,
+    LEAD_TIME_HISTOGRAM_SQL,
+)
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the share of total order revenue held by the
+    top 10% of customers (by their own revenue, ties broken by customer
+    key) — the "whale" KPI. Revenue stays integer cents end-to-end; the
+    decile cut is an exact integer rank threshold ceil(n/10); the share is
+    ONE IEEE division rounded 6 dp.
+
+    Scale design (100 TB): one per-customer partial agg, one rank window
+    over the aggregate, two scalar sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_e2"
+        )
+    )
+    w = Window.orderBy(F.col("rev_e2").desc(), "o_custkey")
+    ranked = per_cust.select(
+        "rev_e2",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cut = -F.floor(-F.col("n") / F.lit(10))
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.sum(
+            F.when(F.col("rn") <= cut, F.col("rev_e2")).otherwise(F.lit(0))
+        ).alias("top_e2"),
+        F.sum("rev_e2").alias("tot_e2"),
+    ).select(
+        "n_customers",
+        (F.col("top_e2").cast("double") / F.lit(100.0)).alias(
+            "top_decile_revenue"
+        ),
+        F.round(
+            F.col("top_e2").cast("double") / F.col("tot_e2").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_e2
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT rev_e2,
+           CAST(row_number() OVER (ORDER BY rev_e2 DESC, o_custkey)
+                AS BIGINT) AS rn,
+           count(*) OVER () AS n
+    FROM per_cust
+)
+SELECT max(n) AS n_customers,
+       CAST(sum(CASE WHEN rn <= CAST(ceil(n / 10.0) AS BIGINT)
+                THEN rev_e2 ELSE 0 END) AS DOUBLE) / 100.0
+           AS top_decile_revenue,
+       round(CAST(sum(CASE WHEN rn <= CAST(ceil(n / 10.0) AS BIGINT)
+                      THEN rev_e2 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_e2) AS DOUBLE), 6) AS top_decile_share
+FROM ranked
+"""
+
+QUERIES["revenue_concentration"] = (
+    q_revenue_concentration,
+    REVENUE_CONCENTRATION_SQL,
+)
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day — the top-line product
+    analytics split: a user counts as NEW on the day of their first event,
+    RETURNING on every later active day. All integers.
+
+    Scale design (100 TB): distinct (user, day) partial agg; first-day is
+    a per-user min over that aggregate (same shuffle key), and the rollup
+    is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.expr(f"CAST(ts DIV {_NS_PER_DAY} AS BIGINT)").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    tagged = days.withColumn("first_d", F.min("d").over(w))
+    return tagged.groupBy("d").agg(
+        F.sum(
+            F.when(F.col("d") == F.col("first_d"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("d") != F.col("first_d"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("returning_users"),
+    )
+
+
+NEW_VS_RETURNING_SQL = f"""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_ns(ts) // {_NS_PER_DAY} AS BIGINT) AS d
+    FROM events
+),
+tagged AS (
+    SELECT d, user_id,
+           min(d) OVER (PARTITION BY user_id) AS first_d
+    FROM days
+)
+SELECT d,
+       CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+       CAST(sum(CASE WHEN d != first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_users
+FROM tagged GROUP BY d
+"""
+
+QUERIES["new_vs_returning"] = (q_new_vs_returning, NEW_VS_RETURNING_SQL)
