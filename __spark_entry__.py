@@ -538,7 +538,8 @@ _WINDOW_PRIORITY = [
     #   cusum_changepoint snapshot_diff chi_square_cells activity_streaks
     #   touch_attribution k_anonymity weighted_median benford_deviation
     #   incremental_agg_update conversion_latency_quantiles popularity_gini
-    #   classifier_calibration incremental_join_update
+    #   classifier_calibration incremental_join_update bounce_rate_daily
+    #   lead_time_histogram revenue_concentration new_vs_returning
 ]
 
 
