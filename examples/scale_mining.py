@@ -45,6 +45,9 @@ QUERIES = [
     ("snapshot_diff", mining_queries.q_snapshot_diff),
     ("weighted_median", mining_queries.q_weighted_median),
     ("activity_streaks", mining_queries.q_activity_streaks),
+    ("lead_time_histogram", mining_queries.q_lead_time_histogram),
+    ("bounce_rate_daily", mining_queries.q_bounce_rate_daily),
+    ("new_vs_returning", mining_queries.q_new_vs_returning),
 ]
 
 
