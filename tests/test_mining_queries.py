@@ -367,3 +367,32 @@ def test_popularity_gini_known_distribution(spark, tmp_path):
     r = q_popularity_gini(spark, d).collect()[0]
     assert r["n"] == 2 and r["total_interactions"] == 4
     assert r["gini"] == 0.25
+
+
+def test_phrase_search_positions_and_overlaps(spark, tmp_path):
+    """Positions are 1-based and occurrences may overlap: in 'a b a b a b'
+    the top trigram is 'a b a' (2 occurrences, at 1 and 3, overlapping)
+    tied with 'b a b' (1 occurrence... actually 'a b a' wins on count)."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en", "s", 11),
+            (2, "a b a x y z", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_phrase_search,
+    )
+
+    rows = sorted(
+        (r["doc_id"], r["start_pos"], r["w1"], r["w2"], r["w3"])
+        for r in q_phrase_search(spark, d).collect()
+    )
+    # trigram counts: 'a b a' ×3 (doc1@1, doc1@3, doc2@1), 'b a b' ×2 →
+    # top phrase 'a b a'; occurrences at doc1 pos 1 and 3 OVERLAP
+    assert rows == [
+        (1, 1, "a", "b", "a"),
+        (1, 3, "a", "b", "a"),
+        (2, 1, "a", "b", "a"),
+    ]
