@@ -314,7 +314,9 @@ def _q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
         )
-        .distinct()
+        # no .distinct() here: strongly_connected_components dedups its
+        # edge input as its first step — doing it twice shuffles the
+        # pair-expanded relation an extra time for nothing
     )
     return G.strongly_connected_components(edges)
 
@@ -443,19 +445,87 @@ _SUITES = [
 # green history and remain covered at sf0.001 by tests/test_entry_queries.py
 # every CI run.
 #
-# ROUND-6 ROTATION (VERDICT r05 item 1 — the staged tier-6 head leads,
-# NOTHING ahead of it): the ~24 queries whose last driver green predates
-# the round-4 testdata regeneration get their post-regeneration driver row
-# first; then this round's new queries (never checked anywhere); then the
-# implementation-changed re-confirmations. After this window lands, every
-# registered query has a post-r4-regeneration driver CORRECTNESS row.
+# ROUND-7 ROTATION (VERDICT r06 item 1 — the staged round-7 head leads,
+# NOTHING ahead of it): the 43 round-6b queries that have never been in a
+# driver window (all with sf0.001 CI greens via tests/test_entry_queries.py
+# and sf0.01 CORRECTNESS_LOCAL greens) earn their first driver CORRECTNESS
+# rows; then this round's new queries (never checked anywhere); then the
+# implementation-changed re-confirmations fill the window to 50. After this
+# window lands, every query registered as of round 6 has a driver row.
 # Every out-of-window query keeps sf0.001 CI coverage
 # (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. tier-6 rotation head staged in round 5: round-5 additions that
-    # never fit the r5 window, then the stale-green relational/window tier
-    # (last driver green r01-r03)
+    # 1. round-7 rotation head staged in round 6 (__spark_entry__ r6
+    # comment block): the never-driver-checked round-6b additions, in
+    # registration order
+    "min_cost_supplier",
+    "nation_profit",
+    "important_parts",
+    "shipping_mode_stats",
+    "supplier_part_variety",
+    "dominant_part_suppliers",
+    "fuzzy_name_pairs",
+    "weighted_corpus_sample",
+    "gap_filled_hourly",
+    "event_transitions",
+    "integrity_report",
+    "recommender_eval",
+    "hits_scores",
+    "pmi_collocations",
+    "ab_test_report",
+    "priority_scd2",
+    "trending_products",
+    "event_rate_trend",
+    "ppjoin_pairs",
+    "session_paths",
+    "random_walks",
+    "phrase_search",
+    "basket_lift",
+    "pareto_frontier",
+    "zorder_layout",
+    "event_autocorrelation",
+    "cusum_changepoint",
+    "snapshot_diff",
+    "chi_square_cells",
+    "activity_streaks",
+    "touch_attribution",
+    "k_anonymity",
+    "weighted_median",
+    "benford_deviation",
+    "incremental_agg_update",
+    "conversion_latency_quantiles",
+    "popularity_gini",
+    "classifier_calibration",
+    "incremental_join_update",
+    "bounce_rate_daily",
+    "lead_time_histogram",
+    "revenue_concentration",
+    "new_vs_returning",
+    # 2. new this round (round 7 — never checked anywhere): true
+    # fixed-merge BPE subword tokenization (VERDICT r06 item 3), the FastSS
+    # k=2 fuzzy-join tier (item 5), and the fixed-centroid value-checked
+    # twin of semantic dedup's assignment step (item 6)
+    "subword_token_counts",
+    "fuzzy_name_pairs_d2",
+    "semantic_dedup_fixed",
+    # 3. implementation changed this round — re-confirm: adamic_adar
+    # order-deterministic sum (VERDICT r06 item 2), scc settled-vertex
+    # pruning (item 4). The ADVICE r06 prefix-filter integer-division,
+    # recommender_eval k-guard, bounce-rate tie-break and touch-attribution
+    # ordering fixes are covered by ppjoin_pairs / recommender_eval /
+    # bounce_rate_daily / touch_attribution already in tier 1 above.
+    "adamic_adar",
+    "scc_components",
+    # --- 48 rows above; tier 4 fills the 50-row window ---
+    # 4. window filler, freshest-need-first: the one noise-level r6 bench
+    # regression, then the session-gap-convention sibling of
+    # bounce_rate_daily (ADVICE r06 low — both now use >= SESSION_GAP_SEC)
+    "user_sessions",
+    "session_overlaps",
+    # everything else (all with post-r4 driver greens: r4/r5/r6 windows)
+    # follows; kept in round-6 window order (all r6-green), duplicates of
+    # names already listed above are harmlessly deduped by dict insertion
     "domain_capped_corpus",
     "temperature_mixture",
     "sliding_windows",
@@ -480,13 +550,6 @@ _WINDOW_PRIORITY = [
     "conditional_agg",
     "customer_deciles",
     "customer_order_gaps",
-    # 2. new this round (never checked in any driver window, 18 entries):
-    # the hash-exact PQ/IVF machinery twins (VERDICT r05 item 2), the
-    # learned quality classifier (item 6), the TPC-H Q13/Q21/Q22 + Q17/Q8
-    # shapes (item 5), the decode-tier frame sampler (item 3), int8
-    # quantization, the salted-agg skew tool, the running-spend frame,
-    # the LSH quality audit, sampled closeness, exact-stats correlation,
-    # degree distribution, and clustering coefficients
     "pq_adc_topk",
     "ivf_probe",
     "classifier_scores",
@@ -505,41 +568,12 @@ _WINDOW_PRIORITY = [
     "price_size_correlation",
     "degree_distribution",
     "clustering_coefficients",
-    # 3. implementation changed this round — re-confirm: exact-cents
-    # retrofit (ADVICE r05 medium), NULL-key filter, fused bidirectional
-    # SCC loop
     "promo_revenue",
     "top_supplier",
     "training_pairs",
-    "scc_components",
-    # 4. window filler to 50, freshest-need first: the r5 greens whose
-    # inputs the above tiers do not re-touch, in r5-window order
-    "session_overlaps",
     "approx_order_quantiles",
     "epoch_shuffle",
     "hll_part_distinct",
-    # --- 50-row window boundary (tiers 1-4 above sum to exactly 50) ---
-    # everything else (all with post-r4 driver greens: r4 or r5 windows)
-    # follows in registration order
-    #
-    # ROUND-7 ROTATION HEAD (staged — activate at the START of round 7 by
-    # moving these names to the top of this list; do NOT reorder before the
-    # round-6 driver check lands, it must cover the tier-1 stale head
-    # above). Never driver-checked round-6b additions, in registration
-    # order; all have sf0.001 CI greens (tests/test_entry_queries.py) and
-    # sf0.01 CORRECTNESS_LOCAL greens this round:
-    #   min_cost_supplier nation_profit important_parts shipping_mode_stats
-    #   supplier_part_variety dominant_part_suppliers fuzzy_name_pairs
-    #   weighted_corpus_sample gap_filled_hourly event_transitions
-    #   integrity_report recommender_eval hits_scores pmi_collocations
-    #   ab_test_report priority_scd2 trending_products event_rate_trend
-    #   ppjoin_pairs session_paths random_walks phrase_search basket_lift
-    #   pareto_frontier zorder_layout event_autocorrelation
-    #   cusum_changepoint snapshot_diff chi_square_cells activity_streaks
-    #   touch_attribution k_anonymity weighted_median benford_deviation
-    #   incremental_agg_update conversion_latency_quantiles popularity_gini
-    #   classifier_calibration incremental_join_update bounce_rate_daily
-    #   lead_time_histogram revenue_concentration new_vs_returning
 ]
 
 

@@ -490,9 +490,11 @@ def pq_fit(
     ``m`` contiguous subspaces of dim/m and run ``iters`` Lloyd rounds of
     k-means PER SUBSPACE — all subspaces trained in ONE DataFrame job per
     round (the subspace id is just another grouping key), not m driver
-    loops. Deterministic: initial codewords are the k lowest-salted-hash
-    training vectors per subspace and every argmin breaks ties on code id,
-    so refits are reproducible within a partitioning layout (the codeword
+    loops. Deterministic up to float-mean accumulation order: initial
+    codewords are the k lowest-salted-hash training vectors per subspace
+    and every argmin breaks ties on code id, so refits are reproducible
+    ONLY within a fixed partitioning layout — NOT across different
+    partition counts or cluster sizes (the codeword
     means are ``F.avg`` over doubles, whose partial-aggregation order —
     and therefore last-ulp value — can shift if the cluster layout
     changes; near-tie assignments may then flip, which is why the fit is
@@ -856,6 +858,83 @@ def ivf_probe_fixed(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup_fixed(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.45,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Value-checked twin of ``semantic_dedup``'s deterministic machinery
+    (VERDICT r06 item 6 — the recipe that turned PQ/IVF green): the same
+    normalize → cluster-assign → within-cell cosine-dedup plan, but on
+    FIXED hash-derived LCG centroids instead of a Lloyd fit, so every
+    number is deterministic arithmetic and the whole query value-oracles.
+    ``semantic_dedup`` (the KMeans variant) stays rows-only beside it.
+
+    Same SemDeDup contract: cluster on L2-NORMALIZED vectors (scaled
+    copies of one direction co-cluster; zero vectors pass through
+    un-normalized), then within each cell drop every vector whose cosine
+    to a lower-id member is ≥ ``threshold``; min id survives. The pair
+    cosine runs on the RAW vectors (cosine is magnitude-invariant, and
+    raw-vector cosine is the engine-proven ``_cosine_sql`` arithmetic).
+
+    Output: kept (vec_id, cell). Scale shape: broadcast n_clusters
+    centroids into a partial-agg'd argmin; the within-cell pair join is
+    the only superlinear step, Σ|cell|² bounded by scaling n_clusters
+    √N-style exactly as in ``semantic_dedup``.
+    """
+    spark = vectors.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(_lcg_vectors(n_clusters, dim, seed))],
+            "cell INT, cv ARRAY<DOUBLE>",
+        )
+    )
+    dv = F.col(vec_col).cast("array<double>")
+    norm = _norm(dv)
+    unit = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.when(norm != 0.0, F.transform(dv, lambda x: x / norm))
+        .otherwise(dv)
+        .alias("_v"),
+    )
+    assigned = (
+        unit.join(cents, F.lit(True))
+        .withColumn("_d", _l2sq(F.col("_v"), F.col("cv")))
+        .groupBy("_id")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m"))
+        .select("_id", F.col("_m.cell").alias("cell"))
+    )
+    raw = vectors.select(
+        F.col(id_col).alias("_id"), dv.alias("_raw"), _norm(dv).alias("_n")
+    )
+    withv = assigned.join(raw, "_id")
+    a, b = withv.alias("a"), withv.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(
+            F.round(
+                _dot(F.col("a._raw"), F.col("b._raw"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+    )
+    return withv.join(dropped, "_id", "left_anti").select(
+        F.col("_id").alias(id_col), F.col("cell").cast("long").alias("cell")
     )
 
 

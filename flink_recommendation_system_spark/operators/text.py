@@ -38,10 +38,13 @@ def tokens(col: str | Column = "text") -> Column:
 
 
 def bpe_ish_tokens(col: str | Column = "text") -> Column:
-    """BPE-ish sub-word proxy: split on whitespace AND punctuation
-    boundaries, keeping alphanumeric runs — the regex-level approximation
-    of byte-pair pretokenization (GPT-2 style pretokenizer splits on
-    \\w/\\W boundaries)."""
+    """Regex PRETOKENIZER approximation of subword counting: split on
+    whitespace AND punctuation boundaries, keeping alphanumeric runs
+    (GPT-2 style pretokenization on \\w/\\W boundaries). This is the
+    documented fast approximation for scan-speed statistics — the TRUE
+    learned-merge BPE tokenizer lives in ``operators/bpe.py`` (fit +
+    greedy merge apply, value-oracled end to end as the
+    ``subword_token_counts`` query)."""
     c = F.col(col) if isinstance(col, str) else col
     arr = F.split(c, "[^a-zA-Z0-9]+")
     return F.filter(arr, lambda x: x != "")

@@ -459,16 +459,26 @@ wedges AS (
     FROM edges e1
     JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
 ),
-scored AS (
+summed AS (
+    -- BIGINT grid units, exact order-independent sum (matches the Spark
+    -- side's integer-unit construction: graph.py adamic_adar)
     SELECT w.a, w.b,
-           round(sum(floor(1.0 / ln(d.deg) * CAST(274877906944 AS DOUBLE)
-                           + 0.5)
-                     / CAST(274877906944 AS DOUBLE)), 6) AS score
+           sum(CAST(floor(1.0 / ln(d.deg) * CAST(274877906944 AS DOUBLE)
+                          + 0.5) AS BIGINT)) AS units
     FROM wedges w
     JOIN deg d ON d.v = w.z
     LEFT JOIN pairs p ON p.src = w.a AND p.dst = w.b
     WHERE p.src IS NULL
     GROUP BY w.a, w.b
+),
+scored AS (
+    -- 6-dp round-half-up in exact integer arithmetic (HUGEINT widening),
+    -- then ONE IEEE division of identical integers per engine
+    SELECT a, b,
+           CAST(CAST((CAST(units AS HUGEINT) * 1000000 + 137438953472)
+                     // 274877906944 AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS score
+    FROM summed
 )
 SELECT a, b, score, rank FROM (
     SELECT *, row_number() OVER (ORDER BY score DESC, a ASC, b ASC) AS rank

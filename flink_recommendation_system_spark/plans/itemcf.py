@@ -243,6 +243,16 @@ def recommender_eval(reviews: DataFrame, k: int = K_EVAL) -> DataFrame:
     shuffle). Reference anchor: Recommendations.java:68-77 — this measures
     the contract that pipeline ships.
     """
+    if k > K_EVAL:
+        # ADVICE r06: the NDCG discount/IDCG tables have exactly K_EVAL
+        # entries; element_at past the end yields NULL and would silently
+        # degrade every NDCG value instead of failing loudly.
+        raise ValueError(
+            f"recommender_eval supports k <= {K_EVAL} "
+            f"(NDCG tables have {K_EVAL} entries); got k={k}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got k={k}")
     bounds = reviews.agg(
         F.min("ts").alias("_min_ts"), F.max("ts").alias("_max_ts")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .streaming_queries import SESSION_GAP_SEC
 
 QUERIES: dict = {}
 
@@ -738,9 +739,12 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing attribution: for every purchase, the click/view touches by
     the same user in the preceding hour (s in (purchase−3600, purchase]),
     with the touch count and the first-/last-touch event types. Touch
-    order is the total order (s, event_id) — event ids are unique — via a
-    single BIGINT sort key s·1e9 + event_id, so min_by/arg_min can never
-    tie.
+    order is the total order (s, event_id) — event ids are unique, so
+    min_by/max_by can never tie. Spark orders by the struct directly
+    (lexicographic struct comparison); the DuckDB oracle, whose
+    arg_min/arg_max cannot take a struct key, uses the exact HUGEINT key
+    s·2^63 + event_id, collision-free for any BIGINT event_id (ADVICE
+    r06: the old s·1e9 + event_id key silently mis-ordered ids ≥ 1e9).
 
     Scale design (100 TB): equi-join on user_id (one hash shuffle, both
     sides co-partitioned) with the time-range predicate evaluated inside
@@ -760,9 +764,8 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.col("s").alias("ts_s"),
-        (F.col("s") * F.lit(1_000_000_000) + F.col("event_id")).alias(
-            "ord"
-        ),
+        F.struct(F.col("s").alias("o_s"), F.col("event_id").alias("o_e"))
+        .alias("ord"),
         F.col("event_type").alias("touch_type"),
     )
     joined = purchases.join(touches, "user_id").filter(
@@ -788,7 +791,7 @@ purchases AS (
 ),
 touches AS (
     SELECT user_id, s AS ts_s,
-           s * 1000000000 + event_id AS ord,
+           CAST(s AS HUGEINT) * 9223372036854775808 + event_id AS ord,
            event_type AS touch_type
     FROM ev WHERE event_type IN ('click', 'view')
 )
@@ -1301,9 +1304,11 @@ QUERIES["incremental_join_update"] = (
 
 def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily bounce rate: share of (user, session)s with exactly one event,
-    sessionized by the same 1800 s inactivity gap as `user_sessions`.
-    Counts are exact; the rate is one IEEE division rounded 6 dp; a
-    session is attributed to the day of its FIRST event.
+    sessionized by the repo-wide gap convention (a NEW session starts when
+    the inactivity gap is >= SESSION_GAP_SEC, matching `user_sessions` /
+    `session_paths` — streaming_queries.py:84). Counts are exact; the rate
+    is one IEEE division rounded 6 dp; a session is attributed to the day
+    of its FIRST event.
 
     Scale design (100 TB): sessionization is the one user_id-partitioned
     window pass; the rollup partial-aggregates to ≤ |days| rows."""
@@ -1316,7 +1321,7 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         "event_id",
         F.when(
-            (F.col("s") - F.lag("s").over(w)) > 1800, F.lit(1)
+            (F.col("s") - F.lag("s").over(w)) >= SESSION_GAP_SEC, F.lit(1)
         )
         .otherwise(F.lit(0))
         .alias("new_sess"),
@@ -1350,21 +1355,22 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOUNCE_RATE_DAILY_SQL = """
+BOUNCE_RATE_DAILY_SQL = f"""
 WITH ev AS (
     SELECT user_id, event_id,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
     FROM events
 ),
 flagged AS (
-    SELECT user_id, s,
-           CASE WHEN s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+    SELECT user_id, event_id, s,
+           CASE WHEN s - lag(s) OVER w >= {SESSION_GAP_SEC}
+                THEN 1 ELSE 0 END AS new_sess
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
 ),
 sess AS (
     SELECT user_id, s,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
                ROWS UNBOUNDED PRECEDING) AS sess_id
     FROM flagged
 ),
