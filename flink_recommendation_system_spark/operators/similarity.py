@@ -923,10 +923,16 @@ def semantic_dedup_fixed(
             & (F.col("a._id") < F.col("b._id")),
         )
         .filter(
-            F.round(
-                _dot(F.col("a._raw"), F.col("b._raw"))
-                / (F.col("a._n") * F.col("b._n")),
-                6,
+            # NULL (→ filter false) when either side is a zero vector:
+            # cosine against a zero vector is undefined and never dedups;
+            # the guard also keeps ANSI mode from raising DIVIDE_BY_ZERO
+            F.when(
+                (F.col("a._n") != 0.0) & (F.col("b._n") != 0.0),
+                F.round(
+                    _dot(F.col("a._raw"), F.col("b._raw"))
+                    / (F.col("a._n") * F.col("b._n")),
+                    6,
+                ),
             )
             >= threshold
         )

@@ -3029,7 +3029,10 @@ withv AS (
 dropped AS (
     SELECT DISTINCT b.vec_id
     FROM withv a JOIN withv b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {threshold!r}
+    WHERE CASE WHEN sqrt({_dot_sql('a.embedding', 'a.embedding')}) != 0
+                AND sqrt({_dot_sql('b.embedding', 'b.embedding')}) != 0
+               THEN {_cosine_sql('a.embedding', 'b.embedding')}
+          END >= {threshold!r}
 )
 SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell
 FROM withv w LEFT JOIN dropped d ON w.vec_id = d.vec_id
