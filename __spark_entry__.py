@@ -574,6 +574,13 @@ _WINDOW_PRIORITY = [
     "approx_order_quantiles",
     "epoch_shuffle",
     "hll_part_distinct",
+    # ROUND-8 ROTATION HEAD (staged — activate at the START of round 8 by
+    # moving these names to the top of this list; do NOT reorder before
+    # the round-7 driver check lands, it must cover the round-6b head
+    # above). Round-7b additions, never driver-checked; all have sf0.001
+    # CI greens (tests/test_entry_queries.py) and sf0.01 local greens:
+    #   hard_negative_mining bpe_compression_stats record_linkage_scores
+    #   ktruss_edges
 ]
 
 

@@ -827,6 +827,98 @@ def _bidirectional_min_reach(
     )
 
 
+def ktruss_edges(
+    canonical_edges: DataFrame,
+    k: int,
+    max_iterations: int = 8,
+    checkpoint: str = "auto",
+    on_no_convergence: str = "raise",
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008) — the EDGE analog of k-core:
+    repeatedly delete every edge in fewer than k-2 triangles (all at once
+    per round) until fixpoint; the survivors form the k-truss, the
+    standard cohesive-subgraph tightening one notch stronger than
+    (k-1)-core. Input: canonical (src, dst) edges with src < dst, deduped.
+    Output: surviving (src, dst, support) with support = triangles
+    through the edge WITHIN the truss (all >= k-2). Like peeling k-core,
+    the fixpoint is removal-order-independent — engine-exact despite
+    iteration, so a bounded-round unrolled-CTE DuckDB oracle matches
+    bit-for-bit (the LPA recipe; converged rounds are no-ops, so an
+    oracle unrolled to ``max_iterations`` equals any earlier fixpoint).
+
+    Physical shape per round: support counting is ONE wedge self-join of
+    the both-direction adjacency on the common-neighbor key (partial-agg
+    count), closed against the canonical edge list — the triangle-count
+    plan family; the filter is a broadcast-able semi-join. Per-round
+    lineage truncation; the scalar loop control is the surviving-edge
+    count (monotone decreasing, so equality with the previous round IS
+    the fixpoint).
+
+    ``on_no_convergence``: "raise" (default) or "warn" — a truncated
+    peel leaves a SUPERSET of the true k-truss (peeling is monotone).
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (2-truss is every edge)")
+    min_sup = k - 2
+    E = _truncate_lineage(
+        canonical_edges.select("src", "dst")
+        .filter(F.col("src") < F.col("dst"))
+        .distinct(),
+        checkpoint,
+    )
+    prev_n = E.count()
+
+    def _support(edges_df: DataFrame) -> DataFrame:
+        adj = edges_df.select(
+            F.col("src").alias("u"), F.col("dst").alias("w")
+        ).unionByName(
+            edges_df.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+        )
+        p, q = adj.alias("p"), adj.alias("q")
+        wedges = p.join(
+            q,
+            (F.col("p.w") == F.col("q.w")) & (F.col("p.u") < F.col("q.u")),
+        ).select(F.col("p.u").alias("src"), F.col("q.u").alias("dst"))
+        return (
+            wedges.join(edges_df, ["src", "dst"], "left_semi")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    converged = prev_n == 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        sup = _support(E)
+        E = _truncate_lineage(
+            E.join(
+                sup.filter(F.col("support") >= min_sup).select("src", "dst"),
+                ["src", "dst"],
+                "left_semi",
+            ),
+            checkpoint,
+        )
+        n = E.count()  # metadata-sized scalar loop control
+        if n == prev_n:
+            converged = True
+        prev_n = n
+    if not converged:
+        msg = (
+            f"k-truss peel stopped before its fixpoint "
+            f"(max_iterations={max_iterations}); the result is a SUPERSET "
+            "of the true k-truss. Raise max_iterations."
+        )
+        if on_no_convergence == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
+    final_sup = _support(E)
+    return E.join(final_sup, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 8,

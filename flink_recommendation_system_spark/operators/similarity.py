@@ -944,6 +944,76 @@ def semantic_dedup_fixed(
     )
 
 
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_pos: int = 1,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining — the dataset-construction step
+    behind embedding-model fine-tuning (in-batch negatives are easy;
+    HARD negatives are the top-scoring wrong-label neighbors): for each
+    query vector, the ``n_pos`` nearest SAME-label vectors (positives)
+    and the ``n_neg`` nearest DIFFERENT-label vectors (hard negatives),
+    by exact cosine with the engine's 6-dp deterministic rounding and
+    (sim DESC, neighbor_id ASC) tie-break.
+
+    Output: (query_id, role 'pos'|'neg', rank, neighbor_id, cosine_sim).
+    Fully value-oracled (exact arithmetic, no fit).
+
+    Scale shape: the query side is tiny by contract and broadcast; the
+    corpus streams through one codegen'd cosine projection and a
+    per-(query, role) top-k window — same plan family as
+    ``cosine_topk``. At real scale the corpus side swaps in any
+    registered ANN tier (IVF/PQ/SRP buckets) for candidate generation
+    without changing this ranking contract.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.when(F.col("q_label") == F.col("c_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(
+            (
+                (F.col("role") == "pos") & (F.col("rank") <= n_pos)
+            )
+            | ((F.col("role") == "neg") & (F.col("rank") <= n_neg))
+        )
+        .select("query_id", "role", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame,
     id_col: str = "vec_id",

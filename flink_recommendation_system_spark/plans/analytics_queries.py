@@ -1627,3 +1627,107 @@ QUERIES["degree_distribution"] = (
     q_degree_distribution,
     DEGREE_DISTRIBUTION_SQL,
 )
+
+
+# --- k-truss decomposition (round 7b) --------------------------------------
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 8
+
+
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the product co-like graph: product pair (p1 < p2) is an
+    edge when its co-liker count reaches 60% of the maximum pair count
+    (integer test c*10 >= max_c*6 — scale-relative, so the graph stays
+    meaningfully sparse at every SF); then peel edges in < 2 triangles to
+    fixpoint (operators.graph.ktruss_edges). Output (src, dst, support).
+    FULL value oracle via unrolled peel rounds (converged rounds no-op).
+
+    Scale design (100 TB): the co-like pair build is the standard fact
+    self-join on user_id (bounded by the fixed product catalog); the
+    peel runs on the ≤ |catalog|² edge relation — wedge joins partial-agg
+    on 8-byte keys; the scalar max broadcasts."""
+    from ..operators.graph import ktruss_edges
+    from ..sources.tables import reviews_from_events
+
+    reviews = reviews_from_events(spark, sf_dir)
+    liked = (
+        reviews.filter(F.col("rating") > 3.0)
+        .select("user_id", "product_id")
+        .distinct()
+    )
+    a, b = liked.alias("a"), liked.alias("b")
+    pp = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.product_id") < F.col("b.product_id")),
+        )
+        .groupBy(
+            F.col("a.product_id").alias("src"),
+            F.col("b.product_id").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = pp.agg(F.max("c").alias("mx"))
+    E = (
+        pp.crossJoin(F.broadcast(mx))
+        .filter(F.col("c") * 10 >= F.col("mx") * 6)
+        .select("src", "dst")
+    )
+    return ktruss_edges(E, k=_KTRUSS_K, max_iterations=_KTRUSS_ROUNDS)
+
+
+def _ktruss_sql(k: int = _KTRUSS_K, rounds: int = _KTRUSS_ROUNDS) -> str:
+    from ..oracles import REVIEWS_CTE
+
+    min_sup = k - 2
+    body = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        body.append(f"""adj{r} AS MATERIALIZED (
+    SELECT src AS u, dst AS w FROM {prev}
+    UNION ALL SELECT dst, src FROM {prev}
+),
+sup{r} AS MATERIALIZED (
+    SELECT p.u AS src, q.u AS dst, count(*) AS c
+    FROM adj{r} p
+    JOIN adj{r} q ON p.w = q.w AND p.u < q.u
+    JOIN {prev} e ON e.src = p.u AND e.dst = q.u
+    GROUP BY 1, 2
+),
+e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM {prev} e
+    JOIN sup{r} s ON s.src = e.src AND s.dst = e.dst AND s.c >= {min_sup}
+)""")
+        prev = f"e{r}"
+    joined = ",\n".join(body)
+    return f"""
+WITH {REVIEWS_CTE},
+liked AS MATERIALIZED (
+    SELECT DISTINCT user_id, product_id FROM reviews WHERE rating > 3.0
+),
+pp AS MATERIALIZED (
+    SELECT a.product_id AS src, b.product_id AS dst, count(*) AS c
+    FROM liked a JOIN liked b
+      ON a.user_id = b.user_id AND a.product_id < b.product_id
+    GROUP BY 1, 2
+),
+e0 AS MATERIALIZED (
+    SELECT src, dst FROM pp WHERE c * 10 >= (SELECT max(c) FROM pp) * 6
+),
+{joined},
+supF AS (
+    SELECT p.u AS src, q.u AS dst, count(*) AS c
+    FROM adj{rounds} p
+    JOIN adj{rounds} q ON p.w = q.w AND p.u < q.u
+    JOIN {prev} e ON e.src = p.u AND e.dst = q.u
+    GROUP BY 1, 2
+)
+SELECT e.src, e.dst, CAST(coalesce(s.c, 0) AS BIGINT) AS support
+FROM {prev} e
+LEFT JOIN supF s ON s.src = e.src AND s.dst = e.dst
+"""
+
+
+QUERIES["ktruss_edges"] = (q_ktruss_edges, _ktruss_sql())

@@ -2916,11 +2916,12 @@ def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _subword_token_counts_sql(n_merges: int = N_BPE_MERGES) -> str:
-    """Unrolled BPE training + apply, one (pairs, argmax, replace) CTE
-    triple per merge round. AS MATERIALIZED is load-bearing: each round
-    references the previous ~4×, so un-materialized CTE inlining would
-    expand the plan exponentially."""
+def _bpe_unrolled_with(n_merges: int = N_BPE_MERGES) -> str:
+    """Shared WITH-body: vocab build + unrolled BPE training (one
+    (pairs, argmax, replace) CTE triple per merge round) + the per-word
+    token counts as ``fin(word, n_sub)``. AS MATERIALIZED is
+    load-bearing: each round references the previous ~4×, so
+    un-materialized CTE inlining would expand the plan exponentially."""
     rounds = []
     prev = "v0"
     for r in range(1, n_merges + 1):
@@ -2944,8 +2945,7 @@ v{r} AS MATERIALIZED (
 )""")
         prev = f"v{r}"
     body = ",\n".join(rounds)
-    return f"""
-WITH w0 AS MATERIALIZED (
+    return f"""WITH w0 AS MATERIALIZED (
     SELECT doc_id, word FROM (
         SELECT doc_id,
                unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
@@ -2960,7 +2960,12 @@ v0 AS MATERIALIZED (
 fin AS (
     SELECT word, length(s) - length(replace(s, '(', '')) AS n_sub
     FROM {prev}
-)
+)"""
+
+
+def _subword_token_counts_sql(n_merges: int = N_BPE_MERGES) -> str:
+    return f"""
+{_bpe_unrolled_with(n_merges)}
 SELECT w.doc_id, count(*) AS n_words,
        CAST(sum(f.n_sub) AS BIGINT) AS n_subword_tokens
 FROM w0 w JOIN fin f USING (word)
@@ -3045,4 +3050,122 @@ SEMANTIC_DEDUP_FIXED_SQL = _semantic_dedup_fixed_sql()
 QUERIES["semantic_dedup_fixed"] = (
     q_semantic_dedup_fixed,
     SEMANTIC_DEDUP_FIXED_SQL,
+)
+
+
+# --- contrastive hard-negative mining (round 7b) ---------------------------
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair mining for embedding fine-tuning: per query
+    vector (vec_id < N_QUERY_VECS), nearest same-label positive and the
+    3 nearest different-label hard negatives by exact cosine. FULL value
+    oracle (deterministic arithmetic end to end)."""
+    emb = _emb(spark, sf_dir)
+    return S.hard_negative_mining(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, n_pos=1, n_neg=3
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT q.query_id,
+           CASE WHEN q.q_label = e.label THEN 'pos' ELSE 'neg' END AS role,
+           e.vec_id AS neighbor_id,
+           {_cosine_sql('q.qv', 'e.embedding')} AS cosine_sim
+    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, role
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+)
+SELECT query_id, role, rank, neighbor_id, cosine_sim
+FROM ranked
+WHERE (role = 'pos' AND rank <= 1) OR (role = 'neg' AND rank <= 3)
+"""
+
+QUERIES["hard_negative_mining"] = (
+    q_hard_negative_mining,
+    HARD_NEGATIVE_MINING_SQL,
+)
+
+
+# --- BPE tokenizer compression report (round 7b) ---------------------------
+
+
+def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer compression report — the fertility/
+    compression audit run before committing to a tokenizer (chars per
+    subword token by language; languages a merge table under-serves show
+    low compression): fit the corpus BPE (same N_BPE_MERGES recipe as
+    `subword_token_counts`), apply, roll up per lang. FULL value oracle
+    via the shared unrolled-merge CTE body.
+
+    Scale design (100 TB): identical to subword_token_counts plus one
+    partial-agg'd rollup to ≤ |langs| rows."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = bpe.bpe_fit(vocab, n_merges=N_BPE_MERGES)
+    tokenized = bpe.bpe_tokenize_words(vocab.select("word"), merges)
+    return (
+        words.join(
+            F.broadcast(tokenized.select("word", "n_subword_tokens")),
+            "word",
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_word_chars"),
+            F.sum("n_subword_tokens").alias("n_subword_tokens"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(
+                F.col("n_word_chars").cast("double")
+                / F.col("n_subword_tokens").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+BPE_COMPRESSION_STATS_SQL = f"""
+{_bpe_unrolled_with()},
+wl AS (
+    SELECT d.lang, w.doc_id, w.word
+    FROM w0 w JOIN documents d USING (doc_id)
+)
+SELECT wl.lang,
+       count(DISTINCT wl.doc_id) AS n_docs,
+       count(*) AS n_words,
+       CAST(sum(length(wl.word)) AS BIGINT) AS n_word_chars,
+       CAST(sum(f.n_sub) AS BIGINT) AS n_subword_tokens,
+       round(CAST(sum(length(wl.word)) AS DOUBLE)
+             / CAST(sum(f.n_sub) AS DOUBLE), 6) AS chars_per_token
+FROM wl JOIN fin f USING (word)
+GROUP BY 1
+"""
+
+QUERIES["bpe_compression_stats"] = (
+    q_bpe_compression_stats,
+    BPE_COMPRESSION_STATS_SQL,
 )

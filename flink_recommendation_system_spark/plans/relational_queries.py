@@ -1357,3 +1357,154 @@ FROM runs
 """
 
 QUERIES["priority_scd2"] = (q_priority_scd2, PRIORITY_SCD2_SQL)
+
+
+# --- Fellegi-Sunter record linkage (round 7b) ------------------------------
+
+# Integer MILLI-weights (log-likelihood-ratio shaped, fixed by convention
+# like the classifier's fixed weights): agreement adds, disagreement
+# subtracts; scores stay exact BIGINTs until one final /1000 division.
+_RL_W_NAME = {0: 4000, 1: 2500, 2: 1000}  # by edit distance
+_RL_W_NATION = (1800, -700)               # (agree, disagree)
+_RL_W_SEGMENT = (900, -400)
+_RL_W_BALBUCKET = (1200, -500)
+_RL_MATCH_MILLI = 5000
+_RL_POSSIBLE_MILLI = 2000
+
+
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969, the classic
+    entity-resolution decision model): FastSS-2 blocking proposes
+    candidate pairs (names within edit distance 2 on the same bounded
+    slice as `fuzzy_name_pairs_d2`), then each pair is scored by summing
+    fixed per-field agreement/disagreement weights — name edit distance,
+    nation, market segment, and 1000-unit account-balance bucket — and
+    classified match / possible / non-match by the two FS thresholds.
+
+    All weights are integer millis, so the score sum is exact; the only
+    float op is the final /1000. FULL value oracle (the quadratic
+    levenshtein join replays the candidate set — every green row is also
+    a blocking-losslessness proof).
+
+    Scale design (100 TB): candidate generation is the sub-quadratic
+    FastSS-2 signature join; attribute enrichment is two equi-joins back
+    to the (bucketed) customer table; scoring is a codegen'd projection.
+    """
+    from ..operators.dedup import edit_distance_pairs
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DIV 100000"
+            ).alias("bal_bucket"),
+        )
+    )
+    pairs = edit_distance_pairs(
+        cust.select("c_custkey", "c_name"),
+        id_col="c_custkey",
+        text_col="c_name",
+        max_dist=2,
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_nationkey").alias("nat1"),
+        F.col("c_mktsegment").alias("seg1"),
+        F.col("bal_bucket").alias("bal1"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_nationkey").alias("nat2"),
+        F.col("c_mktsegment").alias("seg2"),
+        F.col("bal_bucket").alias("bal2"),
+    )
+    name_w = F.when(F.col("dist") == 0, F.lit(_RL_W_NAME[0])).when(
+        F.col("dist") == 1, F.lit(_RL_W_NAME[1])
+    ).otherwise(F.lit(_RL_W_NAME[2]))
+    nat_w = F.when(
+        F.col("nat1") == F.col("nat2"), F.lit(_RL_W_NATION[0])
+    ).otherwise(F.lit(_RL_W_NATION[1]))
+    seg_w = F.when(
+        F.col("seg1") == F.col("seg2"), F.lit(_RL_W_SEGMENT[0])
+    ).otherwise(F.lit(_RL_W_SEGMENT[1]))
+    bal_w = F.when(
+        F.col("bal1") == F.col("bal2"), F.lit(_RL_W_BALBUCKET[0])
+    ).otherwise(F.lit(_RL_W_BALBUCKET[1]))
+    scored = (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("dist").alias("name_dist"),
+            (F.col("nat1") == F.col("nat2")).alias("same_nation"),
+            (F.col("seg1") == F.col("seg2")).alias("same_segment"),
+            (F.col("bal1") == F.col("bal2")).alias("same_bal_bucket"),
+            (name_w + nat_w + seg_w + bal_w).cast("long").alias("_milli"),
+        )
+    )
+    return scored.select(
+        "id1",
+        "id2",
+        "name_dist",
+        "same_nation",
+        "same_segment",
+        "same_bal_bucket",
+        (F.col("_milli").cast("double") / F.lit(1000.0)).alias("score"),
+        F.when(F.col("_milli") >= _RL_MATCH_MILLI, F.lit("match"))
+        .when(F.col("_milli") >= _RL_POSSIBLE_MILLI, F.lit("possible"))
+        .otherwise(F.lit("non-match"))
+        .alias("match_class"),
+    )
+
+
+RECORD_LINKAGE_SCORES_SQL = f"""
+WITH c AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000
+               AS bal_bucket
+    FROM customer
+    WHERE c_custkey <= {FUZZY_D2_MAX_KEY} AND length(c_name) <= 64
+),
+pairs AS (
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+scored AS (
+    SELECT p.id1, p.id2, p.name_dist,
+           a.c_nationkey = b.c_nationkey AS same_nation,
+           a.c_mktsegment = b.c_mktsegment AS same_segment,
+           a.bal_bucket = b.bal_bucket AS same_bal_bucket,
+           (CASE p.name_dist WHEN 0 THEN {_RL_W_NAME[0]}
+                             WHEN 1 THEN {_RL_W_NAME[1]}
+                             ELSE {_RL_W_NAME[2]} END
+            + CASE WHEN a.c_nationkey = b.c_nationkey
+                   THEN {_RL_W_NATION[0]} ELSE {_RL_W_NATION[1]} END
+            + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                   THEN {_RL_W_SEGMENT[0]} ELSE {_RL_W_SEGMENT[1]} END
+            + CASE WHEN a.bal_bucket = b.bal_bucket
+                   THEN {_RL_W_BALBUCKET[0]} ELSE {_RL_W_BALBUCKET[1]} END
+           ) AS milli
+    FROM pairs p
+    JOIN c a ON a.c_custkey = p.id1
+    JOIN c b ON b.c_custkey = p.id2
+)
+SELECT id1, id2, name_dist, same_nation, same_segment, same_bal_bucket,
+       CAST(milli AS DOUBLE) / 1000.0 AS score,
+       CASE WHEN milli >= {_RL_MATCH_MILLI} THEN 'match'
+            WHEN milli >= {_RL_POSSIBLE_MILLI} THEN 'possible'
+            ELSE 'non-match' END AS match_class
+FROM scored
+"""
+
+QUERIES["record_linkage_scores"] = (
+    q_record_linkage_scores,
+    RECORD_LINKAGE_SCORES_SQL,
+)

@@ -189,3 +189,75 @@ def test_semantic_dedup_fixed_invariants(spark):
     }
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert 10 in kept and 20 in kept
+
+
+# --- k-truss ---------------------------------------------------------------
+
+
+def test_ktruss_k4_hand_graph(spark):
+    """K4 survives (every edge in 2 triangles); a triangle hanging off
+    one K4 edge peels (its outer edges have support 1), and the peel
+    cascades — removal-order independence means the fixpoint equals the
+    reference peel."""
+    from flink_recommendation_system_spark.operators.graph import (
+        ktruss_edges,
+    )
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    hanging = [(3, 5), (4, 5)]   # triangle (3,4,5) shares edge (3,4)
+    tail = [(5, 6)]              # pendant edge, support 0
+    df = spark.createDataFrame(k4 + hanging + tail, "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in ktruss_edges(df, k=4).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2, (1, 4): 2,
+                   (2, 3): 2, (2, 4): 2, (3, 4): 2}
+
+
+def test_ktruss_peel_cascades_to_empty(spark):
+    """A bare triangle has per-edge support 1 < 2 — the whole graph
+    peels; k < 3 is rejected."""
+    import pytest
+
+    from flink_recommendation_system_spark.operators.graph import (
+        ktruss_edges,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    assert ktruss_edges(tri, k=5).count() == 0
+    assert ktruss_edges(tri, k=3).count() == 3  # 3-truss: support >= 1
+    with pytest.raises(ValueError):
+        ktruss_edges(tri, k=2)
+
+
+def test_hard_negative_mining_contract(spark):
+    """Positives share the query's label, negatives never do; ranks are
+    dense from 1 within each role; self never appears."""
+    from flink_recommendation_system_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0, 0.0], 7),   # close positive
+        (2, [0.8, 0.2, 0.0, 0.0], 3),   # close negative
+        (3, [0.0, 1.0, 0.0, 0.0], 3),
+        (4, [0.0, 0.0, 1.0, 0.0], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negative_mining(
+        df.filter("vec_id = 0"), df, n_pos=1, n_neg=2
+    ).collect()
+    by_role = {}
+    for r in out:
+        by_role.setdefault(r["role"], []).append(r)
+    assert [r["neighbor_id"] for r in by_role["pos"]] == [1]
+    negs = sorted(by_role["neg"], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in negs] == [2, 3]
+    assert all(r["neighbor_id"] != 0 for r in out)
