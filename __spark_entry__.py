@@ -231,6 +231,39 @@ def _q_closeness_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (Brandes dependency accumulation
+    from the 3 smallest liked users, 3-hop horizon) on the bipartite
+    liked graph — forward σ path counts exact BIGINT, backward δ terms
+    2^-38-grid-quantized BIGINT unit sums (order-independent), output
+    the exactly-representable units/2^38 double. FULL value oracle
+    (oracles.BETWEENNESS_SAMPLED_SQL, identical term parenthesization)."""
+    from pyspark.sql import functions as F
+
+    liked = _liked(spark, sf_dir)
+    off = oracles.KCORE_PRODUCT_OFFSET
+    bedges = liked.select(
+        F.col("user_id").alias("src"),
+        (F.col("product_id") + off).alias("dst"),
+    )
+    sources = (
+        liked.select(F.col("user_id").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(oracles.BFS_N_SOURCES)
+    )
+    bw = G.betweenness_sampled(
+        G.undirected(bedges), sources, max_hops=oracles.BFS_MAX_HOPS
+    )
+    return bw.select(
+        F.when(F.col("id") >= off, "product").otherwise("user").alias("role"),
+        F.when(F.col("id") >= off, F.col("id") - off)
+        .otherwise(F.col("id"))
+        .alias("id"),
+        "betweenness",
+    )
+
+
 def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction on the user<200 co-review graph (the
     triangle oracle's bounded vertex set): the near-complete graph's few
@@ -580,7 +613,7 @@ _WINDOW_PRIORITY = [
     # above). Round-7b additions, never driver-checked; all have sf0.001
     # CI greens (tests/test_entry_queries.py) and sf0.01 local greens:
     #   hard_negative_mining bpe_compression_stats record_linkage_scores
-    #   ktruss_edges
+    #   ktruss_edges ewma_event_trend betweenness_sampled zone_map_stats
 ]
 
 
@@ -610,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficients": _q_clustering_coefficients,
         "hits_scores": _q_hits_scores,
         "random_walks": _q_random_walks,
+        "betweenness_sampled": _q_betweenness_sampled,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -660,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": oracles.ADAMIC_ADAR_SQL,
         "bfs_hops": oracles.BFS_HOPS_SQL,
         "closeness_estimates": oracles.CLOSENESS_ESTIMATES_SQL,
+        "betweenness_sampled": oracles.BETWEENNESS_SAMPLED_SQL,
         "clustering_coefficients": oracles.CLUSTERING_COEFFICIENTS_SQL,
         "hits_scores": oracles.HITS_SCORES_SQL,
         "random_walks": oracles.RANDOM_WALKS_SQL,

@@ -1276,6 +1276,111 @@ def bfs_hops_per_source(
     return dist
 
 
+def betweenness_sampled(
+    undirected_edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Sampled betweenness centrality — Brandes' dependency accumulation
+    (Brandes 2001) restricted to shortest paths FROM the given source set
+    within ``max_hops`` (the standard k-sample estimator shape; exact for
+    the sampled sources, like ``bfs_hops_per_source`` is for closeness):
+
+    forward: per-source BFS levels carrying σ(v) = number of shortest
+    s→v paths (exact BIGINT sums over predecessor σ); backward:
+    δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)) accumulated level by
+    level, and betweenness(v) = Σ_s δ_s(v) for v ≠ s.
+
+    Engine-exact construction: every backward term is quantized to the
+    2^-38 binary grid and accumulated as BIGINT units (the adamic_adar /
+    pagerank recipe), so sums are order-independent and the one float
+    expression per term — σv/σw · (1 + δw/2^38) · 2^38, identically
+    parenthesized in the SQL oracle — is deterministic; the output double
+    units/2^38 is exactly representable. Overflow headroom: units stay
+    < 2^63 while Σδ < 2^25 (≈33M path dependencies), far above the
+    bounded-source contract's reach.
+
+    Output: (id, betweenness) for every non-source vertex reached within
+    ``max_hops`` (horizon-edge vertices carry exact 0).
+
+    Scale shape: all sources advance in ONE job per level (source is a
+    grouping column); each level is an equi-join + partial-agg over the
+    edge list; the backward pass is one join per level over the
+    (source, vertex) level relations. Unrolled-CTE value oracle.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    grid = 1 << 38
+    edges = undirected_edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    lvl0 = (
+        sources.select(F.col("id")).distinct()
+        .select(F.col("id").alias("source"), F.col("id"))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    levels = [lvl0]
+    visited = lvl0.select("source", "id")
+    for _h in range(1, max_hops + 1):
+        nxt = (
+            levels[-1]
+            .join(edges, levels[-1]["id"] == edges["src"])
+            .select("source", F.col("dst").alias("id"), "sigma")
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "id"], "left_anti")
+            .localCheckpoint()
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("source", "id")
+        ).localCheckpoint()
+    # backward dependency accumulation, deepest level first (δ = 0 there)
+    delta = levels[max_hops].select(
+        "source", "id", F.lit(0).cast("long").alias("units")
+    )
+    out_parts = [delta]
+    term = F.expr(
+        "CAST(floor((CAST(sigma AS DOUBLE) / CAST(w_sigma AS DOUBLE))"
+        f" * (CAST(1 AS DOUBLE) + CAST(w_units AS DOUBLE) / {grid})"
+        f" * {grid} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    for lv in range(max_hops - 1, 0, -1):
+        succ = levels[lv + 1].join(delta, ["source", "id"]).select(
+            "source",
+            F.col("id").alias("w_id"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("units").alias("w_units"),
+        )
+        pairs = (
+            levels[lv]
+            .join(edges, levels[lv]["id"] == edges["src"])
+            .select("source", "id", "sigma", F.col("dst").alias("w_id"))
+            .join(succ, ["source", "w_id"])
+        )
+        summed = pairs.select(
+            "source", "id", term.alias("t")
+        ).groupBy("source", "id").agg(F.sum("t").alias("units"))
+        delta = (
+            levels[lv]
+            .join(summed, ["source", "id"], "left")
+            .select(
+                "source",
+                "id",
+                F.coalesce("units", F.lit(0)).cast("long").alias("units"),
+            )
+            .localCheckpoint()
+        )
+        out_parts.append(delta)
+    acc = out_parts[0]
+    for p in out_parts[1:]:
+        acc = acc.unionByName(p)
+    return acc.groupBy("id").agg(
+        (F.sum("units").cast("double") / F.lit(float(grid))).alias(
+            "betweenness"
+        )
+    )
+
+
 def hits_scores(edges: DataFrame, iterations: int = 2) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) on a directed edge list,
     UNNORMALIZED: h_0 = 1 for every vertex, then per iteration

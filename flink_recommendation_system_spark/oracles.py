@@ -700,3 +700,99 @@ FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
       UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 """
 )
+
+
+# Sampled betweenness centrality (Brandes 2001, restricted to the 3 BFS
+# seeds, 3-hop horizon) on the bipartite liked graph. Forward: exact
+# per-level sigma path counts (BIGINT sums, anti-joined against earlier
+# levels). Backward: each dependency term quantized to the 2^-38 grid and
+# accumulated as BIGINT units (the adamic_adar construction), the single
+# float expression per term parenthesized identically to the Spark side.
+_BW_GRID = 274877906944  # 2^38
+
+
+def _betweenness_ctes() -> str:
+    off = KCORE_PRODUCT_OFFSET
+    g = _BW_GRID
+    term = (
+        "CAST(floor((CAST(l.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))"
+        f" * (CAST(1 AS DOUBLE) + CAST(wd.units AS DOUBLE) / {g})"
+        f" * {g} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""bedges AS (
+    SELECT user_id AS src, product_id + {off} AS dst FROM liked
+    UNION ALL
+    SELECT product_id + {off} AS src, user_id AS dst FROM liked
+),
+b0 AS (
+    SELECT CAST(user_id AS BIGINT) AS source, CAST(user_id AS BIGINT) AS id,
+           CAST(1 AS BIGINT) AS sigma
+    FROM (SELECT DISTINCT user_id FROM liked ORDER BY user_id
+          LIMIT {BFS_N_SOURCES})
+),
+b1 AS (
+    SELECT n.source, n.id, n.sigma FROM (
+        SELECT d.source, e.dst AS id, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        FROM bedges e JOIN b0 d ON e.src = d.id
+        GROUP BY 1, 2
+    ) n
+    LEFT JOIN b0 v ON v.source = n.source AND v.id = n.id
+    WHERE v.id IS NULL
+),
+b2 AS (
+    SELECT n.source, n.id, n.sigma FROM (
+        SELECT d.source, e.dst AS id, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        FROM bedges e JOIN b1 d ON e.src = d.id
+        GROUP BY 1, 2
+    ) n
+    LEFT JOIN (SELECT source, id FROM b0 UNION ALL SELECT source, id FROM b1)
+        v ON v.source = n.source AND v.id = n.id
+    WHERE v.id IS NULL
+),
+b3 AS (
+    SELECT n.source, n.id, n.sigma FROM (
+        SELECT d.source, e.dst AS id, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        FROM bedges e JOIN b2 d ON e.src = d.id
+        GROUP BY 1, 2
+    ) n
+    LEFT JOIN (SELECT source, id FROM b0 UNION ALL SELECT source, id FROM b1
+               UNION ALL SELECT source, id FROM b2)
+        v ON v.source = n.source AND v.id = n.id
+    WHERE v.id IS NULL
+),
+bd3 AS (SELECT source, id, CAST(0 AS BIGINT) AS units FROM b3),
+bd2 AS (
+    SELECT l.source, l.id, CAST(coalesce(s.units, 0) AS BIGINT) AS units
+    FROM b2 l LEFT JOIN (
+        SELECT l.source, l.id, sum({term}) AS units
+        FROM b2 l
+        JOIN bedges e ON e.src = l.id
+        JOIN b3 w ON w.source = l.source AND w.id = e.dst
+        JOIN bd3 wd ON wd.source = w.source AND wd.id = w.id
+        GROUP BY 1, 2
+    ) s ON s.source = l.source AND s.id = l.id
+),
+bd1 AS (
+    SELECT l.source, l.id, CAST(coalesce(s.units, 0) AS BIGINT) AS units
+    FROM b1 l LEFT JOIN (
+        SELECT l.source, l.id, sum({term}) AS units
+        FROM b1 l
+        JOIN bedges e ON e.src = l.id
+        JOIN b2 w ON w.source = l.source AND w.id = e.dst
+        JOIN bd2 wd ON wd.source = w.source AND wd.id = w.id
+        GROUP BY 1, 2
+    ) s ON s.source = l.source AND s.id = l.id
+)"""
+
+
+BETWEENNESS_SAMPLED_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{_betweenness_ctes()}\n"
+    f"""SELECT CASE WHEN id >= {KCORE_PRODUCT_OFFSET}
+            THEN 'product' ELSE 'user' END AS role,
+       CASE WHEN id >= {KCORE_PRODUCT_OFFSET}
+            THEN id - {KCORE_PRODUCT_OFFSET} ELSE id END AS id,
+       CAST(sum(units) AS DOUBLE) / {_BW_GRID} AS betweenness
+FROM (SELECT * FROM bd1 UNION ALL SELECT * FROM bd2
+      UNION ALL SELECT * FROM bd3)
+GROUP BY 1, 2"""
+)

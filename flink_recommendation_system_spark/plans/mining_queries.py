@@ -1557,3 +1557,165 @@ FROM tagged GROUP BY d
 """
 
 QUERIES["new_vs_returning"] = (q_new_vs_returning, NEW_VS_RETURNING_SQL)
+
+
+# --- exact-dyadic EWMA trend (round 7c) ------------------------------------
+
+_EWMA_WINDOW = 20  # truncation horizon; dropped tail < 2^-20 of the oldest
+
+
+def q_ewma_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily event count
+    with α = 1/2 — the classic ops smoothing/trend signal — computed in
+    EXACT dyadic arithmetic so the value oracle is bit-for-bit:
+    ewma(d) = Σ_{i=0..19} x(d−i) · 2^{−(i+1)}, accumulated as BIGINT
+    2^-20 units (each count contributes x·2^(19−i)) and converted with
+    ONE division by 2^20, whose result is exactly representable. Days
+    are gap-filled across [min, max] so absent days contribute zero and
+    every output day's window is complete.
+
+    Scale design (100 TB): the daily rollup partial-aggregates the fact
+    scan to ≤ |days| rows; the 20× contribution explode and the final
+    sum run on that calendar-bounded relation — independent of fact
+    volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT) DIV 86400").alias("d")
+    )
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = daily.agg(
+        F.min("d").alias("d_lo"), F.max("d").alias("d_hi")
+    )
+    all_days = bounds.select(
+        F.explode(F.sequence("d_lo", "d_hi")).alias("d")
+    )
+    filled = all_days.join(daily, "d", "left").select(
+        "d", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+    contrib = filled.select(
+        F.col("d"),
+        F.col("n_events"),
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_WINDOW - 1))).alias("i"),
+    ).select(
+        (F.col("d") + F.col("i")).alias("td"),
+        F.expr(
+            f"n_events * shiftleft(CAST(1 AS BIGINT), "
+            f"{_EWMA_WINDOW} - 1 - i)"
+        ).alias("units"),
+    )
+    units = contrib.groupBy("td").agg(F.sum("units").alias("u"))
+    return (
+        filled.join(units, filled["d"] == units["td"])
+        .select(
+            "d",
+            "n_events",
+            (
+                F.col("u").cast("double")
+                / F.lit(float(1 << _EWMA_WINDOW))
+            ).alias("ewma"),
+        )
+    )
+
+
+EWMA_EVENT_TREND_SQL = f"""
+WITH ev AS (
+    SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS d
+    FROM events
+),
+daily AS (SELECT d, count(*) AS n_events FROM ev GROUP BY 1),
+filled AS (
+    SELECT gs.d, coalesce(daily.n_events, 0) AS n_events
+    FROM (SELECT unnest(range((SELECT min(d) FROM daily),
+                              (SELECT max(d) FROM daily) + 1)) AS d) gs
+    LEFT JOIN daily USING (d)
+),
+contrib AS (
+    SELECT f.d + u.i AS td,
+           f.n_events * (1::BIGINT << ({_EWMA_WINDOW} - 1 - u.i)) AS units
+    FROM filled f, unnest(range(0, {_EWMA_WINDOW})) AS u(i)
+)
+SELECT f.d, f.n_events,
+       CAST((SELECT sum(c.units) FROM contrib c WHERE c.td = f.d) AS DOUBLE)
+           / {float(1 << _EWMA_WINDOW)} AS ewma
+FROM filled f
+"""
+
+QUERIES["ewma_event_trend"] = (q_ewma_event_trend, EWMA_EVENT_TREND_SQL)
+
+
+# --- zone-map / data-skipping audit (round 7c) -----------------------------
+
+# The fixed probe predicate: one ship-year. Zones whose [min, max] range
+# misses it entirely are skippable — the file/partition pruning a
+# lakehouse scan does with footer statistics.
+_ZONE_Q_LO_DAYS = 9131   # 1995-01-01 as epoch days
+_ZONE_Q_HI_DAYS = 9496   # 1996-01-01
+
+
+def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit for data skipping (Moerkotte 1998 "small
+    materialized aggregates" — the mechanism behind parquet footer
+    min/max pruning and ORC/Iceberg zone maps): bucket lineitem into
+    ship-month zones, compute each zone's row count and min/max
+    statistics for the ship date (epoch days, exact ints) and extended
+    price (exact cents), and evaluate which zones a fixed one-year probe
+    predicate could SKIP — plus each zone's min/max orderkey to show how
+    badly a time-ordered layout fragments a key-range predicate (the
+    motivation for the sibling `zorder_layout` query).
+
+    Scale design (100 TB): one partial-agg'd scan → ≤ |months| rows;
+    this is exactly the statistics pass a writer runs per file at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)")
+        .alias("ship_days"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("price_cents"),
+        "l_orderkey",
+    )
+    zones = (
+        li.groupBy(
+            F.expr("ship_days DIV 30").alias("zone")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ship_days").alias("min_ship_days"),
+            F.max("ship_days").alias("max_ship_days"),
+            F.min("price_cents").alias("min_price_cents"),
+            F.max("price_cents").alias("max_price_cents"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+    skippable = (F.col("max_ship_days") < F.lit(_ZONE_Q_LO_DAYS)) | (
+        F.col("min_ship_days") >= F.lit(_ZONE_Q_HI_DAYS)
+    )
+    return zones.withColumn("skippable_for_probe", skippable)
+
+
+ZONE_MAP_STATS_SQL = f"""
+WITH li AS (
+    SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS ship_days,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           l_orderkey
+    FROM lineitem
+),
+zones AS (
+    SELECT ship_days // 30 AS zone,
+           count(*) AS n_rows,
+           min(ship_days) AS min_ship_days,
+           max(ship_days) AS max_ship_days,
+           min(price_cents) AS min_price_cents,
+           max(price_cents) AS max_price_cents,
+           min(l_orderkey) AS min_orderkey,
+           max(l_orderkey) AS max_orderkey
+    FROM li GROUP BY 1
+)
+SELECT *,
+       max_ship_days < {_ZONE_Q_LO_DAYS}
+           OR min_ship_days >= {_ZONE_Q_HI_DAYS} AS skippable_for_probe
+FROM zones
+"""
+
+QUERIES["zone_map_stats"] = (q_zone_map_stats, ZONE_MAP_STATS_SQL)

@@ -388,3 +388,69 @@ def test_fuzzy_pairs_exchange_hashed_signatures(spark):
     plan = _plan(q_fuzzy_name_pairs(spark, SF0001))
     assert "xxhash64" in plan, plan[:3000]
     assert "levenshtein" in plan
+
+
+def test_bpe_apply_is_codegen_no_python(spark):
+    """The BPE apply path (chained literal replaces + token count) must
+    stay inside whole-stage codegen — no Python UDF/eval node anywhere."""
+    from flink_recommendation_system_spark.operators.bpe import (
+        bpe_tokenize_words,
+    )
+
+    words = spark.createDataFrame(
+        [("there",), ("other",)], "word string"
+    )
+    plan = _plan(
+        bpe_tokenize_words(words, [("t", "h"), ("th", "e"), ("e", "r")])
+    )
+    # '*(1)' is the whole-stage-codegen stage marker in executedPlan text
+    assert "*(1)" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fastss2_no_nested_loop_and_hashed_sigs(spark):
+    """FastSS-2 must candidate-join on the 8-byte hashed signature (a
+    hash/sort-merge equi-join), never a nested-loop over string pairs."""
+    from flink_recommendation_system_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+
+    cust = load_table(spark, SF0001, "customer").select(
+        "c_custkey", "c_name"
+    )
+    plan = _plan(
+        edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+
+
+def test_hard_negative_mining_broadcasts_query_side(spark):
+    """The tiny query set must broadcast; the corpus side must never be
+    the build side of a nested loop."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_hard_negative_mining,
+    )
+
+    plan = _plan(q_hard_negative_mining(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:3000]
+    )
+    # the broadcast exchange must exist exactly on the filtered (vec_id <
+    # N) side — a cartesian product without broadcast would ship the
+    # corpus to every task
+    assert "CartesianProduct" not in plan
+
+
+def test_ktruss_support_join_is_hash_equi(spark):
+    """The wedge self-join keys on the common-neighbor id — must compile
+    to a hash or sort-merge equi-join, never nested-loop."""
+    from flink_recommendation_system_spark.plans.analytics_queries import (
+        q_ktruss_edges,
+    )
+
+    plan = _plan(q_ktruss_edges(spark, SF0001))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan

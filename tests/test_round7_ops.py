@@ -261,3 +261,71 @@ def test_hard_negative_mining_contract(spark):
     negs = sorted(by_role["neg"], key=lambda r: r["rank"])
     assert [r["neighbor_id"] for r in negs] == [2, 3]
     assert all(r["neighbor_id"] != 0 for r in out)
+
+
+# --- sampled betweenness ---------------------------------------------------
+
+
+def test_betweenness_sampled_matches_reference(spark):
+    """Exact Brandes (restricted to the sampled sources and hop horizon)
+    on a hand graph, vs a pure-Python reference with the same 2^-38
+    quantization."""
+    import math
+
+    from flink_recommendation_system_spark.operators.graph import (
+        betweenness_sampled,
+        undirected,
+    )
+
+    #   1 - 2 - 3 - 4
+    #        \  |
+    #          5        (2-5, 3-5; 5 bridges nothing extra)
+    pairs = [(1, 2), (2, 3), (3, 4), (2, 5), (3, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    sources = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(
+            undirected(edges), sources, max_hops=3
+        ).collect()
+    }
+
+    # reference Brandes from source 1, horizon 3, same quantization
+    G = 1 << 38
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lvl = {0: {1: 1}}
+    seen = {1}
+    for h in (1, 2, 3):
+        nxt = {}
+        for v, sg in lvl[h - 1].items():
+            for w in adj[v]:
+                if w not in seen:
+                    nxt[w] = nxt.get(w, 0) + sg
+        for w in nxt:
+            seen.add(w)
+        lvl[h] = nxt
+    delta = {3: {v: 0 for v in lvl[3]}}
+    for h in (2, 1):
+        d = {}
+        for v, sg in lvl[h].items():
+            units = 0
+            for w in adj[v]:
+                if w in lvl[h + 1]:
+                    t = math.floor(
+                        (sg / lvl[h + 1][w])
+                        * (1.0 + delta[h + 1][w] / G) * G + 0.5
+                    )
+                    units += t
+            d[v] = units
+        delta[h] = d
+    want = {}
+    for h in (1, 2, 3):
+        for v, u in delta[h].items():
+            want[v] = want.get(v, 0) + u
+    want = {v: u / G for v, u in want.items()}
+    assert got == want
+    # sanity: the 2-3 corridor carries the flow
+    assert got[2] > got[4] and got[3] > got[4]
