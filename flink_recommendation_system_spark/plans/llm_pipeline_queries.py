@@ -3001,7 +3001,7 @@ def _semantic_dedup_fixed_sql(
 ) -> str:
     vals = ",\n    ".join(
         f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
-        for i, cv in enumerate(S._lcg_vectors(n_clusters, dim, seed))
+        for i, cv in enumerate(S._lcg_unit_vectors(n_clusters, dim, seed))
     )
     nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     l2sq = (
