@@ -40,3 +40,39 @@ def cusum_over_daily(daily: DataFrame) -> DataFrame:
             & (F.col("d") == F.col("pd"))
         ).alias("is_changepoint"),
     )
+
+
+EWMA_WINDOW = 20  # truncation horizon; dropped tail < 2^-20 of the oldest
+
+
+def ewma_over_daily(daily: DataFrame, window: int = EWMA_WINDOW) -> DataFrame:
+    """Exact-dyadic EWMA (α = 1/2) over a ``(d, x)`` daily-count relation:
+    ewma(d) = Σ_{i=0..window-1} x(d−i)·2^{−(i+1)}, accumulated as BIGINT
+    2^-window units and converted with ONE exactly-representable division.
+    Days are gap-filled across [min, max] so absent days contribute zero.
+    Shared by the batch `ewma_event_trend` query and the streaming
+    monitor's read-side (`streaming.monitor.read_ewma`) — parity is
+    by-construction (counts are linear over micro-batches).
+
+    Output: (d, n_events, ewma)."""
+    bounds = daily.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    all_days = bounds.select(F.explode(F.sequence("d_lo", "d_hi")).alias("d"))
+    filled = all_days.join(daily, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("n_events")
+    )
+    contrib = filled.select(
+        "d",
+        "n_events",
+        F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("i"),
+    ).select(
+        (F.col("d") + F.col("i")).alias("td"),
+        F.expr(
+            f"n_events * shiftleft(CAST(1 AS BIGINT), {window} - 1 - i)"
+        ).alias("units"),
+    )
+    units = contrib.groupBy("td").agg(F.sum("units").alias("u"))
+    return filled.join(units, filled["d"] == units["td"]).select(
+        "d",
+        "n_events",
+        (F.col("u").cast("double") / F.lit(float(1 << window))).alias("ewma"),
+    )

@@ -3169,3 +3169,64 @@ QUERIES["bpe_compression_stats"] = (
     q_bpe_compression_stats,
     BPE_COMPRESSION_STATS_SQL,
 )
+
+
+# --- BPE vocabulary artifact (round 7c) ------------------------------------
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT a training pipeline ships: the subword
+    vocabulary after N_BPE_MERGES merges — every distinct subword token
+    with its corpus frequency (occurrences weighted by word count) and
+    its dense token id (frequency DESC, token ASC — the conventional
+    id assignment). FULL value oracle via the shared unrolled body.
+
+    Scale design (100 TB): everything past the corpus vocab build runs
+    on the vocabulary relation; the token explode is bounded by tokens
+    per word."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != "",
+            )
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = bpe.bpe_fit(vocab, n_merges=N_BPE_MERGES)
+    tokenized = bpe.bpe_tokenize_words(vocab, merges)
+    toks = tokenized.select(
+        "cnt",
+        F.explode(
+            F.split(
+                F.expr("substring(bpe_tokens, 2, length(bpe_tokens) - 2)"),
+                r"\)\(",
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.sum("cnt").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return freq.withColumn(
+        "token_id", F.row_number().over(w).cast("long")
+    )
+
+
+BPE_VOCAB_SQL = f"""
+{_bpe_unrolled_with()},
+toks AS (
+    SELECT v.cnt,
+           unnest(string_split(substr(v.s, 2, length(v.s) - 2), ')(')) AS token
+    FROM v{N_BPE_MERGES} v
+),
+freq AS (
+    SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM toks GROUP BY 1
+)
+SELECT token, freq,
+       row_number() OVER (ORDER BY freq DESC, token ASC) AS token_id
+FROM freq
+"""
+
+QUERIES["bpe_vocab"] = (q_bpe_vocab, BPE_VOCAB_SQL)

@@ -1578,42 +1578,13 @@ def q_ewma_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan to ≤ |days| rows; the 20× contribution explode and the final
     sum run on that calendar-bounded relation — independent of fact
     volume."""
+    from ..operators.monitoring import ewma_over_daily
+
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("CAST(ts DIV 1000000000 AS BIGINT) DIV 86400").alias("d")
     )
-    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n_events"))
-    bounds = daily.agg(
-        F.min("d").alias("d_lo"), F.max("d").alias("d_hi")
-    )
-    all_days = bounds.select(
-        F.explode(F.sequence("d_lo", "d_hi")).alias("d")
-    )
-    filled = all_days.join(daily, "d", "left").select(
-        "d", F.coalesce("n_events", F.lit(0)).alias("n_events")
-    )
-    contrib = filled.select(
-        F.col("d"),
-        F.col("n_events"),
-        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_WINDOW - 1))).alias("i"),
-    ).select(
-        (F.col("d") + F.col("i")).alias("td"),
-        F.expr(
-            f"n_events * shiftleft(CAST(1 AS BIGINT), "
-            f"{_EWMA_WINDOW} - 1 - i)"
-        ).alias("units"),
-    )
-    units = contrib.groupBy("td").agg(F.sum("units").alias("u"))
-    return (
-        filled.join(units, filled["d"] == units["td"])
-        .select(
-            "d",
-            "n_events",
-            (
-                F.col("u").cast("double")
-                / F.lit(float(1 << _EWMA_WINDOW))
-            ).alias("ewma"),
-        )
-    )
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    return ewma_over_daily(daily, window=_EWMA_WINDOW)
 
 
 EWMA_EVENT_TREND_SQL = f"""

@@ -77,3 +77,22 @@ def read_cusum(spark: SparkSession, store_path: str) -> DataFrame:
         raise
     merged = store.groupBy("d").agg(F.sum("x").alias("x"))
     return cusum_over_daily(merged)
+
+
+def read_ewma(spark: SparkSession, store_path: str) -> DataFrame:
+    """The current smoothed trend: day-wise sum over every batch's counts
+    (linearity), then the shared exact-dyadic EWMA — identical to the
+    batch `ewma_event_trend` over the concatenated input (pinned in
+    tests/test_streaming_monitor.py)."""
+    from ..operators.monitoring import ewma_over_daily
+
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return spark.createDataFrame(
+                [], "d long, n_events long, ewma double"
+            )
+        raise
+    merged = store.groupBy("d").agg(F.sum("x").alias("x"))
+    return ewma_over_daily(merged)

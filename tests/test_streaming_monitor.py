@@ -74,3 +74,50 @@ def test_read_cusum_empty_store_is_empty_verdict(spark, tmp_path):
     df = read_cusum(spark, str(tmp_path / "nonexistent"))
     assert df.count() == 0
     assert df.columns == ["d", "x", "cusum_scaled", "is_changepoint"]
+
+
+def test_streaming_ewma_equals_batch(spark, tmp_path):
+    """Replaying the event stream through the daily-count store and
+    reading the EWMA verdict must equal the batch ewma_event_trend over
+    the same events — counts are linear over micro-batches and the scan
+    core is shared."""
+    import flink_recommendation_system_spark.plans.mining_queries as mq
+    from flink_recommendation_system_spark.streaming.monitor import (
+        read_ewma,
+        start_daily_counts_refresh,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_daily_counts_refresh(
+        stream,
+        store_path=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["d"], r["n_events"], r["ewma"])
+        for r in read_ewma(spark, str(tmp_path / "store")).collect()
+    }
+    want = {
+        (r["d"], r["n_events"], r["ewma"])
+        for r in mq.q_ewma_event_trend(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_read_ewma_empty_store(spark, tmp_path):
+    from flink_recommendation_system_spark.streaming.monitor import read_ewma
+
+    assert read_ewma(spark, str(tmp_path / "missing")).count() == 0
