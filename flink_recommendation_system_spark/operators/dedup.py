@@ -999,6 +999,13 @@ def edit_distance_pairs(
         raise ValueError(
             "edit_distance_pairs supports max_dist in {1, 2} (FastSS-1/2)"
         )
+    # a sub-split-size input scans as ONE partition and this operator's
+    # whole cost is CPU downstream of it (signature explode, then the
+    # banded-levenshtein verification of every candidate — measured 7.5 s
+    # single-core vs 1.5 s spread at sf0.1, where the broadcast self-join
+    # preserves the scan's 1-partition layout end to end); no-op at real
+    # scale where the table has many splits
+    df = _spread(df)
     deletions = (
         f"transform(sequence(1, length({text_col})), "
         f"i -> concat(substring({text_col}, 1, i-1), "
@@ -1041,6 +1048,19 @@ def edit_distance_pairs(
         # sigs| for one extra (bounded, pre-shrunk) shuffle. At k=1 the
         # multiplicity is ≤ 2, not worth the exchange.
         sigs = sigs.distinct()
+        # pin the post-distinct layout at defaultParallelism on the join
+        # key: AQE coalesces the small distinct exchange to ONE partition
+        # (size-based, blind to downstream CPU), and the broadcast
+        # self-join then runs every banded-levenshtein verification on a
+        # single core (measured 5.4 → 1.9 s at sf0.1). The explicit
+        # partition count is respected by AQE; at real scale the distinct
+        # output exceeds the advisory size and this exchange is the same
+        # one the join needs anyway.
+        try:
+            par = df.sparkSession.sparkContext.defaultParallelism
+            sigs = sigs.repartition(max(par, 1), "sig")
+        except Exception:
+            pass  # Spark Connect: no sparkContext — skip the adaptation
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.levenshtein(
         F.col(f"a.{text_col}"), F.col(f"b.{text_col}"), max_dist
