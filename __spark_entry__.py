@@ -331,6 +331,22 @@ def _q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component(v) = min{u : v→*u AND u→*v} (oracles.SCC_COMPONENTS_SQL);
     cycle-merging at scale stays property-tested against a reference
     Tarjan on random digraphs."""
+    # no .distinct() here: strongly_connected_components dedups its
+    # edge input as its first step — doing it twice shuffles the
+    # pair-expanded relation an extra time for nothing
+    return G.strongly_connected_components(
+        _temporal_digraph_edges(spark, sf_dir)
+    )
+
+
+def _temporal_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared edge build for `scc_components` / `hits_scores`: the
+    temporal co-review digraph (a→b iff a's first good review of a shared
+    product precedes b's), PRE-distinct. The liked relation's layout is
+    pinned at defaultParallelism on the join key before the
+    pair-expansion self-join — AQE coalesces the groupBy exchange to one
+    partition at reference scale, which serialized the expansion on one
+    core (same fix as `co_review_edges`)."""
     from pyspark.sql import functions as F
 
     reviews = reviews_from_events(spark, sf_dir)
@@ -340,43 +356,28 @@ def _q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "product_id")
         .agg(F.min("ts").alias("first_ts"))
     )
+    try:
+        par = spark.sparkContext.defaultParallelism
+        liked = liked.repartition(max(par, 1), "product_id")
+    except Exception:
+        pass
     a, b = liked.alias("a"), liked.alias("b")
-    edges = (
+    return (
         a.join(b, "product_id")
         .filter(F.col("a.first_ts") < F.col("b.first_ts"))
         .select(
             F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
         )
-        # no .distinct() here: strongly_connected_components dedups its
-        # edge input as its first step — doing it twice shuffles the
-        # pair-expanded relation an extra time for nothing
     )
-    return G.strongly_connected_components(edges)
 
 
 def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (2 unnormalized iterations — exact BIGINT
     scores) on the temporal co-review digraph, the same edge construction
     as `scc_components`; value-checked against an unrolled-CTE oracle."""
-    from pyspark.sql import functions as F
-
-    reviews = reviews_from_events(spark, sf_dir)
-    liked = (
-        reviews.filter(F.col("user_id") < 1000)
-        .filter(F.col("rating") > 3.0)
-        .groupBy("user_id", "product_id")
-        .agg(F.min("ts").alias("first_ts"))
+    return G.hits_scores(
+        _temporal_digraph_edges(spark, sf_dir).distinct(), iterations=2
     )
-    a, b = liked.alias("a"), liked.alias("b")
-    edges = (
-        a.join(b, "product_id")
-        .filter(F.col("a.first_ts") < F.col("b.first_ts"))
-        .select(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .distinct()
-    )
-    return G.hits_scores(edges, iterations=2)
 
 
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
