@@ -275,6 +275,16 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, num_hashes, shingle_n, base_hash
     ).localCheckpoint()
+    # the checkpointed signature table inherits the AQE-coalesced 1-2
+    # partition layout of the signature partial-agg; the band join and the
+    # 32-component verification fold downstream are CPU-bound, so re-pin
+    # at defaultParallelism (a cheap exchange of num_hashes longs per doc
+    # over an already-materialized relation)
+    try:
+        par = sigs.sparkSession.sparkContext.defaultParallelism
+        sigs = sigs.repartition(max(par, 1), "doc_id")
+    except Exception:
+        pass
     return minhash_pairs_from_signatures(sigs, num_hashes, bands, threshold)
 
 
