@@ -61,6 +61,21 @@ def main() -> None:
         except Exception:
             pass  # optional table absent at this SF
 
+    # JVM runtime warm-up (untimed): run a small set spanning the engine's
+    # machinery families — iterative graph loop, LSH band join, window
+    # aggregation, multi-join relational, text scan — so C2 compilation of
+    # Spark's hot runtime paths happens BEFORE the timed loop. Without
+    # this, whichever queries sit first in the (rotating) registration
+    # order absorb the JIT ramp and their recorded times are incomparable
+    # across rounds (measured: the same query is 1.5-2x slower in the
+    # first ~dozen draw positions than warm).
+    for _warm in ("lpa_labels", "minhash_near_dups", "bm25_topk",
+                  "pricing_summary", "user_sessions"):
+        try:
+            _force_full_evaluation(qs[_warm](spark, sf_dir))
+        except Exception:
+            pass  # renamed/absent — warm-up is best-effort by design
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in qs.items():
