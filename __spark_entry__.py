@@ -421,7 +421,9 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib ALS counterpart of the LPA recommender — rows-only check
     (iterative factorization is not SQL-expressible; invariants in
-    tests/test_mllib_variants.py)."""
+    tests/test_mllib_variants.py). The SERVING machinery — blocked
+    dot-product top-k with seen-item anti-join — is value-oracled by the
+    fixed-factor twin `mf_scoring_fixed` (plans/itemcf.py)."""
     from flink_recommendation_system_spark.plans.als_recommendations import (
         als_user_recommendations,
     )
@@ -615,7 +617,7 @@ _WINDOW_PRIORITY = [
     # CI greens (tests/test_entry_queries.py) and sf0.01 local greens:
     #   hard_negative_mining bpe_compression_stats record_linkage_scores
     #   ktruss_edges ewma_event_trend betweenness_sampled zone_map_stats
-    #   bpe_vocab
+    #   bpe_vocab mf_scoring_fixed
 ]
 
 

@@ -473,3 +473,131 @@ FROM per_user
 """
 
 QUERIES["recommender_eval"] = (q_recommender_eval, RECOMMENDER_EVAL_SQL)
+
+
+# --- fixed-factor MF scoring twin (round 7c) --------------------------------
+
+MF_RANK = 8
+MF_TOP_K = 5
+
+
+def _mf_factor_terms(side: str, id_col: str) -> list:
+    """Rank-``MF_RANK`` hash-derived factor components for one side:
+    component j = md5('{side}|{id}|{j}') first-8-hex as uint32, scaled to
+    [-1, 1). Pure deterministic arithmetic — identical literals/functions
+    in DuckDB — so dot products value-oracle exactly."""
+    out = []
+    for j in range(MF_RANK):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(side), F.col(id_col), F.lit(j))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        out.append(h / F.lit(float(1 << 32)) * F.lit(2.0) - F.lit(1.0))
+    return out
+
+
+def q_mf_scoring_fixed(spark, sf_dir: str) -> DataFrame:
+    """The SERVING machinery of a matrix-factorization recommender —
+    `recommendForAllUsers`' blocked dot-product top-k — on FIXED
+    hash-derived rank-8 factors (the classifier_scores / pq_adc_topk
+    recipe): score(u, i) = Σ_j U[u,j]·V[i,j] as one fixed-order 8-term
+    sum, seen items anti-joined away, top-MF_TOP_K per user with a full
+    tie-break. The ALS Lloyd-style FIT stays rows-only
+    (`als_recommendations`); this twin value-checks everything around it.
+
+    Scale design (100 TB): the item side is the bounded catalog —
+    broadcast; scoring is |users|·|catalog| codegen'd arithmetic with a
+    per-user top-k window; factors are computed in the projection, never
+    materialized."""
+    from ..operators.graph import good_reviews
+    from ..sources.tables import reviews_from_events
+
+    reviews = reviews_from_events(spark, sf_dir)
+    liked = good_reviews(reviews)
+    users = liked.select("user_id").distinct()
+    items = liked.select("product_id").distinct()
+    uf = users.select(
+        "user_id", *[t.alias(f"u{j}") for j, t in enumerate(_mf_factor_terms("u", "user_id"))]
+    )
+    vf = items.select(
+        "product_id", *[t.alias(f"v{j}") for j, t in enumerate(_mf_factor_terms("i", "product_id"))]
+    )
+    dot = None
+    for j in range(MF_RANK):
+        term = F.col(f"u{j}") * F.col(f"v{j}")
+        dot = term if dot is None else dot + term
+    scored = (
+        uf.crossJoin(F.broadcast(vf))
+        .select("user_id", "product_id", F.round(dot, 6).alias("score"))
+        .join(liked, ["user_id", "product_id"], "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("product_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MF_TOP_K)
+    )
+
+
+def _mf_sql_terms(side: str, col: str) -> str:
+    terms = []
+    for j in range(MF_RANK):
+        h = (
+            f"CAST(CAST('0x' || substr(md5('{side}' || '|' || {col} "
+            f"|| '|' || '{j}'), 1, 8) AS BIGINT) AS DOUBLE)"
+        )
+        terms.append(f"({h} / {float(1 << 32)!r} * 2.0 - 1.0)")
+    return terms
+
+
+MF_SCORING_FIXED_SQL = f"""
+WITH {{reviews}},
+liked AS (
+    SELECT DISTINCT user_id, product_id FROM reviews
+    WHERE user_id < 1000 AND rating > 3.0
+),
+users AS (SELECT DISTINCT user_id FROM liked),
+items AS (SELECT DISTINCT product_id FROM liked),
+uf AS (
+    SELECT user_id,
+           {", ".join(f"{t} AS u{j}" for j, t in enumerate(_mf_sql_terms("u", "user_id")))}
+    FROM users
+),
+vf AS (
+    SELECT product_id,
+           {", ".join(f"{t} AS v{j}" for j, t in enumerate(_mf_sql_terms("i", "product_id")))}
+    FROM items
+),
+scored AS (
+    SELECT uf.user_id, vf.product_id,
+           round({" + ".join(f"u{j} * v{j}" for j in range(MF_RANK))}, 6)
+               AS score
+    FROM uf CROSS JOIN vf
+),
+unseen AS (
+    SELECT s.* FROM scored s
+    LEFT JOIN liked l ON l.user_id = s.user_id
+                     AND l.product_id = s.product_id
+    WHERE l.user_id IS NULL
+)
+SELECT user_id, product_id, score, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY score DESC, product_id ASC) AS rank
+    FROM unseen
+) WHERE rank <= {MF_TOP_K}
+"""
+
+
+def _finalize_mf_sql() -> str:
+    from ..oracles import REVIEWS_CTE
+
+    return MF_SCORING_FIXED_SQL.replace("{reviews}", REVIEWS_CTE)
+
+
+QUERIES["mf_scoring_fixed"] = (q_mf_scoring_fixed, _finalize_mf_sql())
