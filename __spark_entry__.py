@@ -617,7 +617,7 @@ _WINDOW_PRIORITY = [
     # CI greens (tests/test_entry_queries.py) and sf0.01 local greens:
     #   hard_negative_mining bpe_compression_stats record_linkage_scores
     #   ktruss_edges ewma_event_trend betweenness_sampled zone_map_stats
-    #   bpe_vocab mf_scoring_fixed
+    #   bpe_vocab mf_scoring_fixed seasonal_decomposition
 ]
 
 

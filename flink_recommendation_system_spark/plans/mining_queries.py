@@ -1690,3 +1690,111 @@ FROM zones
 """
 
 QUERIES["zone_map_stats"] = (q_zone_map_stats, ZONE_MAP_STATS_SQL)
+
+
+# --- additive seasonal decomposition (round 7c) -----------------------------
+
+
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic additive decomposition of the daily event count —
+    x(d) = trend + seasonal + residual — the moving-average flavor of
+    STL every ops dashboard runs: trend = centered 7-day mean (full
+    windows only), seasonal = day-of-week mean minus grand mean,
+    residual = the rest. Every component is one division of exact
+    integer sums (rounded 6 dp), and the residual subtracts
+    already-rounded doubles — identical IEEE steps in both engines, so
+    the whole decomposition value-oracles.
+
+    Scale design (100 TB): one partial-agg'd scan to daily counts; the
+    trend is a 7-row frame over the calendar-bounded relation; the
+    seasonal/grand means are 7-row / 1-row broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT) DIV 86400").alias("d")
+    )
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
+    bounds = daily.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    filled = (
+        bounds.select(F.explode(F.sequence("d_lo", "d_hi")).alias("d"))
+        .join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    wf = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = filled.select(
+        "d",
+        "x",
+        (F.col("d") % 7).alias("dow"),
+        F.sum("x").over(wf).alias("_s7"),
+        F.count(F.lit(1)).over(wf).alias("_n7"),
+    ).filter(F.col("_n7") == 7)
+    dow_means = filled.groupBy((F.col("d") % 7).alias("dow")).agg(
+        F.sum("x").alias("_ds"), F.count(F.lit(1)).alias("_dn")
+    )
+    grand = filled.agg(
+        F.sum("x").alias("_ts"), F.count(F.lit(1)).alias("_tn")
+    )
+    out = (
+        trended.join(F.broadcast(dow_means), "dow")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "d",
+            "x",
+            F.round(F.col("_s7").cast("double") / F.lit(7.0), 6).alias(
+                "trend"
+            ),
+            F.round(
+                F.col("_ds").cast("double") / F.col("_dn").cast("double")
+                - F.col("_ts").cast("double") / F.col("_tn").cast("double"),
+                6,
+            ).alias("seasonal"),
+        )
+    )
+    return out.withColumn(
+        "residual",
+        F.round(
+            F.col("x").cast("double") - F.col("trend") - F.col("seasonal"), 6
+        ),
+    )
+
+
+SEASONAL_DECOMPOSITION_SQL = """
+WITH ev AS (
+    SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS d
+    FROM events
+),
+daily AS (SELECT d, count(*) AS x FROM ev GROUP BY 1),
+filled AS (
+    SELECT gs.d, coalesce(daily.x, 0) AS x
+    FROM (SELECT unnest(range((SELECT min(d) FROM daily),
+                              (SELECT max(d) FROM daily) + 1)) AS d) gs
+    LEFT JOIN daily USING (d)
+),
+trended AS (
+    SELECT d, x, d % 7 AS dow,
+           sum(x) OVER w AS s7, count(*) OVER w AS n7
+    FROM filled
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dow_means AS (
+    SELECT d % 7 AS dow, sum(x) AS ds, count(*) AS dn
+    FROM filled GROUP BY 1
+),
+grand AS (SELECT sum(x) AS ts, count(*) AS tn FROM filled)
+SELECT t.d, t.x,
+       round(CAST(t.s7 AS DOUBLE) / 7.0, 6) AS trend,
+       round(CAST(m.ds AS DOUBLE) / CAST(m.dn AS DOUBLE)
+             - CAST(g.ts AS DOUBLE) / CAST(g.tn AS DOUBLE), 6) AS seasonal,
+       round(CAST(t.x AS DOUBLE)
+             - round(CAST(t.s7 AS DOUBLE) / 7.0, 6)
+             - round(CAST(m.ds AS DOUBLE) / CAST(m.dn AS DOUBLE)
+                     - CAST(g.ts AS DOUBLE) / CAST(g.tn AS DOUBLE), 6), 6)
+           AS residual
+FROM trended t
+JOIN dow_means m ON m.dow = t.dow
+CROSS JOIN grand g
+WHERE t.n7 = 7
+"""
+
+QUERIES["seasonal_decomposition"] = (
+    q_seasonal_decomposition,
+    SEASONAL_DECOMPOSITION_SQL,
+)
