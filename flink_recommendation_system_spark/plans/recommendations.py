@@ -72,19 +72,30 @@ def user_recommendations(
             .filter(F.col("_rn") <= max_community_fanout)
             .drop("_rn")
         )
-    members = labels.alias("a").join(contributors.alias("b"), "label").select(
-        F.col("a.id").alias("user_id"), F.col("b.id").alias("member_id")
-    )
-    candidates = (
-        members.join(
-            liked.select(
-                F.col("user_id").alias("member_id"),
-                "product_id",
-            ),
+    # Aggregate-then-expand (round 7): build each community's DISTINCT
+    # product set first, THEN join users to it. The old expand-then-
+    # distinct shape materialized |C|² member pairs × liked-per-member
+    # rows before deduping — at sf0.1 the graph converges to ONE
+    # 1000-user community, so that was ~22M rows collapsing to 77k; the
+    # community product-set relation is bounded by |communities| ×
+    # |catalog| instead, and the user join emits each (user, product)
+    # exactly once (no distinct needed: a user has one label, the set is
+    # distinct). Same semantics — "products liked by ≥1 (capped)
+    # community member" — and the reduction grows with community size,
+    # exactly the regime that hurts at 100 TB.
+    label_products = (
+        contributors.select(F.col("id").alias("member_id"), "label")
+        .join(
+            liked.select(F.col("user_id").alias("member_id"), "product_id"),
             "member_id",
         )
-        .select("user_id", "product_id")
+        .select("label", "product_id")
         .distinct()
+    )
+    candidates = (
+        labels.select(F.col("id").alias("user_id"), "label")
+        .join(label_products, "label")
+        .select("user_id", "product_id")
     )
     return candidates.join(liked, ["user_id", "product_id"], "left_anti")
 
