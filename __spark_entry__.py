@@ -356,11 +356,9 @@ def _temporal_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "product_id")
         .agg(F.min("ts").alias("first_ts"))
     )
-    try:
-        par = spark.sparkContext.defaultParallelism
-        liked = liked.repartition(max(par, 1), "product_id")
-    except Exception:
-        pass
+    from flink_recommendation_system_spark.operators._util import pin_layout
+
+    liked = pin_layout(liked, "product_id")
     a, b = liked.alias("a"), liked.alias("b")
     return (
         a.join(b, "product_id")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import pin_layout as _pin
 from ._util import spread_small_scan as _spread
 from .text import tokens
 
@@ -278,13 +279,9 @@ def minhash_lsh_pairs(
     # the checkpointed signature table inherits the AQE-coalesced 1-2
     # partition layout of the signature partial-agg; the band join and the
     # 32-component verification fold downstream are CPU-bound, so re-pin
-    # at defaultParallelism (a cheap exchange of num_hashes longs per doc
-    # over an already-materialized relation)
-    try:
-        par = sigs.sparkSession.sparkContext.defaultParallelism
-        sigs = sigs.repartition(max(par, 1), "doc_id")
-    except Exception:
-        pass
+    # (a cheap exchange of num_hashes longs per doc over an
+    # already-materialized relation) — see _util.pin_layout
+    sigs = _pin(sigs, "doc_id")
     return minhash_pairs_from_signatures(sigs, num_hashes, bands, threshold)
 
 
@@ -1058,19 +1055,12 @@ def edit_distance_pairs(
         # sigs| for one extra (bounded, pre-shrunk) shuffle. At k=1 the
         # multiplicity is ≤ 2, not worth the exchange.
         sigs = sigs.distinct()
-        # pin the post-distinct layout at defaultParallelism on the join
-        # key: AQE coalesces the small distinct exchange to ONE partition
-        # (size-based, blind to downstream CPU), and the broadcast
-        # self-join then runs every banded-levenshtein verification on a
-        # single core (measured 5.4 → 1.9 s at sf0.1). The explicit
-        # partition count is respected by AQE; at real scale the distinct
-        # output exceeds the advisory size and this exchange is the same
-        # one the join needs anyway.
-        try:
-            par = df.sparkSession.sparkContext.defaultParallelism
-            sigs = sigs.repartition(max(par, 1), "sig")
-        except Exception:
-            pass  # Spark Connect: no sparkContext — skip the adaptation
+        # pin the post-distinct layout on the join key: AQE coalesces the
+        # small distinct exchange to ONE partition (size-based, blind to
+        # downstream CPU) and the broadcast self-join then runs every
+        # banded-levenshtein verification on a single core (measured
+        # 5.4 → 1.9 s at sf0.1) — see _util.pin_layout
+        sigs = _pin(sigs, "sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     dist = F.levenshtein(
         F.col(f"a.{text_col}"), F.col(f"b.{text_col}"), max_dist

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import warnings
 
+from ._util import pin_layout as _pin
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,19 +87,13 @@ def co_review_edges(
             .filter(F.col("_rn") <= max_reviewers_per_product)
             .drop("_rn")
         )
-    # Pin the pre-join layout at defaultParallelism on the join key: the
-    # liked relation arrives from a distinct/window exchange that AQE
-    # coalesces to ONE partition at reference scale (size-based, blind to
-    # the pair-expansion CPU downstream), which serialized the whole
-    # self-join on one core (measured: 2.5 s → 0.4 s for the 497 k-pair
-    # expansion at sf0.1; the serving/recommendation pipelines inherit
-    # the win). Explicit counts are respected by AQE; at real scale this
-    # is the same product_id exchange the equi-join needs anyway.
-    try:
-        par = liked.sparkSession.sparkContext.defaultParallelism
-        liked = liked.repartition(max(par, 1), "product_id")
-    except Exception:
-        pass  # Spark Connect: no sparkContext — keep the planner's layout
+    # Pin the pre-join layout on the join key: the liked relation arrives
+    # from a distinct/window exchange that AQE coalesces to ONE partition
+    # at reference scale, which serialized the whole pair-expansion
+    # self-join on one core (measured 2.5 → 0.4 s for the 497 k-pair
+    # expansion at sf0.1; serving/recommendations inherit the win) — see
+    # _util.pin_layout
+    liked = _pin(liked, "product_id")
     a = liked.alias("a")
     b = liked.alias("b")
     return (
@@ -899,6 +895,7 @@ def ktruss_edges(
         )
 
     converged = prev_n == 0
+    final_sup = None
     for _ in range(max_iterations):
         if converged:
             break
@@ -914,6 +911,11 @@ def ktruss_edges(
         n = E.count()  # metadata-sized scalar loop control
         if n == prev_n:
             converged = True
+            # the round that detected the fixpoint computed support on an
+            # edge set identical to the final one — reuse it instead of
+            # re-running the wedge join (the query's only superlinear
+            # stage) one extra time
+            final_sup = sup
         prev_n = n
     if not converged:
         msg = (
@@ -924,7 +926,8 @@ def ktruss_edges(
         if on_no_convergence == "raise":
             raise RuntimeError(msg)
         warnings.warn(msg, UserWarning, stacklevel=2)
-    final_sup = _support(E)
+    if final_sup is None:
+        final_sup = _support(E)
     return E.join(final_sup, ["src", "dst"], "left").select(
         "src",
         "dst",

@@ -997,18 +997,23 @@ def hard_negative_mining(
     registered ANN tier (IVF/PQ/SRP buckets) for candidate generation
     without changing this ranking contract.
     """
+    # zero-norm rows are EXCLUDED on both sides: cosine against a zero
+    # vector is undefined — it can be neither a positive nor a hard
+    # negative — and under the session's default ANSI mode the unguarded
+    # division would raise DIVIDE_BY_ZERO (the semantic_dedup_fixed
+    # lesson; mirrored in the SQL oracle)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         _norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
         F.col(label_col).alias("q_label"),
-    )
+    ).filter(F.col("q_norm") != 0.0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
         _norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
         F.col(label_col).alias("c_label"),
-    )
+    ).filter(F.col("c_norm") != 0.0)
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))

@@ -2871,6 +2871,33 @@ QUERIES["classifier_calibration"] = (
 N_BPE_MERGES = 12
 
 
+def _bpe_corpus(spark: SparkSession, sf_dir: str):
+    """Shared front end for the three BPE queries (subword_token_counts,
+    bpe_compression_stats, bpe_vocab): lowercase [a-z]+ word extraction
+    (with doc_id and lang carried for the rollups), the weighted
+    vocabulary, and the fitted merge table. ONE definition so the word
+    regex and merge count can never desynchronize from the shared
+    unrolled-CTE oracle body (`_bpe_unrolled_with`).
+
+    Returns (words(doc_id, lang, word), vocab(word, cnt), merges)."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    merges = bpe.bpe_fit(vocab, n_merges=N_BPE_MERGES)
+    return words, vocab, merges
+
+
 def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document subword token counts under a TRUE learned-merge BPE
     tokenizer (Sennrich et al. 2016), replacing the `bpe_ish_tokens`
@@ -2890,18 +2917,7 @@ def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary only, with a 1-row metadata collect per round."""
     from ..operators import bpe
 
-    docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda x: x != "",
-            )
-        ).alias("word"),
-    )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    merges = bpe.bpe_fit(vocab, n_merges=N_BPE_MERGES)
+    words, vocab, merges = _bpe_corpus(spark, sf_dir)
     tokenized = bpe.bpe_tokenize_words(vocab.select("word"), merges)
     return (
         words.join(
@@ -3070,14 +3086,20 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 HARD_NEGATIVE_MINING_SQL = f"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS qv, label AS q_label
-    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    FROM embeddings
+    WHERE vec_id < {N_QUERY_VECS}
+      AND sqrt({_dot_sql('embedding', 'embedding')}) != 0
+),
+c AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE sqrt({_dot_sql('embedding', 'embedding')}) != 0
 ),
 scored AS (
     SELECT q.query_id,
            CASE WHEN q.q_label = e.label THEN 'pos' ELSE 'neg' END AS role,
            e.vec_id AS neighbor_id,
            {_cosine_sql('q.qv', 'e.embedding')} AS cosine_sim
-    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    FROM q JOIN c e ON e.vec_id != q.query_id
 ),
 ranked AS (
     SELECT *, row_number() OVER (PARTITION BY query_id, role
@@ -3111,19 +3133,7 @@ def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd rollup to ≤ |langs| rows."""
     from ..operators import bpe
 
-    docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda x: x != "",
-            )
-        ).alias("word"),
-    )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    merges = bpe.bpe_fit(vocab, n_merges=N_BPE_MERGES)
+    words, vocab, merges = _bpe_corpus(spark, sf_dir)
     tokenized = bpe.bpe_tokenize_words(vocab.select("word"), merges)
     return (
         words.join(
@@ -3186,17 +3196,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     per word."""
     from ..operators import bpe
 
-    docs = _docs(spark, sf_dir)
-    words = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z]+"),
-                lambda x: x != "",
-            )
-        ).alias("word")
-    )
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    merges = bpe.bpe_fit(vocab, n_merges=N_BPE_MERGES)
+    _words, vocab, merges = _bpe_corpus(spark, sf_dir)
     tokenized = bpe.bpe_tokenize_words(vocab, merges)
     toks = tokenized.select(
         "cnt",

@@ -1561,7 +1561,10 @@ QUERIES["new_vs_returning"] = (q_new_vs_returning, NEW_VS_RETURNING_SQL)
 
 # --- exact-dyadic EWMA trend (round 7c) ------------------------------------
 
-_EWMA_WINDOW = 20  # truncation horizon; dropped tail < 2^-20 of the oldest
+# ONE load-bearing constant shared with the batch core and the streaming
+# reader (operators/monitoring.py) — imported, not re-declared, so the
+# batch query, its SQL oracle, and read_ewma can never silently diverge
+from ..operators.monitoring import EWMA_WINDOW as _EWMA_WINDOW
 
 
 def q_ewma_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
