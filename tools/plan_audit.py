@@ -114,9 +114,10 @@ def main() -> int:
         "# PLAN_AUDIT — physical-plan antipattern scan",
         "",
         f"Surface: {len(rows)} queries at {args.sf_dir}. Detectors: see",
-        "`tools/plan_audit.py`. `nested_loop` rows are broadcast joins of scalar",
-        "(1-row aggregate) or bounded-small relations
-(centroid tables, the contract-tiny query/seed sets) unless noted; `python_arrow` rows are the",
+        "`tools/plan_audit.py`. `nested_loop` rows are broadcast joins of",
+        "scalar (1-row aggregate) or bounded-small relations (centroid",
+        "tables, the contract-tiny query/seed sets) unless noted;",
+        "`python_arrow` rows are the",
         "multimodal/extension operators whose Python is Arrow-batched by",
         "design. HARD failures (cartesian / row-at-a-time Python): "
         f"**{len(bad)}**.",
