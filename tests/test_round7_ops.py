@@ -329,3 +329,31 @@ def test_betweenness_sampled_matches_reference(spark):
     assert got == want
     # sanity: the 2-3 corridor carries the flow
     assert got[2] > got[4] and got[3] > got[4]
+
+
+def test_hard_negative_mining_zero_vectors_excluded(spark):
+    """Zero-norm vectors are excluded from both sides (undefined cosine)
+    instead of raising DIVIDE_BY_ZERO under ANSI mode — the
+    semantic_dedup_fixed lesson, pinned after the round-7 review."""
+    from flink_recommendation_system_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0, 0.0], 7),
+        (2, [0.0] * dim, 3),          # zero corpus vector
+        (3, [0.0, 1.0, 0.0, 0.0], 3),
+        (9, [0.0] * dim, 7),          # zero query vector
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negative_mining(
+        df.filter("vec_id in (0, 9)"), df, n_pos=1, n_neg=2
+    ).collect()
+    ids = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert all(qid != 9 for qid, _ in ids)      # zero query dropped
+    assert all(nid != 2 for _, nid in ids)      # zero neighbor dropped
+    assert (0, 1) in ids and (0, 3) in ids      # real pairs survive
