@@ -616,6 +616,11 @@ _WINDOW_PRIORITY = [
     #   hard_negative_mining bpe_compression_stats record_linkage_scores
     #   ktruss_edges ewma_event_trend betweenness_sampled zone_map_stats
     #   bpe_vocab mf_scoring_fixed seasonal_decomposition
+    # then the round-7 implementation-changed re-confirms that sat OUTSIDE
+    # this round's window (all r7-local-green; plan/layout rewrites only,
+    # oracle outputs unchanged):
+    #   user_recommendations serving_snapshot minhash_near_dups
+    #   near_dup_clusters_lsh deduped_corpus
 ]
 
 
