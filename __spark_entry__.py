@@ -490,9 +490,36 @@ _SUITES = [
 # (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. round-7 rotation head staged in round 6 (__spark_entry__ r6
-    # comment block): the never-driver-checked round-6b additions, in
-    # registration order
+    # 1. ROUND-8 ROTATION HEAD (activated — staged in round 7): the 10
+    # round-7b queries that have never been in a driver window, in the
+    # order VERDICT r07 item 1 prescribes
+    "hard_negative_mining",
+    "bpe_compression_stats",
+    "record_linkage_scores",
+    "ktruss_edges",
+    "ewma_event_trend",
+    "betweenness_sampled",
+    "zone_map_stats",
+    "bpe_vocab",
+    "mf_scoring_fixed",
+    "seasonal_decomposition",
+    # 2. round-7 plan/layout-rewrite re-confirms that sat outside the
+    # round-7 window (oracle outputs unchanged; deduped_corpus gets the
+    # exact-dedup-before-LSH composition this round, VERDICT r07 item 2)
+    "user_recommendations",
+    "serving_snapshot",
+    "minhash_near_dups",
+    "near_dup_clusters_lsh",
+    "deduped_corpus",
+    # 3. new this round (round 8 — never checked anywhere): the √N-cell
+    # SemDeDup scale twin (VERDICT r07 item 3), the ANN-candidate
+    # hard-negative mining twin (item 4), and the batch twin of the new
+    # watermarked tumbling-window streaming query (item 7)
+    "semantic_dedup_sqrt",
+    "hard_negative_mining_ann",
+    "windowed_review_counts",
+    # 4. round-7 head follows (all 50 r7-green), keeping recent-first
+    # coverage density in the window
     "min_cost_supplier",
     "nation_profit",
     "important_parts",
@@ -608,19 +635,6 @@ _WINDOW_PRIORITY = [
     "approx_order_quantiles",
     "epoch_shuffle",
     "hll_part_distinct",
-    # ROUND-8 ROTATION HEAD (staged — activate at the START of round 8 by
-    # moving these names to the top of this list; do NOT reorder before
-    # the round-7 driver check lands, it must cover the round-6b head
-    # above). Round-7b additions, never driver-checked; all have sf0.001
-    # CI greens (tests/test_entry_queries.py) and sf0.01 local greens:
-    #   hard_negative_mining bpe_compression_stats record_linkage_scores
-    #   ktruss_edges ewma_event_trend betweenness_sampled zone_map_stats
-    #   bpe_vocab mf_scoring_fixed seasonal_decomposition
-    # then the round-7 implementation-changed re-confirms that sat OUTSIDE
-    # this round's window (all r7-local-green; plan/layout rewrites only,
-    # oracle outputs unchanged):
-    #   user_recommendations serving_snapshot minhash_near_dups
-    #   near_dup_clusters_lsh deduped_corpus
 ]
 
 

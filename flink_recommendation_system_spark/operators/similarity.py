@@ -1045,6 +1045,111 @@ def hard_negative_mining(
     )
 
 
+def hard_negative_mining_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_pos: int = 1,
+    n_neg: int = 3,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``hard_negative_mining`` with the 100 TB candidate path wired
+    end-to-end (VERDICT r07 item 4): candidates come from BANDED SRP
+    buckets — a corpus vector is scored only if it shares at least one
+    of the ``n_bands`` sign-random-projection band buckets with the
+    query — then the identical exact-cosine scoring / per-(query, role)
+    ranking contract runs on the candidate set. Banding trades recall
+    for candidate volume exactly like MinHash banding (each band is
+    ``n_planes/n_bands`` sign bits; more bands → higher recall, more
+    candidates).
+
+    Fully value-oracled: the hyperplanes are the same seeded LCG
+    constants as ``lsh_topk`` (baked as repr() literals on both
+    engines), the band buckets are integer sums over sign tests, and
+    scoring is the engine's 6-dp deterministic cosine.
+
+    Scale shape: corpus signatures are a codegen projection on the scan;
+    the candidate generator is a (band_idx, bucket) equi-join against the
+    broadcast-sized query side — never all-pairs. Σ candidates per query
+    is bounded by bucket occupancy (≈ N/2^(planes/bands) per band).
+    """
+    assert n_planes % n_bands == 0, "bands must tile the plane set"
+    rows = n_planes // n_bands
+    planes = _hyperplanes(dim, n_planes)
+
+    def _banded(df: DataFrame, role: str) -> DataFrame:
+        dv = F.col(vec_col).cast("array<double>")
+        sigs = F.array(
+            *[
+                srp_signature(dv, planes[b * rows : (b + 1) * rows])
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                _norm(dv).alias(f"{role}_norm"),
+                F.posexplode(sigs).alias("band_idx", "bucket"),
+            )
+            .filter(F.col(f"{role}_norm") != 0.0)
+            .select(f"{role}_id", "band_idx", "bucket")
+        )
+
+    cand = (
+        F.broadcast(_banded(queries, "q"))
+        .join(_banded(corpus, "c"), ["band_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("q_norm"),
+        F.col(label_col).alias("q_label"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("c_norm"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            F.when(F.col("q_label") == F.col("c_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id", "role").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(
+            ((F.col("role") == "pos") & (F.col("rank") <= n_pos))
+            | ((F.col("role") == "neg") & (F.col("rank") <= n_neg))
+        )
+        .select("query_id", "role", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame,
     id_col: str = "vec_id",

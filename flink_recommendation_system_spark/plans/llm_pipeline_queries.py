@@ -366,11 +366,34 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters collapsed to their representative (min doc_id), using the
     scale-path cluster map (MinHash-LSH edges → star-CC). This is the
     query a 100 TB corpus build actually ships — everything else in the
-    dedup suite exists to make this row set right. Fully value-checked."""
+    dedup suite exists to make this row set right. Fully value-checked.
+
+    Composition order (round 8 — the repo's own round-1 lesson applied
+    here, PERFORMANCE.md "Measured 10× scale-up"): **exact dedup FIRST,
+    LSH on survivors.** LSH band-bucket candidate pairs grow quadratically
+    in exact-duplicate cluster size (the sf1 probe measured 6.6× at 10×
+    input from duplicate-cluster band collisions); exact dedup is one
+    constant-size-key shuffle that bounds the candidate set to the
+    distinct corpus. The final survivor set is IDENTICAL: exact copies
+    share signatures, so they always land in their representative's
+    cluster, and exact_dedup keeps the same min-doc_id representative the
+    cluster would elect."""
     docs = _docs(spark, sf_dir)
-    clusters = q_near_dup_clusters_lsh(spark, sf_dir)
-    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
-        "doc_id"
+    from ..operators import graph as G
+
+    survivors = D.exact_dedup(docs)
+    pairs = D.minhash_lsh_pairs(survivors, threshold=0.5)
+    edges = G.undirected(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    comp = G.contracted_components(edges)
+    keep = (
+        survivors.select("doc_id")
+        .join(comp, survivors["doc_id"] == comp["id"], "left")
+        .filter(
+            F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+        )
+        .select("doc_id")
     )
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
@@ -582,13 +605,17 @@ FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
 """
 )
 
+# exact-dedup-first mirror (round 8): the LSH pair CTE runs over exact
+# survivors, and a dropped exact duplicate can never re-enter the corpus
+# even though it no longer appears in any LSH cluster.
 DEDUPED_CORPUS_SQL = (
-    "WITH RECURSIVE " + _minhash_ctes("", 32, 8, 5, 0.5)
+    "WITH RECURSIVE " + _minhash_ctes(_EXACT_SURVIVORS, 32, 8, 5, 0.5)
     + _LSH_CLOSURE_CTES
-    + """
+    + f"""
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d
-WHERE COALESCE(
+{_EXACT_SURVIVORS}
+  AND COALESCE(
     (SELECT c.component FROM closure c WHERE c.id = d.doc_id), d.doc_id
 ) = d.doc_id
 """
@@ -3069,6 +3096,110 @@ QUERIES["semantic_dedup_fixed"] = (
 )
 
 
+# --- √N-cell SemDeDup scale twin (round 8, VERDICT r07 item 3) --------------
+
+
+def q_semantic_dedup_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup_fixed` at the SemDeDup √N cell-count law — the
+    SCALE-SHAPED configuration is the oracle-checked one: cells grow with
+    corpus size, so Σ|cell|² stays ~N^1.5-bounded instead of quadratic
+    (measured at sf1: 31.6 s at √N=141 cells vs 54.7 s at the 16-cell
+    pin). The cell count is the only adaptive input — one metadata-sized
+    count() (the same adaptive-planning trade AQE makes) feeding the same
+    deterministic hash-derived LCG centroids, which the DuckDB oracle
+    regenerates bit-exactly in SQL (recursive-CTE LCG over HUGEINT, the
+    identical IEEE ops), so the oracle follows the law at ANY sf."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    n_cells = int(math.sqrt(emb.count()))
+    return S.semantic_dedup_fixed(
+        emb, n_clusters=n_cells, threshold=0.45
+    )
+
+
+def _semantic_dedup_sqrt_sql(
+    threshold: float = 0.45, dim: int = 64, seed: int = 11
+) -> str:
+    """Mirror of q_semantic_dedup_sqrt with SQL-generated centroids:
+    the LCG state recurrence runs in HUGEINT (products < 2^126), the
+    [-1,1] mapping and L2 normalization are the same IEEE-double ops as
+    operators.similarity._lcg_unit_vectors (verified bit-exact), and
+    n_cells = floor(sqrt(count(*))) — the identical double sqrt the
+    Spark side computes."""
+    nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    l2sq = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])))"
+    )
+    return f"""
+WITH RECURSIVE params AS (
+    SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS n_cells
+    FROM embeddings
+),
+lcg(idx, state) AS (
+    SELECT 0, CAST({seed} AS HUGEINT)
+    UNION ALL
+    SELECT idx + 1,
+           (state * CAST(6364136223846793005 AS HUGEINT)
+            + CAST(1442695040888963407 AS HUGEINT))
+           % CAST(9223372036854775808 AS HUGEINT)
+    FROM lcg WHERE idx < (SELECT n_cells * {dim} FROM params)
+),
+comp AS (
+    SELECT (idx - 1) // {dim} AS cell, (idx - 1) % {dim} AS j,
+           CAST(state AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0 AS x
+    FROM lcg WHERE idx >= 1
+),
+rawc AS (SELECT cell, list(x ORDER BY j) AS rv FROM comp GROUP BY cell),
+cents AS (
+    SELECT cell,
+           list_transform(rv, x -> x
+               / sqrt(list_sum(list_transform(rv, y -> y * y)))) AS cv
+    FROM rawc
+),
+n AS (
+    SELECT e.vec_id,
+           CASE WHEN {nrm} != 0
+                THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE) / {nrm})
+                ELSE list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+           END AS v
+    FROM embeddings e
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM n CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+withv AS (
+    SELECT a.vec_id, a.cell, e.embedding
+    FROM assigned a JOIN embeddings e USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM withv a JOIN withv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE CASE WHEN sqrt({_dot_sql('a.embedding', 'a.embedding')}) != 0
+                AND sqrt({_dot_sql('b.embedding', 'b.embedding')}) != 0
+               THEN {_cosine_sql('a.embedding', 'b.embedding')}
+          END >= {threshold!r}
+)
+SELECT w.vec_id, CAST(w.cell AS BIGINT) AS cell
+FROM withv w LEFT JOIN dropped d ON w.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+SEMANTIC_DEDUP_SQRT_SQL = _semantic_dedup_sqrt_sql()
+
+QUERIES["semantic_dedup_sqrt"] = (
+    q_semantic_dedup_sqrt,
+    SEMANTIC_DEDUP_SQRT_SQL,
+)
+
+
 # --- contrastive hard-negative mining (round 7b) ---------------------------
 
 
@@ -3115,6 +3246,99 @@ WHERE (role = 'pos' AND rank <= 1) OR (role = 'neg' AND rank <= 3)
 QUERIES["hard_negative_mining"] = (
     q_hard_negative_mining,
     HARD_NEGATIVE_MINING_SQL,
+)
+
+
+# --- ANN-candidate hard-negative mining twin (round 8, VERDICT r07 #4) ------
+
+HNM_ANN_PLANES = 8
+HNM_ANN_BANDS = 2
+
+
+def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hard_negative_mining`'s 100 TB candidate path, demonstrated
+    end-to-end: candidates from banded SRP buckets (share ≥1 of 2
+    four-bit band buckets with the query) instead of the full corpus,
+    then the identical exact-cosine scoring/ranking contract. FULL value
+    oracle — the hyperplanes are seeded Python-float constants on both
+    engines and the candidate set is deterministic integer banding."""
+    emb = _emb(spark, sf_dir)
+    return S.hard_negative_mining_ann(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS),
+        emb,
+        n_pos=1,
+        n_neg=3,
+        n_planes=HNM_ANN_PLANES,
+        n_bands=HNM_ANN_BANDS,
+    )
+
+
+def _hard_negative_mining_ann_sql(
+    n_pos: int = 1,
+    n_neg: int = 3,
+    n_planes: int = HNM_ANN_PLANES,
+    n_bands: int = HNM_ANN_BANDS,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.similarity.hard_negative_mining_ann: per-band
+    SRP bucket = packed sign bits (strict > 0, band-local weight
+    2^(i % rows)), candidates = DISTINCT pairs sharing any (band_idx,
+    bucket), exact 6-dp cosine re-rank per (query, role)."""
+    rows = n_planes // n_bands
+    planes = S._hyperplanes(dim, n_planes)
+    vals = ",\n    ".join(
+        f"({i // rows}, {1 << (i % rows)}, "
+        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    dot_plane = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * p.plane[j]))"
+    )
+    return f"""
+WITH planes(band_idx, w, plane) AS (VALUES
+    {vals}),
+sigs AS (
+    SELECT e.vec_id, p.band_idx,
+           SUM(CASE WHEN {dot_plane} > 0 THEN CAST(p.w AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    WHERE sqrt({_dot_sql('e.embedding', 'e.embedding')}) != 0
+    GROUP BY e.vec_id, p.band_idx
+),
+cand AS (
+    SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+    FROM sigs qs JOIN sigs cs
+      ON qs.band_idx = cs.band_idx AND qs.bucket = cs.bucket
+     AND qs.vec_id != cs.vec_id
+    WHERE qs.vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT c.query_id,
+           CASE WHEN q.label = e.label THEN 'pos' ELSE 'neg' END AS role,
+           c.neighbor_id,
+           {_cosine_sql('q.embedding', 'e.embedding')} AS cosine_sim
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, role
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+)
+SELECT query_id, role, rank, neighbor_id, cosine_sim
+FROM ranked
+WHERE (role = 'pos' AND rank <= {n_pos}) OR (role = 'neg' AND rank <= {n_neg})
+"""
+
+
+HARD_NEGATIVE_MINING_ANN_SQL = _hard_negative_mining_ann_sql()
+
+QUERIES["hard_negative_mining_ann"] = (
+    q_hard_negative_mining_ann,
+    HARD_NEGATIVE_MINING_ANN_SQL,
 )
 
 

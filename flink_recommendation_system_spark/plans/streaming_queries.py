@@ -16,6 +16,7 @@ from ..streaming.windows import (
     session_window_stats,
     sliding_window_stats,
     tumbling_window_stats,
+    windowed_review_counts,
 )
 
 TUMBLE_SEC = 3600
@@ -990,3 +991,44 @@ LIMIT {PATH_TOP_K}
 """
 
 QUERIES["session_paths"] = (q_session_paths, SESSION_PATHS_SQL)
+
+
+# --- watermarked tumbling-window review counts (round 8, VERDICT r07 #7) ----
+
+REVIEW_WINDOW_SEC = 86400
+
+
+def q_windowed_review_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked tumbling-window streaming query
+    (streaming.windows.windowed_review_counts — ONE definition runs in
+    both modes; the streaming replay-parity pytest pins batch == stream).
+    Daily review count + 6-dp average rating per product over the review
+    fact. Scale shape: one (window, product) shuffle with map-side
+    partial aggregation; watermark bounds streaming state."""
+    from ..sources.tables import reviews_from_events
+
+    return windowed_review_counts(
+        reviews_from_events(spark, sf_dir), width_sec=REVIEW_WINDOW_SEC
+    )
+
+
+def _windowed_review_counts_sql() -> str:
+    from ..oracles import REVIEWS_CTE
+
+    return f"""
+WITH {REVIEWS_CTE}
+SELECT (ts // {REVIEW_WINDOW_SEC}) * {REVIEW_WINDOW_SEC} AS win_start_sec,
+       product_id,
+       count(*) AS n_reviews,
+       round(avg(rating), 6) AS avg_rating
+FROM reviews
+GROUP BY 1, 2
+"""
+
+
+WINDOWED_REVIEW_COUNTS_SQL = _windowed_review_counts_sql()
+
+QUERIES["windowed_review_counts"] = (
+    q_windowed_review_counts,
+    WINDOWED_REVIEW_COUNTS_SQL,
+)

@@ -61,6 +61,43 @@ def tumbling_window_stats(
     )
 
 
+def windowed_review_counts(
+    reviews: DataFrame, width_sec: int = 86400, watermark: str | None = None
+) -> DataFrame:
+    """Per (tumbling window, product_id) review count + average rating —
+    the windowed aggregation a recommendation speed layer actually serves
+    (event_windows is per event TYPE; this is per PRODUCT over the review
+    fact). Runs in batch (oracle-checked: `windowed_review_counts`) and
+    streaming (watermark + append; replay-parity pytest in
+    tests/test_streaming_windows.py) from this one definition.
+
+    Exactness: ratings are integer-valued doubles (1.0–5.0), so the sum
+    is order-independent exact and avg is one IEEE division; 6-dp
+    rounding then matches DuckDB bit-for-bit. `reviews.ts` is epoch
+    SECONDS (sources.tables.reviews_from_events), so the event-time
+    column is an exact conversion.
+
+    Scale notes: one (window, product) shuffle with map-side partial agg;
+    in streaming mode the watermark bounds state to the open windows."""
+    e = reviews.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+    if watermark is not None:
+        e = e.withWatermark("event_time", watermark)
+    win = F.window("event_time", f"{width_sec} seconds")
+    return (
+        e.groupBy(win, "product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reviews"),
+            F.round(F.avg("rating"), 6).alias("avg_rating"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
+            "product_id",
+            "n_reviews",
+            "avg_rating",
+        )
+    )
+
+
 def sliding_window_stats(
     events: DataFrame,
     width_sec: int = 7200,

@@ -4,9 +4,13 @@ function, which is itself oracle-checked via the driver contract)."""
 
 from __future__ import annotations
 
-from flink_recommendation_system_spark.sources.tables import load_table
+from flink_recommendation_system_spark.sources.tables import (
+    load_table,
+    reviews_from_events,
+)
 from flink_recommendation_system_spark.streaming.windows import (
     tumbling_window_stats,
+    windowed_review_counts,
 )
 from tests.conftest import SF0001
 
@@ -77,4 +81,78 @@ def test_streaming_append_mode_emits_finalized_windows(spark, tmp_path):
         assert expected[(r["win_start_sec"], r["event_type"])] == (
             r["n_events"],
             r["value_sum"],
+        )
+
+def test_streaming_review_counts_match_batch(spark, tmp_path):
+    """The round-8 watermarked tumbling-window review query: the SAME
+    windowed_review_counts definition run over a file-replay stream with a
+    watermark must equal its batch-mode result (which is itself
+    oracle-checked via the driver contract as `windowed_review_counts`)."""
+    reviews = reviews_from_events(spark, SF0001)
+    src = str(tmp_path / "reviews_in")
+    reviews.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = windowed_review_counts(
+        stream, width_sec=86400, watermark="1 hour"
+    )
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("review_win")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["win_start_sec"], r["product_id"]): (r["n_reviews"], r["avg_rating"])
+        for r in spark.sql("select * from review_win").collect()
+    }
+    expected = {
+        (r["win_start_sec"], r["product_id"]): (r["n_reviews"], r["avg_rating"])
+        for r in windowed_review_counts(reviews, width_sec=86400).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_review_counts_append_finalized_once(spark, tmp_path):
+    """Append mode + watermark on the review windows: each finalized
+    window emits exactly once and agrees with batch."""
+    reviews = reviews_from_events(spark, SF0001)
+    src = str(tmp_path / "reviews_in2")
+    reviews.orderBy("ts").coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    windowed = windowed_review_counts(
+        stream, width_sec=86400, watermark="1 hour"
+    )
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("review_win_append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("select * from review_win_append").collect()
+    keys = [(r["win_start_sec"], r["product_id"]) for r in rows]
+    assert len(keys) == len(set(keys)), "a finalized window emitted twice"
+    expected = {
+        (r["win_start_sec"], r["product_id"]): (r["n_reviews"], r["avg_rating"])
+        for r in windowed_review_counts(reviews, width_sec=86400).collect()
+    }
+    for r in rows:
+        assert expected[(r["win_start_sec"], r["product_id"])] == (
+            r["n_reviews"],
+            r["avg_rating"],
         )
