@@ -231,6 +231,26 @@ def _q_closeness_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighbourhood function N(h), h = 0..3, on the bipartite
+    liked graph (operators.hyperanf; Boldi-Vigna 2011): per-vertex
+    portable-HLL ball counters merged along edges — the
+    effective-diameter curve at fixed per-vertex state. FULL value
+    oracle (oracles.NEIGHBORHOOD_FUNCTION_SQL — unrolled per-hop CTEs,
+    identical register and estimator arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.hyperanf import hyperanf
+
+    liked = _liked(spark, sf_dir)
+    off = oracles.KCORE_PRODUCT_OFFSET
+    bedges = liked.select(
+        F.col("user_id").alias("src"),
+        (F.col("product_id") + off).alias("dst"),
+    )
+    return hyperanf(G.undirected(bedges), max_hops=oracles.ANF_MAX_HOPS)
+
+
 def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled betweenness centrality (Brandes dependency accumulation
     from the 3 smallest liked users, 3-hop horizon) on the bipartite
@@ -518,6 +538,8 @@ _WINDOW_PRIORITY = [
     "semantic_dedup_sqrt",
     "hard_negative_mining_ann",
     "windowed_review_counts",
+    "dsir_selected",
+    "neighborhood_function",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window
     "min_cost_supplier",
@@ -665,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits_scores,
         "random_walks": _q_random_walks,
         "betweenness_sampled": _q_betweenness_sampled,
+        "neighborhood_function": _q_neighborhood_function,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -719,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficients": oracles.CLUSTERING_COEFFICIENTS_SQL,
         "hits_scores": oracles.HITS_SCORES_SQL,
         "random_walks": oracles.RANDOM_WALKS_SQL,
+        "neighborhood_function": oracles.NEIGHBORHOOD_FUNCTION_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

@@ -1,0 +1,125 @@
+"""HyperANF — the neighbourhood function of a large graph via per-vertex
+HyperLogLog counters (Boldi, Rosa & Vigna 2011, "HyperANF: approximating
+the neighbourhood function of very large graphs on a budget").
+
+The neighbourhood function N(h) = Σ_v |B(v, h)| (how many pairs are
+within h hops) is what diameter/"degrees of separation" studies compute;
+exact all-pairs BFS is O(V·E) and infeasible at scale. HyperANF keeps ONE
+fixed-size HLL counter per vertex and iterates
+
+    B(v, h) = {v} ∪ ⋃_{(v,u) ∈ E} B(u, h−1)
+
+as a per-(vertex, bucket) MAX aggregation — each hop is one edges ⨝
+registers join plus one partial-agg shuffle, state is ≤ 2^b cells per
+vertex regardless of ball size. That is the entire 100 TB story: the
+register relation is partitioned by vertex id, the join is a plain hash
+equi-join on the edge destination, and no stage ever materializes a ball.
+
+Cross-engine exactness (the portable-HLL construction,
+operators/sketches.py): registers come from the md5-derived 32-bit hash,
+the per-vertex estimator's register sum Σ 2^-rho is a sum of dyadic
+rationals (exact in doubles in any order), and per-vertex estimates are
+quantized to the 2^-20 binary grid before the global sum, so the per-hop
+totals are order-independent and DuckDB reproduces them bit-for-bit
+(oracles.NEIGHBORHOOD_FUNCTION_SQL — unrolled per-hop CTEs).
+
+Reference anchor: extends the reference's graph analytics the same way
+closeness_estimates does (SURVEY.md §2.6 has LabelPropagation only);
+cites Flink Gelly's VertexCentric iteration model as the equivalent
+surface (reference repo has no ANF operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash32
+from .sketches import HLL_B, _hll_agg_cols, _hll_guarded_est
+
+_Q20 = float(1 << 20)
+
+
+def _vertex_registers(verts: DataFrame, b: int) -> Column:
+    """Registers of the singleton set {v} per vertex: one (id, bucket,
+    rho) row — HLL of a one-element set needs no aggregation."""
+    m = 1 << b
+    h = portable_hash32(F.col("id").cast("string"))
+    w = F.shiftrightunsigned(h, b)
+    rho = F.when(w == 0, F.lit(33 - b)).otherwise(
+        F.lit(33 - b) - F.length(F.bin(w))
+    )
+    return verts.select(
+        "id",
+        (h % F.lit(m)).cast("int").alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def hyperanf(
+    edges: DataFrame, max_hops: int = 3, b: int = HLL_B
+) -> DataFrame:
+    """Neighbourhood function N(h) for h = 0..max_hops over a DIRECTED
+    edge relation (src, dst) — pass the undirected double-relation for
+    the symmetric ball. Output: (hop, n_vertices, total_reach_est,
+    avg_reach_est), one row per hop; total_reach_est(h) / total(last)
+    read off the effective-diameter curve.
+
+    Per-hop cost: one hash equi-join (registers keyed by edge dst) + one
+    (id, bucket) partial-agg max; registers are localCheckpointed per
+    hop (the engine's fixpoint lineage-truncation convention). The
+    per-hop estimate/rollup then runs as ONE job over the union of the
+    hop-tagged register snapshots — a (hop, id) grouping instead of one
+    driver round per hop (measured 6.7 → ~4 s at sf0.1; the per-vertex
+    estimates, round 4 dp and identical cross-engine, are re-quantized
+    to the 2^-20 grid so the Σ over vertices is an exact dyadic sum —
+    magnitude < 2^33 at grid 2^-20 fits a double exactly)."""
+    # materialize the edge relation once: it probes every hop's merge
+    # join AND seeds the vertex set — without truncation each hop replays
+    # the full upstream lineage (scan → filter → edge build)
+    edges = edges.localCheckpoint()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = _vertex_registers(verts, b).localCheckpoint()
+    snapshots = [r.withColumn("hop", F.lit(0).cast("int"))]
+    for hop in range(1, max_hops + 1):
+        nbr = edges.join(
+            r.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "bucket", "rho")
+        r = (
+            r.unionByName(nbr)
+            .groupBy("id", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        snapshots.append(r.withColumn("hop", F.lit(hop).cast("int")))
+    tagged = snapshots[0]
+    for s in snapshots[1:]:
+        tagged = tagged.unionByName(s)
+    per_v = (
+        tagged.groupBy("hop", "id")
+        .agg(*_hll_agg_cols())
+        .select("hop", "id", _hll_guarded_est(b).alias("est"))
+    )
+    q = (
+        F.floor(F.col("est") * F.lit(_Q20) + F.lit(0.5)).cast("double")
+        / F.lit(_Q20)
+    )
+    return (
+        per_v.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum(q).alias("_t"),
+        )
+        .select(
+            "hop",
+            "n_vertices",
+            F.round(F.col("_t"), 4).alias("total_reach_est"),
+            F.round(F.col("_t") / F.col("n_vertices"), 6).alias(
+                "avg_reach_est"
+            ),
+        )
+    )

@@ -796,3 +796,84 @@ FROM (SELECT * FROM bd1 UNION ALL SELECT * FROM bd2
       UNION ALL SELECT * FROM bd3)
 GROUP BY 1, 2"""
 )
+
+
+# HyperANF neighbourhood function (operators.hyperanf; Boldi-Vigna 2011)
+# on the bipartite liked graph: per-vertex portable-HLL registers (md5
+# hash, b=8), per-hop (id, bucket) MAX merge along edges, unrolled
+# ANF_MAX_HOPS times; per-vertex estimates re-quantized to the 2^-20 grid
+# so the per-hop totals are order-independent exact sums.
+ANF_MAX_HOPS = 3
+_ANF_B = 8
+_ANF_M = 1 << _ANF_B
+_ANF_ALPHA = 0.7213 / (1 + 1.079 / _ANF_M)
+_ANF_QGRID = float(1 << 20)
+
+
+def _anf_est_sql() -> str:
+    """Per-vertex guarded HLL estimate over an (s, nonzero) row —
+    mirrors operators.sketches._hll_guarded_est (same literals, same
+    operation order)."""
+    m = _ANF_M
+    raw = (f"(CAST({_ANF_ALPHA!r} AS DOUBLE) * {m} * {m})"
+           f" / (s + ({m} - nonzero))")
+    return (
+        f"round(CASE WHEN {raw} <= 2.5 * {m} AND ({m} - nonzero) > 0 "
+        f"THEN CAST({m} AS DOUBLE) "
+        f"* ln(CAST({m} AS DOUBLE) / ({m} - nonzero)) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+def anf_ctes(hops: int = ANF_MAX_HOPS) -> str:
+    off = KCORE_PRODUCT_OFFSET
+    m = _ANF_M
+    parts = [f"""bedges AS (
+    SELECT user_id AS src, product_id + {off} AS dst FROM liked
+    UNION ALL
+    SELECT product_id + {off} AS src, user_id AS dst FROM liked
+),
+anf0 AS (
+    SELECT id, CAST(hv % {m} AS INT) AS bucket,
+           CAST(CASE WHEN hv // {m} = 0 THEN {33 - _ANF_B}
+                ELSE {33 - _ANF_B} - length(bin(hv // {m})) END AS INT)
+               AS rho
+    FROM (
+        SELECT id, CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS hv
+        FROM (SELECT DISTINCT src AS id FROM bedges)
+    )
+)"""]
+    for h in range(1, hops + 1):
+        parts.append(f"""anf{h} AS (
+    SELECT id, bucket, max(rho) AS rho FROM (
+        SELECT * FROM anf{h - 1}
+        UNION ALL
+        SELECT e.src AS id, r.bucket, r.rho
+        FROM bedges e JOIN anf{h - 1} r ON r.id = e.dst
+    ) GROUP BY id, bucket
+)""")
+    for h in range(hops + 1):
+        parts.append(f"""stats{h} AS (
+    SELECT {h} AS hop, count(*) AS n_vertices,
+           round(sum(q), 4) AS total_reach_est,
+           round(sum(q) / count(*), 6) AS avg_reach_est
+    FROM (
+        SELECT floor({_anf_est_sql()} * {_ANF_QGRID} + 0.5)
+                   / {_ANF_QGRID} AS q
+        FROM (
+            SELECT id, coalesce(sum(power(2.0, -rho)), 0.0) AS s,
+                   count(*) AS nonzero
+            FROM anf{h} GROUP BY id
+        )
+    )
+)""")
+    return ",\n".join(parts)
+
+
+NEIGHBORHOOD_FUNCTION_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{anf_ctes()}\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM stats{h}" for h in range(ANF_MAX_HOPS + 1)
+    )
+)

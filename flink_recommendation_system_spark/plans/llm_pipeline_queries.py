@@ -3200,6 +3200,84 @@ QUERIES["semantic_dedup_sqrt"] = (
 )
 
 
+# --- DSIR importance resampling (round 8) -----------------------------------
+
+DSIR_TARGET_SOURCE = "src1"  # the in-domain target slice (5% of the corpus)
+DSIR_BUCKETS = 1024
+DSIR_TOP_K = 100
+
+
+def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators.importance; Xie et al. 2023): rank
+    the raw pool by hashed-n-gram importance weight against the
+    `source = 'src1'` target slice and keep the top 100 — the
+    train-like-the-target curation stage between quality filtering and
+    mixing. FULL value oracle: portable md5 bucket hashing, integer log
+    arguments, 2^-38-grid quantized terms (the bigram-LM construction),
+    deterministic (weight DESC, doc_id ASC) selection."""
+    from ..operators.importance import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs,
+        F.col("source") == DSIR_TARGET_SOURCE,
+        k=DSIR_TOP_K,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+DSIR_SELECTED_SQL = f"""
+WITH t AS (
+    SELECT doc_id, (source = '{DSIR_TARGET_SOURCE}') AS is_t,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, is_t, unnest(toks) AS feat FROM t
+),
+bi AS (
+    SELECT doc_id, is_t,
+           toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS feat
+    FROM t, unnest(range(1, len(toks))) AS u(i)
+    WHERE toks[CAST(i AS INT)] != '' AND toks[CAST(i AS INT) + 1] != ''
+),
+feats AS (
+    SELECT doc_id, is_t,
+           CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % {DSIR_BUCKETS}
+               AS bucket
+    FROM (SELECT * FROM uni WHERE feat != '' UNION ALL SELECT * FROM bi)
+),
+tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE is_t GROUP BY 1),
+rc AS (SELECT bucket, count(*) AS cr FROM feats WHERE NOT is_t GROUP BY 1),
+tot AS (SELECT
+    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr
+    FROM feats),
+docf AS (
+    SELECT doc_id, bucket, count(*) AS m
+    FROM feats WHERE NOT is_t GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.doc_id, sum(d.m) AS n_feats,
+           sum(d.m * (floor((ln(coalesce(tc.ct, 0) + 1)
+                             - ln(coalesce(rc.cr, 0) + 1))
+                            * 274877906944.0 + 0.5) / 274877906944.0)) AS s
+    FROM docf d LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+    GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       round(s + n_feats * (floor((ln(nr + {DSIR_BUCKETS})
+                                   - ln(nt + {DSIR_BUCKETS}))
+                                  * 274877906944.0 + 0.5)
+                            / 274877906944.0), 6) AS log_weight
+FROM scored, tot
+ORDER BY log_weight DESC, doc_id ASC
+LIMIT {DSIR_TOP_K}
+"""
+
+QUERIES["dsir_selected"] = (q_dsir_selected, DSIR_SELECTED_SQL)
+
+
 # --- contrastive hard-negative mining (round 7b) ---------------------------
 
 

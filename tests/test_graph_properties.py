@@ -865,3 +865,51 @@ def test_random_walks_stop_at_dead_end(spark):
         edges, sources, n_walks=1, steps=3
     ).collect()
     assert sorted((r["step"], r["vertex"]) for r in rows) == [(0, 1), (1, 2)]
+
+
+def test_hyperanf_tracks_exact_neighborhood_function(spark):
+    """HyperANF (operators.hyperanf) vs the exact neighbourhood function
+    on a graph small enough for all-pairs BFS: hop-0 total must estimate
+    |V|, the curve must be monotone, every hop's total must land within
+    the HLL error envelope of the exact Σ_v |B(v,h)|, and the output must
+    be layout-independent (portable hashing, order-free sums)."""
+    from flink_recommendation_system_spark.operators.hyperanf import hyperanf
+
+    # two squares joined by a bridge + one isolated edge: diameter 5
+    ring = [(1, 2), (2, 3), (3, 4), (4, 1),
+            (4, 5), (5, 6), (6, 7), (7, 8), (8, 5), (10, 11)]
+    edges = spark.createDataFrame(
+        ring + [(b, a) for a, b in ring], ["src", "dst"]
+    )
+    anf = {
+        r["hop"]: (r["n_vertices"], r["total_reach_est"])
+        for r in hyperanf(edges, max_hops=3).collect()
+    }
+    assert set(anf) == {0, 1, 2, 3}
+    assert all(n == 10 for n, _ in anf.values())
+
+    # exact N(h) by BFS over the 10-vertex graph
+    adj = {}
+    for a, b in ring:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    def ball(v, h):
+        seen = {v}
+        frontier = {v}
+        for _ in range(h):
+            frontier = {u for x in frontier for u in adj.get(x, ())} - seen
+            seen |= frontier
+        return len(seen)
+    for h in range(4):
+        exact = sum(ball(v, h) for v in adj)
+        est = anf[h][1]
+        # b=8 → ~6.5% standard error per vertex; allow 3 sigma + slack on
+        # a 10-vertex sum (small-range linear counting is near-exact here)
+        assert abs(est - exact) / exact < 0.25, (h, est, exact)
+    assert anf[0][1] <= anf[1][1] <= anf[2][1] <= anf[3][1]
+
+    anf2 = {
+        r["hop"]: (r["n_vertices"], r["total_reach_est"])
+        for r in hyperanf(edges.repartition(5), max_hops=3).collect()
+    }
+    assert anf == anf2

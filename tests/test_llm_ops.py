@@ -685,3 +685,60 @@ def test_pq_fit_rejects_indivisible_dim(spark):
     emb = _emb(spark)
     with pytest.raises(ValueError, match="divisible"):
         S.pq_fit(emb, m=7)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR sanity (operators.importance): a raw doc sharing the target's
+    n-gram distribution must outrank a raw doc with disjoint vocabulary,
+    and every weight is finite."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.importance import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    rows = [
+        # target slice: "alpha beta" language
+        (0, "alpha beta alpha beta gamma", "t"),
+        (1, "beta alpha beta gamma alpha", "t"),
+        # raw pool: one target-like doc, one disjoint-vocab doc
+        (10, "alpha beta gamma alpha beta", "r"),
+        (11, "zip zap zoom quux corge", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, src STRING")
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            docs, F.col("src") == "t", n_buckets=64
+        ).collect()
+    }
+    assert set(w) == {10, 11}, "only raw docs are scored"
+    assert w[10] > w[11], f"target-like doc must win: {w}"
+    top = dsir_select(docs, F.col("src") == "t", k=1, n_buckets=64).collect()
+    assert [r["doc_id"] for r in top] == [10]
+
+
+def test_dsir_weights_are_grid_exact(spark):
+    """Per-doc sums are multiples of 2^-38 pre-rounding: recomputing the
+    weight with a different shuffle layout gives the identical value
+    (order-independence of the quantized-grid sum)."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.importance import (
+        dsir_log_weights,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+    from tests.conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents").limit(120)
+    flag = F.col("source") == "src1"
+    a = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs, flag).collect()
+    }
+    b = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(docs.repartition(7), flag).collect()
+    }
+    assert a == b
