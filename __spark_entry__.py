@@ -540,6 +540,7 @@ _WINDOW_PRIORITY = [
     "windowed_review_counts",
     "dsir_selected",
     "neighborhood_function",
+    "deduped_corpus_aggressive",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window
     "min_cost_supplier",

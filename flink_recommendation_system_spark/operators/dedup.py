@@ -313,6 +313,47 @@ def minhash_pairs_from_signatures(
     return _verify_pairs(cand, sigs, num_hashes, threshold)
 
 
+def minhash_bucket_edges(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    base_hash: str = "portable",
+) -> DataFrame:
+    """Verification-free banded-MinHash candidate edges — the AGGRESSIVE
+    dedup tier production crawl pipelines run when near-dup clusters are
+    huge: every doc links to the MIN doc_id of each of its band buckets
+    (a star per bucket), and docs sharing any bucket merge transitively.
+
+    Why it exists beside ``minhash_lsh_pairs``: emitting all VERIFIED
+    pairs is Θ(Σ|cluster|²) — the round-8 sf1 probe measured 36.7 M
+    verified pairs from 50 k docs (one giant near-dup cluster), 98× pair
+    growth at 10× input. Star edges are LINEAR: exactly docs × bands
+    rows before dedup, whatever the cluster structure. The trade is
+    precision — a pair sharing one band merges even if its estimated
+    Jaccard is below threshold (P[band collision] at similarity s is
+    1−(1−s^r)^b) — which is why this is a separate, honestly-named tier
+    and not a rewrite of the verified one. Recall is a superset of the
+    verified tier's by construction.
+
+    Output: (src, dst) star edges, src = bucket min < dst, distinct.
+    """
+    sigs = minhash_signatures(
+        docs, num_hashes, shingle_n, base_hash
+    ).localCheckpoint()
+    sigs = _pin(sigs, "doc_id")
+    banded = _banded(sigs, num_hashes, bands)
+    roots = banded.groupBy("band_idx", "band").agg(
+        F.min("doc_id").alias("src")
+    )
+    return (
+        banded.join(roots, ["band_idx", "band"])
+        .filter(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc_id, band_idx, band ARRAY<BIGINT>) — one row per signature band.
 

@@ -407,10 +407,11 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash constants are embedded from the same _hash_params the Spark side uses.
 
 
-def _minhash_ctes(doc_filter: str, num_hashes: int, bands: int,
-                  shingle_n: int, threshold: float) -> str:
-    """CTE chain ending in ``p(a_id, b_id, est_jaccard)`` — the MinHash-LSH
-    pair set, mirroring operators.dedup.minhash_lsh_pairs exactly."""
+def _minhash_banded_ctes(doc_filter: str, num_hashes: int, bands: int,
+                         shingle_n: int) -> str:
+    """CTE chain through ``banded(doc_id, band_idx, band)`` (plus ``sigs``)
+    — the shared signature/banding prefix of every MinHash oracle,
+    mirroring operators.dedup.minhash_signatures + _banded exactly."""
     params = D._hash_params(num_hashes)
     vals = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(params)
@@ -443,7 +444,16 @@ sigs AS (
 banded AS (
     SELECT doc_id, i // {rows} AS band_idx, list(m ORDER BY i) AS band
     FROM comp_sig GROUP BY doc_id, i // {rows}
-),
+)"""
+
+
+def _minhash_ctes(doc_filter: str, num_hashes: int, bands: int,
+                  shingle_n: int, threshold: float) -> str:
+    """CTE chain ending in ``p(a_id, b_id, est_jaccard)`` — the MinHash-LSH
+    pair set, mirroring operators.dedup.minhash_lsh_pairs exactly."""
+    return _minhash_banded_ctes(
+        doc_filter, num_hashes, bands, shingle_n
+    ) + f""",
 cand AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM banded a JOIN banded b
@@ -621,6 +631,53 @@ FROM documents d
 """
 )
 
+
+def q_deduped_corpus_aggressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AGGRESSIVE dedup artifact (operators.dedup
+    minhash_bucket_edges): band-bucket stars → star-CC → survivors, NO
+    pair verification — the tier a crawl-scale pipeline switches to when
+    verified-pair volume goes quadratic in cluster size (round-8 sf1
+    probe: 36.7 M verified pairs from 50 k docs; star edges are exactly
+    docs × bands rows). More aggressive than `deduped_corpus` (band
+    collision suffices to merge); same output shape. Fully value-checked
+    (star edges are deterministic arithmetic; oracle closes them with the
+    shared recursive-CC CTE)."""
+    from ..operators import graph as G
+
+    docs = _docs(spark, sf_dir)
+    edges = D.minhash_bucket_edges(docs)
+    comp = G.contracted_components(G.undirected(edges))
+    keep = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .filter(F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DEDUPED_CORPUS_AGGRESSIVE_SQL = (
+    "WITH RECURSIVE " + _minhash_banded_ctes("", 32, 8, 5)
+    + """,
+roots AS (
+    SELECT band_idx, band, min(doc_id) AS src FROM banded GROUP BY 1, 2
+),
+p AS (
+    SELECT DISTINCT r.src AS a_id, b.doc_id AS b_id
+    FROM banded b JOIN roots r USING (band_idx, band)
+    WHERE b.doc_id != r.src
+)"""
+    + _LSH_CLOSURE_CTES
+    + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE COALESCE(
+    (SELECT c.component FROM closure c WHERE c.id = d.doc_id), d.doc_id
+) = d.doc_id
+"""
+)
 
 def _simhash_sql(max_hamming: int = 3) -> str:
     """Brute-force Hamming≤k pair set over portable SimHash signatures —
@@ -2036,6 +2093,10 @@ QUERIES: dict[str, tuple] = {
     "near_dup_clusters": (q_near_dup_clusters, NEAR_DUP_CLUSTERS_SQL),
     "near_dup_clusters_lsh": (q_near_dup_clusters_lsh, NEAR_DUP_CLUSTERS_LSH_SQL),
     "deduped_corpus": (q_deduped_corpus, DEDUPED_CORPUS_SQL),
+    "deduped_corpus_aggressive": (
+        q_deduped_corpus_aggressive,
+        DEDUPED_CORPUS_AGGRESSIVE_SQL,
+    ),
     "lsh_quality_report": (q_lsh_quality_report, LSH_QUALITY_REPORT_SQL),
     "minhash_near_dups": (q_minhash_near_dups, MINHASH_NEAR_DUPS_SQL),
     "near_dup_pipeline": (q_near_dup_pipeline, NEAR_DUP_PIPELINE_SQL),

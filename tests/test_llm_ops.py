@@ -742,3 +742,27 @@ def test_dsir_weights_are_grid_exact(spark):
         for r in dsir_log_weights(docs.repartition(7), flag).collect()
     }
     assert a == b
+
+
+def test_aggressive_dedup_coarsens_verified_clusters(spark):
+    """Every verified LSH pair is also a band collision, so the
+    aggressive tier's components coarsen the verified tier's — its
+    survivor set must be a SUBSET of the verified survivors (and both
+    must keep at least one doc)."""
+    from flink_recommendation_system_spark.plans import (
+        llm_pipeline_queries as L,
+    )
+    from tests.conftest import SF0001
+
+    verified = {
+        r["doc_id"]
+        for r in L.QUERIES["deduped_corpus"][0](spark, SF0001).collect()
+    }
+    aggressive = {
+        r["doc_id"]
+        for r in L.QUERIES["deduped_corpus_aggressive"][0](
+            spark, SF0001
+        ).collect()
+    }
+    assert aggressive, "aggressive tier dropped the whole corpus"
+    assert aggressive <= verified
