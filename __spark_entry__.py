@@ -541,6 +541,8 @@ _WINDOW_PRIORITY = [
     "dsir_selected",
     "neighborhood_function",
     "deduped_corpus_aggressive",
+    "similar_documents",
+    "dsir_sampled",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window
     "min_cost_supplier",

@@ -170,3 +170,51 @@ def dsir_select(
     return w.orderBy(
         F.col("log_weight").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+GUMBEL_SALT = "|dsir-gumbel-1"
+
+
+def dsir_gumbel_sample(
+    docs: DataFrame,
+    is_target: Column,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = GUMBEL_SALT,
+) -> DataFrame:
+    """DSIR's actual selection mode — weighted sampling WITHOUT
+    replacement via the Gumbel-top-k trick (Xie et al. 2023 §2.2; Kool
+    et al. 2019): keep the k docs maximizing ``log w + G_i`` where
+    ``G_i = −ln(−ln u_i)`` is standard Gumbel noise, which samples
+    proportionally to w without replacement. The noise is DERANDOMIZED
+    the engine's way: ``u_i = (portable_hash32(id ‖ salt) + 0.5) / 2^32``
+    — strictly inside (0,1), reproducible across runs, engines and
+    partitionings, so the sample is a pure function of the corpus and
+    the salt (the property a regenerable training mix needs), and the
+    whole query value-oracles.
+
+    The Gumbel term is quantized to the 2^-38 grid before the add (the
+    log-weight is already a 6-dp-rounded double, identical cross-engine;
+    double + grid-multiple is one IEEE add — identical too). Output:
+    (id, n_feats, log_weight, gumbel_key) for the k sampled docs,
+    ordered deterministically (key DESC, id ASC) at the plan level via
+    TakeOrderedAndProject."""
+    w = dsir_log_weights(docs, is_target, text_col, id_col, n_buckets)
+    from .dedup import portable_hash32
+
+    u = (
+        portable_hash32(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = _quant(-F.log(-F.log(u)))
+    return (
+        w.withColumn(
+            "gumbel_key", F.round(F.col("log_weight") + gumbel, 6)
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -124,3 +124,110 @@ def bm25_topk(
     return scores.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= top_k)
+
+
+def similar_documents(
+    docs: DataFrame,
+    query_max_id: int = 20,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-to-doc sparse TF-IDF cosine top-k via the inverted index — the
+    "related documents" retrieval shape (dense-embedding ANN's sparse
+    sibling; at 100 TB the two run side by side: sparse catches lexical
+    overlap the embedding space misses).
+
+    Integer-exact core (the mergeable-sufficient-statistics pattern):
+    the per-term squared idf weight is quantized ONCE to a BIGINT grid,
+    ``u(t) = floor((ln((N+1)/(df+1)) + 1)² · 2^20 + 0.5)``, after which
+    dot(a, b) = Σ_t tf_a·tf_b·u(t) and ‖a‖² = Σ_t tf_a²·u(t) are exact
+    BIGINT sums (order-free); cosine = dot / (√‖a‖²·√‖b‖²) is a fixed
+    IEEE expression over those integers, rounded to 6 dp before ranking
+    with a neighbor-id tie-break — bit-identical in DuckDB.
+
+    Stop-term pruning: terms with df·10 > 9·N (appearing in over 90% of
+    the corpus) are dropped — the standard inverted-index skew guard; at
+    scale these terms dominate posting-list joins while contributing
+    near-zero idf weight. Integer comparison, engine-exact. (The synthetic
+    corpus's 31-word vocabulary sits at 60-80% df, so a tighter guard
+    would empty the index there; real corpora Zipf far past 90%.)
+
+    Scale shape: ONE postings pass (explode → (doc, term) partial agg);
+    df/u is a per-term aggregate joined back by term (never broadcast —
+    vocabulary-sized); the query side (id < ``query_max_id``) broadcasts;
+    the dot join shards on term and partial-aggregates on
+    (query, neighbor) — bounded by shared-term matches, not corpus².
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), rank ≤ ``top_k``.
+    """
+    docs = _spread(docs)
+    postings = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dft = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.log(
+            (F.col("n_docs") + F.lit(1.0))
+            / (F.col("df") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    u = F.floor(idf * idf * F.lit(float(1 << 20)) + F.lit(0.5)).cast("long")
+    weights = (
+        dft.crossJoin(F.broadcast(n))
+        .filter(F.col("df") * 10 <= F.col("n_docs") * 9)
+        .select("term", u.alias("u"))
+    )
+    w = postings.join(weights, "term").select(
+        id_col, "term", "tf", "u"
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf") * F.col("u")).alias("norm2")
+    )
+    q = w.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        "term",
+        F.col("tf").alias("q_tf"),
+    )
+    dots = (
+        F.broadcast(q)
+        .join(w, "term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum(F.col("q_tf") * F.col("tf") * F.col("u")).alias("dot"))
+    )
+    qn = norms.select(
+        F.col(id_col).alias("query_id"), F.col("norm2").alias("q_norm2")
+    )
+    cn = norms.select(
+        F.col(id_col).alias("neighbor_id"), F.col("norm2").alias("c_norm2")
+    )
+    scored = (
+        dots.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("q_norm2").cast("double"))
+                    * F.sqrt(F.col("c_norm2").cast("double"))
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

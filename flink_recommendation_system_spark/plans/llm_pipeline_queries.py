@@ -3261,6 +3261,80 @@ QUERIES["semantic_dedup_sqrt"] = (
 )
 
 
+# --- sparse TF-IDF document similarity search (round 8) ----------------------
+
+SIMILAR_DOCS_MAX_QUERY_ID = 20
+SIMILAR_DOCS_K = 3
+
+
+def q_similar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-to-doc sparse TF-IDF cosine top-3 (operators.retrieval
+    similar_documents) — the inverted-index "related documents" query,
+    dense ANN's sparse sibling. Integer-exact core: per-term squared-idf
+    weights quantized once to a BIGINT grid, dot products and norms as
+    exact BIGINT sums, one IEEE division at the end. Stop-terms
+    (df·10 > 9·N) pruned by integer comparison. FULL value oracle."""
+    from ..operators.retrieval import similar_documents
+
+    return similar_documents(
+        _docs(spark, sf_dir),
+        query_max_id=SIMILAR_DOCS_MAX_QUERY_ID,
+        top_k=SIMILAR_DOCS_K,
+    )
+
+
+SIMILAR_DOCUMENTS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+postings AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    WHERE tok != ''
+    GROUP BY doc_id, tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+weights AS (
+    SELECT term,
+           CAST(floor((ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                      * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                      * 1048576.0 + 0.5) AS BIGINT) AS u
+    FROM (SELECT term, count(*) AS df FROM postings GROUP BY term), n
+    WHERE df * 10 <= n_docs * 9
+),
+w AS (
+    SELECT p.doc_id, p.term, p.tf, wt.u
+    FROM postings p JOIN weights wt USING (term)
+),
+norms AS (
+    SELECT doc_id, CAST(sum(tf * tf * u) AS BIGINT) AS norm2
+    FROM w GROUP BY doc_id
+),
+dots AS (
+    SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           CAST(sum(q.tf * c.tf * q.u) AS BIGINT) AS dot
+    FROM w q JOIN w c ON q.term = c.term AND q.doc_id != c.doc_id
+    WHERE q.doc_id < {SIMILAR_DOCS_MAX_QUERY_ID}
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(nq.norm2 AS DOUBLE))
+                    * sqrt(CAST(nc.norm2 AS DOUBLE))), 6) AS cosine_sim
+    FROM dots d
+    JOIN norms nq ON nq.doc_id = d.query_id
+    JOIN norms nc ON nc.doc_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+) WHERE rank <= {SIMILAR_DOCS_K}
+"""
+
+
 # --- DSIR importance resampling (round 8) -----------------------------------
 
 DSIR_TARGET_SOURCE = "src1"  # the in-domain target slice (5% of the corpus)
@@ -3287,8 +3361,7 @@ def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_SELECTED_SQL = f"""
-WITH t AS (
+_DSIR_CTES = f"""t AS (
     SELECT doc_id, (source = '{DSIR_TARGET_SOURCE}') AS is_t,
            string_split(text, ' ') AS toks
     FROM documents
@@ -3325,18 +3398,66 @@ scored AS (
                             * 274877906944.0 + 0.5) / 274877906944.0)) AS s
     FROM docf d LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
     GROUP BY d.doc_id
-)
-SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-       round(s + n_feats * (floor((ln(nr + {DSIR_BUCKETS})
-                                   - ln(nt + {DSIR_BUCKETS}))
-                                  * 274877906944.0 + 0.5)
-                            / 274877906944.0), 6) AS log_weight
-FROM scored, tot
+),
+weighted AS (
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+           round(s + n_feats * (floor((ln(nr + {DSIR_BUCKETS})
+                                       - ln(nt + {DSIR_BUCKETS}))
+                                      * 274877906944.0 + 0.5)
+                                / 274877906944.0), 6) AS log_weight
+    FROM scored, tot
+)"""
+
+DSIR_SELECTED_SQL = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_feats, log_weight
+FROM weighted
 ORDER BY log_weight DESC, doc_id ASC
 LIMIT {DSIR_TOP_K}
 """
 
 QUERIES["dsir_selected"] = (q_dsir_selected, DSIR_SELECTED_SQL)
+
+
+def q_dsir_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection mode (operators.importance
+    dsir_gumbel_sample): weighted sampling WITHOUT replacement via
+    Gumbel-top-k, with the Gumbel noise derandomized through the portable
+    hash — the sample is a pure function of corpus + salt, so the whole
+    draw value-oracles (the deterministic-rank variant `dsir_selected`
+    is the noiseless limit beside it)."""
+    from ..operators.importance import dsir_gumbel_sample
+
+    return dsir_gumbel_sample(
+        _docs(spark, sf_dir),
+        F.col("source") == DSIR_TARGET_SOURCE,
+        k=DSIR_TOP_K,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+def _dsir_sampled_sql() -> str:
+    from ..operators.importance import GUMBEL_SALT
+
+    u = (f"(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+         f"'{GUMBEL_SALT}'), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) "
+         f"/ 4294967296.0")
+    gq = (f"floor(-ln(-ln({u})) * 274877906944.0 + 0.5) "
+          f"/ 274877906944.0")
+    return f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_feats, log_weight,
+       round(log_weight + {gq}, 6) AS gumbel_key
+FROM weighted
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT {DSIR_TOP_K}
+"""
+
+
+DSIR_SAMPLED_SQL = _dsir_sampled_sql()
+
+QUERIES["dsir_sampled"] = (q_dsir_sampled, DSIR_SAMPLED_SQL)
+QUERIES["similar_documents"] = (q_similar_documents, SIMILAR_DOCUMENTS_SQL)
 
 
 # --- contrastive hard-negative mining (round 7b) ---------------------------

@@ -156,3 +156,48 @@ def test_streaming_review_counts_append_finalized_once(spark, tmp_path):
             r["n_reviews"],
             r["avg_rating"],
         )
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Gap-based session windows under a real watermarked stream: the
+    same session_window_stats definition replayed file-by-file must, in
+    complete mode, equal the batch result (which is oracle-checked via
+    the driver contract as `user_sessions`)."""
+    from flink_recommendation_system_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    events = load_table(spark, SF0001, "events")
+    src = str(tmp_path / "events_sess")
+    events.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # the replay is UNORDERED (repartition(4)) across a 30-day span, so
+    # the watermark must exceed the span or session merging would drop
+    # late batches as expired state; cross-batch merging is the thing
+    # under test here, drop semantics are covered by the tumbling tests
+    windowed = session_window_stats(
+        stream, gap_sec=1800, watermark="800 hours"
+    )
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["session_start_sec"], r["user_id"]): r["n_events"]
+        for r in spark.sql("select * from sess_win").collect()
+    }
+    expected = {
+        (r["session_start_sec"], r["user_id"]): r["n_events"]
+        for r in session_window_stats(events, gap_sec=1800).collect()
+    }
+    assert got == expected
