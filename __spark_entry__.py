@@ -543,6 +543,7 @@ _WINDOW_PRIORITY = [
     "deduped_corpus_aggressive",
     "similar_documents",
     "dsir_sampled",
+    "entity_clusters",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window
     "min_cost_supplier",

@@ -1463,8 +1463,7 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RECORD_LINKAGE_SCORES_SQL = f"""
-WITH c AS (
+_RL_CTES = f"""c AS (
     SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000
                AS bal_bucket
@@ -1495,7 +1494,10 @@ scored AS (
     FROM pairs p
     JOIN c a ON a.c_custkey = p.id1
     JOIN c b ON b.c_custkey = p.id2
-)
+)"""
+
+RECORD_LINKAGE_SCORES_SQL = f"""
+WITH {_RL_CTES}
 SELECT id1, id2, name_dist, same_nation, same_segment, same_bal_bucket,
        CAST(milli AS DOUBLE) / 1000.0 AS score,
        CASE WHEN milli >= {_RL_MATCH_MILLI} THEN 'match'
@@ -1508,3 +1510,76 @@ QUERIES["record_linkage_scores"] = (
     q_record_linkage_scores,
     RECORD_LINKAGE_SCORES_SQL,
 )
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution END ARTIFACT: transitive closure of the
+    Fellegi-Sunter MATCH pairs (milli >= the match threshold) over the
+    bounded customer slice — every record mapped to its entity id (the
+    cluster's min custkey; unmatched records are their own entity) with
+    the entity's member count. The step a real MDM/dedup pipeline ships
+    after `record_linkage_scores`. FULL value oracle (match pairs +
+    recursive-CC closure).
+
+    Scale design (100 TB): match edges come from the sub-quadratic
+    FastSS-blocked scorer; the closure is the same star-contraction CC
+    every dedup artifact uses (O(log n) rounds); entity sizes are one
+    partial agg on the assignment relation."""
+    from ..operators import graph as G
+
+    scored = q_record_linkage_scores(spark, sf_dir)
+    matches = scored.filter(F.col("match_class") == "match").select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    comp = G.contracted_components(G.undirected(matches))
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
+        .select("c_custkey")
+    )
+    ent = base.join(
+        comp, base["c_custkey"] == comp["id"], "left"
+    ).select(
+        "c_custkey",
+        F.coalesce("component", F.col("c_custkey")).alias("entity_id"),
+    )
+    sizes = ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return ent.join(sizes, "entity_id").select(
+        "c_custkey", "entity_id", "n_members"
+    )
+
+
+ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_RL_CTES},
+m AS (
+    SELECT id1 AS a_id, id2 AS b_id FROM scored
+    WHERE milli >= {_RL_MATCH_MILLI}
+),
+e AS (
+    SELECT a_id AS src, b_id AS dst FROM m
+    UNION ALL
+    SELECT b_id AS src, a_id AS dst FROM m
+),
+reach(id, r) AS (
+    SELECT src AS id, src AS r FROM e
+    UNION
+    SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id
+),
+closure AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+base AS (
+    SELECT c_custkey FROM customer WHERE c_custkey <= {FUZZY_D2_MAX_KEY}
+),
+ent AS (
+    SELECT b.c_custkey,
+           COALESCE(cl.component, b.c_custkey) AS entity_id
+    FROM base b LEFT JOIN closure cl ON cl.id = b.c_custkey
+)
+SELECT ent.c_custkey, ent.entity_id, s.n_members
+FROM ent JOIN (
+    SELECT entity_id, count(*) AS n_members FROM ent GROUP BY entity_id
+) s USING (entity_id)
+"""
+
+QUERIES["entity_clusters"] = (q_entity_clusters, ENTITY_CLUSTERS_SQL)

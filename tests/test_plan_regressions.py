@@ -454,3 +454,53 @@ def test_ktruss_support_join_is_hash_equi(spark):
     plan = _plan(q_ktruss_edges(spark, SF0001))
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_models_broadcast_and_no_feature_window(spark):
+    """DSIR scoring must broadcast the bucket-count model into the
+    per-doc aggregate and must NOT plan a Window over the corpus-sized
+    feature stream (the round-8 array-expression rewrite removed the
+    bigram lead window — a regression would shuffle every token)."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_dsir_selected,
+    )
+
+    plan = _plan(q_dsir_selected(spark, SF0001))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_similar_documents_inverted_index_is_hash_join(spark):
+    """The doc-doc TF-IDF dot product must plan as hash equi-joins on the
+    term key (never a nested-loop over doc pairs), and the top-k must not
+    sort the full score relation globally before ranking (a per-query
+    window, not a global sort)."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        q_similar_documents,
+    )
+
+    plan = _plan(q_similar_documents(spark, SF0001))
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop allowed is the broadcast of the 1-row
+    # corpus-count aggregate into the df stop-term filter (its subtree
+    # repeats textually once per consumer of `w`) — every join carrying
+    # postings must stay a hash equi-join
+    nl = [
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    ]
+    assert nl and all("n_docs" in ln for ln in nl), plan[:3000]
+
+
+def test_hyperanf_merge_is_partial_agg_on_id_bucket(spark):
+    """HyperANF's per-hop merge must be a hash aggregate keyed on
+    (id, bucket) — partial map-side max before the exchange — and the
+    edges-to-registers join must be a hash equi-join."""
+    from flink_recommendation_system_spark.operators.hyperanf import hyperanf
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    plan = _plan(hyperanf(edges, max_hops=1))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan, plan[:3000]
