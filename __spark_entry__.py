@@ -251,6 +251,105 @@ def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperanf(G.undirected(bedges), max_hops=oracles.ANF_MAX_HOPS)
 
 
+def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the community-QUALITY
+    audit run after any community detection (is the partition better
+    than random?). Exact-integer core: with E the directed-double edge
+    count, Q = Σ_c (intra_c·E − d_c²) / E² where intra_c counts
+    double-relation edges inside c and d_c sums member degrees — the
+    numerator is one BIGINT sum, the division one IEEE op, so the value
+    oracles bit-for-bit against the unrolled-LPA CTE chain."""
+    from pyspark.sql import functions as F
+
+    edges = G.undirected(
+        G.co_review_edges(_liked(spark, sf_dir))
+    ).localCheckpoint()
+    labels = G.label_propagation(edges).localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tot = edges.agg(F.count(F.lit(1)).alias("e2"))
+    dc = (
+        labels.join(deg, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("l_src"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("l_dst"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("l_src") == F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("label"))
+        .agg(F.count(F.lit(1)).alias("i_c"))
+    )
+    terms = (
+        dc.join(intra, "label", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.coalesce("i_c", F.lit(0)) * F.col("e2")
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num"),
+            "e2",
+        )
+    )
+    return terms.groupBy("e2").agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("num").alias("_num"),
+    ).select(
+        "n_communities",
+        (F.col("e2") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("e2").cast("double") * F.col("e2").cast("double")),
+            6,
+        ).alias("modularity"),
+    )
+
+
+def _q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    (deg(src), deg(dst)) over the directed-double edge relation of the
+    BOUNDED (user<200) co-review graph — positive = hubs link to hubs.
+    The bounded tier keeps the BIGINT sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy²) overflow-free (the triangle-tier stance); r is a
+    fixed expression over exact integers, rounded to 6 dp."""
+    from pyspark.sql import functions as F
+
+    liked = G.good_reviews(
+        reviews_from_events(spark, sf_dir), user_cutoff=200
+    )
+    edges = G.undirected(G.co_review_edges(liked)).localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dx = deg.select(F.col("id").alias("src"), F.col("deg").alias("x"))
+    dy = deg.select(F.col("id").alias("dst"), F.col("deg").alias("y"))
+    m = edges.join(dx, "src").join(dy, "dst").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            ),
+        ).alias("assortativity"),
+    )
+
+
 def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled betweenness centrality (Brandes dependency accumulation
     from the 3 smallest liked users, 3-hop horizon) on the bipartite
@@ -544,6 +643,8 @@ _WINDOW_PRIORITY = [
     "similar_documents",
     "dsir_sampled",
     "entity_clusters",
+    "community_modularity",
+    "degree_assortativity",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window
     "min_cost_supplier",
@@ -692,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "betweenness_sampled": _q_betweenness_sampled,
         "neighborhood_function": _q_neighborhood_function,
+        "community_modularity": _q_community_modularity,
+        "degree_assortativity": _q_degree_assortativity,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
         # (word-soup docs where most pairs collide in some hash table) is
@@ -747,6 +850,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": oracles.HITS_SCORES_SQL,
         "random_walks": oracles.RANDOM_WALKS_SQL,
         "neighborhood_function": oracles.NEIGHBORHOOD_FUNCTION_SQL,
+        "community_modularity": oracles.COMMUNITY_MODULARITY_SQL,
+        "degree_assortativity": oracles.DEGREE_ASSORTATIVITY_SQL,
     }
     for suite in _SUITES:
         for name, (_fn, sql) in suite.items():

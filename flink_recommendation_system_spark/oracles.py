@@ -877,3 +877,58 @@ NEIGHBORHOOD_FUNCTION_SQL = (
         f"SELECT * FROM stats{h}" for h in range(ANF_MAX_HOPS + 1)
     )
 )
+
+
+# Newman modularity of the LPA partition (entry _q_community_modularity):
+# Q = Σ_c (intra_c·E − d_c²) / E² with E the directed-double edge count —
+# exact BIGINT numerator, one IEEE division, unrolled-LPA labels.
+COMMUNITY_MODULARITY_SQL = (
+    f"{graph_prefix(5)},\n"
+    """deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+tot AS (SELECT count(*) AS e2 FROM edges),
+dc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c
+       FROM l5 l JOIN deg d USING (id) GROUP BY l.label),
+intra AS (
+    SELECT la.label, count(*) AS i_c
+    FROM edges e
+    JOIN l5 la ON la.id = e.src
+    JOIN l5 lb ON lb.id = e.dst AND lb.label = la.label
+    GROUP BY la.label
+),
+terms AS (
+    SELECT (coalesce(i.i_c, 0) * t.e2 - dc.d_c * dc.d_c) AS num, t.e2
+    FROM dc LEFT JOIN intra i USING (label), tot t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(e2 // 2 AS BIGINT) AS n_edges,
+       round(CAST(sum(num) AS DOUBLE)
+             / (CAST(e2 AS DOUBLE) * CAST(e2 AS DOUBLE)), 6) AS modularity
+FROM terms GROUP BY e2
+"""
+)
+
+
+# Degree assortativity (Newman 2002) on the bounded (user<200) co-review
+# graph: Pearson r over (deg(src), deg(dst)) of the double relation from
+# exact BIGINT sufficient statistics (entry _q_degree_assortativity).
+DEGREE_ASSORTATIVITY_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_200_CTE},\n{EDGES_CTES},\n"
+    """deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+m AS (
+    SELECT count(*) AS n,
+           CAST(sum(a.deg) AS BIGINT) AS sx,
+           CAST(sum(b.deg) AS BIGINT) AS sy,
+           CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy,
+           CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+           CAST(sum(b.deg * b.deg) AS BIGINT) AS syy
+    FROM edges e JOIN deg a ON a.id = e.src JOIN deg b ON b.id = e.dst
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM m
+"""
+)
