@@ -645,6 +645,7 @@ _WINDOW_PRIORITY = [
     "entity_clusters",
     "community_modularity",
     "degree_assortativity",
+    "readability_scores",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window
     "min_cost_supplier",

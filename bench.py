@@ -69,8 +69,12 @@ def main() -> None:
     # order absorb the JIT ramp and their recorded times are incomparable
     # across rounds (measured: the same query is 1.5-2x slower in the
     # first ~dozen draw positions than warm).
+    # subword_token_counts covers the BPE merge-loop family: ~60 tiny
+    # driver-round jobs whose JIT ramp otherwise lands on whichever BPE
+    # query draws first (measured 13 s cold vs 3.5 s warm at sf0.1)
     for _warm in ("lpa_labels", "minhash_near_dups", "bm25_topk",
-                  "pricing_summary", "user_sessions"):
+                  "pricing_summary", "user_sessions",
+                  "subword_token_counts"):
         try:
             _force_full_evaluation(qs[_warm](spark, sf_dir))
         except Exception:

@@ -703,3 +703,65 @@ def temperature_mixture(
         .filter(u < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease-style readability per document — the classic
+    text-quality gate feature (very low or very high scores flag
+    boilerplate and noise). Syllables are approximated by maximal vowel
+    runs per word (the standard heuristic when no dictionary ships with
+    the engine), with the Flesch ≥1-per-word floor; sentences split on
+    [.!?] with a ≥1 floor (corpora without sentence punctuation score as
+    one sentence).
+
+    Cross-engine exactness: n_words / n_syllables / n_sentences are exact
+    integers (explode → partial-agg counts), and the score
+    ``206.835 − 1.015·(w/s) − 84.6·(syl/w)`` is a FIXED expression over
+    them — two IEEE divisions, identical in DuckDB; rounded to 4 dp.
+
+    Scale shape: one scan → token explode → per-doc partial agg (the
+    token_counts plan family); the sentence count rides the explode as a
+    carried column (computed once per doc row, F.first on the agg)."""
+    from ._util import spread_small_scan as _spread
+
+    sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[.!?]"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    exploded = _spread(docs).select(
+        "doc_id",
+        sent.alias("n_sentences"),
+        F.explode(tokens(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    syl = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("word")), "[^aeiou]+"),
+                lambda p: p != "",
+            )
+        ),
+        F.lit(1),
+    )
+    agg = exploded.groupBy("doc_id").agg(
+        F.first("n_sentences").alias("n_sentences"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(syl).alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+            4,
+        ).alias("flesch_score"),
+    )

@@ -3261,6 +3261,48 @@ QUERIES["semantic_dedup_sqrt"] = (
 )
 
 
+# --- Flesch-style readability scoring (round 8) -------------------------------
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability per document (operators.text readability_scores) —
+    vowel-run syllable proxy with the Flesch floors; exact integer counts
+    feeding one fixed two-division expression. FULL value oracle."""
+    return T.readability_scores(_docs(spark, sf_dir))
+
+
+READABILITY_SCORES_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           greatest(len(list_filter(string_split_regex(text, '[.!?]'),
+                                    s -> trim(s) != '')), 1) AS n_sentences,
+           list_filter(string_split(text, ' '), w -> w != '') AS ws
+    FROM documents
+),
+w AS (
+    SELECT doc_id, n_sentences, unnest(ws) AS word FROM t
+),
+agg AS (
+    SELECT doc_id,
+           first(n_sentences) AS n_sentences,
+           count(*) AS n_words,
+           sum(greatest(len(list_filter(
+                   string_split_regex(lower(word), '[^aeiou]+'),
+                   p -> p != '')), 1)) AS n_syllables
+    FROM w GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             4) AS flesch_score
+FROM agg
+"""
+
+
 # --- sparse TF-IDF document similarity search (round 8) ----------------------
 
 SIMILAR_DOCS_MAX_QUERY_ID = 20
@@ -3458,6 +3500,7 @@ DSIR_SAMPLED_SQL = _dsir_sampled_sql()
 
 QUERIES["dsir_sampled"] = (q_dsir_sampled, DSIR_SAMPLED_SQL)
 QUERIES["similar_documents"] = (q_similar_documents, SIMILAR_DOCUMENTS_SQL)
+QUERIES["readability_scores"] = (q_readability_scores, READABILITY_SCORES_SQL)
 
 
 # --- contrastive hard-negative mining (round 7b) ---------------------------
