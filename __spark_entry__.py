@@ -647,7 +647,15 @@ _WINDOW_PRIORITY = [
     "degree_assortativity",
     "readability_scores",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
-    # coverage density in the window
+    # coverage density in the window.
+    #
+    # ROUND-9 STAGING NOTE: tiers 1-3 above (27 names) all earn driver
+    # greens in the round-8 window, and NOTHING registered this round sits
+    # outside it — the never-driver-checked backlog is EMPTY for the first
+    # time. Round 9's window head should therefore rotate to the queries
+    # with the OLDEST driver greens (the r4/r5 vintage: the §2 pipeline
+    # core and early LLM ops), refreshing their rows, plus whatever round
+    # 9 adds.
     "min_cost_supplier",
     "nation_profit",
     "important_parts",
