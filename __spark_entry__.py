@@ -251,6 +251,33 @@ def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperanf(G.undirected(bedges), max_hops=oracles.ANF_MAX_HOPS)
 
 
+def _q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival TEMPORAL reachability (operators.temporal; Wu et
+    al. 2014 semantics): information placed on the 3 smallest liked
+    users flows through product-mediated interactions with
+    non-decreasing timestamps — min arrival second per user within 2
+    user-hops. Static reachability over-counts on interaction data; the
+    time-respecting constraint is the difference. Exact integer
+    arrivals → FULL value oracle (unrolled hop CTEs)."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.operators.temporal import (
+        earliest_arrival,
+    )
+
+    r = reviews_from_events(spark, sf_dir)
+    inter = r.filter(
+        (F.col("user_id") < 1000) & (F.col("rating") > 3.0)
+    ).select("user_id", "product_id", "ts")
+    seeds = (
+        inter.select(F.col("user_id").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(oracles.BFS_N_SOURCES)
+    )
+    return earliest_arrival(inter, seeds, max_user_hops=2)
+
+
 def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA partition — the community-QUALITY
     audit run after any community detection (is the partition better
@@ -646,6 +673,9 @@ _WINDOW_PRIORITY = [
     "community_modularity",
     "degree_assortativity",
     "readability_scores",
+    "temporal_reachability",
+    "l_diversity",
+    "markov_attribution",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window.
     #
@@ -803,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sampled": _q_betweenness_sampled,
         "neighborhood_function": _q_neighborhood_function,
         "community_modularity": _q_community_modularity,
+        "temporal_reachability": _q_temporal_reachability,
         "degree_assortativity": _q_degree_assortativity,
         # NOTE: the MLlib MinHashLSH/BRP variants (operators.mllib_lsh) are
         # deliberately NOT registered: approxSimilarityJoin on this corpus
@@ -860,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": oracles.RANDOM_WALKS_SQL,
         "neighborhood_function": oracles.NEIGHBORHOOD_FUNCTION_SQL,
         "community_modularity": oracles.COMMUNITY_MODULARITY_SQL,
+        "temporal_reachability": oracles.TEMPORAL_REACHABILITY_SQL,
         "degree_assortativity": oracles.DEGREE_ASSORTATIVITY_SQL,
     }
     for suite in _SUITES:

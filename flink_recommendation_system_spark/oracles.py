@@ -932,3 +932,47 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM m
 """
 )
+
+
+# Earliest-arrival temporal reachability (operators.temporal; entry
+# _q_temporal_reachability): product-mediated time-respecting flow from
+# the BFS_N_SOURCES smallest liked users, 2 user-hops unrolled. State
+# merge = lexicographic min (arrival, hops) — row_number mirrors Spark's
+# min(struct) exactly; all arithmetic is integer seconds.
+def temporal_ctes(hops: int = 2) -> str:
+    parts = [f"""inter AS (
+    SELECT user_id AS u, product_id AS p, ts AS t
+    FROM reviews WHERE user_id < 1000 AND rating > 3.0
+),
+s0 AS (
+    SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS arrival,
+           0 AS hops
+    FROM (SELECT DISTINCT u AS id FROM inter ORDER BY u
+          LIMIT {BFS_N_SOURCES})
+)"""]
+    for h in range(1, hops + 1):
+        parts.append(f"""oi{h} AS (
+    SELECT i.p, min(i.t) AS item_t
+    FROM s{h - 1} s JOIN inter i ON i.u = s.id AND i.t >= s.arrival
+    GROUP BY i.p
+),
+d{h} AS (
+    SELECT i.u AS id, min(i.t) AS arrival, {h} AS hops
+    FROM oi{h} o JOIN inter i ON i.p = o.p AND i.t >= o.item_t
+    GROUP BY i.u
+),
+s{h} AS (
+    SELECT id, arrival, hops FROM (
+        SELECT id, arrival, hops,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY arrival, hops) AS rn
+        FROM (SELECT * FROM s{h - 1} UNION ALL SELECT * FROM d{h})
+    ) WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
+TEMPORAL_REACHABILITY_SQL = (
+    f"WITH {REVIEWS_CTE},\n{temporal_ctes(2)}\n"
+    "SELECT id, arrival AS arrival_sec, hops FROM s2"
+)

@@ -853,6 +853,69 @@ GROUP BY 1, 2, 3
 QUERIES["k_anonymity"] = (q_k_anonymity, K_ANONYMITY_SQL)
 
 
+_L_DIVERSITY = 3
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary companion: an equivalence class can meet k yet leak its
+    SENSITIVE attribute when every member shares one value (the
+    homogeneity attack). Same quasi-identifier classes as `k_anonymity`
+    (nation, segment, balance bucket); sensitive attribute = the
+    customer's order-priority profile — distinct o_orderpriority values
+    observed across the class's orders. Classes with < l distinct
+    sensitive values are the leak. Customers without orders contribute
+    no sensitive values (distinct count over the left join's NULLs is
+    0 in both engines).
+
+    Scale design (100 TB): one customer⨝orders join keyed on custkey
+    (both bucketable), partial-agg to classes; output bounded by QID
+    cardinality."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    bucket = F.expr(
+        "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
+        " DIV 100000 AS BIGINT)"
+    )
+    joined = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_mktsegment",
+        bucket.alias("bal_bucket"),
+    ).join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+    return (
+        joined.groupBy("nationkey", "c_mktsegment", "bal_bucket")
+        .agg(
+            F.countDistinct("c_custkey").alias("class_size"),
+            F.countDistinct("o_orderpriority").alias("n_sensitive"),
+        )
+        .withColumn("meets_l", F.col("n_sensitive") >= _L_DIVERSITY)
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH j AS (
+    SELECT c.c_custkey,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           c.c_mktsegment,
+           CAST((CAST(round(c.c_acctbal * 100) AS BIGINT) + 100000000)
+                // 100000 AS BIGINT) AS bal_bucket,
+           o.o_orderpriority
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT nationkey, c_mktsegment, bal_bucket,
+       count(DISTINCT c_custkey) AS class_size,
+       count(DISTINCT o_orderpriority) AS n_sensitive,
+       count(DISTINCT o_orderpriority) >= {_L_DIVERSITY} AS meets_l
+FROM j
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["l_diversity"] = (q_l_diversity, L_DIVERSITY_SQL)
+
+
 # --- exact weighted median --------------------------------------------------------
 
 
@@ -1801,3 +1864,271 @@ QUERIES["seasonal_decomposition"] = (
     q_seasonal_decomposition,
     SEASONAL_DECOMPOSITION_SQL,
 )
+
+
+# --- Markov removal-effect attribution (round 8) -----------------------------
+
+_MARKOV_K = 12  # bounded absorption horizon (documented contract)
+_MK_GRID = 274877906944.0  # 2^38
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution via Markov removal effects
+    (Anderl et al. 2014) — the method that replaced position rules
+    (`touch_attribution` is the rule-based sibling): build the
+    first-order journey chain (START → event types → CONV at the first
+    purchase / NULL when none), estimate transition probabilities from
+    counts, and credit each channel by how much the conversion
+    probability drops when the channel is removed (its transitions
+    redirect to NULL).
+
+    Absorption probabilities are computed by K=12 bounded power
+    iterations — a documented truncation (journey chains can cycle), the
+    SAME number on both engines, with every per-step term quantized to
+    the 2^-38 grid so state vectors stay exact dyadic rationals and the
+    whole query value-oracles (transition probs are single IEEE count
+    divisions; all scenarios advance in ONE relation per step, the
+    betweenness all-sources trick).
+
+    Output: (channel, p_conv_full, p_conv_removed, removal_effect,
+    attribution_share), share = effect / Σ effects.
+
+    Scale design (100 TB): the journey/transition build is one user_id
+    window pass + a partial-agg to the tiny (from, to) domain; the
+    iteration runs on a |scenarios|×|states| relation (tens of rows) —
+    metadata-scale regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    fp = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp"))
+    )
+    j = r.join(fp, "user_id", "left")
+    kept = j.filter(F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
+
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    mid = (
+        kept.withColumn("nxt", F.lead("event_type").over(w2))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("f"), F.col("nxt").alias("t"))
+    )
+    firsts = kept.groupBy("user_id").agg(
+        F.min_by("event_type", "rn").alias("t")
+    ).select(F.lit("START").alias("f"), "t")
+    start_conv = fp.filter(F.col("fp") == 1).select(
+        F.lit("START").alias("f"), F.lit("CONV").alias("t")
+    )
+    lasts = (
+        kept.groupBy("user_id")
+        .agg(F.max_by("event_type", "rn").alias("f"))
+        .join(fp, "user_id", "left")
+        .select(
+            "f",
+            F.when(F.col("fp").isNotNull(), F.lit("CONV"))
+            .otherwise(F.lit("DROPPED"))
+            .alias("t"),
+        )
+    )
+    trans = mid.unionByName(firsts).unionByName(start_conv).unionByName(lasts)
+    cnt = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("f").agg(F.sum("n").alias("d"))
+    T = cnt.join(tot, "f").select(
+        "f", "t", (F.col("n").cast("double") / F.col("d").cast("double")).alias("prob")
+    ).localCheckpoint()
+
+    chans = kept.select(F.col("event_type").alias("ch")).distinct()
+    scen = chans.select(F.col("ch").alias("scenario")).unionByName(
+        spark.createDataFrame([("FULL",)], "scenario STRING")
+    ).localCheckpoint()
+    states = T.select(F.col("f").alias("state")).distinct().localCheckpoint()
+
+    def quant(c):
+        return (
+            F.floor(c * F.lit(_MK_GRID) + F.lit(0.5)).cast("double")
+            / F.lit(_MK_GRID)
+        )
+
+    base = (
+        scen.crossJoin(T.filter(F.col("t") == "CONV"))
+        .select("scenario", F.col("f").alias("state"), quant(F.col("prob")).alias("bq"))
+    ).localCheckpoint()
+    edges = (
+        scen.crossJoin(T)
+        .join(states.withColumnRenamed("state", "t"), "t")
+        .filter(F.col("t") != F.col("scenario"))
+        .select("scenario", "f", "t", "prob")
+    ).localCheckpoint()
+
+    grid = scen.crossJoin(states).localCheckpoint()
+    p = grid.withColumn("p", F.lit(0.0))
+    # metadata-scale iteration (|scenarios| x |states| = tens of rows):
+    # broadcast every loop relation so no step shuffles, and truncate
+    # lineage every 4 steps instead of every step (12 -> 3 checkpoint
+    # jobs; measured 14.3 -> ~3 s at sf0.001)
+    for i in range(_MARKOV_K):
+        terms = (
+            F.broadcast(edges)
+            .join(
+                p.select("scenario", F.col("state").alias("t"), "p"),
+                ["scenario", "t"],
+            )
+            .groupBy("scenario", F.col("f").alias("state"))
+            .agg(F.sum(quant(F.col("prob") * F.col("p"))).alias("ts"))
+        )
+        p = (
+            grid.join(F.broadcast(base), ["scenario", "state"], "left")
+            .join(F.broadcast(terms), ["scenario", "state"], "left")
+            .select(
+                "scenario",
+                "state",
+                (
+                    F.coalesce("bq", F.lit(0.0))
+                    + F.coalesce("ts", F.lit(0.0))
+                ).alias("p"),
+            )
+        )
+        if (i + 1) % 4 == 0:
+            p = p.localCheckpoint()
+
+    at_start = p.filter(F.col("state") == "START")
+    full = at_start.filter(F.col("scenario") == "FULL").select(
+        F.col("p").alias("p_full")
+    )
+    rem = at_start.filter(F.col("scenario") != "FULL").select(
+        F.col("scenario").alias("channel"), F.col("p").alias("p_removed")
+    )
+    eff = rem.crossJoin(F.broadcast(full)).select(
+        "channel",
+        "p_full",
+        "p_removed",
+        (F.col("p_full") - F.col("p_removed")).alias("effect"),
+    )
+    te = eff.agg(F.sum("effect").alias("te"))
+    return eff.crossJoin(F.broadcast(te)).select(
+        "channel",
+        F.round("p_full", 6).alias("p_conv_full"),
+        F.round("p_removed", 6).alias("p_conv_removed"),
+        F.round("effect", 6).alias("removal_effect"),
+        F.when(
+            F.col("te") > 0, F.round(F.col("effect") / F.col("te"), 6)
+        ).alias("attribution_share"),
+    )
+
+
+def _markov_sql(k: int = _MARKOV_K) -> str:
+    g = _MK_GRID
+    parts = [f"""e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY s, event_id) AS rn
+    FROM e
+),
+fp AS (
+    SELECT user_id, min(rn) AS fp FROM r
+    WHERE event_type = 'purchase' GROUP BY 1
+),
+kept AS MATERIALIZED (
+    SELECT r.* FROM r LEFT JOIN fp USING (user_id)
+    WHERE fp.fp IS NULL OR r.rn < fp.fp
+),
+mid AS (
+    SELECT f, t FROM (
+        SELECT event_type AS f,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS t
+        FROM kept
+    ) WHERE t IS NOT NULL
+),
+firsts AS (
+    SELECT 'START' AS f, arg_min(event_type, rn) AS t
+    FROM kept GROUP BY user_id
+),
+start_conv AS (
+    SELECT 'START' AS f, 'CONV' AS t FROM fp WHERE fp = 1
+),
+lasts AS (
+    SELECT l.f, CASE WHEN fp.user_id IS NOT NULL THEN 'CONV'
+                     ELSE 'DROPPED' END AS t
+    FROM (SELECT user_id, arg_max(event_type, rn) AS f
+          FROM kept GROUP BY user_id) l
+    LEFT JOIN fp USING (user_id)
+),
+trans AS (
+    SELECT f, t FROM mid UNION ALL SELECT f, t FROM firsts
+    UNION ALL SELECT f, t FROM start_conv UNION ALL SELECT f, t FROM lasts
+),
+cnt AS (SELECT f, t, count(*) AS n FROM trans GROUP BY 1, 2),
+tot AS (SELECT f, sum(n) AS d FROM cnt GROUP BY 1),
+tr AS MATERIALIZED (
+    SELECT c.f, c.t, CAST(c.n AS DOUBLE) / CAST(tt.d AS DOUBLE) AS prob
+    FROM cnt c JOIN tot tt USING (f)
+),
+scen AS MATERIALIZED (
+    SELECT DISTINCT event_type AS scenario FROM kept
+    UNION ALL SELECT 'FULL'
+),
+states AS MATERIALIZED (SELECT DISTINCT f AS state FROM tr),
+base AS MATERIALIZED (
+    SELECT s.scenario, t.f AS state,
+           floor(t.prob * {g!r} + 0.5) / {g!r} AS bq
+    FROM tr t, scen s WHERE t.t = 'CONV'
+),
+edges AS MATERIALIZED (
+    SELECT s.scenario, t.f, t.t, t.prob
+    FROM tr t
+    JOIN states st ON st.state = t.t
+    CROSS JOIN scen s
+    WHERE t.t != s.scenario
+),
+p0 AS MATERIALIZED (SELECT s.scenario, st.state, 0.0 AS p FROM scen s, states st)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""tm{i} AS MATERIALIZED (
+    SELECT e.scenario, e.f AS state,
+           sum(floor(e.prob * p.p * {g!r} + 0.5) / {g!r}) AS ts
+    FROM edges e JOIN p{i - 1} p
+      ON p.scenario = e.scenario AND p.state = e.t
+    GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+    SELECT g.scenario, g.state,
+           coalesce(b.bq, 0.0) + coalesce(t.ts, 0.0) AS p
+    FROM (SELECT s.scenario, st.state FROM scen s, states st) g
+    LEFT JOIN base b ON b.scenario = g.scenario AND b.state = g.state
+    LEFT JOIN tm{i} t ON t.scenario = g.scenario AND t.state = g.state
+)""")
+    parts.append(f"""fin AS (
+    SELECT scenario, p FROM p{k} WHERE state = 'START'
+),
+eff AS (
+    SELECT r.scenario AS channel,
+           f.p AS p_full, r.p AS p_removed, f.p - r.p AS effect
+    FROM fin r, (SELECT p FROM fin WHERE scenario = 'FULL') f
+    WHERE r.scenario != 'FULL'
+),
+te AS (SELECT sum(effect) AS te FROM eff)""")
+    return ",\n".join(parts)
+
+
+MARKOV_ATTRIBUTION_SQL = (
+    "WITH " + _markov_sql() + """
+SELECT channel,
+       round(p_full, 6) AS p_conv_full,
+       round(p_removed, 6) AS p_conv_removed,
+       round(effect, 6) AS removal_effect,
+       CASE WHEN te.te > 0 THEN round(effect / te.te, 6) END
+           AS attribution_share
+FROM eff, te
+"""
+)
+
+QUERIES["markov_attribution"] = (q_markov_attribution, MARKOV_ATTRIBUTION_SQL)

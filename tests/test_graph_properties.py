@@ -913,3 +913,50 @@ def test_hyperanf_tracks_exact_neighborhood_function(spark):
         for r in hyperanf(edges.repartition(5), max_hops=3).collect()
     }
     assert anf == anf2
+
+
+def test_temporal_earliest_arrival_respects_time(spark):
+    """Earliest-arrival reachability (operators.temporal): a path whose
+    second interaction happens BEFORE the first must not deliver —
+    static reachability would; the temporal constraint is the point."""
+    from flink_recommendation_system_spark.operators.temporal import (
+        earliest_arrival,
+    )
+
+    # seed u1: interacts with p1 at t=100.
+    # u2 touches p1 at t=150 (>=100: reached, arrival 150).
+    # u3 touches p1 at t=50  (< 100: NOT reached via p1).
+    # u2 then touches p2 at t=200; u4 touches p2 at t=250 → reached hop 2.
+    # u5 touches p2 at t=180 (< 200): NOT reached.
+    rows = [
+        (1, 10, 100),
+        (2, 10, 150),
+        (3, 10, 50),
+        (2, 20, 200),
+        (4, 20, 250),
+        (5, 20, 180),
+    ]
+    inter = spark.createDataFrame(
+        rows, "user_id LONG, product_id LONG, ts LONG"
+    )
+    seeds = spark.createDataFrame([(1,)], "id LONG")
+    got = {
+        r["id"]: (r["arrival_sec"], r["hops"])
+        for r in earliest_arrival(inter, seeds, max_user_hops=2).collect()
+    }
+    assert got[1] == (0, 0)
+    assert got[2] == (150, 1)
+    assert got[4] == (250, 2)
+    assert 3 not in got and 5 not in got
+
+    # hop-2 CAN beat hop-1: u6 shares p3 with the seed late (t=900) but
+    # sits downstream of u2 via p4 earlier (t=300)
+    rows2 = rows + [(1, 30, 100), (6, 30, 900), (2, 40, 160), (6, 40, 300)]
+    inter2 = spark.createDataFrame(
+        rows2, "user_id LONG, product_id LONG, ts LONG"
+    )
+    got2 = {
+        r["id"]: (r["arrival_sec"], r["hops"])
+        for r in earliest_arrival(inter2, seeds, max_user_hops=2).collect()
+    }
+    assert got2[6] == (300, 2), got2
