@@ -98,6 +98,36 @@ def _q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators.graph.pagerank_weighted): edge weight
+    = co-reviewed-product count per user pair, so strongly co-reviewing
+    pairs pull more rank than bare adjacency — the weighted-graph tier of
+    the §2.6 family. FULL value oracle (unrolled CTEs, grid-quantized
+    contributions, identical literal discipline)."""
+    from pyspark.sql import functions as F
+
+    liked = _liked(spark, sf_dir)
+    a, b = liked.alias("a"), liked.alias("b")
+    wpairs = (
+        a.join(
+            b,
+            (F.col("a.product_id") == F.col("b.product_id"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wedges = wpairs.unionByName(
+        wpairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return G.pagerank_weighted(wedges)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration power-iteration PageRank on the co-review graph —
     value-checked against an unrolled-CTE DuckDB oracle (like LPA)."""
@@ -676,6 +706,8 @@ _WINDOW_PRIORITY = [
     "temporal_reachability",
     "l_diversity",
     "markov_attribution",
+    "hll_set_overlap",
+    "pagerank_weighted",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window.
     #
@@ -820,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": _q_connected_components_star,
         "triangle_counts": _q_triangle_counts,
         "pagerank": _q_pagerank,
+        "pagerank_weighted": _q_pagerank_weighted,
         "kcore_members": _q_kcore_members,
         "scc_components": _q_scc_components,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -879,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_star": oracles.CONNECTED_COMPONENTS_SQL,
         "triangle_counts": oracles.TRIANGLE_COUNTS_SQL,
         "pagerank": oracles.PAGERANK_SQL,
+        "pagerank_weighted": oracles.PAGERANK_WEIGHTED_SQL,
         "kcore_members": oracles.KCORE_MEMBERS_SQL,
         "personalized_pagerank": oracles.PERSONALIZED_PAGERANK_SQL,
         "scc_components": oracles.SCC_COMPONENTS_SQL,

@@ -562,6 +562,63 @@ def pagerank(
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def pagerank_weighted(
+    weighted_edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: str = "auto",
+    broadcast_ranks: bool | None = None,
+) -> DataFrame:
+    """Weighted power-iteration PageRank over a both-direction edge
+    relation ``(src, dst, w BIGINT)``:
+    ``pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)·w(u,v)/W(u)`` with
+    ``W(u) = Σ w(u,·)`` — edge strength (e.g. co-review COUNT) steers the
+    walk instead of plain adjacency. Same exact-arithmetic contract as
+    ``pagerank``: each contribution ``rank·w/W`` (one multiply, one
+    divide — both IEEE-deterministic on integer-valued weights) is
+    quantized to the 2^-38 grid before the per-destination sum, so the
+    unrolled DuckDB oracle matches bit-for-bit per iteration.
+
+    Physical shape per iteration identical to ``pagerank``; the weight
+    column adds one BIGINT to the static edge relation and nothing to the
+    shuffle count."""
+    edges = _truncate_lineage(
+        weighted_edges.select("src", "dst", "w"), checkpoint
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    n = verts.count()
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_LABELS_MAX
+    weighted = _truncate_lineage(edges.join(wout, "src"), checkpoint)
+    grid = float(1 << 38)
+    for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            F.col("rank")
+            * F.col("w").cast("double")
+            / F.col("wout").cast("double")
+        )
+        quant = (
+            F.floor(contrib * F.lit(grid) + F.lit(0.5)).cast("double")
+            / F.lit(grid)
+        )
+        ranks = _truncate_lineage(
+            weighted.join(r, weighted["src"] == r["id"], "inner")
+            .select(F.col("dst").alias("id"), quant.alias("contrib"))
+            .groupBy("id")
+            .agg(
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.sum("contrib")
+                ).alias("rank")
+            ),
+            checkpoint,
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 MAX_WEDGES_SOURCE_DEGREE = 256
 
 

@@ -976,3 +976,54 @@ TEMPORAL_REACHABILITY_SQL = (
     f"WITH {REVIEWS_CTE},\n{temporal_ctes(2)}\n"
     "SELECT id, arrival AS arrival_sec, hops FROM s2"
 )
+
+
+# Weighted PageRank (operators.graph.pagerank_weighted) on the co-review
+# graph with edge weight = number of co-reviewed products per user pair:
+# contribution rank·w/W(u) quantized to the 2^-38 grid; same literal
+# discipline as pagerank_ctes (every constant through CAST AS DOUBLE).
+def pagerank_weighted_ctes(iterations: int = 3) -> str:
+    parts = [
+        """wpairs AS (
+    SELECT a.user_id AS src, b.user_id AS dst, count(*) AS w
+    FROM liked a
+    JOIN liked b ON a.product_id = b.product_id AND a.user_id < b.user_id
+    GROUP BY 1, 2
+)""",
+        """wedges AS (
+    SELECT src, dst, w FROM wpairs
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM wpairs
+)""",
+        "wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout"
+        " FROM wedges GROUP BY src)",
+        "wverts AS (SELECT DISTINCT src AS id FROM wedges)",
+        "wnv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wverts)",
+        "wpr0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM wnv)"
+        " AS rank FROM wverts)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"wpr{i} AS (\n"
+            "    SELECT e.dst AS id,\n"
+            "           (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+            " / (SELECT n FROM wnv)\n"
+            "           + CAST(0.85 AS DOUBLE) * SUM(\n"
+            "               floor(p.rank * CAST(e.w AS DOUBLE)"
+            " / CAST(o.wout AS DOUBLE)\n"
+            "                     * CAST(274877906944 AS DOUBLE)\n"
+            "                     + CAST(0.5 AS DOUBLE))"
+            " / CAST(274877906944 AS DOUBLE)) AS rank\n"
+            f"    FROM wedges e\n"
+            f"    JOIN wpr{i - 1} p ON p.id = e.src\n"
+            "    JOIN wout o ON o.src = e.src\n"
+            "    GROUP BY e.dst\n"
+            ")"
+        )
+    return ",\n".join(parts)
+
+
+PAGERANK_WEIGHTED_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{pagerank_weighted_ctes(3)}\n"
+    "SELECT id, round(rank, 6) AS rank FROM wpr3"
+)

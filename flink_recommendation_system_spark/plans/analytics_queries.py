@@ -928,6 +928,131 @@ FROM agg
 QUERIES["hll_brand_distinct"] = (q_hll_brand_distinct, HLL_BRAND_DISTINCT_SQL)
 
 
+def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based audience overlap — the set operation HLL alone cannot
+    answer: distinct users who CLICKED and who PURCHASED, their union via
+    the register merge (per-bucket max — the only set op HLL supports
+    natively), and the INTERSECTION by inclusion-exclusion
+    |A∩B| ≈ |A| + |B| − |A∪B| (Flajolet's standard composition; error
+    compounds, which is why the exact counts ride alongside — the audit a
+    real deployment keeps until it trusts the sketch). All three
+    estimates come from the portable md5 register tables, so the whole
+    row value-oracles; overlap_ratio = intersection / union, one IEEE
+    division of two deterministic estimates.
+
+    Scale design (100 TB): two filtered scans → 256-cell register tables;
+    merge and estimate are metadata-sized. At real scale the register
+    tables are the stored per-segment sketches and this query never
+    rescans the fact."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    # (user, product) PAIR grain — users all do everything on this dense
+    # generator, but interaction pairs overlap only partially, so the
+    # estimates run in HLL's real regime (beyond linear counting)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.get_json_object("props", "$.k"),
+        ).alias("pair"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    ra = hll_registers(clicks, "pair").localCheckpoint()
+    rb = hll_registers(purch, "pair").localCheckpoint()
+    ea = hll_estimate(ra).select(F.col("est").alias("est_clickers"))
+    eb = hll_estimate(rb).select(F.col("est").alias("est_purchasers"))
+    eu = hll_estimate(hll_merge(ra, rb)).select(
+        F.col("est").alias("est_union")
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("pair"))
+        ).alias("exact_clickers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("pair"))
+        ).alias("exact_purchasers"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_clickers",
+            "est_purchasers",
+            "est_union",
+            F.round(
+                F.col("est_clickers")
+                + F.col("est_purchasers")
+                - F.col("est_union"),
+                4,
+            ).alias("est_intersection"),
+            F.round(
+                (
+                    F.col("est_clickers")
+                    + F.col("est_purchasers")
+                    - F.col("est_union")
+                )
+                / F.col("est_union"),
+                6,
+            ).alias("overlap_ratio"),
+        )
+        .crossJoin(exact)
+    )
+
+
+_HLL_PAIR = ("CAST(user_id AS VARCHAR) || ':' || "
+             "json_extract_string(props, '$.k')")
+
+
+def _hll_reg_sql(pred: str) -> str:
+    return f"""(
+    SELECT CAST(hv % {HLL_M} AS INT) AS bucket,
+           max(CASE WHEN hv // {HLL_M} = 0 THEN {33 - 8}
+                    ELSE {33 - 8} - length(bin(hv // {HLL_M})) END) AS rho
+    FROM (
+        SELECT CAST('0x' || substr(md5({_HLL_PAIR}), 1, 8)
+                    AS BIGINT) AS hv
+        FROM events WHERE {_HLL_PAIR} IS NOT NULL AND {pred}
+    ) GROUP BY bucket
+)"""
+
+
+HLL_SET_OVERLAP_SQL = f"""
+WITH ra AS MATERIALIZED {_hll_reg_sql("event_type = 'click'")},
+rb AS MATERIALIZED {_hll_reg_sql("event_type = 'purchase'")},
+ru AS (
+    SELECT bucket, max(rho) AS rho
+    FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket
+),
+ea AS (SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
+              count(*) AS nonzero FROM ra),
+eb AS (SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
+              count(*) AS nonzero FROM rb),
+eu AS (SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
+              count(*) AS nonzero FROM ru),
+est AS (
+    SELECT (SELECT {_hll_est_sql()} FROM ea) AS est_clickers,
+           (SELECT {_hll_est_sql()} FROM eb) AS est_purchasers,
+           (SELECT {_hll_est_sql()} FROM eu) AS est_union
+)
+SELECT est_clickers, est_purchasers, est_union,
+       round(est_clickers + est_purchasers - est_union, 4)
+           AS est_intersection,
+       round((est_clickers + est_purchasers - est_union) / est_union, 6)
+           AS overlap_ratio,
+       (SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+                              || json_extract_string(props, '$.k'))
+        FROM events WHERE event_type = 'click') AS exact_clickers,
+       (SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+                              || json_extract_string(props, '$.k'))
+        FROM events WHERE event_type = 'purchase') AS exact_purchasers
+FROM est
+"""
+
+QUERIES["hll_set_overlap"] = (q_hll_set_overlap, HLL_SET_OVERLAP_SQL)
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: per ship month, the percentage of gross discounted
     revenue that comes from PROMO-type parts. One lineitem scan, part dim
