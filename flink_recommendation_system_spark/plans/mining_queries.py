@@ -1903,6 +1903,16 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
     )
+    return markov_attribution_from_events(ev)
+
+
+def markov_attribution_from_events(ev: DataFrame) -> DataFrame:
+    """Core of `markov_attribution` over a prepared
+    (user_id, event_id, event_type, s) relation — factored so tests can
+    drive it with hand journey chains (the registered query's oracle
+    checks the full pipeline; the unit test checks the MATH on a chain
+    small enough to solve by hand)."""
+    spark = ev.sparkSession
     w = Window.partitionBy("user_id").orderBy("s", "event_id")
     r = ev.withColumn("rn", F.row_number().over(w))
     fp = (

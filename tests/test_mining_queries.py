@@ -396,3 +396,76 @@ def test_phrase_search_positions_and_overlaps(spark, tmp_path):
         (1, 3, "a", "b", "a"),
         (2, 1, "a", "b", "a"),
     ]
+
+
+def test_markov_attribution_hand_chain(spark):
+    """Removal-effect math on a journey chain small enough to solve by
+    hand (no cycles → the K=12 truncation is exact here):
+
+      u1: A → purchase          u2: A → B → purchase       u3: B (no conv)
+
+    T: START→{A:2/3, B:1/3}; A→{CONV:1/2, B:1/2}; B→{CONV:1/2, DROP:1/2}.
+    full p = 2/3·(1/2 + 1/2·1/2) + 1/3·1/2 = 2/3.
+    remove A → 1/3·1/2 = 1/6 (effect 1/2);
+    remove B → 2/3·1/2 = 1/3 (effect 1/3); shares 0.6 / 0.4."""
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        markov_attribution_from_events,
+    )
+
+    rows = [
+        (1, 1, "A", 10), (1, 2, "purchase", 20),
+        (2, 3, "A", 10), (2, 4, "B", 20), (2, 5, "purchase", 30),
+        (3, 6, "B", 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, event_type STRING, s LONG"
+    )
+    got = {
+        r["channel"]: (
+            r["p_conv_full"],
+            r["p_conv_removed"],
+            r["removal_effect"],
+            r["attribution_share"],
+        )
+        for r in markov_attribution_from_events(ev).collect()
+    }
+    assert set(got) == {"A", "B"}
+    for ch, (pf, pr, eff, share) in got.items():
+        assert abs(pf - 2 / 3) < 1e-5, got
+    assert abs(got["A"][1] - 1 / 6) < 1e-5, got
+    assert abs(got["B"][1] - 1 / 3) < 1e-5, got
+    assert abs(got["A"][3] - 0.6) < 1e-5 and abs(got["B"][3] - 0.4) < 1e-5
+
+
+def test_modularity_two_cliques(spark):
+    """Newman modularity sanity via the registered arithmetic: two
+    disjoint triangles under the perfect partition score Q = 1/2."""
+    from pyspark.sql import functions as F
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    und = tri1 + tri2 + [(b, a) for a, b in tri1 + tri2]
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 2) for i in range(1, 7)], ["id", "label"]
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e2 = edges.count()  # 12
+    dc = labels.join(deg, "id").groupBy("label").agg(F.sum("deg").alias("d_c"))
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("l1"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("l2"))
+    intra = (
+        edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("label"))
+        .agg(F.count(F.lit(1)).alias("i_c"))
+    )
+    num = (
+        dc.join(intra, "label")
+        .select((F.col("i_c") * e2 - F.col("d_c") * F.col("d_c")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert num / (e2 * e2) == 0.5
