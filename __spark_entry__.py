@@ -708,6 +708,7 @@ _WINDOW_PRIORITY = [
     "markov_attribution",
     "hll_set_overlap",
     "pagerank_weighted",
+    "zipf_fit",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window.
     #

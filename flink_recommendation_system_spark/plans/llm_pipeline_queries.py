@@ -3261,6 +3261,120 @@ QUERIES["semantic_dedup_sqrt"] = (
 )
 
 
+# --- Zipf-law fit (round 8) ----------------------------------------------------
+
+ZIPF_TOP_RANKS = 1000
+_ZIPF_GRID = 68719476736.0  # 2^36: |ln|² terms < 2^16 → 52-bit exact sums
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency distribution — the
+    classic corpus-statistics audit (natural text fits slope ≈ −1 in
+    log-rank/log-frequency; synthetic or template-heavy corpora deviate,
+    which is exactly what a data-quality review looks for): OLS of
+    ln(freq) against ln(rank) over the top-1000 ranks.
+
+    Cross-engine exactness: each ln is quantized to the 2^-36 grid and
+    each OLS cross-term (x·y, x·x) is RE-quantized after the multiply, so
+    every sufficient-statistic sum is an order-independent sum of dyadic
+    rationals (< 2^16 in magnitude at 2^-36 grain = 52 significand bits —
+    exact); the slope/intercept closed forms are then fixed scalar
+    expressions over identical doubles. Rank ties break on the term
+    string, identically in both engines.
+
+    Scale design (100 TB): one token-explode scan → per-term partial-agg
+    counts → global top-R by (freq, term) (TakeOrderedAndProject-sized R)
+    → one single-row aggregate."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP_RANKS
+    )
+
+    def q(c):
+        return (
+            F.floor(c * F.lit(_ZIPF_GRID) + F.lit(0.5)).cast("double")
+            / F.lit(_ZIPF_GRID)
+        )
+
+    x = q(F.log(F.col("rank").cast("double")))
+    y = q(F.log(F.col("freq").cast("double")))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(q(x * y)).alias("sxy"),
+        F.sum(q(x * x)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n").alias("n_types_ranked"),
+        F.when(
+            den != 0.0,
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 6
+            ),
+        ).alias("zipf_slope"),
+        F.when(
+            den != 0.0,
+            F.round(
+                (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+                / den,
+                6,
+            ),
+        ).alias("intercept"),
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH freq AS (
+    SELECT tok AS term, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok != ''
+    GROUP BY tok
+),
+ranked AS (
+    SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+    FROM freq QUALIFY rank <= {ZIPF_TOP_RANKS}
+),
+m AS (
+    SELECT count(*) AS n,
+           sum(floor(ln(CAST(rank AS DOUBLE)) * {_ZIPF_GRID!r} + 0.5)
+               / {_ZIPF_GRID!r}) AS sx,
+           sum(floor(ln(CAST(freq AS DOUBLE)) * {_ZIPF_GRID!r} + 0.5)
+               / {_ZIPF_GRID!r}) AS sy,
+           sum(floor((floor(ln(CAST(rank AS DOUBLE)) * {_ZIPF_GRID!r} + 0.5)
+                      / {_ZIPF_GRID!r})
+                     * (floor(ln(CAST(freq AS DOUBLE)) * {_ZIPF_GRID!r} + 0.5)
+                        / {_ZIPF_GRID!r})
+                     * {_ZIPF_GRID!r} + 0.5) / {_ZIPF_GRID!r}) AS sxy,
+           sum(floor((floor(ln(CAST(rank AS DOUBLE)) * {_ZIPF_GRID!r} + 0.5)
+                      / {_ZIPF_GRID!r})
+                     * (floor(ln(CAST(rank AS DOUBLE)) * {_ZIPF_GRID!r} + 0.5)
+                        / {_ZIPF_GRID!r})
+                     * {_ZIPF_GRID!r} + 0.5) / {_ZIPF_GRID!r}) AS sxx
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_types_ranked,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx != 0.0
+            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+       END AS zipf_slope,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx != 0.0
+            THEN round((sy * sxx - sx * sxy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+       END AS intercept
+FROM m
+"""
+
+
 # --- Flesch-style readability scoring (round 8) -------------------------------
 
 
@@ -3501,6 +3615,7 @@ DSIR_SAMPLED_SQL = _dsir_sampled_sql()
 QUERIES["dsir_sampled"] = (q_dsir_sampled, DSIR_SAMPLED_SQL)
 QUERIES["similar_documents"] = (q_similar_documents, SIMILAR_DOCUMENTS_SQL)
 QUERIES["readability_scores"] = (q_readability_scores, READABILITY_SCORES_SQL)
+QUERIES["zipf_fit"] = (q_zipf_fit, ZIPF_FIT_SQL)
 
 
 # --- contrastive hard-negative mining (round 7b) ---------------------------
