@@ -308,6 +308,45 @@ def _q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return earliest_arrival(inter, seeds, max_user_hops=2)
 
 
+def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-diameter readout from the HyperANF curve (the number
+    HyperANF papers actually report): the smallest hop h whose estimated
+    neighbourhood function reaches 90% of the horizon total, plus the
+    saturation ratio per hop boundary. Pure arithmetic over the
+    oracle-checked `neighborhood_function` rows — one row out."""
+    from pyspark.sql import functions as F
+
+    anf = _q_neighborhood_function(spark, sf_dir)
+    horizon = anf.agg(F.max("hop").alias("mh"))
+    total = (
+        anf.join(F.broadcast(horizon), anf["hop"] == horizon["mh"])
+        .select(F.col("total_reach_est").alias("nt"))
+    )
+    sat = (
+        anf.crossJoin(F.broadcast(total))
+        .select(
+            "hop",
+            "total_reach_est",
+            F.round(F.col("total_reach_est") / F.col("nt"), 6).alias(
+                "saturation"
+            ),
+        )
+    )
+    eff = (
+        sat.filter(F.col("saturation") >= 0.9)
+        .agg(F.min("hop").alias("effective_diameter"))
+    )
+    return (
+        eff.crossJoin(
+            F.broadcast(
+                sat.agg(
+                    F.max("total_reach_est").alias("horizon_reach_est")
+                )
+            )
+        )
+    )
+
+
 def _q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA partition — the community-QUALITY
     audit run after any community detection (is the partition better
@@ -709,6 +748,8 @@ _WINDOW_PRIORITY = [
     "hll_set_overlap",
     "pagerank_weighted",
     "zipf_fit",
+    "heaps_law",
+    "effective_diameter",
     # 4. round-7 head follows (all 50 r7-green), keeping recent-first
     # coverage density in the window.
     #
@@ -866,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "betweenness_sampled": _q_betweenness_sampled,
         "neighborhood_function": _q_neighborhood_function,
+        "effective_diameter": _q_effective_diameter,
         "community_modularity": _q_community_modularity,
         "temporal_reachability": _q_temporal_reachability,
         "degree_assortativity": _q_degree_assortativity,
@@ -925,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": oracles.HITS_SCORES_SQL,
         "random_walks": oracles.RANDOM_WALKS_SQL,
         "neighborhood_function": oracles.NEIGHBORHOOD_FUNCTION_SQL,
+        "effective_diameter": oracles.EFFECTIVE_DIAMETER_SQL,
         "community_modularity": oracles.COMMUNITY_MODULARITY_SQL,
         "temporal_reachability": oracles.TEMPORAL_REACHABILITY_SQL,
         "degree_assortativity": oracles.DEGREE_ASSORTATIVITY_SQL,

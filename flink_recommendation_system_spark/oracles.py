@@ -1027,3 +1027,24 @@ PAGERANK_WEIGHTED_SQL = (
     f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{pagerank_weighted_ctes(3)}\n"
     "SELECT id, round(rank, 6) AS rank FROM wpr3"
 )
+
+
+# Effective diameter from the HyperANF curve (entry _q_effective_diameter):
+# smallest hop whose N(h) reaches 90% of the horizon estimate.
+EFFECTIVE_DIAMETER_SQL = (
+    f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{anf_ctes()},\n"
+    + "\ncurve AS ("
+    + "\nUNION ALL\n".join(
+        f"SELECT * FROM stats{h}" for h in range(ANF_MAX_HOPS + 1)
+    )
+    + """),
+tot AS (
+    SELECT total_reach_est AS nt FROM curve
+    WHERE hop = (SELECT max(hop) FROM curve)
+)
+SELECT (SELECT min(hop) FROM curve, tot
+        WHERE round(total_reach_est / nt, 6) >= 0.9)
+           AS effective_diameter,
+       (SELECT max(total_reach_est) FROM curve) AS horizon_reach_est
+"""
+)

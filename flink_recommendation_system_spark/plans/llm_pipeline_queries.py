@@ -3375,6 +3375,78 @@ FROM m
 """
 
 
+# --- Heaps'-law vocabulary growth (round 8) -------------------------------------
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — Zipf's companion corpus
+    statistic (natural text grows vocabulary ≈ K·n^β, β ≈ 0.4-0.6; a
+    template corpus saturates early, which is the quality signal): the
+    distinct-type count after the first N/8, N/4, N/2 and N documents in
+    doc_id order. Exact integers end to end: each term's FIRST document
+    is one min-aggregate, and vocab_at_k counts terms whose first doc
+    falls inside the prefix — no running distinct state, so the curve
+    costs one scan + one vocabulary-sized aggregate however large the
+    corpus.
+
+    Output: (prefix_docs, vocab_size), 4 rows."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    firsts = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ks = [n // 8, n // 4, n // 2, n]
+    grid = spark.createDataFrame([(k,) for k in ks], "prefix_docs LONG")
+    ordered = docs.select("doc_id").orderBy("doc_id").limit(n)
+    # prefix membership by doc_id RANK, not raw id (ids need not be dense):
+    # the k-th smallest doc_id is the prefix boundary
+    bounds = (
+        ordered.withColumn(
+            "rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        .join(F.broadcast(grid), F.col("rn") == F.col("prefix_docs"))
+        .select("prefix_docs", F.col("doc_id").alias("bound"))
+    )
+    return (
+        F.broadcast(bounds)
+        .join(firsts, firsts["first_doc"] <= bounds["bound"])
+        .groupBy("prefix_docs")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+
+
+HEAPS_LAW_SQL = """
+WITH firsts AS (
+    SELECT tok AS term, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok != ''
+    GROUP BY tok
+),
+n AS (SELECT count(*) AS n FROM documents),
+grid AS (
+    SELECT CAST(k AS BIGINT) AS prefix_docs FROM (
+        SELECT unnest([ (SELECT n FROM n) // 8,
+                        (SELECT n FROM n) // 4,
+                        (SELECT n FROM n) // 2,
+                        (SELECT n FROM n) ]) AS k)
+),
+bounds AS (
+    SELECT g.prefix_docs, r.doc_id AS bound
+    FROM grid g JOIN (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    ) r ON r.rn = g.prefix_docs
+)
+SELECT b.prefix_docs, count(*) AS vocab_size
+FROM bounds b JOIN firsts f ON f.first_doc <= b.bound
+GROUP BY b.prefix_docs
+"""
+
+
 # --- Flesch-style readability scoring (round 8) -------------------------------
 
 
@@ -3616,6 +3688,7 @@ QUERIES["dsir_sampled"] = (q_dsir_sampled, DSIR_SAMPLED_SQL)
 QUERIES["similar_documents"] = (q_similar_documents, SIMILAR_DOCUMENTS_SQL)
 QUERIES["readability_scores"] = (q_readability_scores, READABILITY_SCORES_SQL)
 QUERIES["zipf_fit"] = (q_zipf_fit, ZIPF_FIT_SQL)
+QUERIES["heaps_law"] = (q_heaps_law, HEAPS_LAW_SQL)
 
 
 # --- contrastive hard-negative mining (round 7b) ---------------------------
