@@ -40,7 +40,7 @@ from .sketches import HLL_B, _hll_agg_cols, _hll_guarded_est
 _Q20 = float(1 << 20)
 
 
-def _vertex_registers(verts: DataFrame, b: int) -> Column:
+def _vertex_registers(verts: DataFrame, b: int) -> DataFrame:
     """Registers of the singleton set {v} per vertex: one (id, bucket,
     rho) row — HLL of a one-element set needs no aggregation."""
     m = 1 << b

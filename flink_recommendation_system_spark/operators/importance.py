@@ -202,8 +202,6 @@ def dsir_gumbel_sample(
     ordered deterministically (key DESC, id ASC) at the plan level via
     TakeOrderedAndProject."""
     w = dsir_log_weights(docs, is_target, text_col, id_col, n_buckets)
-    from .dedup import portable_hash32
-
     u = (
         portable_hash32(
             F.concat(F.col(id_col).cast("string"), F.lit(salt))

@@ -949,13 +949,22 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (user, product) PAIR grain — users all do everything on this dense
     # generator, but interaction pairs overlap only partially, so the
     # estimates run in HLL's real regime (beyond linear counting)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.concat_ws(
-            ":",
-            F.col("user_id").cast("string"),
-            F.get_json_object("props", "$.k"),
-        ).alias("pair"),
+    # NULL parity with the oracle: DuckDB's `||` null-propagates (a row
+    # with missing $.k produces a NULL pair, dropped by count DISTINCT and
+    # the register build's IS NOT NULL guard), while Spark's concat_ws
+    # silently skips NULLs and would keep a truncated "user" key — filter
+    # the missing-key rows out explicitly before building the pair.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k").isNotNull())
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.get_json_object("props", "$.k"),
+            ).alias("pair"),
+        )
     )
     clicks = ev.filter(F.col("event_type") == "click")
     purch = ev.filter(F.col("event_type") == "purchase")

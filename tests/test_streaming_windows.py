@@ -145,6 +145,7 @@ def test_streaming_review_counts_append_finalized_once(spark, tmp_path):
     q.stop()
 
     rows = spark.sql("select * from review_win_append").collect()
+    assert rows, "no window finalized — replay must close at least one"
     keys = [(r["win_start_sec"], r["product_id"]) for r in rows]
     assert len(keys) == len(set(keys)), "a finalized window emitted twice"
     expected = {
