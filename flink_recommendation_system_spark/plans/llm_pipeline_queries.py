@@ -3833,6 +3833,97 @@ QUERIES["hard_negative_mining_ann"] = (
 )
 
 
+# --- ANN-candidate SemDeDup tier (round 9, VERDICT r08 item 2) --------------
+
+SDA_BANDS = 2
+SDA_TARGET_BUCKET = 24
+SDA_MAX_BITS = 24
+SDA_THRESHOLD = 0.45
+
+
+def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop on banded-SRP ANN candidates — the sublinear
+    composition that closes the dedup suite's last superlinear stage
+    (VERDICT r08 item 2, the analog of `hard_negative_mining_ann`):
+    bits-per-band adapt to corpus size so bucket occupancy (and so
+    candidate volume per row) stays ~constant. FULL value oracle: the
+    plane table is the same seeded-LCG literal set on both engines and
+    the adaptive bits formula is one shared metadata-sized count()."""
+    return S.semantic_dedup_ann(
+        _emb(spark, sf_dir),
+        threshold=SDA_THRESHOLD,
+        n_bands=SDA_BANDS,
+        target_bucket=SDA_TARGET_BUCKET,
+        max_bits=SDA_MAX_BITS,
+    )
+
+
+def _semantic_dedup_ann_sql(
+    threshold: float = SDA_THRESHOLD,
+    n_bands: int = SDA_BANDS,
+    target_bucket: int = SDA_TARGET_BUCKET,
+    max_bits: int = SDA_MAX_BITS,
+    dim: int = 64,
+) -> str:
+    """Mirror of operators.similarity.semantic_dedup_ann: band b uses
+    planes [b*max_bits, b*max_bits + bits), bit j weighted 2^j, bits =
+    clamp(ceil(log2(N / target_bucket)), 4, max_bits) — the identical
+    IEEE log2/ceil the Spark side computes driver-side."""
+    planes = S._hyperplanes(dim, n_bands * max_bits)
+    vals = ",\n    ".join(
+        f"({i // max_bits}, {i % max_bits}, {1 << (i % max_bits)}, "
+        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    dot_plane = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * p.plane[j]))"
+    )
+    return f"""
+WITH params AS (
+    SELECT CAST(least({max_bits}, greatest(4,
+               ceil(log2(CAST(count(*) AS DOUBLE) / {float(target_bucket)!r}))))
+           AS INT) AS bits
+    FROM embeddings
+),
+planes(band_idx, bit_idx, w, plane) AS (VALUES
+    {vals}),
+sigs AS (
+    SELECT e.vec_id, p.band_idx,
+           SUM(CASE WHEN {dot_plane} > 0 THEN CAST(p.w AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM embeddings e CROSS JOIN planes p CROSS JOIN params
+    WHERE p.bit_idx < params.bits
+      AND sqrt({_dot_sql('e.embedding', 'e.embedding')}) != 0
+    GROUP BY e.vec_id, p.band_idx
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sigs a JOIN sigs b
+      ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
+),
+dropped AS (
+    SELECT DISTINCT c.id_b AS vec_id
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= {threshold!r}
+)
+SELECT e.vec_id
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+SEMANTIC_DEDUP_ANN_SQL = _semantic_dedup_ann_sql()
+
+QUERIES["semantic_dedup_ann"] = (
+    q_semantic_dedup_ann,
+    SEMANTIC_DEDUP_ANN_SQL,
+)
+
+
 # --- BPE tokenizer compression report (round 7b) ---------------------------
 
 
