@@ -2511,6 +2511,52 @@ QUERIES["deduped_corpus_quality"] = (
 )
 
 
+# Process-lifetime memo of published corpus-artifact directories, keyed by
+# sf_dir: in production the cluster map is written ONCE per corpus build
+# and every downstream consumer reads the parquet artifact — re-deriving
+# LSH+CC per query (as the oracle-isolated forms deliberately do) is the
+# thing a 100 TB pipeline must not do.
+_CORPUS_ARTIFACTS: dict[str, str] = {}
+
+
+def _corpus_artifact_base(spark: SparkSession, sf_dir: str) -> str:
+    base = _CORPUS_ARTIFACTS.get(sf_dir)
+    if base is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="corpus_artifacts_")
+        D.publish_corpus_artifacts(_docs(spark, sf_dir), base)
+        _CORPUS_ARTIFACTS[sf_dir] = base
+    return base
+
+
+def q_deduped_corpus_quality_artifact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`deduped_corpus_quality` in its PRODUCTION shape (VERDICT r08 item
+    3): the doc→cluster map comes from the parquet artifact that
+    `publish_corpus_artifacts` wrote (once per corpus build), so the
+    query itself is ONLY the quality argmax + representative semi-join —
+    no LSH, no connected components. Same output contract and oracle as
+    the inline form (the publisher runs the identical
+    minhash_lsh_pairs(32,8,5,0.5,"portable") → star-CC → coalesce
+    composition; parity is test-pinned). First call per process pays the
+    one-time publish; every later call reads the artifact."""
+    base = _corpus_artifact_base(spark, sf_dir)
+    clusters = spark.read.parquet(f"{base}/clusters")
+    docs = _docs(spark, sf_dir)
+    keep = D.quality_representatives(clusters, docs)
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+QUERIES["deduped_corpus_quality_artifact"] = (
+    q_deduped_corpus_quality_artifact,
+    DEDUPED_CORPUS_QUALITY_SQL,
+)
+
+
 EPOCH_SHUFFLE_SEED = "epoch-0"
 
 

@@ -495,6 +495,26 @@ def test_publish_corpus_artifacts_one_pass_matches_queries(spark, tmp_path):
     assert sigs.count() == docs.count()
 
 
+def test_artifact_backed_quality_dedup_matches_inline(spark):
+    """The artifact-backed production form of deduped_corpus_quality must
+    return exactly the inline form's rows (VERDICT r08 item 3): the
+    publisher's cluster map is the same minhash_lsh_pairs → star-CC →
+    coalesce composition the registered query derives per-run."""
+    from flink_recommendation_system_spark.plans import llm_pipeline_queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    inline = {tuple(r) for r in Q.q_deduped_corpus_quality(spark, sf).collect()}
+    via_artifact = {
+        tuple(r)
+        for r in Q.q_deduped_corpus_quality_artifact(spark, sf).collect()
+    }
+    assert via_artifact == inline
+    # second call must hit the memo (same base dir), not republish
+    base = Q._CORPUS_ARTIFACTS[sf]
+    Q.q_deduped_corpus_quality_artifact(spark, sf).count()
+    assert Q._CORPUS_ARTIFACTS[sf] == base
+
+
 def test_corpus_artifacts_with_no_near_dups(spark, tmp_path):
     """A clean corpus (no near-dup pairs) must pass through intact: empty
     pairs table, every doc its own cluster, corpus == input. Exercises
