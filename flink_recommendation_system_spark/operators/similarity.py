@@ -970,6 +970,85 @@ def semantic_dedup_fixed(
     )
 
 
+def kmeans_one_step(
+    vectors: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One unrolled Lloyd iteration, value-oracle-exact (VERDICT r08 item
+    6): fixed LCG-unit init → assign → mean-update → re-assign, the core
+    update step of the KMeans family (semantic_dedup / IVF / PQ fits)
+    converted from property-tested to hash-checked.
+
+    Exactness discipline: inputs are quantized to the 2^-20 grid
+    (``floor(x·2^20 + 0.5)/2^20``) so the per-(cell, dim) mean numerator
+    is a sum of grid multiples — exactly representable in double far past
+    1e9 rows per cell, hence ORDER-INDEPENDENT across partial aggs and
+    identical in any engine. The mean is then one IEEE division, and both
+    assignment argmins run the engine-proven sequential-fold L2² on
+    identical operands (ties → lower cell id).
+
+    The updated centroids are collected to the driver (k × dim doubles —
+    metadata-sized, the same bounded per-iteration collect MLlib's own
+    Lloyd loop does) and re-broadcast as plan literals for the second
+    assignment. Output: (vec_id, cell_init, cell_next).
+
+    100 TB shape: two broadcast-argmin passes (partial-agg'd min-struct)
+    plus one (cell, dim)-keyed partial-agg sum — all linear, no shuffle
+    beyond k·dim cells.
+    """
+    spark = vectors.sparkSession
+    grid = float(1 << 20)
+    cents0 = _lcg_unit_vectors(k, dim, seed)
+    dv = F.col(vec_col).cast("array<double>")
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            dv, lambda x: F.floor(x * F.lit(grid) + F.lit(0.5)) / F.lit(grid)
+        ).alias("_v"),
+    ).localCheckpoint()
+
+    def _assign(cents: list[list[float]], out: str) -> DataFrame:
+        ct = F.broadcast(
+            spark.createDataFrame(
+                [(i, cv) for i, cv in enumerate(cents)],
+                "cell INT, cv ARRAY<DOUBLE>",
+            )
+        )
+        return (
+            base.join(ct, F.lit(True))
+            .withColumn("_d", _l2sq(F.col("_v"), F.col("cv")))
+            .groupBy("_id")
+            .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m"))
+            .select("_id", F.col("_m.cell").alias(out))
+        )
+
+    a1 = _assign(cents0, "cell_init").localCheckpoint()
+    sums = (
+        a1.join(base, "_id")
+        .select("cell_init", F.posexplode("_v").alias("pos", "val"))
+        .groupBy("cell_init", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in sums:
+        by_cell.setdefault(r["cell_init"], {})[r["pos"]] = r["s"] / r["c"]
+    cents1 = [
+        [by_cell[i][j] for j in range(dim)] if i in by_cell else cents0[i]
+        for i in range(k)
+    ]
+    a2 = _assign(cents1, "cell_next")
+    return a1.join(a2, "_id").select(
+        F.col("_id").alias(id_col),
+        F.col("cell_init").cast("long").alias("cell_init"),
+        F.col("cell_next").cast("long").alias("cell_next"),
+    )
+
+
 def semantic_dedup_ann(
     vectors: DataFrame,
     threshold: float = 0.45,

@@ -3970,6 +3970,79 @@ QUERIES["semantic_dedup_ann"] = (
 )
 
 
+# --- one unrolled Lloyd iteration (round 9, VERDICT r08 item 6) -------------
+
+KMEANS_K = 8
+
+
+def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration on the sf embeddings — fixed LCG init →
+    assign → exact-grid mean update → re-assign. FULL value oracle: the
+    2^-20 input grid makes the mean numerator an order-independent exact
+    sum, so both engines produce bit-identical centroids and argmins."""
+    return S.kmeans_one_step(_emb(spark, sf_dir), k=KMEANS_K)
+
+
+def _kmeans_one_step_sql(
+    k: int = KMEANS_K, dim: int = 64, seed: int = 11
+) -> str:
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
+        for i, cv in enumerate(S._lcg_unit_vectors(k, dim, seed))
+    )
+    l2sq = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))"
+    )
+    return f"""
+WITH cents0(cell, cv) AS (VALUES
+    {vals}),
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5) / 1048576.0)
+           AS v
+    FROM embeddings
+),
+a1 AS (
+    SELECT vec_id, cell AS cell_init FROM (
+        SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM q CROSS JOIN cents0 c
+    ) WHERE rn = 1
+),
+sums AS (
+    SELECT a1.cell_init AS cell, t.j AS pos, sum(q.v[t.j]) AS s,
+           count(*) AS c
+    FROM q JOIN a1 USING (vec_id) CROSS JOIN range(1, {dim} + 1) t(j)
+    GROUP BY 1, 2
+),
+cents1 AS (
+    SELECT c0.cell, coalesce(u.cv, c0.cv) AS cv
+    FROM cents0 c0 LEFT JOIN (
+        SELECT cell, list(s / c ORDER BY pos) AS cv FROM sums GROUP BY cell
+    ) u USING (cell)
+),
+a2 AS (
+    SELECT vec_id, cell AS cell_next FROM (
+        SELECT q.vec_id, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM q CROSS JOIN cents1 c
+    ) WHERE rn = 1
+)
+SELECT a1.vec_id, CAST(a1.cell_init AS BIGINT) AS cell_init,
+       CAST(a2.cell_next AS BIGINT) AS cell_next
+FROM a1 JOIN a2 USING (vec_id)
+"""
+
+
+KMEANS_ONE_STEP_SQL = _kmeans_one_step_sql()
+
+QUERIES["kmeans_one_step"] = (q_kmeans_one_step, KMEANS_ONE_STEP_SQL)
+
+
 # --- BPE tokenizer compression report (round 7b) ---------------------------
 
 
