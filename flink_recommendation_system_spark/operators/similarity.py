@@ -970,6 +970,86 @@ def semantic_dedup_fixed(
     )
 
 
+def srp_banded_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded-SRP approximate top-k: candidates share at least one of
+    ``n_bands`` sign-random-projection band buckets with the query
+    (each band = ``n_planes/n_bands`` sign bits), then exact 6-dp cosine
+    re-rank — the higher-recall/more-candidates point on the SRP curve
+    vs ``lsh_topk``'s full-signature bucket match (recall measured side
+    by side in ``ann_recall_report``). Same seeded hyperplane constants
+    and scale shape as ``hard_negative_mining_ann``: broadcast query
+    signatures, (band_idx, bucket) equi-join, never all-pairs."""
+    assert n_planes % n_bands == 0, "bands must tile the plane set"
+    rows = n_planes // n_bands
+    planes = _hyperplanes(dim, n_planes)
+
+    def _banded(df: DataFrame, role: str) -> DataFrame:
+        dv = F.col(vec_col).cast("array<double>")
+        sigs = F.array(
+            *[
+                srp_signature(dv, planes[b * rows : (b + 1) * rows])
+                for b in range(n_bands)
+            ]
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                _norm(dv).alias(f"{role}_norm"),
+                F.posexplode(sigs).alias("band_idx", "bucket"),
+            )
+            .filter(F.col(f"{role}_norm") != 0.0)
+            .select(f"{role}_id", "band_idx", "bucket")
+        )
+
+    cand = (
+        F.broadcast(_banded(queries, "q"))
+        .join(_banded(corpus, "c"), ["band_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def kmeans_one_step(
     vectors: DataFrame,
     k: int = 8,

@@ -993,6 +993,187 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 IVF_PROBE_SQL = _ivf_probe_sql()
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of ALL THREE ANN tiers against the exact cosine
+    top-k (VERDICT r08 item 7 — extends the r6 LSH-only quality report to
+    IVF and PQ/ADC): per tier, how many of the exact top-k pairs the
+    approximate index returns. Every tier is deterministic (seeded SRP
+    hyperplanes, fixed LCG centroids/codebooks), so the whole report
+    value-oracles — the speed/recall trade a production deployment
+    measures on a sample before picking its index. recall_at_k =
+    n_hits / n_exact, one IEEE division of two exact counts."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact_cos = (
+        q_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    # exact L2 top-k — PQ/ADC approximates L2 distance, so its recall is
+    # measured against the L2 truth, not the cosine truth (unnormalized
+    # vectors rank differently under the two metrics)
+    qa = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    ca = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("_cv"),
+    )
+    from ..operators.similarity import _l2sq
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("neighbor_id").asc()
+    )
+    exact_l2 = (
+        F.broadcast(qa)
+        .join(ca, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _l2sq(F.col("_qv"), F.col("_cv")).alias("_d"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    def _q_srp_banded(spark_, sf_dir_):
+        e = _emb(spark_, sf_dir_)
+        return S.srp_banded_topk(
+            e.filter(F.col("vec_id") < N_QUERY_VECS), e, k=5
+        )
+
+    tiers = [
+        ("ivf", "cosine", q_ivf_probe, exact_cos),
+        ("pq_adc", "l2", q_pq_adc_topk, exact_l2),
+        ("srp_banded", "cosine", _q_srp_banded, exact_cos),
+        ("srp_lsh", "cosine", q_lsh_topk, exact_cos),
+    ]
+    out = None
+    for name, baseline, fn, exact in tiers:
+        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        row = (
+            ann.agg(F.count(F.lit(1)).alias("n_ann"))
+            .crossJoin(
+                ann.join(exact, ["query_id", "neighbor_id"]).agg(
+                    F.count(F.lit(1)).alias("n_hits")
+                )
+            )
+            .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+            .select(
+                F.lit(name).alias("tier"),
+                F.lit(baseline).alias("baseline"),
+                "n_ann",
+                "n_exact",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ann_recall_tier_sql(tier: str, baseline: str, cte: str, exact: str) -> str:
+    return f"""
+SELECT '{tier}' AS tier, '{baseline}' AS baseline,
+       (SELECT count(*) FROM {cte}) AS n_ann,
+       (SELECT count(*) FROM {exact}) AS n_exact,
+       (SELECT count(*) FROM {cte} t
+        JOIN {exact} x USING (query_id, neighbor_id)) AS n_hits,
+       round((SELECT count(*) FROM {cte} t
+              JOIN {exact} x USING (query_id, neighbor_id))
+             / (SELECT count(*) FROM {exact}), 6) AS recall_at_k"""
+
+
+_EXACT_L2_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> (CAST(q.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                  * (CAST(q.qv[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))
+           AS d
+    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d ASC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _srp_banded_topk_sql(
+    k: int = 5, n_planes: int = 8, n_bands: int = 2, dim: int = 64
+) -> str:
+    rows = n_planes // n_bands
+    planes = S._hyperplanes(dim, n_planes)
+    vals = ",\n    ".join(
+        f"({i // rows}, {1 << (i % rows)}, "
+        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(planes)
+    )
+    dot_plane = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * p.plane[j]))"
+    )
+    return f"""
+WITH planes(band_idx, w, plane) AS (VALUES
+    {vals}),
+sigs AS (
+    SELECT e.vec_id, p.band_idx,
+           SUM(CASE WHEN {dot_plane} > 0 THEN CAST(p.w AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    WHERE sqrt({_dot_sql('e.embedding', 'e.embedding')}) != 0
+    GROUP BY e.vec_id, p.band_idx
+),
+cand AS (
+    SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+    FROM sigs qs JOIN sigs cs
+      ON qs.band_idx = cs.band_idx AND qs.bucket = cs.bucket
+     AND qs.vec_id != cs.vec_id
+    WHERE qs.vec_id < {N_QUERY_VECS}
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {_cosine_sql('q.embedding', 'e.embedding')} AS cosine_sim
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id ASC)
+              AS rank
+    FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ANN_RECALL_REPORT_SQL = f"""
+WITH exact_cos AS ({COSINE_TOPK_SQL}),
+exact_l2 AS ({_EXACT_L2_TOPK_SQL}),
+ivf AS ({IVF_PROBE_SQL}),
+pq AS ({PQ_ADC_TOPK_SQL}),
+banded AS ({_srp_banded_topk_sql()}),
+lsh AS ({LSH_TOPK_SQL})
+{_ann_recall_tier_sql('ivf', 'cosine', 'ivf', 'exact_cos')}
+UNION ALL
+{_ann_recall_tier_sql('pq_adc', 'l2', 'pq', 'exact_l2')}
+UNION ALL
+{_ann_recall_tier_sql('srp_banded', 'cosine', 'banded', 'exact_cos')}
+UNION ALL
+{_ann_recall_tier_sql('srp_lsh', 'cosine', 'lsh', 'exact_cos')}
+"""
+
+# registered in the QUERIES literal below (defined after this point)
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring machinery (operators.classifier) with a
     FIXED hash-derived weight vector — FULL value oracle: features are
@@ -2098,6 +2279,7 @@ QUERIES: dict[str, tuple] = {
         DEDUPED_CORPUS_AGGRESSIVE_SQL,
     ),
     "lsh_quality_report": (q_lsh_quality_report, LSH_QUALITY_REPORT_SQL),
+    "ann_recall_report": (q_ann_recall_report, ANN_RECALL_REPORT_SQL),
     "minhash_near_dups": (q_minhash_near_dups, MINHASH_NEAR_DUPS_SQL),
     "near_dup_pipeline": (q_near_dup_pipeline, NEAR_DUP_PIPELINE_SQL),
     "simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
