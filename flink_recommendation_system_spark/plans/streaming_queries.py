@@ -1032,3 +1032,42 @@ QUERIES["windowed_review_counts"] = (
     q_windowed_review_counts,
     WINDOWED_REVIEW_COUNTS_SQL,
 )
+
+
+# --- stateful running per-user stats, batch twin (round 9, VERDICT r08 #8) --
+
+
+def q_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-user-stats
+    operator's final state (streaming.stateful.running_user_stats): per
+    user, review count, exact mean rating, and last-review timestamp.
+    The streaming replay-parity pytest pins last-emitted == this batch
+    aggregate EXACTLY (integral ratings make the incremental sum
+    order-independent). Scale shape: one user-keyed partial agg; the
+    streaming form's state is a fixed-width tuple per user."""
+    from ..sources.tables import reviews_from_events
+    from ..streaming.stateful import user_running_stats_batch
+
+    return user_running_stats_batch(reviews_from_events(spark, sf_dir))
+
+
+def _user_running_stats_sql() -> str:
+    from ..oracles import REVIEWS_CTE
+
+    return f"""
+WITH {REVIEWS_CTE}
+SELECT user_id,
+       count(*) AS n_reviews,
+       sum(rating) / count(*) AS mean_rating,
+       max(ts) AS last_ts
+FROM reviews
+GROUP BY user_id
+"""
+
+
+USER_RUNNING_STATS_SQL = _user_running_stats_sql()
+
+QUERIES["user_running_stats"] = (
+    q_user_running_stats,
+    USER_RUNNING_STATS_SQL,
+)

@@ -70,6 +70,25 @@ def _update_user_stats(
     )
 
 
+def user_running_stats_batch(reviews: DataFrame) -> DataFrame:
+    """Batch twin of ``running_user_stats``' FINAL state (VERDICT r08
+    item 8): replaying a review stream through the stateful operator and
+    keeping each user's last emitted row must equal this one-shot
+    aggregate — count, mean (ratings are integral doubles 1.0-5.0, so
+    the incremental per-micro-batch sum is EXACT in any accumulation
+    order and the single mean division is bit-identical), max ts.
+    Registered in the driver contract with a DuckDB oracle, so the
+    stateful streaming family earns a value-hash row; the live-replay
+    equality is pytest-pinned (tests/test_scale_utils.py)."""
+    from pyspark.sql import functions as F
+
+    return reviews.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reviews"),
+        (F.sum("rating") / F.count(F.lit(1))).alias("mean_rating"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def running_user_stats(reviews_stream: DataFrame) -> DataFrame:
     """Streaming per-user running stats; emits the updated aggregate for
     every user seen in each micro-batch (update output mode)."""

@@ -141,6 +141,43 @@ def test_stateful_running_user_stats(spark, tmp_path):
         assert abs(last[u][1] - mean) < 1e-9
 
 
+def test_stateful_final_state_equals_registered_batch_twin(spark, tmp_path):
+    """The registered driver-contract batch twin (user_running_stats)
+    must equal the stateful stream's final emitted state EXACTLY — not
+    approximately: ratings are integral doubles, so the incremental
+    rating_sum is order-independent and the mean division bit-identical."""
+    from flink_recommendation_system_spark.streaming.stateful import (
+        running_user_stats,
+        user_running_stats_batch,
+    )
+
+    reviews = reviews_from_events(spark, SF0001).limit(300)
+    src = str(tmp_path / "in_twin")
+    reviews.coalesce(3).write.json(src)
+    stream = spark.readStream.schema(reviews.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ustats_twin")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.sql("select * from ustats_twin").collect()
+    assert emitted, "stream emitted nothing"
+    last = {}
+    for r in emitted:  # memory sink preserves batch order; later overrides
+        last[r["user_id"]] = (r["n_reviews"], r["mean_rating"], r["last_ts"])
+    batch = {
+        r["user_id"]: (r["n_reviews"], r["mean_rating"], r["last_ts"])
+        for r in user_running_stats_batch(reviews).collect()
+    }
+    assert last == batch
+
+
 def test_transform_with_state_plan_construction(spark, tmp_path):
     """transformWithStateInPandas twin: the streaming plan must construct
     with the exact output schema (execution needs protobuf + RocksDB state
