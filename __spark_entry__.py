@@ -694,20 +694,122 @@ _SUITES = [
 # green history and remain covered at sf0.001 by tests/test_entry_queries.py
 # every CI run.
 #
-# ROUND-7 ROTATION (VERDICT r06 item 1 — the staged round-7 head leads,
-# NOTHING ahead of it): the 43 round-6b queries that have never been in a
-# driver window (all with sf0.001 CI greens via tests/test_entry_queries.py
-# and sf0.01 CORRECTNESS_LOCAL greens) earn their first driver CORRECTNESS
-# rows; then this round's new queries (never checked anywhere); then the
-# implementation-changed re-confirmations fill the window to 50. After this
-# window lands, every query registered as of round 6 has a driver row.
-# Every out-of-window query keeps sf0.001 CI coverage
-# (tests/test_entry_queries) and a current sf0.01 signal via
+# ROUND-9 ROTATION (VERDICT r08 item 1): the never-driver-checked backlog
+# emptied in round 8, so rotation now targets STALENESS — the queries whose
+# driver greens are oldest (r4 vintage: the §2 pipeline core and early LLM
+# ops, whose implementations have been rewritten repeatedly since those
+# rows). Window = 5 new round-9 queries + all 42 r4-vintage + the 3
+# VERDICT-named r5 core operators. Every out-of-window query keeps sf0.001
+# CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. ROUND-8 ROTATION HEAD (activated — staged in round 7): the 10
-    # round-7b queries that have never been in a driver window, in the
-    # order VERDICT r07 item 1 prescribes
+    # 1. NEW THIS ROUND (round 9 — never driver-checked): the ANN-fed
+    # SemDeDup sublinear tier (VERDICT r08 item 2), the artifact-backed
+    # quality-dedup production shape (item 3), the value-oracled Lloyd
+    # iteration (item 6), the cross-tier ANN recall report (item 7), and
+    # the stateful-streaming batch twin (item 8)
+    "semantic_dedup_ann",
+    "deduped_corpus_quality_artifact",
+    "kmeans_one_step",
+    "ann_recall_report",
+    "user_running_stats",
+    # 2. ROUND-9 ROTATION HEAD (VERDICT r08 item 1): the r4-vintage
+    # queries — the §2 pipeline core and early LLM ops whose driver rows
+    # predate the graph/broadcast-loop/layout rewrites — refresh their
+    # greens. After this window lands the oldest driver green on record
+    # moves from r4 to r5.
+    "top_products",
+    "good_ratings",
+    "co_review_edges",
+    "lpa_labels",
+    "pagerank",
+    "personalized_pagerank",
+    "kcore_members",
+    "connected_components_star",
+    "itemcf_recommendations",
+    "asof_click_purchase",
+    "bigram_lm_scores",
+    "bloom_decontamination",
+    "bm25_topk",
+    "boilerplate_chunks",
+    "cms_part_counts",
+    "context_packing",
+    "corpus_sample_k",
+    "customers_without_orders",
+    "dataset_card",
+    "decontaminated_corpus",
+    "deduped_corpus_quality",
+    "doc_chunks",
+    "embedding_near_dups",
+    "event_windows",
+    "events_within_hour",
+    "funnel_stages",
+    "heavy_users",
+    "large_volume_orders",
+    "length_histogram",
+    "local_supplier_volume",
+    "nation_balance_overview",
+    "pii_redaction",
+    "quality_resample",
+    "repeated_spans",
+    "retention_cohorts",
+    "returned_items",
+    "revenue_grouping_sets",
+    "simhash_near_dups",
+    "stratified_split",
+    "table_profile",
+    "user_event_pivot",
+    "value_outliers",
+    # 3. the three §2 source/relational core operators VERDICT r08 names
+    # first among the r5 vintage (S2 kv_roundtrip, A5 user_product_sets,
+    # F3/X1 split_db_part) — fills the 50-row window exactly.
+    "kv_roundtrip",
+    "user_product_sets",
+    "split_db_part",
+    #
+    # ROUND-10 STAGING NOTE: the window above refreshes all 42 r4-vintage
+    # rows plus 3 of the r5 vintage. Round 10's head should be the
+    # REMAINING 36 r5-vintage queries below (their driver rows will then
+    # be the oldest on record), plus whatever round 10 adds; after that
+    # window lands the oldest green moves to r6.
+    "fingerprints",
+    "exact_dedup_keys",
+    "token_counts",
+    "clean_corpus",
+    "community_sizes",
+    "graph_vertices",
+    "undirected_edges",
+    "activity_similarity",
+    "bfs_hops",
+    "click_conversion_labels",
+    "connected_components",
+    "contamination_by_source",
+    "corpus_mixture",
+    "cosine_topk",
+    "curriculum_order",
+    "decontamination",
+    "embedding_near_dups_lsh",
+    "embedding_stats",
+    "frame_sample_plan",
+    "hll_brand_distinct",
+    "image_resize",
+    "language_id",
+    "lineitem_measures_unpivot",
+    "lsh_topk",
+    "multimodal_features",
+    "nation_trade_flows",
+    "near_dup_clusters",
+    "near_dup_pipeline",
+    "ngram_jaccard_pairs",
+    "quality_stats",
+    "repetition_stats",
+    "sliding_chunks",
+    "special_discount_revenue",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "triangle_counts",
+    # everything else keeps its round-8 relative order (all r6+-green;
+    # covered every CI run at sf0.001 and by the local sf0.01 sweep)
     "hard_negative_mining",
     "bpe_compression_stats",
     "record_linkage_scores",
@@ -718,18 +820,11 @@ _WINDOW_PRIORITY = [
     "bpe_vocab",
     "mf_scoring_fixed",
     "seasonal_decomposition",
-    # 2. round-7 plan/layout-rewrite re-confirms that sat outside the
-    # round-7 window (oracle outputs unchanged; deduped_corpus gets the
-    # exact-dedup-before-LSH composition this round, VERDICT r07 item 2)
     "user_recommendations",
     "serving_snapshot",
     "minhash_near_dups",
     "near_dup_clusters_lsh",
     "deduped_corpus",
-    # 3. new this round (round 8 — never checked anywhere): the √N-cell
-    # SemDeDup scale twin (VERDICT r07 item 3), the ANN-candidate
-    # hard-negative mining twin (item 4), and the batch twin of the new
-    # watermarked tumbling-window streaming query (item 7)
     "semantic_dedup_sqrt",
     "hard_negative_mining_ann",
     "windowed_review_counts",
@@ -750,16 +845,6 @@ _WINDOW_PRIORITY = [
     "zipf_fit",
     "heaps_law",
     "effective_diameter",
-    # 4. round-7 head follows (all 50 r7-green), keeping recent-first
-    # coverage density in the window.
-    #
-    # ROUND-9 STAGING NOTE: tiers 1-3 above (27 names) all earn driver
-    # greens in the round-8 window, and NOTHING registered this round sits
-    # outside it — the never-driver-checked backlog is EMPTY for the first
-    # time. Round 9's window head should therefore rotate to the queries
-    # with the OLDEST driver greens (the r4/r5 vintage: the §2 pipeline
-    # core and early LLM ops), refreshing their rows, plus whatever round
-    # 9 adds.
     "min_cost_supplier",
     "nation_profit",
     "important_parts",
@@ -803,30 +888,13 @@ _WINDOW_PRIORITY = [
     "lead_time_histogram",
     "revenue_concentration",
     "new_vs_returning",
-    # 2. new this round (round 7 — never checked anywhere): true
-    # fixed-merge BPE subword tokenization (VERDICT r06 item 3), the FastSS
-    # k=2 fuzzy-join tier (item 5), and the fixed-centroid value-checked
-    # twin of semantic dedup's assignment step (item 6)
     "subword_token_counts",
     "fuzzy_name_pairs_d2",
     "semantic_dedup_fixed",
-    # 3. implementation changed this round — re-confirm: adamic_adar
-    # order-deterministic sum (VERDICT r06 item 2), scc settled-vertex
-    # pruning (item 4). The ADVICE r06 prefix-filter integer-division,
-    # recommender_eval k-guard, bounce-rate tie-break and touch-attribution
-    # ordering fixes are covered by ppjoin_pairs / recommender_eval /
-    # bounce_rate_daily / touch_attribution already in tier 1 above.
     "adamic_adar",
     "scc_components",
-    # --- 48 rows above; tier 4 fills the 50-row window ---
-    # 4. window filler, freshest-need-first: the one noise-level r6 bench
-    # regression, then the session-gap-convention sibling of
-    # bounce_rate_daily (ADVICE r06 low — both now use >= SESSION_GAP_SEC)
     "user_sessions",
     "session_overlaps",
-    # everything else (all with post-r4 driver greens: r4/r5/r6 windows)
-    # follows; kept in round-6 window order (all r6-green), duplicates of
-    # names already listed above are harmlessly deduped by dict insertion
     "domain_capped_corpus",
     "temperature_mixture",
     "sliding_windows",

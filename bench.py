@@ -90,14 +90,50 @@ def main() -> None:
     total = round(time.time() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    # The driver records only the last ~2000 chars of stdout and parses
+    # the JSON line out of it; a 200+-query map blows that cap and the
+    # recorded BENCH_r{N}.json ends up with parsed:null (VERDICT r08
+    # item 4). So: the printed line carries a FIXED headline subset
+    # spanning the engine's machinery families (stable across rounds →
+    # mechanically diffable), and the full per-query map goes to
+    # BENCH_DETAIL.json next to this script (committed per round, so
+    # git history keeps the complete series).
+    headline = [
+        "top_products", "good_ratings", "lpa_labels", "community_sizes",
+        "user_recommendations", "serving_snapshot", "pagerank",
+        "connected_components_star", "triangle_counts", "kcore_members",
+        "minhash_near_dups", "near_dup_clusters_lsh", "deduped_corpus",
+        "deduped_corpus_aggressive", "semantic_dedup_ann",
+        "deduped_corpus_quality_artifact", "exact_dedup_keys",
+        "simhash_near_dups", "cosine_topk", "ann_recall_report",
+        "kmeans_one_step", "bm25_topk", "tfidf_top_terms", "token_counts",
+        "dsir_selected", "subword_token_counts", "pricing_summary",
+        "user_sessions", "windowed_review_counts", "user_running_stats",
+    ]
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"metric": "all_queries", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf_val, "cpus": os.environ.get(
+                 "SPARK_GRAFT_CPUS", "32")},
+            fh,
+        )
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "queries": {
+                    k: timings[k] for k in headline if k in timings
+                },
+                "sf": sf_val,
             }
         )
     )
