@@ -713,6 +713,7 @@ _WINDOW_PRIORITY = [
     "kmeans_one_step",
     "ann_recall_report",
     "user_running_stats",
+    "hybrid_retrieval_rrf",
     # 2. ROUND-9 ROTATION HEAD (VERDICT r08 item 1): the r4-vintage
     # queries — the §2 pipeline core and early LLM ops whose driver rows
     # predate the graph/broadcast-loop/layout rewrites — refresh their
@@ -760,18 +761,19 @@ _WINDOW_PRIORITY = [
     "table_profile",
     "user_event_pivot",
     "value_outliers",
-    # 3. the three §2 source/relational core operators VERDICT r08 names
-    # first among the r5 vintage (S2 kv_roundtrip, A5 user_product_sets,
-    # F3/X1 split_db_part) — fills the 50-row window exactly.
+    # 3. two of the §2 source/relational core operators VERDICT r08 names
+    # first among the r5 vintage (S2 kv_roundtrip, A5 user_product_sets) —
+    # fills the 50-row window exactly; split_db_part heads the round-10
+    # staging block below.
     "kv_roundtrip",
     "user_product_sets",
-    "split_db_part",
     #
     # ROUND-10 STAGING NOTE: the window above refreshes all 42 r4-vintage
     # rows plus 3 of the r5 vintage. Round 10's head should be the
     # REMAINING 36 r5-vintage queries below (their driver rows will then
     # be the oldest on record), plus whatever round 10 adds; after that
     # window lands the oldest green moves to r6.
+    "split_db_part",
     "fingerprints",
     "exact_dedup_keys",
     "token_counts",

@@ -1698,6 +1698,126 @@ SELECT query_id, doc_id, score, rank FROM r WHERE rank <= {_BM25_TOPK}
 """
 
 
+# --- hybrid sparse+dense retrieval with RRF fusion (round 9) ---------------
+
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_LIST_K = 10     # per-list candidate depth
+RRF_TOP_K = 5       # fused results per query
+
+
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the shape a RAG/data-curation pipeline actually
+    ships: the SAME query set ranked two ways — sparse Okapi BM25 over
+    the document text (query = the query doc's own text, the
+    more-like-this form) and dense cosine over the aligned embedding
+    table (doc_id ≡ vec_id, verified 1:1 at every SF) — fused with
+    reciprocal rank fusion, score = Σ 1/(RRF_K + rank) (Cormack et al.
+    SIGIR'09). Self-matches are excluded at fusion (both engines
+    identically); each list keeps its own internal ranking contract.
+
+    FULL value oracle: BM25 contributions ride the 2^-38 grid, cosine is
+    6-dp, RRF adds two IEEE divisions of integer ranks in fixed
+    expression order. Scale shape: both retrievers are the registered
+    sublinear forms (query-term semi-joined postings; broadcast query
+    vectors); fusion is a (query, doc)-keyed full-outer join of two
+    ≤|Q|·k relations — metadata-sized."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    sparse = bm25_topk(
+        docs, queries, k1=_BM25_K1, b=_BM25_B, top_k=RRF_LIST_K
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("sparse_rank"),
+    )
+    dense = S.cosine_topk(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=RRF_LIST_K
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+    fused = (
+        sparse.join(dense, ["query_id", "neighbor_id"], "full_outer")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sparse_rank",
+            "dense_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RRF_TOP_K)
+    )
+
+
+def _hybrid_retrieval_rrf_sql() -> str:
+    """Composes the two EXISTING oracle bodies: BM25 with q0 swapped to
+    the doc-as-query set and top_k widened, cosine top-k widened — the
+    swaps are asserted so a future edit to either base SQL cannot
+    silently desynchronize this mirror."""
+    q0_old = f"WITH q0(query_id, query_text) AS (VALUES {_BM25_VALUES}),"
+    q0_new = (
+        "WITH q0 AS (SELECT doc_id AS query_id, text AS query_text "
+        f"FROM documents WHERE doc_id < {N_QUERY_VECS}),"
+    )
+    assert BM25_TOPK_SQL.count(q0_old) == 1
+    sparse_sql = BM25_TOPK_SQL.replace(q0_old, q0_new)
+    lim_old = f"WHERE rank <= {_BM25_TOPK}"
+    assert sparse_sql.count(lim_old) == 1
+    sparse_sql = sparse_sql.replace(lim_old, f"WHERE rank <= {RRF_LIST_K}")
+    assert COSINE_TOPK_SQL.count("WHERE rank <= 5") == 1
+    dense_sql = COSINE_TOPK_SQL.replace(
+        "WHERE rank <= 5", f"WHERE rank <= {RRF_LIST_K}"
+    )
+    return f"""
+WITH sparse0 AS ({sparse_sql}),
+dense0 AS ({dense_sql}),
+fused AS (
+    SELECT coalesce(s.query_id, d.query_id) AS query_id,
+           coalesce(s.doc_id, d.neighbor_id) AS neighbor_id,
+           CAST(s.rank AS BIGINT) AS sparse_rank,
+           CAST(d.rank AS BIGINT) AS dense_rank,
+           coalesce(1.0 / ({RRF_K} + s.rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + d.rank), 0.0) AS rrf_score
+    FROM sparse0 s FULL OUTER JOIN dense0 d
+      ON s.query_id = d.query_id AND s.doc_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, sparse_rank, dense_rank, rrf_score, rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id ASC)
+              AS rank
+    FROM fused WHERE neighbor_id != query_id
+)
+WHERE rank <= {RRF_TOP_K}
+"""
+
+
+HYBRID_RETRIEVAL_RRF_SQL = _hybrid_retrieval_rrf_sql()
+
+
 def _inject_pii(docs: DataFrame) -> DataFrame:
     """Deterministically plant PII into a slice of the corpus (the test
     corpus is word-soup with no real PII): doc_id%7 selects an email, an
@@ -2307,6 +2427,7 @@ QUERIES: dict[str, tuple] = {
     "frame_sample_plan": (q_frame_sample_plan, FRAME_SAMPLE_SQL),
     "frame_extraction": (q_frame_extraction, FRAME_EXTRACTION_SQL),
     "bm25_topk": (q_bm25_topk, BM25_TOPK_SQL),
+    "hybrid_retrieval_rrf": (q_hybrid_retrieval_rrf, HYBRID_RETRIEVAL_RRF_SQL),
     "pii_redaction": (q_pii_redaction, PII_REDACTION_SQL),
     "context_packing": (q_context_packing, CONTEXT_PACKING_SQL),
     "doc_chunks": (q_doc_chunks, DOC_CHUNKS_SQL),
