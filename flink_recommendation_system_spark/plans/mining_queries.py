@@ -916,6 +916,153 @@ GROUP BY 1, 2, 3
 QUERIES["l_diversity"] = (q_l_diversity, L_DIVERSITY_SQL)
 
 
+# --- t-closeness (completes the privacy triad) ------------------------------
+
+_T_CLOSENESS = 0.2
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    triad's third leg after `k_anonymity` and `l_diversity`: a class can
+    be k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION diverges from the table-wide one (skewness attack).
+    Same quasi-identifier classes (nation, segment, balance bucket);
+    sensitive attribute = o_orderpriority, an ORDERED categorical (the
+    leading digit orders it), so the distance is the ordered-EMD of the
+    original paper: EMD = (1/(m−1))·Σᵢ |Σ_{j≤i}(p_j − q_j)|.
+
+    Exactness: the inner cumulative differences are kept as INTEGER
+    numerators — p_j − q_j = (c_j·G − g_j·C)/(C·G) with c/C the class,
+    g/G the global counts — so the Σ|·| aggregation is a BIGINT sum
+    (order-independent by construction, no float-accumulation hazard;
+    products stay ≪ 2^63 at any driver SF — at true 100 TB counts use
+    DECIMAL(38)); ONE final IEEE division by C·G·(m−1), rounded 6-dp.
+
+    Scale design (100 TB): customer⨝orders custkey join → partial-agg to
+    (class, priority) cells; the dense grid and window run over ≤
+    |QID classes|·m rows — metadata-sized, independent of fact rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    bucket = F.expr(
+        "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
+        " DIV 100000 AS BIGINT)"
+    )
+    rows = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_mktsegment",
+        bucket.alias("bal_bucket"),
+    ).join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    cells = rows.groupBy(
+        "nationkey", "c_mktsegment", "bal_bucket", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("cell_n"))
+    glob = rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("glob_n")
+    )
+    totals = glob.agg(
+        F.sum("glob_n").alias("total_n"), F.count(F.lit(1)).alias("n_vals")
+    )
+    classes = cells.groupBy("nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.sum("cell_n").alias("class_n")
+    )
+    dense = (
+        classes.join(F.broadcast(glob), F.lit(True))
+        .join(
+            cells,
+            ["nationkey", "c_mktsegment", "bal_bucket", "o_orderpriority"],
+            "left",
+        )
+        .withColumn("cell_n", F.coalesce("cell_n", F.lit(0)))
+        .join(F.broadcast(totals), F.lit(True))
+    )
+    w = (
+        Window.partitionBy("nationkey", "c_mktsegment", "bal_bucket")
+        .orderBy("o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.withColumn(
+        "cum_num", F.sum(F.col("cell_n") * F.col("total_n") - F.col("glob_n") * F.col("class_n")).over(w)
+    )
+    return (
+        cum.groupBy("nationkey", "c_mktsegment", "bal_bucket")
+        .agg(
+            F.first("class_n").alias("class_size"),
+            F.round(
+                F.sum(F.abs("cum_num")).cast("double")
+                / (
+                    F.first("class_n").cast("double")
+                    * F.first("total_n").cast("double")
+                    * (F.first("n_vals") - F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("emd"),
+        )
+        .withColumn("meets_t", F.col("emd") <= F.lit(_T_CLOSENESS))
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH rows_ AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           c.c_mktsegment,
+           CAST((CAST(round(c.c_acctbal * 100) AS BIGINT) + 100000000)
+                // 100000 AS BIGINT) AS bal_bucket,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+),
+cells AS (
+    SELECT nationkey, c_mktsegment, bal_bucket, o_orderpriority,
+           count(*) AS cell_n
+    FROM rows_ GROUP BY 1, 2, 3, 4
+),
+gdist AS (
+    SELECT o_orderpriority, count(*) AS glob_n FROM rows_ GROUP BY 1
+),
+totals AS (SELECT sum(glob_n) AS total_n, count(*) AS n_vals FROM gdist),
+classes AS (
+    SELECT nationkey, c_mktsegment, bal_bucket, sum(cell_n) AS class_n
+    FROM cells GROUP BY 1, 2, 3
+),
+dense AS (
+    SELECT cl.nationkey, cl.c_mktsegment, cl.bal_bucket, cl.class_n,
+           gl.o_orderpriority, gl.glob_n, coalesce(ce.cell_n, 0) AS cell_n,
+           t.total_n, t.n_vals
+    FROM classes cl
+    CROSS JOIN gdist gl
+    LEFT JOIN cells ce
+      ON ce.nationkey = cl.nationkey
+     AND ce.c_mktsegment = cl.c_mktsegment
+     AND ce.bal_bucket = cl.bal_bucket
+     AND ce.o_orderpriority = gl.o_orderpriority
+    CROSS JOIN totals t
+),
+cum AS (
+    SELECT *,
+           sum(cell_n * total_n - glob_n * class_n) OVER (
+               PARTITION BY nationkey, c_mktsegment, bal_bucket
+               ORDER BY o_orderpriority
+               ROWS UNBOUNDED PRECEDING
+           ) AS cum_num
+    FROM dense
+)
+SELECT nationkey, c_mktsegment, bal_bucket,
+       CAST(first(class_n) AS BIGINT) AS class_size,
+       round(CAST(sum(abs(cum_num)) AS DOUBLE)
+             / (CAST(first(class_n) AS DOUBLE) * CAST(first(total_n) AS DOUBLE)
+                * CAST(first(n_vals) - 1 AS DOUBLE)), 6) AS emd,
+       round(CAST(sum(abs(cum_num)) AS DOUBLE)
+             / (CAST(first(class_n) AS DOUBLE) * CAST(first(total_n) AS DOUBLE)
+                * CAST(first(n_vals) - 1 AS DOUBLE)), 6) <= {_T_CLOSENESS!r}
+           AS meets_t
+FROM cum
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["t_closeness"] = (q_t_closeness, T_CLOSENESS_SQL)
+
+
 # --- exact weighted median --------------------------------------------------------
 
 
