@@ -772,7 +772,10 @@ _WINDOW_PRIORITY = [
     # rows plus 3 of the r5 vintage. Round 10's head should be the
     # REMAINING 36 r5-vintage queries below (their driver rows will then
     # be the oldest on record), plus whatever round 10 adds; after that
-    # window lands the oldest green moves to r6.
+    # window lands the oldest green moves to r6. t_closeness (new in
+    # round 9, green in the local sweep) heads the block: it is the only
+    # registered query with no driver row yet.
+    "t_closeness",
     "split_db_part",
     "fingerprints",
     "exact_dedup_keys",
