@@ -33,11 +33,23 @@ SAMPLE = [
     "zone_map_stats", "touch_attribution",
     # CF pipeline
     "user_recommendations", "serving_snapshot",
+    # round-9 additions
+    "semantic_dedup_ann", "kmeans_one_step", "ann_recall_report",
+    "hybrid_retrieval_rrf", "t_closeness", "user_running_stats",
 ]
 
 
 def test_sampled_plans_have_no_hard_antipatterns(spark):
-    from plan_audit import CARTESIAN_BY_DESIGN, audit_plan
+    """HARD antipatterns gate + MECHANICAL waiver verification (VERDICT
+    r08 item 4): every nested_loop / global_sort flag in the sample must
+    structurally verify (bounded broadcast build side; aggregate-bounded
+    single-partition input) or carry a named contract waiver."""
+    from plan_audit import (
+        CARTESIAN_BY_DESIGN,
+        WAIVED_BY_CONTRACT,
+        audit_plan,
+        verify_waivers,
+    )
 
     spec = importlib.util.spec_from_file_location(
         "entry_gate", os.path.join(REPO, "__spark_entry__.py")
@@ -47,14 +59,18 @@ def test_sampled_plans_have_no_hard_antipatterns(spark):
     qs = em.queries()
     missing = [n for n in SAMPLE if n not in qs]
     assert not missing, f"sample names drifted from the registry: {missing}"
-    bad = []
+    bad, unverified = [], []
     for name in SAMPLE:
         df = qs[name](spark, "/root/testdata/sf0.001")
-        flags = audit_plan(
-            df._jdf.queryExecution().executedPlan().toString()
-        )
+        jplan = df._jdf.queryExecution().executedPlan()
+        flags = audit_plan(jplan.toString())
         if (
             flags["cartesian"] and name not in CARTESIAN_BY_DESIGN
         ) or flags["python_row"]:
             bad.append((name, {k: v for k, v in flags.items() if v}))
+        if flags["nested_loop"] or flags["global_sort"]:
+            _ok, notok = verify_waivers(jplan)
+            if notok and name not in WAIVED_BY_CONTRACT:
+                unverified.append((name, notok))
     assert not bad, f"hard plan antipatterns: {bad}"
+    assert not unverified, f"unverified plan waivers: {unverified}"
