@@ -773,9 +773,11 @@ _WINDOW_PRIORITY = [
     # REMAINING 36 r5-vintage queries below (their driver rows will then
     # be the oldest on record), plus whatever round 10 adds; after that
     # window lands the oldest green moves to r6. t_closeness (new in
-    # round 9, green in the local sweep) heads the block: it is the only
-    # registered query with no driver row yet.
+    # round 9, green in the local sweep) heads the block with the other
+    # round-9 additions that have no driver row yet.
     "t_closeness",
+    "butterfly_counts",
+    "implicit_negatives",
     "split_db_part",
     "fingerprints",
     "exact_dedup_keys",

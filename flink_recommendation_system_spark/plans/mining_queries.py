@@ -1063,6 +1063,173 @@ GROUP BY 1, 2, 3
 QUERIES["t_closeness"] = (q_t_closeness, T_CLOSENESS_SQL)
 
 
+# --- bipartite butterfly counts (round 9) -----------------------------------
+
+
+def q_butterfly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user butterfly (2×2 biclique) counts on the bounded (user<200)
+    bipartite liked graph — the bipartite analog of triangle counting
+    (Wang et al., "Butterfly Counting in Bipartite Networks", the
+    standard cohesion metric where triangles cannot exist): a butterfly
+    is a user pair sharing TWO products. Each butterfly is generated
+    exactly once as (user pair, C(common,2)): per user pair compute the
+    common-product count c, butterflies on the pair = c·(c−1)/2 (exact
+    BIGINT), then credit both endpoints. Same bounded-exact-tier stance
+    as `triangle_counts` (the wedge join is Θ(Σ deg²) by nature); the
+    count arithmetic is pure integers — full value oracle.
+
+    Scale design (100 TB): one product-keyed wedge self-join (bounded by
+    the user<200 exact-tier contract, exactly as `triangle_counts`; an
+    unbounded run wants the co-review family's per-product fan-out cap)
+    → pair-keyed partial-agg count → endpoint partial-agg sum. No floats
+    anywhere."""
+    from ..operators.graph import good_reviews
+    from ..sources.tables import reviews_from_events
+
+    liked = good_reviews(
+        reviews_from_events(spark, sf_dir), user_cutoff=200
+    )
+    a, b = liked.alias("a"), liked.alias("b")
+    pair_c = (
+        a.join(
+            b,
+            (F.col("a.product_id") == F.col("b.product_id"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "bf", F.expr("CAST(c * (c - 1) DIV 2 AS BIGINT)")
+        )
+        .filter(F.col("bf") > 0)
+    )
+    per_user = pair_c.select(F.col("u").alias("id"), "bf").unionByName(
+        pair_c.select(F.col("v").alias("id"), "bf")
+    )
+    return per_user.groupBy("id").agg(
+        F.sum("bf").alias("n_butterflies")
+    )
+
+
+def _butterfly_counts_sql() -> str:
+    from ..oracles import LIKED_200_CTE, REVIEWS_CTE
+
+    return f"""
+WITH {REVIEWS_CTE},
+{LIKED_200_CTE},
+pair_c AS (
+    SELECT a.user_id AS u, b.user_id AS v, count(*) AS c
+    FROM liked a
+    JOIN liked b ON a.product_id = b.product_id
+               AND a.user_id < b.user_id
+    GROUP BY 1, 2
+),
+bf AS (
+    SELECT u, v, CAST(c * (c - 1) // 2 AS BIGINT) AS bf
+    FROM pair_c WHERE c >= 2
+),
+per_user AS (
+    SELECT u AS id, bf FROM bf
+    UNION ALL
+    SELECT v AS id, bf FROM bf
+)
+SELECT id, sum(bf) AS n_butterflies
+FROM per_user GROUP BY id
+"""
+
+
+BUTTERFLY_COUNTS_SQL = _butterfly_counts_sql()
+
+QUERIES["butterfly_counts"] = (q_butterfly_counts, BUTTERFLY_COUNTS_SQL)
+
+
+# --- deterministic implicit-feedback negative sampling (round 9) ------------
+
+_NEG_PER_USER = 3
+_NEG_SALT = "neg-v1"
+
+
+def q_implicit_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair negative sampling for implicit-feedback CF / retrieval
+    training: per user (the liked cohort), the ``_NEG_PER_USER`` products
+    the user did NOT interact with, drawn deterministically by salted
+    portable hash — the regenerable negative set a training pipeline
+    needs (same salt → same negatives on any run, engine, partitioning).
+    Candidate grid = users × product catalog (the catalog is the fixed
+    ~100-product dimension → broadcast), anti-joined against the liked
+    relation, ranked per user by (hash, product_id). Full value oracle
+    (md5-derived hash, integer ranks).
+
+    Scale design (100 TB): the catalog side is a broadcast dim; the grid
+    is |users|·|catalog| rows of longs with codegen hashing; liked
+    anti-join and the per-user top-k window shuffle on user_id once."""
+    from ..operators.dedup import portable_hash32
+    from ..operators.graph import good_reviews
+    from ..sources.tables import reviews_from_events
+
+    liked = good_reviews(reviews_from_events(spark, sf_dir)).localCheckpoint()
+    users = liked.select("user_id").distinct()
+    catalog = liked.select("product_id").distinct()
+    grid = users.join(F.broadcast(catalog), F.lit(True))
+    cand = grid.join(liked, ["user_id", "product_id"], "left_anti")
+    h = portable_hash32(
+        F.concat_ws(
+            ":",
+            F.lit(_NEG_SALT),
+            F.col("user_id").cast("string"),
+            F.col("product_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("h").asc(), F.col("product_id").asc()
+    )
+    return (
+        cand.withColumn("h", h)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _NEG_PER_USER)
+        .select("user_id", "product_id", "rank")
+    )
+
+
+def _implicit_negatives_sql() -> str:
+    from ..oracles import LIKED_CTE, REVIEWS_CTE
+
+    return f"""
+WITH {REVIEWS_CTE},
+{LIKED_CTE},
+users AS (SELECT DISTINCT user_id FROM liked),
+catalog AS (SELECT DISTINCT product_id FROM liked),
+cand AS (
+    SELECT u.user_id, c.product_id
+    FROM users u CROSS JOIN catalog c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM liked l
+        WHERE l.user_id = u.user_id AND l.product_id = c.product_id
+    )
+),
+h AS (
+    SELECT user_id, product_id,
+           CAST('0x' || substr(md5('{_NEG_SALT}:'
+                || CAST(user_id AS VARCHAR) || ':'
+                || CAST(product_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+    FROM cand
+)
+SELECT user_id, product_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY hv ASC, product_id ASC) AS BIGINT)
+           AS rank
+FROM h
+QUALIFY rank <= {_NEG_PER_USER}
+"""
+
+
+IMPLICIT_NEGATIVES_SQL = _implicit_negatives_sql()
+
+QUERIES["implicit_negatives"] = (q_implicit_negatives, IMPLICIT_NEGATIVES_SQL)
+
+
 # --- exact weighted median --------------------------------------------------------
 
 
