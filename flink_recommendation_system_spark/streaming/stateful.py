@@ -54,7 +54,10 @@ def _update_user_stats(
 ) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    n, rating_sum, last_ts = state.get() if state.exists else (0, 0.0, 0)
+    # NOTE: GroupState.get is a PROPERTY (returns the state tuple);
+    # calling it as a method raises "'tuple' object is not callable" the
+    # first time a key's state actually persists across micro-batches
+    n, rating_sum, last_ts = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
         rating_sum += float(pdf["rating"].sum())
@@ -97,6 +100,85 @@ def running_user_stats(reviews_stream: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("has", LongType()),
+        StructField("last_s", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("s", LongType()),
+        StructField("value_asof", DoubleType()),
+        StructField("s_asof", LongType()),
+    ]
+)
+
+
+def _asof_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    # GroupState.get is a property — see the note in _update_user_stats
+    has, last_s, last_value = (
+        state.get if state.exists else (0, 0, 0.0)
+    )
+    out: list[tuple] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # as-of tie semantics (purchase at the same second counts, ties among
+    # same-second purchases resolved by MAX event_id — the batch twin's
+    # arg_max(value, event_id)): purchases sort BEFORE clicks at equal s,
+    # in event_id order so the last state write wins
+    batch["_tr"] = (batch["event_type"] == "click").astype(int)
+    batch = batch.sort_values(["s", "_tr", "event_id"])
+    for r in batch.itertuples():
+        if r.event_type == "purchase":
+            has, last_s, last_value = 1, int(r.s), float(r.value)
+        elif r.event_type == "click":
+            out.append(
+                (
+                    int(key[0]),
+                    int(r.event_id),
+                    int(r.s),
+                    last_value if has else None,
+                    last_s if has else None,
+                )
+            )
+    state.update((has, last_s, last_value))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "s", "value_asof", "s_asof"]
+    )
+
+
+def click_purchase_asof_stream(events_stream: DataFrame) -> DataFrame:
+    """CEP-style streaming as-of match — the KeyedProcessFunction pattern
+    a Flink user reaches for: per-user state carries the most recent
+    purchase (second, value); every click emits annotated with it, tie
+    semantics identical to the REGISTERED batch as-of query
+    (`asof_click_purchase`, DuckDB-ASOF-pinned). On a time-ordered
+    replay the emitted set equals the batch twin exactly (pytest-pinned);
+    under disorder the stream answers with the state it had at emit time
+    — the inherent stream/batch delta every CEP deployment documents.
+
+    Input: a stream of (event_id, user_id, event_type, value, s).
+    State per user: one fixed-width (has, last_s, last_value) tuple.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -153,7 +153,21 @@ def test_stateful_final_state_equals_registered_batch_twin(spark, tmp_path):
 
     reviews = reviews_from_events(spark, SF0001).limit(300)
     src = str(tmp_path / "in_twin")
-    reviews.coalesce(3).write.json(src)
+    # split each user's rows ACROSS files deliberately (file = per-user
+    # row number mod 3) so per-key state MUST persist across micro-batches
+    # — the path where GroupState.get's property-vs-method misuse blew up
+    from pyspark.sql import Window as W
+
+    numbered = reviews.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "product_id")
+        ),
+    )
+    for i in range(3):
+        numbered.filter(F.col("_rn") % 3 == i).drop("_rn").coalesce(
+            1
+        ).write.mode("append").json(src)
     stream = spark.readStream.schema(reviews.schema).option(
         "maxFilesPerTrigger", 1
     ).json(src)
@@ -271,3 +285,57 @@ def test_session_factory_pins_scale_configs(spark):
     }
     for k, v in expected.items():
         assert spark.conf.get(k) == v, k
+
+
+def test_cep_asof_stream_matches_registered_batch_twin(spark, tmp_path):
+    """The CEP-style streaming as-of operator replayed over TIME-ORDERED
+    file splits (cut on second boundaries so same-second rows never
+    straddle a trigger) must emit exactly the registered batch as-of
+    query's rows (asof_click_purchase, DuckDB-ASOF-pinned)."""
+    from flink_recommendation_system_spark.plans.streaming_queries import (
+        q_asof_click_purchase,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+    from flink_recommendation_system_spark.streaming.stateful import (
+        click_purchase_asof_stream,
+    )
+
+    sf = SF0001
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)"))
+        .select("event_id", "user_id", "event_type", "value", "s")
+    )
+    lo, hi = ev.agg(F.min("s"), F.max("s")).first()
+    span = (hi - lo + 1) or 1
+    # 4 time-range files: second-aligned cuts keep same-second rows in
+    # one trigger so cross-batch same-second matches cannot be missed
+    with_file = ev.withColumn(
+        "f", ((F.col("s") - F.lit(lo)) * 4 / F.lit(span)).cast("int")
+    )
+    src = str(tmp_path / "cep_in")
+    for i in range(4):
+        with_file.filter(F.col("f") == i).drop("f").coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    q = (
+        click_purchase_asof_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_asof")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        tuple(r) for r in spark.sql("select * from cep_asof").collect()
+    }
+    assert streamed, "stream emitted nothing"
+    batch = {
+        (r["user_id"], r["event_id"], r["s"], r["value_asof"], r["s_asof"])
+        for r in q_asof_click_purchase(spark, sf).collect()
+    }
+    assert streamed == batch
