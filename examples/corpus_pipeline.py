@@ -9,6 +9,8 @@ of how the LLM-data operators compose in production:
       → exact dedup (constant-size-key shuffle)
       → one-pass near-dup artifacts (signatures / pairs / clusters /
         deduped corpus — publish_corpus_artifacts)
+      → ANN semantic dedup on the survivors' embeddings (paraphrases,
+        not just copies — the banded-SRP sublinear tier)
       → LM-score quality resampling (curation mixture)
       → corpus profile sketches (count-min hot sources, log-histogram
         length quantiles — fixed-state, mergeable per shard)
@@ -96,6 +98,23 @@ def main() -> None:
     n_final = corpus.count()
     n_pairs = spark.read.parquet(paths["pairs"]).count()
 
+    # 5b. SEMANTIC dedup on the surviving docs' embeddings (doc_id ≡
+    #     vec_id): banded-SRP ANN candidates with corpus-adaptive band
+    #     widths feed the exact-cosine keep/drop — the sublinear tier
+    #     (round 9); near-dup catches copies, this catches paraphrases
+    from flink_recommendation_system_spark.operators.similarity import (
+        semantic_dedup_ann,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        corpus.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    sem_keep = semantic_dedup_ann(emb, threshold=0.45).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    corpus = corpus.join(sem_keep, "doc_id", "left_semi")
+    n_sem = corpus.count()
+
     # 6. curation: LM-score buckets, deterministic resample
     scored = bigram_lm_scores(corpus)
     curated_ids = T.resample_by_score(
@@ -152,6 +171,7 @@ def main() -> None:
     print(f"after exact dedup    {n_exact}")
     print(f"near-dup pairs       {n_pairs}")
     print(f"deduped corpus       {n_final}")
+    print(f"after semantic dedup {n_sem} (ANN-candidate tier)")
     print(f"after curation       {n_curated}")
     print(f"hot sources (CMS)    {top_sources}")
     print(f"length quantiles     {quant} (chars, bucket lower bounds)")
