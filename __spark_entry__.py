@@ -698,8 +698,8 @@ _SUITES = [
 # emptied in round 8, so rotation now targets STALENESS — the queries whose
 # driver greens are oldest (r4 vintage: the §2 pipeline core and early LLM
 # ops, whose implementations have been rewritten repeatedly since those
-# rows). Window = 5 new round-9 queries + all 42 r4-vintage + the 3
-# VERDICT-named r5 core operators. Every out-of-window query keeps sf0.001
+# rows). Window = 6 new round-9 queries + all 42 r4-vintage + the 2
+# oldest VERDICT-named r5 core operators. Every out-of-window query keeps sf0.001
 # CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
@@ -763,8 +763,9 @@ _WINDOW_PRIORITY = [
     "value_outliers",
     # 3. two of the §2 source/relational core operators VERDICT r08 names
     # first among the r5 vintage (S2 kv_roundtrip, A5 user_product_sets) —
-    # fills the 50-row window exactly; split_db_part heads the round-10
-    # staging block below.
+    # fills the 50-row window exactly; the round-9 additions without
+    # driver rows (t_closeness, butterfly_counts, implicit_negatives)
+    # then split_db_part head the round-10 staging block below.
     "kv_roundtrip",
     "user_product_sets",
     #

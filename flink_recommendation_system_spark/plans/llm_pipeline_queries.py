@@ -2825,9 +2825,15 @@ _CORPUS_ARTIFACTS: dict[str, str] = {}
 def _corpus_artifact_base(spark: SparkSession, sf_dir: str) -> str:
     base = _CORPUS_ARTIFACTS.get(sf_dir)
     if base is None:
+        import atexit
+        import shutil
         import tempfile
 
         base = tempfile.mkdtemp(prefix="corpus_artifacts_")
+        # the memo is process-lifetime; reap the parquet tree on exit so
+        # repeated bench/driver/test processes don't accumulate orphaned
+        # corpus artifacts in tmp
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         D.publish_corpus_artifacts(_docs(spark, sf_dir), base)
         _CORPUS_ARTIFACTS[sf_dir] = base
     return base

@@ -54,13 +54,14 @@ PASSTHRU_PREFIXES = (
     "WholeStageCodegen", "InputAdapter", "ColumnarToRow", "AQEShuffleRead",
     "ShuffleQueryStage", "BroadcastQueryStage", "Subquery", "Coalesce",
     "Window", "Generate", "Expand", "SerializeFromObject", "MapPartitions",
-    "DeserializeToObject", "ArrowEvalPython", "Union", "TableCacheQueryStage",
+    "DeserializeToObject", "ArrowEvalPython", "TableCacheQueryStage",
     "InMemoryTableScan",
 )
 _RANGE_RE = re.compile(r"Range \((\d+), (\d+)")
-# a Filter whose predicate pins an id column under a small literal is the
-# contract-tiny seed/query-set pattern (vec_id < 10, doc_id < 200)
-_TINY_FILTER = re.compile(r"\([a-zA-Z_]+#\d+L? < (\d{1,3})\)")
+# a Filter whose predicate pins an ID column under a small literal is the
+# contract-tiny seed/query-set pattern (vec_id < 10, doc_id < 200) — ID
+# columns only: `value < 100` on a fact measure bounds nothing
+_TINY_FILTER = re.compile(r"\((?:[a-zA-Z_]*_)?(?:id|key)#\d+L? < (\d{1,3})\)")
 
 
 def _plan_children(p) -> list:
@@ -142,14 +143,13 @@ def _bounded(p, allow_grouped_agg: bool) -> str | None:
         # points at an exchange elsewhere in the tree; its own subtree is
         # cut off — resolved by the caller matching the original exchange
         return None
-    if "Join" in name:
+    if "Join" in name or name.startswith("Union"):
+        # strict: EVERY input must be bounded (a one-row union/join branch
+        # must not launder an unbounded sibling)
         kids = _plan_children(p)
         rs = [_bounded(k, allow_grouped_agg) for k in kids]
-        if len(rs) == 2 and all(rs):
-            return f"join({rs[0]},{rs[1]})"
-        # a semi/inner join is also bounded if ONE side is bounded and it
-        # is the streamed row-preserving side? No — only LEFT SEMI keeps
-        # left cardinality; be strict: both sides must be bounded.
+        if kids and all(rs):
+            return f"{'union' if name.startswith('Union') else 'join'}({','.join(rs)})"
         return None
     if any(name.startswith(x) for x in PASSTHRU_PREFIXES):
         kids = [k for k in _plan_children(p)]
@@ -179,15 +179,19 @@ def verify_waivers(root) -> tuple[list[str], list[str]]:
             pass
     nodes = list(_walk(root))
 
-    def _resolve_reused(build) -> str | None:
+    def _resolve_reused(allow_grouped_agg: bool) -> str | None:
         # a ReusedExchange points at an exchange defined elsewhere in the
-        # same tree; verify against any bounded BroadcastExchange referent
+        # same tree; the plan string does not say WHICH, so the only SOUND
+        # resolution is to require EVERY BroadcastExchange in the tree to
+        # be bounded — then whichever one it references is too
+        reasons = []
         for q in nodes:
             if _node_name(q).startswith("BroadcastExchange"):
-                r0 = _bounded(q, allow_grouped_agg=True)
-                if r0:
-                    return f"reused({r0})"
-        return None
+                r0 = _bounded(q, allow_grouped_agg)
+                if r0 is None:
+                    return None
+                reasons.append(r0)
+        return f"reused(all:{';'.join(sorted(set(reasons)))})" if reasons else None
 
     for p in nodes:
         name = _node_name(p)
@@ -196,12 +200,16 @@ def verify_waivers(root) -> tuple[list[str], list[str]]:
             kids = _plan_children(p)
             build_right = "BuildRight" in s
             build = kids[1] if build_right and len(kids) > 1 else kids[0]
-            r = _bounded(build, allow_grouped_agg=True)
+            # join build sides use the STRICT criterion (no blanket
+            # grouped-agg acceptance — a grouped agg over a fact table is
+            # unbounded; domain-bounded-key cases go through the named
+            # waiver dict instead)
+            r = _bounded(build, allow_grouped_agg=False)
             if r is None and any(
                 _node_name(q).startswith("ReusedExchange")
                 for q in _walk(build)
             ):
-                r = _resolve_reused(build)
+                r = _resolve_reused(allow_grouped_agg=False)
             if r:
                 verified.append(f"nested_loop:{r}")
             else:
@@ -215,7 +223,7 @@ def verify_waivers(root) -> tuple[list[str], list[str]]:
                 _node_name(q).startswith("ReusedExchange")
                 for q in _walk(kids[0])
             ):
-                r = _resolve_reused(kids[0])
+                r = _resolve_reused(allow_grouped_agg=True)
             if r:
                 verified.append(f"single_partition:{r}")
             else:
@@ -282,6 +290,25 @@ WAIVED_BY_CONTRACT = {
     "zorder_layout": (
         "Morton-key layout sort over the PART dim (the OPTIMIZE ZORDER "
         "demonstration); production writes use repartitionByRange(z)"
+    ),
+    # grouped-agg broadcast builds whose key DOMAIN bounds the relation —
+    # unprovable statically (the strict build-side criterion rejects
+    # grouped aggregates), adjudicated here by name:
+    "approx_order_quantiles": (
+        "broadcast side is the cum-dist relation grouped on the FIXED "
+        "quantile-bucket domain; the probe relation is a scalar agg"
+    ),
+    "t_closeness": (
+        "broadcast side is the global sensitive-value distribution — "
+        "grouped on o_orderpriority's 5-value domain"
+    ),
+    "mf_scoring_fixed": (
+        "broadcast side is the item-factor relation over the bounded "
+        "~100-product catalog (factors computed in the projection)"
+    ),
+    "training_pairs": (
+        "broadcast side is the candidate catalog relation (bounded "
+        "~100-product dimension) for hash-sampled negatives"
     ),
 }
 
@@ -351,7 +378,10 @@ def main() -> int:
         "`tools/plan_audit.py`. Every `nested_loop` / `global_sort` flag",
         "now carries a MECHANICALLY VERIFIED waiver reason (tree-walk of",
         "the JVM plan incl. subquery plans: broadcast build side must be a",
-        "scalar-agg / plan-literal / top-k / tiny-id-filter relation; a",
+        "scalar-agg / plan-literal / top-k / tiny-id-filter relation —",
+        "grouped aggregates are REJECTED there unless their child is",
+        "bounded, with domain-bounded-key cases adjudicated by name in",
+        "WAIVED_BY_CONTRACT; a",
         "global sort's input must be aggregate- or limit-bounded) — rows",
         "marked UNVERIFIED gate the audit exit code. `python_arrow` rows",
         "are the multimodal/extension operators whose Python is",
