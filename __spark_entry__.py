@@ -779,6 +779,7 @@ _WINDOW_PRIORITY = [
     "t_closeness",
     "butterfly_counts",
     "implicit_negatives",
+    "click_attribution_pairs",
     "split_db_part",
     "fingerprints",
     "exact_dedup_keys",

@@ -1071,3 +1071,53 @@ QUERIES["user_running_stats"] = (
     q_user_running_stats,
     USER_RUNNING_STATS_SQL,
 )
+
+
+# --- stream-stream interval join, batch twin (round 9) ----------------------
+
+ATTRIBUTION_HORIZON_SEC = 3600
+
+
+def q_click_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming.interval_join.click_purchase_interval_join — ONE
+    definition runs in both modes; the replay-parity pytest pins
+    stream == batch): every click paired with the same user's purchases
+    within the hour after it. Scale shape: user-keyed equi-join with a
+    codegen range predicate; the streaming form's state is bounded by
+    watermark + horizon."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.interval_join import click_purchase_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    )
+    return click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_sec=ATTRIBUTION_HORIZON_SEC,
+    )
+
+
+CLICK_ATTRIBUTION_PAIRS_SQL = f"""
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
+    FROM events
+)
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.s AS click_s, p.s AS purchase_s
+FROM e c JOIN e p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.s >= c.s AND p.s <= c.s + {ATTRIBUTION_HORIZON_SEC}
+"""
+
+QUERIES["click_attribution_pairs"] = (
+    q_click_attribution_pairs,
+    CLICK_ATTRIBUTION_PAIRS_SQL,
+)

@@ -1,0 +1,71 @@
+"""Watermarked stream-stream interval join — the two-stream join tier the
+engine's streaming story previously lacked (T2/`serving_snapshot` is
+stream-STATIC; this is stream⋈stream with event-time bounds, Structured
+Streaming's canonical click-attribution example).
+
+ONE definition runs in both modes (the windowed_review_counts pattern):
+on streaming inputs the watermarks bound join state — a click's state can
+be dropped once the purchase-side watermark passes click time + horizon;
+on batch inputs `withWatermark` is a no-op and the identical expression
+is a plain interval join, which is what the replay-parity test and the
+registered driver twin (`click_attribution_pairs`) pin.
+
+Scale design (100 TB/day streams): state per side is bounded by
+(watermark delay + horizon) × arrival rate — the join NEVER buffers
+either stream unboundedly; keys shuffle on user_id once. The batch twin
+is a bucketable user_id equi-join with a codegen'd range predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def click_purchase_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_sec: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Pairs every click with the same user's purchases in the
+    ``horizon_sec`` seconds AFTER (or at) the click.
+
+    Inputs carry (event_id, user_id, s) with ``s`` in epoch seconds
+    (the engine-wide integer-seconds contract). Output:
+    (user_id, click_id, purchase_id, click_s, purchase_s).
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("s").alias("click_s"),
+            F.timestamp_seconds("s").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("s").alias("purchase_s"),
+            F.timestamp_seconds("s").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_s",
+        "purchase_s",
+    )

@@ -202,3 +202,59 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
         for r in session_window_stats(events, gap_sec=1800).collect()
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream interval join replayed over
+    time-ordered file splits must emit exactly the registered batch
+    twin's pairs (click_attribution_pairs): inner interval joins emit
+    each qualifying pair once, and an in-order replay keeps every row
+    inside the watermark."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.plans.streaming_queries import (
+        q_click_attribution_pairs,
+    )
+    from flink_recommendation_system_spark.sources.tables import load_table
+    from flink_recommendation_system_spark.streaming.interval_join import (
+        click_purchase_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    )
+    lo, hi = ev.agg(F.min("s"), F.max("s")).first()
+    span = (hi - lo + 1) or 1
+    src = str(tmp_path / "ssj_in")
+    with_file = ev.withColumn(
+        "f", ((F.col("s") - F.lit(lo)) * 3 / F.lit(span)).cast("int")
+    )
+    for i in range(3):
+        with_file.filter(F.col("f") == i).drop("f").coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    stream = spark.readStream.schema(
+        ev.schema
+    ).option("maxFilesPerTrigger", 1).json(src)
+    out = click_purchase_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {tuple(r) for r in spark.sql("select * from ssj").collect()}
+    assert streamed, "stream emitted nothing"
+    batch = {
+        tuple(r) for r in q_click_attribution_pairs(spark, sf).collect()
+    }
+    assert streamed == batch
