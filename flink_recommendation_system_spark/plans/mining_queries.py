@@ -1135,7 +1135,7 @@ per_user AS (
     UNION ALL
     SELECT v AS id, bf FROM bf
 )
-SELECT id, sum(bf) AS n_butterflies
+SELECT id, CAST(sum(bf) AS BIGINT) AS n_butterflies
 FROM per_user GROUP BY id
 """
 
