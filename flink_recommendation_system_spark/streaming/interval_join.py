@@ -3,6 +3,12 @@ engine's streaming story previously lacked (T2/`serving_snapshot` is
 stream-STATIC; this is stream⋈stream with event-time bounds, Structured
 Streaming's canonical click-attribution example).
 
+Relationship to ``streaming.joins``: ``stream_stream_join`` there is the
+generic suffix-renaming library form (pytest-covered); THIS module is the
+click-attribution instantiation whose single definition also runs as the
+registered, DuckDB-oracle-checked batch query — the driver-contract twin
+the generic form lacks.
+
 ONE definition runs in both modes (the windowed_review_counts pattern):
 on streaming inputs the watermarks bound join state — a click's state can
 be dropped once the purchase-side watermark passes click time + horizon;

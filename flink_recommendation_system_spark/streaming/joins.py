@@ -86,3 +86,22 @@ def dedup_stream(
     return stream.withWatermark(time_col, watermark).dropDuplicates(
         keys + [time_col]
     )
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+): dedups on ``keys``
+    ALONE — a retried event whose retry carries a DIFFERENT timestamp
+    (the at-least-once-transport reality `dedup_stream`'s exact
+    (key, time) match cannot handle) still collapses, as long as the
+    retry lands within the watermark delay of the first arrival. State
+    per key is evicted one watermark horizon after first sight, so this
+    is the production exactly-once ingest shape: key-only dedup with
+    bounded state."""
+    return stream.withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)

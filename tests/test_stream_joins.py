@@ -161,3 +161,44 @@ def test_stream_stream_left_join_emits_matches_and_unmatched(spark, tmp_path):
     assert got_unmatched <= (all_left_ids - matched_left_ids)
     # and the join did emit a meaningful share of the matchless rows
     assert len(got_unmatched) > 0
+
+
+def test_dedup_within_watermark_collapses_shifted_retries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a retry carrying a DIFFERENT
+    timestamp (the real at-least-once transport case exact (key, time)
+    dedup cannot handle) still collapses to one row per key when it
+    arrives within the watermark delay."""
+    from flink_recommendation_system_spark.streaming.joins import (
+        dedup_stream_within_watermark,
+    )
+
+    events = events_with_event_time(
+        load_table(spark, SF0001, "events")
+    ).select("event_id", "user_id", "event_time").limit(100)
+    # retries arrive 90 seconds later than the original
+    retries = events.withColumn(
+        "event_time", F.col("event_time") + F.expr("INTERVAL 90 SECONDS")
+    )
+    src = str(tmp_path / "dupww_in")
+    events.union(retries).repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream_within_watermark(
+            stream, ["event_id"], watermark="2000 hours"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ww_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = [
+        r["event_id"]
+        for r in spark.sql("select event_id from dedup_ww_out").collect()
+    ]
+    assert len(ids) == len(set(ids)) == 100
