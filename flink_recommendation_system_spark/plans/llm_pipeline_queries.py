@@ -4236,8 +4236,14 @@ def _semantic_dedup_ann_sql(
     )
     return f"""
 WITH params AS (
+    -- structurally identical to the Spark side's
+    -- min(max_bits, max(4, ceil(log2(max(n, 2) / target_bucket)))) —
+    -- including the max(n, 2) degenerate-N guard (ADVICE r09: without
+    -- the mirrored greatest(count(*), 2) the two expressions only agree
+    -- because both clamp to 4 today; keep them the same shape)
     SELECT CAST(least({max_bits}, greatest(4,
-               ceil(log2(CAST(count(*) AS DOUBLE) / {float(target_bucket)!r}))))
+               ceil(log2(CAST(greatest(count(*), 2) AS DOUBLE)
+                         / {float(target_bucket)!r}))))
            AS INT) AS bits
     FROM embeddings
 ),

@@ -58,10 +58,26 @@ PASSTHRU_PREFIXES = (
     "InMemoryTableScan",
 )
 _RANGE_RE = re.compile(r"Range \((\d+), (\d+)")
-# a Filter whose predicate pins an ID column under a small literal is the
-# contract-tiny seed/query-set pattern (vec_id < 10, doc_id < 200) — ID
-# columns only: `value < 100` on a fact measure bounds nothing
-_TINY_FILTER = re.compile(r"\((?:[a-zA-Z_]*_)?(?:id|key)#\d+L? < (\d{1,3})\)")
+# a Filter whose predicate pins a ROW-KEY column under a small literal is
+# the contract-tiny seed/query-set pattern (vec_id < 10, doc_id < 200).
+# Restricted to the columns that are UNIQUE per row in their table
+# (ADVICE r09): a `< N` filter on a non-unique id (user_id on events —
+# many rows per id) bounds nothing, so generic `*_id/*_key` matching
+# would verify an unbounded broadcast build as tiny.
+_ROW_KEY_COLUMNS = (
+    "vec_id",       # embeddings row key
+    "doc_id",       # documents row key
+    "event_id",     # events row key
+    "c_custkey",    # customer row key
+    "p_partkey",    # part row key
+    "s_suppkey",    # supplier row key
+    "o_orderkey",   # orders row key
+    "n_nationkey",  # nation row key
+    "r_regionkey",  # region row key
+)
+_TINY_FILTER = re.compile(
+    r"\((?:" + "|".join(_ROW_KEY_COLUMNS) + r")#\d+L? < (\d{1,3})\)"
+)
 
 
 def _plan_children(p) -> list:
@@ -101,6 +117,16 @@ def _simple(p) -> str:
             return _node_name(p)
 
 
+def _simple_wide(p) -> str:
+    """simpleString with a field cap wide enough that grouping-key lists
+    and filter predicates are not truncated (the 30-field default elides
+    long keys=[...] lists)."""
+    try:
+        return p.simpleString(200)
+    except Exception:
+        return _simple(p)
+
+
 def _bounded(p, allow_grouped_agg: bool) -> str | None:
     """Return a human-readable reason if the relation produced by plan
     node ``p`` is bounded-small by construction, else None.
@@ -129,6 +155,26 @@ def _bounded(p, allow_grouped_agg: bool) -> str | None:
             return "scalar-agg"
         if allow_grouped_agg:
             return "grouped-agg"
+        # a grouped agg is bounded when its KEY DOMAIN is: if a grouping
+        # key attribute is pinned under a small literal by a descendant
+        # Filter (`user_id#3L < 60` → ≤60 groups), the agg output is
+        # bounded even though the filtered SCAN is not (non-unique id).
+        # Sound regardless of column uniqueness — the bound is on
+        # distinct key values, not rows.
+        km = re.search(r"keys=\[([^\]]*)\]", _simple_wide(p))
+        if km:
+            key_attrs = set(
+                re.findall(r"[A-Za-z_][A-Za-z0-9_]*#\d+L?", km.group(1))
+            )
+            for d in _walk(p):
+                if not _node_name(d).startswith("Filter"):
+                    continue
+                for attr, lit in re.findall(
+                    r"([A-Za-z_][A-Za-z0-9_]*#\d+L?) < (\d{1,3})\)",
+                    _simple_wide(d),
+                ):
+                    if attr in key_attrs and int(lit) <= 200:
+                        return f"key-domain-agg({attr.split('#')[0]}<{lit})"
         kids = _plan_children(p)
         r = _bounded(kids[0], allow_grouped_agg) if kids else None
         return f"grouped-agg<-{r}" if r else None
@@ -140,9 +186,16 @@ def _bounded(p, allow_grouped_agg: bool) -> str | None:
         if m and int(m.group(1)) <= 200:
             return f"tiny-id-filter(<{m.group(1)})"
     if name.startswith("ReusedExchange"):
-        # points at an exchange elsewhere in the tree; its own subtree is
-        # cut off — resolved by the caller matching the original exchange
-        return None
+        # points at an exchange defined elsewhere in the tree. The Scala
+        # node (ReusedExchangeExec) is a leaf — children() is empty — but
+        # stores the ORIGINATING exchange in its `child` field; resolve it
+        # directly through the case-class accessor (ADVICE r09: the old
+        # all-broadcasts fallback could verify the wrong exchange when the
+        # reused one was a shuffle Exchange)
+        try:
+            return _bounded(p.child(), allow_grouped_agg)
+        except Exception:
+            return None
     if "Join" in name or name.startswith("Union"):
         # strict: EVERY input must be bounded (a one-row union/join branch
         # must not launder an unbounded sibling)
@@ -180,13 +233,20 @@ def verify_waivers(root) -> tuple[list[str], list[str]]:
     nodes = list(_walk(root))
 
     def _resolve_reused(allow_grouped_agg: bool) -> str | None:
-        # a ReusedExchange points at an exchange defined elsewhere in the
-        # same tree; the plan string does not say WHICH, so the only SOUND
-        # resolution is to require EVERY BroadcastExchange in the tree to
-        # be bounded — then whichever one it references is too
+        # fallback when the ReusedExchange's `child` accessor is not
+        # reachable (see _bounded): the plan string does not say WHICH
+        # exchange is referenced, so the only SOUND resolution is to
+        # require EVERY exchange in the tree — broadcast AND shuffle
+        # (ADVICE r09: a ReusedExchange under Exchange SinglePartition can
+        # reference a shuffle Exchange, which the broadcast-only sweep
+        # never checked) — to be bounded; then whichever one it references
+        # is too
         reasons = []
         for q in nodes:
-            if _node_name(q).startswith("BroadcastExchange"):
+            qn = _node_name(q)
+            if qn.startswith("BroadcastExchange") or (
+                qn.startswith("Exchange") and not qn.startswith("ExchangeQ")
+            ):
                 r0 = _bounded(q, allow_grouped_agg)
                 if r0 is None:
                     return None
@@ -260,55 +320,78 @@ def audit_plan(plan: str) -> dict[str, bool]:
 # matrices (per-block top-k; the textbook serving plan for dense MF) — the
 # CartesianProduct lives inside MLlib, not in this repo's plan. The
 # value-oracled twin of the surrounding machinery is `mf_scoring_fixed`,
-# whose plan broadcasts the catalog side instead.
-CARTESIAN_BY_DESIGN = {"als_recommendations"}
+# whose plan broadcasts the catalog side instead. The reason is PRINTED in
+# the report's waiver column (VERDICT r09 item 3) so the one allowed
+# cartesian is self-explaining.
+CARTESIAN_BY_DESIGN = {
+    "als_recommendations": (
+        "cartesian-by-design: MLlib recommendForAllUsers' internal "
+        "blocked factor-matrix cross product (per-block top-k — the "
+        "textbook dense-MF serving plan); value-oracled serving twin = "
+        "mf_scoring_fixed (broadcast catalog side)"
+    ),
+}
 
 # Named contract waivers: plans whose flagged shape is the QUERY'S STATED
 # CONTRACT, not an accident — each with the registered scale path. A new
 # query acquiring one of these shapes gates CI unless it is explicitly
 # added here with a reason; that is the point (VERDICT r08 item 4).
+# Each value is (reason, max_unverified_nodes): the waiver covers AT MOST
+# that many distinct unverified plan nodes (ADVICE r09 — a name-scoped
+# blanket waiver would let a query silently acquire a SECOND, genuinely
+# unbounded nested-loop join or single-partition sort; exceeding the
+# expected count gates the audit like any unverified row).
 WAIVED_BY_CONTRACT = {
     "embedding_near_dups": (
         "deliberately-quadratic exact-cosine baseline tier (all-pairs "
         "over the bounded embeddings table); scale path = "
-        "embedding_near_dups_lsh"
+        "embedding_near_dups_lsh",
+        1,
     ),
     "customer_deciles": (
         "exact global ntile needs a total order over the customer dim; "
         "scale path = quantile-cutpoint join (approx_order_quantiles "
-        "family)"
+        "family)",
+        1,
     ),
     "conversion_latency_quantiles": (
         "EXACT rank-selection quantiles by contract (observed values, "
-        "engines cannot drift); approx_order_quantiles is the scale path"
+        "engines cannot drift); approx_order_quantiles is the scale path",
+        1,
     ),
     "pareto_frontier": (
         "2-D skyline via one price-ordered running-max pass over the "
         "PART dim (dim-scale; replaces the O(n^2) dominance self-join); "
-        "at fact scale the same sweep runs per range partition"
+        "at fact scale the same sweep runs per range partition",
+        1,
     ),
     "zorder_layout": (
         "Morton-key layout sort over the PART dim (the OPTIMIZE ZORDER "
-        "demonstration); production writes use repartitionByRange(z)"
+        "demonstration); production writes use repartitionByRange(z)",
+        1,
     ),
     # grouped-agg broadcast builds whose key DOMAIN bounds the relation —
     # unprovable statically (the strict build-side criterion rejects
     # grouped aggregates), adjudicated here by name:
     "approx_order_quantiles": (
         "broadcast side is the cum-dist relation grouped on the FIXED "
-        "quantile-bucket domain; the probe relation is a scalar agg"
+        "quantile-bucket domain; the probe relation is a scalar agg",
+        1,
     ),
     "t_closeness": (
         "broadcast side is the global sensitive-value distribution — "
-        "grouped on o_orderpriority's 5-value domain"
+        "grouped on o_orderpriority's 5-value domain",
+        1,
     ),
     "mf_scoring_fixed": (
         "broadcast side is the item-factor relation over the bounded "
-        "~100-product catalog (factors computed in the projection)"
+        "~100-product catalog (factors computed in the projection)",
+        1,
     ),
     "training_pairs": (
         "broadcast side is the candidate catalog relation (bounded "
-        "~100-product dimension) for hash-sampled negatives"
+        "~100-product dimension) for hash-sampled negatives",
+        1,
     ),
 }
 
@@ -350,21 +433,35 @@ def main() -> int:
             bad.append(name)
             continue
         flags = audit_plan(plan)
-        waiver = ""
+        waiver_parts = []
         if flags["nested_loop"] or flags["global_sort"]:
             try:
                 ok, notok = verify_waivers(jplan)
             except Exception as e:  # verifier must never mask the audit
                 ok, notok = [], [f"verifier-error:{e!r}"[:100]]
             parts = sorted(set(ok))
-            if notok and name in WAIVED_BY_CONTRACT:
-                parts.append(
-                    f"waived-by-contract: {WAIVED_BY_CONTRACT[name]}"
-                )
-            elif notok:
-                parts += [f"UNVERIFIED {u}" for u in sorted(set(notok))]
+            distinct_notok = sorted(set(notok))
+            if distinct_notok and name in WAIVED_BY_CONTRACT:
+                reason, max_nodes = WAIVED_BY_CONTRACT[name]
+                if len(distinct_notok) <= max_nodes:
+                    parts.append(
+                        f"waived-by-contract({len(distinct_notok)}/"
+                        f"{max_nodes} node): {reason}"
+                    )
+                else:  # contract exceeded: extra unverified nodes gate
+                    parts.append(
+                        f"CONTRACT-EXCEEDED (expected ≤{max_nodes} "
+                        f"unverified, got {len(distinct_notok)}): {reason}"
+                    )
+                    parts += [f"UNVERIFIED {u}" for u in distinct_notok]
+                    unverified_names.append(name)
+            elif distinct_notok:
+                parts += [f"UNVERIFIED {u}" for u in distinct_notok]
                 unverified_names.append(name)
-            waiver = "; ".join(parts)
+            waiver_parts += parts
+        if flags["cartesian"] and name in CARTESIAN_BY_DESIGN:
+            waiver_parts.append(CARTESIAN_BY_DESIGN[name])
+        waiver = "; ".join(waiver_parts)
         rows.append((name, flags, waiver, ""))
         if (flags["cartesian"] and name not in CARTESIAN_BY_DESIGN) or flags[
             "python_row"
