@@ -819,6 +819,65 @@ def test_semantic_dedup_ann_invariants(spark):
     assert 999999 in kept2
 
 
+def test_semantic_dedup_ivf_invariants(spark):
+    """Multi-probe IVF SemDeDup (round 10): (1) planted exact duplicates
+    (identical vectors, higher ids) are ALWAYS dropped — an identical
+    vector has identical centroid distances, so the probed cell sets are
+    equal and the pair is always a candidate with cosine 1.0; (2) zero
+    vectors always survive; (3) every drop is justified — the kept set
+    never shrinks below what the exact all-pairs rule would drop (IVF
+    candidates ⊆ all pairs, so kept_ivf ⊇ kept_exact)."""
+    emb = _emb(spark).limit(50)
+    planted = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(planted)
+    kept = {r["vec_id"] for r in S.semantic_dedup_ivf(both).collect()}
+    for r in emb.select("vec_id").collect():
+        assert r["vec_id"] + 100000 not in kept, "planted dup survived"
+    assert kept, "everything was dropped"
+    from pyspark.sql import Row
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=999999, embedding=[0.0] * 64, label=0)]
+    )
+    kept2 = {
+        r["vec_id"]
+        for r in S.semantic_dedup_ivf(emb.unionByName(zero)).collect()
+    }
+    assert 999999 in kept2
+    # (3) candidate subset ⇒ drop subset of the exact rule's drop set
+    from flink_recommendation_system_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    dv = F.col("embedding").cast("array<double>")
+    raw = emb.select(
+        F.col("vec_id").alias("_id"), dv.alias("_r"), _norm(dv).alias("_n")
+    )
+    exact_drop = {
+        r["_id"]
+        for r in raw.alias("a")
+        .join(raw.alias("b"), F.col("a._id") < F.col("b._id"))
+        .filter((F.col("a._n") != 0.0) & (F.col("b._n") != 0.0))
+        .filter(
+            F.round(
+                _dot(F.col("a._r"), F.col("b._r"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            )
+            >= 0.45
+        )
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+        .collect()
+    }
+    kept3 = {r["vec_id"] for r in S.semantic_dedup_ivf(emb).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert (all_ids - kept3) <= exact_drop, (
+        "IVF tier dropped an id the exact all-pairs rule keeps"
+    )
+
+
 def test_kmeans_one_step_decreases_or_holds_distortion(spark):
     """One Lloyd step must not increase total distortion: sum of squared
     distances to assigned centroids under (init, cell_init) >= under

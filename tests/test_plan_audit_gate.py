@@ -36,6 +36,8 @@ SAMPLE = [
     # round-9 additions
     "semantic_dedup_ann", "kmeans_one_step", "ann_recall_report",
     "hybrid_retrieval_rrf", "t_closeness", "user_running_stats",
+    # round-10 additions
+    "semantic_dedup_ivf", "semantic_dedup_recall",
 ]
 
 
