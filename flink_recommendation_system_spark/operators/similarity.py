@@ -1233,6 +1233,72 @@ def semantic_dedup_ann(
     )
 
 
+def ivf_cell_assignments(
+    vectors: DataFrame,
+    n_cells: int,
+    n_probe: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF cell assignment: each NON-ZERO vector is
+    L2-normalized and mapped to its ``n_probe`` nearest of ``n_cells``
+    fixed hash-derived unit centroids (L2 asc, cell asc tie-break).
+    Broadcast-centroid cross join → one _l2sq per (vector, cell) row →
+    per-id top-``n_probe`` via sort_array(collect_list(struct))[:n_probe]
+    (the ``ivf_probe_fixed`` assignment pattern generalized from argmin
+    to top-k; a partial-agg'd grouped aggregate, no window). The only
+    shuffle is N × n_cells two-field structs — the standard IVF
+    assignment cost. A zero-shuffle variant walking an
+    array<array<double>> centroid LITERAL with HOFs was tried first and
+    is 2-3× slower at n_cells ≥ 64 (interpreted HOF evaluation copies
+    the 8k-double literal per element; measured 5.0 s vs 1.6 s at 128
+    cells on sf0.01) — the join form also keeps the centroid relation
+    out of the per-task serialized plan.
+
+    Zero vectors get no assignment (cosine against them is undefined;
+    dedup callers pass them through kept). The centroid table is
+    prefix-stable in ``n_cells`` (cell i always uses LCG positions
+    [i*dim, (i+1)*dim)), so stores built at one cell count never shift
+    under another seed-compatible reader. Output: (id_col, cell INT)."""
+    spark = vectors.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [
+                (i, v)
+                for i, v in enumerate(_lcg_unit_vectors(n_cells, dim, seed))
+            ],
+            "cell INT, cv ARRAY<DOUBLE>",
+        )
+    )
+    dv = F.col(vec_col).cast("array<double>")
+    norm = _norm(dv)
+    unit = vectors.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_n"),
+        F.when(norm != 0.0, F.transform(dv, lambda x: x / norm))
+        .otherwise(dv)
+        .alias("_v"),
+    ).filter(F.col("_n") != 0.0)
+    return (
+        unit.join(cents, F.lit(True))
+        .select(
+            "_id",
+            F.struct(
+                _l2sq(F.col("_v"), F.col("cv")).alias("d"),
+                F.col("cell").alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("_id")
+        .agg(F.slice(F.sort_array(F.collect_list("s")), 1, n_probe).alias("top"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.explode(F.transform("top", lambda s: s["c"])).alias("cell"),
+        )
+    )
+
+
 def semantic_dedup_ivf(
     vectors: DataFrame,
     threshold: float = 0.45,
@@ -1269,11 +1335,9 @@ def semantic_dedup_ivf(
     cap is not binding (the literal centroid table is what caps it here;
     at real scale the centroids come from the KMeans fit the rows-only
     ``semantic_dedup`` tier runs, exactly as ``ivf_topk`` is the fitted
-    twin of ``ivf_probe_fixed``). The assignment is ONE codegen
-    projection — a single array<array<double>> literal walked by
-    higher-order functions (transform → _l2sq → array_sort → slice),
-    no shuffle, no N×n_cells explode; the only shuffles are the
-    (cell) equi-join and the distinct.
+    twin of ``ivf_probe_fixed``). The assignment is
+    ``ivf_cell_assignments``'s broadcast-centroid top-n_probe aggregate;
+    the remaining shuffles are the (cell) equi-join and the distinct.
 
     Fully value-oracled: prefix-stable LCG unit centroids (cell i's
     components are positions [i*dim, (i+1)*dim) of one seeded stream, so
@@ -1287,36 +1351,19 @@ def semantic_dedup_ivf(
 
     n = vectors.count()
     n_cells = min(max_cells, max(min_cells, math.ceil(n / float(target_occ))))
-    cents = F.lit(_lcg_unit_vectors(n_cells, dim, seed))
-
-    dv = F.col(vec_col).cast("array<double>")
-    norm = _norm(dv)
-    unit = vectors.select(
-        F.col(id_col).alias("_id"),
-        norm.alias("_n"),
-        F.when(norm != 0.0, F.transform(dv, lambda x: x / norm))
-        .otherwise(dv)
-        .alias("_v"),
-    ).filter(F.col("_n") != 0.0)
-    zipped = F.transform(
-        cents,
-        lambda cv, i: F.struct(
-            _l2sq(F.col("_v"), cv).alias("d"), i.alias("c")
-        ),
-    )
     # materialize once: the (id, cell) relation is tiny (N × n_probe ints)
     # but its producer — the n_cells × dim HOF distance projection — is
     # the query's most expensive stage, and the pair self-join would
     # otherwise execute it TWICE (measured 2.2 s/side at sf0.1; the same
     # truncation move as semantic_dedup_fixed's withv)
-    assigned = unit.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(zipped), 1, n_probe), lambda s: s["c"]
-            )
-        ).alias("cell"),
-    ).localCheckpoint()
+    dv = F.col(vec_col).cast("array<double>")
+    assigned = (
+        ivf_cell_assignments(
+            vectors, n_cells, n_probe, dim, seed, id_col, vec_col
+        )
+        .withColumnRenamed(id_col, "_id")
+        .localCheckpoint()
+    )
     # distinct BEFORE the vector joins: multi-probe duplicates a pair up
     # to n_probe×, and the id-only distinct is a cheap narrow shuffle,
     # while evaluating the 64-dim cosine on duplicated (and cell-skewed)
@@ -1367,6 +1414,138 @@ def semantic_dedup_ivf(
         vectors.select(F.col(id_col).alias("_id"))
         .join(dropped, "_id", "left_anti")
         .select(F.col("_id").alias(id_col))
+    )
+
+
+def incremental_semantic_pairs(
+    new_vecs: DataFrame,
+    store_assign: DataFrame,
+    store_vecs: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 128,
+    n_probe: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_disjoint: bool = True,
+    new_assign: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs *introduced by a new ingestion batch*
+    against an existing corpus — the embedding-space analog of
+    ``operators.dedup.incremental_pairs_from_signatures`` (VERDICT r09
+    item 5). Candidates are (new × store) ∪ (new × new) on shared
+    multi-probe IVF cells — store × store is never re-paired, because
+    those pairs were emitted when their vectors arrived; per-batch cost
+    scales with the batch and its cell collisions, not the corpus.
+    ``n_cells`` is FIXED at stream start (a per-batch adaptive count
+    would shift cell boundaries between batches and break the
+    accumulation contract — the pinned-cell analog of the signature
+    store's pinned (num_hashes, bands)).
+
+    ``store_assign`` is the persisted (id, cell) table accumulated by
+    prior batches (``ivf_cell_assignments`` output — assignments are
+    deterministic per vector, so persisting beats recomputing the
+    n_cells × dim distance projection over the whole corpus each
+    trigger); ``store_vecs`` the persisted (id, vector) rows backing the
+    exact-cosine re-rank. Output: (id_a, id_b, cosine) with id_a < id_b
+    — arrival order and id order are independent, so new × store pairs
+    canonicalize via least/greatest. Union over all batches ==
+    ``semantic_dedup_ivf``'s qualifying pair set at the same pinned
+    (n_cells, n_probe): every pair is emitted exactly once, by the batch
+    of its later-arriving member (pinned in
+    tests/test_streaming_semantic_dedup.py).
+
+    Pass ``new_assign`` (an already-checkpointed ``ivf_cell_assignments``
+    result for ``new_vecs``) when the assignment pass is shared with
+    other sinks — streaming.semantic_dedup computes it once per
+    micro-batch and feeds both the store write and this join.
+    """
+    if check_disjoint:
+        overlap = (
+            new_vecs.select(id_col)
+            .join(store_vecs.select(id_col), id_col, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                "incremental_semantic_pairs: new_vecs ids overlap the "
+                "vector store; pairs would silently collapse. Dedup the "
+                "batch against the store first."
+            )
+    if new_assign is None:
+        new_assign = ivf_cell_assignments(
+            new_vecs, n_cells, n_probe, dim, seed, id_col, vec_col
+        ).localCheckpoint()
+    na, nb = new_assign.alias("a"), new_assign.alias("b")
+    nn = (
+        na.join(
+            nb,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    ns = (
+        new_assign.alias("n")
+        .join(
+            store_assign.alias("s"),
+            F.col("n.cell") == F.col("s.cell"),
+        )
+        .select(
+            F.least(
+                F.col(f"n.{id_col}"), F.col(f"s.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"n.{id_col}"), F.col(f"s.{id_col}")
+            ).alias("id_b"),
+        )
+    )
+    cand = nn.unionByName(ns).distinct()
+    dv = F.col(vec_col).cast("array<double>")
+    allv = (
+        new_vecs.select(
+            F.col(id_col).alias("_id"), dv.alias("_raw"), _norm(dv).alias("_n")
+        )
+        .unionByName(
+            store_vecs.select(
+                F.col(id_col).alias("_id"),
+                dv.alias("_raw"),
+                _norm(dv).alias("_n"),
+            )
+        )
+    )
+    return (
+        cand.join(
+            allv.select(
+                F.col("_id").alias("id_a"),
+                F.col("_raw").alias("_ra"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            allv.select(
+                F.col("_id").alias("id_b"),
+                F.col("_raw").alias("_rb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_ra"), F.col("_rb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -1098,11 +1098,19 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     from ..operators.similarity import _dot as _dotc, _norm as _normc
 
-    rawd = emb.select(
-        F.col("vec_id").alias("_id"),
-        F.col("embedding").cast("array<double>").alias("_r"),
-        _normc(F.col("embedding").cast("array<double>")).alias("_nn"),
-    ).localCheckpoint()
+    # repartition BEFORE the checkpoint: the small embeddings scan
+    # checkpoints to ONE partition, and a 1-partition stream side
+    # serializes the all-pairs nested-loop join onto a single task
+    # (measured 26.7 s → 2.6 s at sf0.1 with 32 partitions)
+    rawd = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").cast("array<double>").alias("_r"),
+            _normc(F.col("embedding").cast("array<double>")).alias("_nn"),
+        )
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .localCheckpoint()
+    )
     exact_drop = (
         rawd.alias("a")
         .join(rawd.alias("b"), F.col("a._id") < F.col("b._id"))
@@ -4445,6 +4453,7 @@ def _semantic_dedup_ivf_sql(
     min_cells: int = SDI_MIN_CELLS,
     dim: int = 64,
     seed: int = 11,
+    pinned_cells: int | None = None,
 ) -> str:
     """Mirror of operators.similarity.semantic_dedup_ivf: the baked
     centroid table holds all ``max_cells`` LCG unit centroids (cell i's
@@ -4452,22 +4461,30 @@ def _semantic_dedup_ivf_sql(
     the prefix never shifts as n_cells adapts); params computes the same
     clamp(ceil(N / target_occ), min_cells, max_cells) the Spark side
     computes driver-side; assignment ranks (L2 asc, cell asc) and keeps
-    the top n_probe."""
+    the top n_probe. ``pinned_cells`` replaces the adaptive params CTE
+    with a constant — the streaming-contract configuration
+    (semantic_dedup_incremental), where cell boundaries must not move
+    between ingestion batches."""
+    n_bake = max(max_cells, pinned_cells or 0)
     vals = ",\n    ".join(
         f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
-        for i, cv in enumerate(S._lcg_unit_vectors(max_cells, dim, seed))
+        for i, cv in enumerate(S._lcg_unit_vectors(n_bake, dim, seed))
     )
     nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     l2sq = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
         f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])))"
     )
-    return f"""
-WITH params AS (
-    SELECT CAST(least({max_cells}, greatest({min_cells},
+    if pinned_cells is not None:
+        params = f"SELECT CAST({pinned_cells} AS INT) AS n_cells"
+    else:
+        params = f"""SELECT CAST(least({max_cells}, greatest({min_cells},
                ceil(CAST(count(*) AS DOUBLE) / {float(target_occ)!r})))
            AS INT) AS n_cells
-    FROM embeddings
+    FROM embeddings"""
+    return f"""
+WITH params AS (
+    {params}
 ),
 cents(cell, cv) AS (VALUES
     {vals}),
@@ -4508,6 +4525,81 @@ SEMANTIC_DEDUP_IVF_SQL = _semantic_dedup_ivf_sql()
 QUERIES["semantic_dedup_ivf"] = (
     q_semantic_dedup_ivf,
     SEMANTIC_DEDUP_IVF_SQL,
+)
+
+
+# --- incremental-ingestion SemDeDup batch twin (round 10, VERDICT r09
+# item 5) -------------------------------------------------------------------
+
+SDS_N_CELLS = 128  # pinned stream cell count (streaming/semantic_dedup.py)
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING semantic-dedup ingestion tier
+    (streaming.semantic_dedup): the corpus is replayed as 3 deterministic
+    ingestion batches (vec_id % 3 — id order and arrival order decoupled),
+    each batch's pairs generated INCREMENTALLY against the accumulated
+    assignment/vector stores via `incremental_semantic_pairs` (new×store ∪
+    new×new on shared pinned IVF cells — store×store never re-paired),
+    kept = corpus minus the accumulated drop verdicts. The oracle is the
+    PINNED-CELL batch SQL — so this driver row value-checks the
+    incremental machinery's central claim: the union of per-batch pair
+    sets reproduces the batch tier's keep/drop decision exactly
+    (replay == batch, the same contract tests/test_streaming_semantic_dedup
+    pins against the live file-source stream)."""
+    from ..operators.similarity import ivf_cell_assignments
+
+    emb = _emb(spark, sf_dir).localCheckpoint()
+    dropped = None
+    store_assign = None
+    store_vecs = None
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == i)
+        # checkpoint ONLY the per-batch assignment (the HOF distance
+        # projection feeds both the pair join and the store); the store
+        # unions stay lazy — 3-deep union lineage over checkpointed
+        # leaves is cheap, and the %3 batches are disjoint by
+        # construction so the semi-join guard (pytest-pinned in
+        # test_streaming_semantic_dedup) would only add driver jobs here
+        new_assign = ivf_cell_assignments(
+            batch, SDS_N_CELLS, SDI_N_PROBE
+        ).localCheckpoint()
+        p = S.incremental_semantic_pairs(
+            batch,
+            store_assign if store_assign is not None
+            else new_assign.limit(0),
+            store_vecs if store_vecs is not None else batch.limit(0),
+            threshold=SDA_THRESHOLD,
+            n_cells=SDS_N_CELLS,
+            n_probe=SDI_N_PROBE,
+            new_assign=new_assign,
+            check_disjoint=False,
+        ).select(F.col("id_b").alias("vec_id"))
+        dropped = p if dropped is None else dropped.unionByName(p)
+        store_assign = (
+            new_assign
+            if store_assign is None
+            else store_assign.unionByName(new_assign)
+        )
+        store_vecs = (
+            batch
+            if store_vecs is None
+            else store_vecs.unionByName(batch)
+        )
+    return (
+        emb.select("vec_id")
+        .join(dropped.distinct(), "vec_id", "left_anti")
+        .select("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_INCREMENTAL_SQL = _semantic_dedup_ivf_sql(
+    pinned_cells=SDS_N_CELLS
+)
+
+QUERIES["semantic_dedup_incremental"] = (
+    q_semantic_dedup_incremental,
+    SEMANTIC_DEDUP_INCREMENTAL_SQL,
 )
 
 # the SemDeDup drop-set recall audit (VERDICT r09 item 2) — assembled

@@ -1,0 +1,184 @@
+"""Continuous semantic (embedding-space) near-duplicate detection over a
+vector stream — the streaming face of the multi-probe IVF SemDeDup tier
+(operators.similarity.semantic_dedup_ivf / incremental_semantic_pairs),
+mirroring streaming.near_dup's incremental-MinHash shape (VERDICT r09
+item 5).
+
+Shape: each micro-batch of (vec_id, embedding) is assigned to its n_probe
+nearest fixed IVF cells ONCE, paired against the persisted corpus
+assignment store (new×store ∪ new×new — the store is never re-paired),
+the qualifying exact-cosine pairs are appended to the pairs table, and the
+batch's assignments + vectors join the two store tables. A 100 TB ingest
+keeps per-trigger pairing cost proportional to the batch and its cell
+collisions, not the corpus; the store scan is the (id, cell) table (two
+ints per probe) plus the candidate-matched vector rows only.
+
+``n_cells`` is FIXED at stream start: a per-batch adaptive count (the
+batch tier's clamp(N/16) law) would shift cell boundaries between batches
+and break pair accumulation — the pinned-cell analog of the MinHash
+store's pinned (num_hashes, bands) contract. Pick it for the corpus you
+expect, exactly as you size Kafka partitions.
+
+Idempotence (the near_dup contract verbatim): all three sinks write
+``mode("overwrite")`` into per-batch subdirectories (``batch=N``), and
+the store reads EXCLUDE partitions with ``batch >= N`` — a micro-batch
+replayed after a partial failure never sees its own half-written output,
+overwrites its own directories, and produces the same pairs.
+
+Reference parity note: the reference's streaming job maintains
+recommendation state per event (RealTimeRecommendations.java); this
+module applies the same continuous-maintenance shape to corpus hygiene,
+which the reference does not cover — it is part of the LLM-pipeline
+surface, cited here for scope, not parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..errors import is_path_not_found
+from ..operators.similarity import (
+    incremental_semantic_pairs,
+    ivf_cell_assignments,
+)
+
+ASSIGN_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cell", IntegerType()),
+    ]
+)
+VEC_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _read_store(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    before_batch: int,
+) -> DataFrame:
+    """Store rows accumulated by batches STRICTLY BEFORE ``before_batch``
+    (empty before the first batch). Only the missing-path error means 'no
+    store yet'; any other failure surfaces — an empty fallback would
+    silently drop that batch's cross-store pairs."""
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return spark.createDataFrame([], schema)
+        raise
+    return df.filter(F.col("batch") < before_batch).select(
+        *[f.name for f in schema.fields]
+    )
+
+
+def start_streaming_semantic_dedup(
+    vec_stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.45,
+    n_cells: int = 128,
+    n_probe: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+):
+    """Start the continuous semantic-dedup query over a streaming
+    DataFrame with (vec_id, embedding) columns. Emits (id_a, id_b,
+    cosine) rows under ``pairs_path`` and maintains the assignment store
+    under ``<store_path>/assign`` and the vector store under
+    ``<store_path>/vecs``.
+
+    Every qualifying pair of the full corpus is emitted exactly once —
+    when its later vector arrives (new×store) or when both arrive
+    together (new×new); equivalence with the batch pinned-cell
+    ``semantic_dedup_ivf`` over the union is pinned in
+    tests/test_streaming_semantic_dedup.py. The dedup END PRODUCT at any
+    point: dropped = DISTINCT id_b over the pairs table (id_b is always
+    the pair's max id), kept = corpus minus dropped —
+    ``read_semantic_dropped`` below.
+    """
+    assign_path = f"{store_path}/assign"
+    vecs_path = f"{store_path}/vecs"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = batch_df.select("vec_id", "embedding").localCheckpoint()
+        if not vecs.take(1):
+            return
+        spark = vecs.sparkSession
+        store_assign = _read_store(
+            spark, assign_path, ASSIGN_SCHEMA, before_batch=batch_id
+        )
+        store_vecs = _read_store(
+            spark, vecs_path, VEC_SCHEMA, before_batch=batch_id
+        )
+        new_assign = ivf_cell_assignments(
+            vecs, n_cells, n_probe, dim, seed
+        ).localCheckpoint()
+        pairs = incremental_semantic_pairs(
+            vecs,
+            store_assign,
+            store_vecs,
+            threshold=threshold,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            dim=dim,
+            seed=seed,
+            new_assign=new_assign,
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch={batch_id}"
+        )
+        new_assign.write.mode("overwrite").parquet(
+            f"{assign_path}/batch={batch_id}"
+        )
+        vecs.write.mode("overwrite").parquet(
+            f"{vecs_path}/batch={batch_id}"
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_semantic_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
+    """All qualifying pairs emitted so far: (id_a, id_b, cosine)."""
+    return spark.read.parquet(pairs_path).select("id_a", "id_b", "cosine")
+
+
+def read_semantic_dropped(
+    spark: SparkSession, pairs_path: str
+) -> DataFrame:
+    """The dedup verdict accumulated so far: DISTINCT id_b over the pairs
+    table — the keep/drop contract's drop set (a vector is dropped iff
+    some lower-id candidate has cosine ≥ threshold; id_b is always the
+    pair's max id). Anti-join the corpus against this for the kept set."""
+    try:
+        return (
+            spark.read.parquet(pairs_path)
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        )
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return spark.createDataFrame(
+                [], StructType([StructField("vec_id", LongType())])
+            )
+        raise

@@ -1,0 +1,174 @@
+"""Continuous semantic dedup: a 3-batch file replay of the embeddings
+corpus must accumulate EXACTLY the qualifying cosine pairs — and hence the
+same kept set — that the batch pinned-cell ``semantic_dedup_ivf`` computes
+over the full corpus (VERDICT r09 item 5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_recommendation_system_spark.operators import similarity as S
+from flink_recommendation_system_spark.sources.tables import load_table
+from flink_recommendation_system_spark.streaming.semantic_dedup import (
+    read_semantic_dropped,
+    read_semantic_pairs,
+    start_streaming_semantic_dedup,
+)
+from tests.conftest import SF0001
+
+N_CELLS = 128
+N_PROBE = 8
+
+
+def _emb(spark):
+    return load_table(spark, SF0001, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def test_streaming_semantic_dedup_equals_batch(spark, tmp_path):
+    emb = _emb(spark)
+
+    # three disjoint ingestion batches in NON-id order (the middle id
+    # range arrives LAST) so new×store pairs exercise both least/greatest
+    # canonicalization directions
+    src = str(tmp_path / "in")
+    ranges = [(0, 170), (340, 10**9), (170, 340)]
+    for i, (lo, hi) in enumerate(ranges):
+        (
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .json(f"{src}/b{i}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+
+    q = start_streaming_semantic_dedup(
+        stream,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_cells=N_CELLS,
+        n_probe=N_PROBE,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    dropped = {
+        r["vec_id"]
+        for r in read_semantic_dropped(
+            spark, str(tmp_path / "pairs")
+        ).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    kept_stream = all_ids - dropped
+    # batch twin at the SAME pinned cell count (min_cells = max_cells
+    # collapses the adaptive clamp to exactly N_CELLS)
+    kept_batch = {
+        r["vec_id"]
+        for r in S.semantic_dedup_ivf(
+            emb,
+            n_probe=N_PROBE,
+            max_cells=N_CELLS,
+            min_cells=N_CELLS,
+        ).collect()
+    }
+    assert kept_stream == kept_batch
+    assert dropped, "corpus contains semantic dups; test is not vacuous"
+
+    # every pair is canonical and emitted exactly once across batches
+    pairs = read_semantic_pairs(spark, str(tmp_path / "pairs")).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys)), "a pair was emitted twice"
+    assert all(a < b for a, b in keys)
+
+
+def test_cross_batch_planted_duplicate_is_caught(spark, tmp_path):
+    """A vector identical to a batch-0 vector arriving in batch 1 must be
+    dropped via the new×store path (identical vectors share every probed
+    cell)."""
+    emb = _emb(spark).filter(F.col("vec_id") < 50)
+    planted = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+
+    src = str(tmp_path / "in")
+    emb.coalesce(1).write.mode("append").json(f"{src}/b0")
+    planted.coalesce(1).write.mode("append").json(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = start_streaming_semantic_dedup(
+        stream,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_cells=N_CELLS,
+        n_probe=N_PROBE,
+    )
+    q.processAllAvailable()
+    q.stop()
+    dropped = {
+        r["vec_id"]
+        for r in read_semantic_dropped(
+            spark, str(tmp_path / "pairs")
+        ).collect()
+    }
+    originals = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert {i + 100000 for i in originals} <= dropped
+
+
+def test_read_store_excludes_current_and_later_batches(spark, tmp_path):
+    """Replay safety: a retried batch must not see its own (possibly
+    partial) prior write — _read_store(before_batch=N) returns only
+    batches < N, and a missing store path is an empty store."""
+    from flink_recommendation_system_spark.streaming.semantic_dedup import (
+        ASSIGN_SCHEMA,
+        _read_store,
+    )
+
+    store = str(tmp_path / "assign")
+    assert (
+        _read_store(spark, store, ASSIGN_SCHEMA, before_batch=0).count() == 0
+    )
+
+    emb = _emb(spark)
+    b0 = emb.filter(F.col("vec_id") < 10)
+    b1 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    S.ivf_cell_assignments(b0, N_CELLS, N_PROBE).write.parquet(
+        f"{store}/batch=0"
+    )
+    S.ivf_cell_assignments(b1, N_CELLS, N_PROBE).write.parquet(
+        f"{store}/batch=1"
+    )
+    seen0 = {
+        r["vec_id"]
+        for r in _read_store(
+            spark, store, ASSIGN_SCHEMA, before_batch=1
+        ).collect()
+    }
+    seen1 = {
+        r["vec_id"]
+        for r in _read_store(
+            spark, store, ASSIGN_SCHEMA, before_batch=2
+        ).collect()
+    }
+    assert seen0 == {r["vec_id"] for r in b0.collect()}
+    assert seen1 == {r["vec_id"] for r in b0.unionByName(b1).collect()}
+
+
+def test_incremental_disjointness_guard(spark):
+    """Overlapping ids between a batch and the vector store must raise —
+    silently collapsed pairs are the failure mode the guard exists for."""
+    import pytest
+
+    emb = _emb(spark).filter(F.col("vec_id") < 20)
+    assign = S.ivf_cell_assignments(emb, N_CELLS, N_PROBE)
+    with pytest.raises(ValueError, match="overlap"):
+        S.incremental_semantic_pairs(
+            emb, assign, emb, n_cells=N_CELLS, n_probe=N_PROBE
+        ).count()
