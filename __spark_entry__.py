@@ -703,22 +703,84 @@ _SUITES = [
 # CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. NEW THIS ROUND (round 9 — never driver-checked): the ANN-fed
-    # SemDeDup sublinear tier (VERDICT r08 item 2), the artifact-backed
-    # quality-dedup production shape (item 3), the value-oracled Lloyd
-    # iteration (item 6), the cross-tier ANN recall report (item 7), and
-    # the stateful-streaming batch twin (item 8)
+    # 1. NEW THIS ROUND (round 10 — never driver-checked): the
+    # multi-probe IVF SemDeDup tier (VERDICT r09 item 2 — drop recall
+    # 0.96-1.0 vs the SRP tier's 0.12-0.36), the drop-set recall audit,
+    # the incremental-ingestion twin of the streaming semantic-dedup
+    # pipeline (item 5 — value-checks replay == batch), and the running
+    # top-K leaderboard batch twin (item 4 — the
+    # transformWithStateInPandas-path family's driver row)
+    "semantic_dedup_ivf",
+    "semantic_dedup_recall",
+    "semantic_dedup_incremental",
+    "user_topk_reviews",
+    # 2. IMPLEMENTATION CHANGED THIS ROUND (re-confirm): the ANN tier's
+    # oracle gained the mirrored greatest(count,2) guard (ADVICE r09);
+    # the recall report gained per-tier result truncation
     "semantic_dedup_ann",
-    "deduped_corpus_quality_artifact",
-    "kmeans_one_step",
     "ann_recall_report",
-    "user_running_stats",
-    "hybrid_retrieval_rrf",
-    # 2. ROUND-9 ROTATION HEAD (VERDICT r08 item 1): the r4-vintage
-    # queries — the §2 pipeline core and early LLM ops whose driver rows
-    # predate the graph/broadcast-loop/layout rewrites — refresh their
-    # greens. After this window lands the oldest driver green on record
-    # moves from r4 to r5.
+    # 3. ROUND-10 ROTATION HEAD (VERDICT r09 item 1, exactly as staged in
+    # round 9): the 4 round-9 additions whose driver rows were still
+    # missing, then the 36 r5-vintage queries — the oldest driver greens
+    # on record. After this window lands the oldest green moves from r5
+    # to r6. The r9-refreshed block (r4 vintage + kv_roundtrip +
+    # user_product_sets + the six r9-new) drops below the window with
+    # fresh r9 greens.
+    "t_closeness",
+    "butterfly_counts",
+    "implicit_negatives",
+    "click_attribution_pairs",
+    "split_db_part",
+    "fingerprints",
+    "exact_dedup_keys",
+    "token_counts",
+    "clean_corpus",
+    "community_sizes",
+    "graph_vertices",
+    "undirected_edges",
+    "activity_similarity",
+    "bfs_hops",
+    "click_conversion_labels",
+    "connected_components",
+    "contamination_by_source",
+    "corpus_mixture",
+    "cosine_topk",
+    "curriculum_order",
+    "decontamination",
+    "embedding_near_dups_lsh",
+    "embedding_stats",
+    "frame_sample_plan",
+    "hll_brand_distinct",
+    "image_resize",
+    "language_id",
+    "lineitem_measures_unpivot",
+    "lsh_topk",
+    "multimodal_features",
+    "nation_trade_flows",
+    "near_dup_clusters",
+    "near_dup_pipeline",
+    "ngram_jaccard_pairs",
+    "quality_stats",
+    "repetition_stats",
+    "sliding_chunks",
+    "special_discount_revenue",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "triangle_counts",
+    # 4. three oldest r6-vintage greens fill the 50-row window exactly
+    # (6 round-10 + 4 round-9 + 37 r5 + these 3)
+    "hard_negative_mining",
+    "bpe_compression_stats",
+    "record_linkage_scores",
+    #
+    # ROUND-11 STAGING NOTE: past-window from here (ktruss_edges is row
+    # 51). The r9-refreshed block below (r4 vintage + the six r9-new)
+    # carries r9 greens; the remainder keeps its round-8 relative order
+    # (all r6+-green; covered every CI run at sf0.001 and by the local
+    # sf0.01 sweep). Round 11's head should be the remaining r6-vintage
+    # rows (ktruss_edges, ewma_event_trend onward) plus whatever round 11
+    # adds.
+    "ktruss_edges",
     "top_products",
     "good_ratings",
     "co_review_edges",
@@ -761,68 +823,12 @@ _WINDOW_PRIORITY = [
     "table_profile",
     "user_event_pivot",
     "value_outliers",
-    # 3. two of the §2 source/relational core operators VERDICT r08 names
-    # first among the r5 vintage (S2 kv_roundtrip, A5 user_product_sets) —
-    # fills the 50-row window exactly; the round-9 additions without
-    # driver rows (t_closeness, butterfly_counts, implicit_negatives)
-    # then split_db_part head the round-10 staging block below.
     "kv_roundtrip",
     "user_product_sets",
-    #
-    # ROUND-10 STAGING NOTE: the window above refreshes all 42 r4-vintage
-    # rows plus 3 of the r5 vintage. Round 10's head should be the
-    # REMAINING 36 r5-vintage queries below (their driver rows will then
-    # be the oldest on record), plus whatever round 10 adds; after that
-    # window lands the oldest green moves to r6. t_closeness (new in
-    # round 9, green in the local sweep) heads the block with the other
-    # round-9 additions that have no driver row yet.
-    "t_closeness",
-    "butterfly_counts",
-    "implicit_negatives",
-    "click_attribution_pairs",
-    "split_db_part",
-    "fingerprints",
-    "exact_dedup_keys",
-    "token_counts",
-    "clean_corpus",
-    "community_sizes",
-    "graph_vertices",
-    "undirected_edges",
-    "activity_similarity",
-    "bfs_hops",
-    "click_conversion_labels",
-    "connected_components",
-    "contamination_by_source",
-    "corpus_mixture",
-    "cosine_topk",
-    "curriculum_order",
-    "decontamination",
-    "embedding_near_dups_lsh",
-    "embedding_stats",
-    "frame_sample_plan",
-    "hll_brand_distinct",
-    "image_resize",
-    "language_id",
-    "lineitem_measures_unpivot",
-    "lsh_topk",
-    "multimodal_features",
-    "nation_trade_flows",
-    "near_dup_clusters",
-    "near_dup_pipeline",
-    "ngram_jaccard_pairs",
-    "quality_stats",
-    "repetition_stats",
-    "sliding_chunks",
-    "special_discount_revenue",
-    "tfidf_top_terms",
-    "top_bigrams",
-    "triangle_counts",
-    # everything else keeps its round-8 relative order (all r6+-green;
-    # covered every CI run at sf0.001 and by the local sf0.01 sweep)
-    "hard_negative_mining",
-    "bpe_compression_stats",
-    "record_linkage_scores",
-    "ktruss_edges",
+    "deduped_corpus_quality_artifact",
+    "kmeans_one_step",
+    "user_running_stats",
+    "hybrid_retrieval_rrf",
     "ewma_event_trend",
     "betweenness_sampled",
     "zone_map_stats",

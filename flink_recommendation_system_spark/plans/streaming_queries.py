@@ -1073,6 +1073,52 @@ QUERIES["user_running_stats"] = (
 )
 
 
+# --- stateful running per-user top-K, batch twin (round 10, VERDICT r09
+# item 4: the transformWithStateInPandas-path driver row) -------------------
+
+
+def q_user_topk_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the running top-K leaderboard operator's final state
+    (streaming.stateful.running_user_topk / running_user_topk_tws — the
+    latter is the Spark-4 transformWithStateInPandas form whose ListState
+    holds exactly these K rows per user): per user, the top-3 review
+    events by (rating DESC, ts DESC, product_id ASC). Multiset top-k is
+    associative, so the incremental per-micro-batch merge equals this
+    one-shot window EXACTLY (replay parity pytest-pinned in
+    tests/test_scale_utils.py; ordering components are all exact —
+    integral-double ratings, integer ts/ids). Scale shape: one user-keyed
+    window; the streaming forms keep K fixed-width rows per user, never
+    the review history."""
+    from ..sources.tables import reviews_from_events
+    from ..streaming.stateful import user_topk_batch
+
+    return user_topk_batch(reviews_from_events(spark, sf_dir))
+
+
+def _user_topk_reviews_sql() -> str:
+    from ..oracles import REVIEWS_CTE
+
+    return f"""
+WITH {REVIEWS_CTE}
+SELECT user_id, rank, product_id, rating, ts FROM (
+    SELECT user_id, product_id, rating, ts,
+           CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY rating DESC, ts DESC, product_id ASC
+           ) AS BIGINT) AS rank
+    FROM reviews WHERE product_id IS NOT NULL
+) WHERE rank <= 3
+"""
+
+
+USER_TOPK_REVIEWS_SQL = _user_topk_reviews_sql()
+
+QUERIES["user_topk_reviews"] = (
+    q_user_topk_reviews,
+    USER_TOPK_REVIEWS_SQL,
+)
+
+
 # --- stream-stream interval join, batch twin (round 9) ----------------------
 
 ATTRIBUTION_HORIZON_SEC = 3600

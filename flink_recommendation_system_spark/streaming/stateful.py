@@ -20,6 +20,7 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -180,6 +181,187 @@ def click_purchase_asof_stream(events_stream: DataFrame) -> DataFrame:
         stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TOPK_K = 3
+
+TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("ratings", ArrayType(DoubleType())),
+        StructField("tss", ArrayType(LongType())),
+        StructField("pids", ArrayType(LongType())),
+    ]
+)
+
+TOPK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rank", LongType()),
+        StructField("product_id", LongType()),
+        StructField("rating", DoubleType()),
+        StructField("ts", LongType()),
+    ]
+)
+
+TOPK_ROW_SCHEMA = StructType(
+    [
+        StructField("rating", DoubleType()),
+        StructField("ts", LongType()),
+        StructField("product_id", LongType()),
+    ]
+)
+
+
+def _topk_merge(
+    rows: "list[tuple[float, int, int]]", k: int = TOPK_K
+) -> "list[tuple[float, int, int]]":
+    """Top-k of a (rating, ts, product_id) multiset under the engine-wide
+    ordering (rating DESC, ts DESC, product_id ASC) — the pure merge both
+    stateful APIs share. Multiset top-k is associative (top-k(top-k(A) ∪
+    B) == top-k(A ∪ B): an element discarded from A can never re-enter),
+    which is what makes the incremental state equal the batch window."""
+    return sorted(rows, key=lambda r: (-r[0], -r[1], r[2]))[:k]
+
+
+def _update_user_topk(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    ratings, tss, pids = (
+        state.get if state.exists else ([], [], [])
+    )
+    rows = list(zip(ratings, tss, pids))
+    for pdf in pdfs:
+        rows.extend(
+            zip(
+                (float(x) for x in pdf["rating"]),
+                (int(x) for x in pdf["ts"]),
+                (int(x) for x in pdf["product_id"]),
+            )
+        )
+    top = _topk_merge(rows)
+    state.update(
+        ([r[0] for r in top], [r[1] for r in top], [r[2] for r in top])
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+            "product_id": [r[2] for r in top],
+            "rating": [r[0] for r in top],
+            "ts": [r[1] for r in top],
+        }
+    )
+
+
+def running_user_topk(reviews_stream: DataFrame) -> DataFrame:
+    """Streaming per-user running top-K reviews (rating DESC, ts DESC,
+    product_id ASC) via ``applyInPandasWithState`` — bounded-state
+    leaderboard maintenance, the second KeyedProcessFunction-style
+    accumulator beside ``running_user_stats``. NULL product_ids are
+    filtered BEFORE keying (a NULL inside the ordering tuple would make
+    Spark/DuckDB tie-breaks diverge). State per user is exactly K
+    (rating, ts, product_id) triples — never the review history."""
+    from pyspark.sql import functions as F
+
+    return (
+        reviews_stream.filter(F.col("product_id").isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_topk,
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_topk_batch(reviews: DataFrame, k: int = TOPK_K) -> DataFrame:
+    """Batch twin of ``running_user_topk``'s FINAL state (the same move
+    as ``user_running_stats_batch``): per user, the top-k review events
+    by (rating DESC, ts DESC, product_id ASC). Every ordering component
+    is exact (integral-double ratings, integer ts/ids), so the streaming
+    merge and this window agree bit-for-bit; equality on a multi-batch
+    replay is pytest-pinned and the query value-oracles against DuckDB
+    (user_topk_reviews)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("rating").desc(), F.col("ts").desc(), F.col("product_id").asc()
+    )
+    return (
+        reviews.filter(F.col("product_id").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "rank", "product_id", "rating", "ts")
+    )
+
+
+def running_user_topk_tws(reviews_stream: DataFrame) -> DataFrame:
+    """``running_user_topk`` on Spark 4's ``transformWithStateInPandas``,
+    exercising the API's DISTINCTIVE primitive: the top-K rows live in a
+    composable ListState of typed rows (``handle.getListState``), not a
+    packed single-value tuple — the state shape the older
+    ``applyInPandasWithState`` cannot express without array-column
+    encoding. Semantics identical to ``running_user_topk`` (same
+    ``_topk_merge``); execution needs protobuf + RocksDB (the
+    construction path is tested; the execution-equivalence test
+    auto-skips without them, exactly like ``running_user_stats_tws``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserTopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", TOPK_ROW_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = [
+                (float(r[0]), int(r[1]), int(r[2]))
+                for r in (self._top.get() if self._top.exists() else [])
+            ]
+            for pdf in rows:
+                prev.extend(
+                    zip(
+                        (float(x) for x in pdf["rating"]),
+                        (int(x) for x in pdf["ts"]),
+                        (int(x) for x in pdf["product_id"]),
+                    )
+                )
+            top = _topk_merge(prev)
+            self._top.put([tuple(r) for r in top])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(top),
+                    "rank": list(range(1, len(top) + 1)),
+                    "product_id": [r[2] for r in top],
+                    "rating": [r[0] for r in top],
+                    "ts": [r[1] for r in top],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        reviews_stream.filter(F.col("product_id").isNotNull())
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningUserTopK(),
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     )
 
 
