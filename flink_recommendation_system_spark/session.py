@@ -29,10 +29,25 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Scan-split sizing: the repo's local SF tables are single small
+    # parquet files (sf0.1: 4 KB-11 MB), so Spark's 128 MB default puts
+    # EVERY scan — and the scan-fused projection stage above it, where
+    # tokenization/signature/feature work lives — on ONE task regardless
+    # of core count (measured: 0.9 → 0.63 s subword_token_counts,
+    # 1.0 → 0.63 s simhash_near_dups at sf0.1 with 1 MB splits). A real
+    # deployment sizes this to ITS files: at 100 TB set
+    # SPARK_GRAFT_MAX_PARTITION_BYTES back to 128m+ so task counts stay
+    # sane — the knob is environment-sized exactly like cpus.
+    max_partition_bytes = os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
