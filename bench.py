@@ -85,6 +85,22 @@ def main() -> None:
         except Exception:
             pass  # renamed/absent — warm-up is best-effort by design
 
+    # Python-worker-pool warm-up (untimed): scan splits now give Arrow
+    # mapInPandas stages one Python worker PER CORE, and interpreter
+    # spin-up across the pool otherwise lands on whichever python_arrow
+    # query draws first (measured +1.9 s on image_resize in the round-10
+    # draw). One trivial 1-row-per-partition pass starts every worker.
+    def _ident(batches):
+        yield from batches
+
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        spark.range(0, cores * 2, 1, cores).mapInPandas(
+            _ident, "id long"
+        ).count()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, fn in qs.items():

@@ -1233,6 +1233,25 @@ def semantic_dedup_ann(
     )
 
 
+IVF_GRID_BITS = 20
+
+
+def quantized_unit_centroids(
+    n_cells: int, dim: int, seed: int, grid_bits: int = IVF_GRID_BITS
+) -> list[list[float]]:
+    """``_lcg_unit_vectors`` snapped to the 2^-grid_bits grid in pure
+    Python doubles — the exact-arithmetic domain of the IVF assignment
+    (see ``ivf_cell_assignments``). Baked as repr() literals on both
+    engines, prefix-stable in ``n_cells``."""
+    import math
+
+    scale = float(1 << grid_bits)
+    return [
+        [math.floor(w * scale + 0.5) / scale for w in row]
+        for row in _lcg_unit_vectors(n_cells, dim, seed)
+    ]
+
+
 def ivf_cell_assignments(
     vectors: DataFrame,
     n_cells: int,
@@ -1243,35 +1262,57 @@ def ivf_cell_assignments(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Multi-probe IVF cell assignment: each NON-ZERO vector is
-    L2-normalized and mapped to its ``n_probe`` nearest of ``n_cells``
-    fixed hash-derived unit centroids (L2 asc, cell asc tie-break).
-    Broadcast-centroid cross join → one _l2sq per (vector, cell) row →
-    per-id top-``n_probe`` via sort_array(collect_list(struct))[:n_probe]
-    (the ``ivf_probe_fixed`` assignment pattern generalized from argmin
-    to top-k; a partial-agg'd grouped aggregate, no window). The only
-    shuffle is N × n_cells two-field structs — the standard IVF
-    assignment cost. A zero-shuffle variant walking an
-    array<array<double>> centroid LITERAL with HOFs was tried first and
-    is 2-3× slower at n_cells ≥ 64 (interpreted HOF evaluation copies
-    the 8k-double literal per element; measured 5.0 s vs 1.6 s at 128
-    cells on sf0.01) — the join form also keeps the centroid relation
-    out of the per-task serialized plan.
+    L2-normalized, snapped to the 2^-20 grid, and mapped to its
+    ``n_probe`` nearest of ``n_cells`` fixed hash-derived grid-quantized
+    unit centroids (L2 asc, cell asc tie-break).
+
+    Performance design — the O(N × n_cells × dim) distance pass is the
+    dominant cost of every IVF-family operator here, and Spark's
+    higher-order functions are CodegenFallback (~10 µs per interpreted
+    64-dim _l2sq: a broadcast-join formulation measured 297 s for the
+    25M-distance sf1 probe). This assignment instead runs ONE Arrow
+    pandas_udf whose body is a numpy matmul (3.2 GFLOP ≈ seconds for the
+    same probe). That is only legal under the engine's bit-exact-oracle
+    doctrine because of the ``kmeans_one_step`` EXACT-GRID move: with
+    vectors and centroids snapped to the 2^-20 grid, every distance
+    intermediate — u², u·c products (grain 2^-40, bounded), their
+    64-term sums — is EXACTLY representable in a double, so summation is
+    ORDER-INDEPENDENT: numpy's pairwise/BLAS accumulation, Spark's
+    left-fold, and DuckDB's list_sum all produce the same bits, and the
+    matmul decomposition Σu² − 2Σuc + Σc² equals the oracle's direct
+    Σ(u−c)² exactly. Tie-break: stable argsort over d, index order =
+    cell ascending — the same (d ASC, cell ASC) the SQL mirror ranks by.
 
     Zero vectors get no assignment (cosine against them is undefined;
     dedup callers pass them through kept). The centroid table is
     prefix-stable in ``n_cells`` (cell i always uses LCG positions
     [i*dim, (i+1)*dim)), so stores built at one cell count never shift
     under another seed-compatible reader. Output: (id_col, cell INT)."""
-    spark = vectors.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(
-            [
-                (i, v)
-                for i, v in enumerate(_lcg_unit_vectors(n_cells, dim, seed))
-            ],
-            "cell INT, cv ARRAY<DOUBLE>",
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cq = quantized_unit_centroids(n_cells, dim, seed)
+    scale = float(1 << IVF_GRID_BITS)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _top_cells(vs):  # pd.Series[list[float]] -> pd.Series[list[int]]
+        import numpy as np
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(vs.tolist(), dtype=np.float64)
+        cm = np.array(cq, dtype=np.float64)
+        # exact on the grid: every term is a multiple of 2^-40 small
+        # enough for a double, so BLAS order == fold order bit-for-bit
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ cm.T)
+            + (cm * cm).sum(axis=1)[None, :]
         )
-    )
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
     dv = F.col(vec_col).cast("array<double>")
     norm = _norm(dv)
     unit = vectors.select(
@@ -1281,21 +1322,15 @@ def ivf_cell_assignments(
         .otherwise(dv)
         .alias("_v"),
     ).filter(F.col("_n") != 0.0)
-    return (
-        unit.join(cents, F.lit(True))
-        .select(
-            "_id",
-            F.struct(
-                _l2sq(F.col("_v"), F.col("cv")).alias("d"),
-                F.col("cell").alias("c"),
-            ).alias("s"),
-        )
-        .groupBy("_id")
-        .agg(F.slice(F.sort_array(F.collect_list("s")), 1, n_probe).alias("top"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.explode(F.transform("top", lambda s: s["c"])).alias("cell"),
-        )
+    quant = unit.select(
+        "_id",
+        F.transform(
+            "_v", lambda x: F.floor(x * scale + F.lit(0.5)) / scale
+        ).alias("_q"),
+    )
+    return quant.select(
+        F.col("_id").alias(id_col),
+        F.explode(_top_cells(F.col("_q"))).alias("cell"),
     )
 
 

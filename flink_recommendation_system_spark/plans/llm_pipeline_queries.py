@@ -4421,7 +4421,12 @@ QUERIES["semantic_dedup_ann"] = (
 
 SDI_TARGET_OCC = 16
 SDI_N_PROBE = 8
-SDI_MAX_CELLS = 128
+# the cap exists only to bound the BAKED centroid literal table — it must
+# sit far above every SF the query actually runs at, or the occupancy law
+# breaks and candidate volume turns quadratic (round-10 sf1 probe: the
+# original 128 cap left 20k vectors at 1250/cell ≈ 200M candidate pairs —
+# a GC storm; 2048 keeps the clamp non-binding through ~32k vectors)
+SDI_MAX_CELLS = 2048
 SDI_MIN_CELLS = 8
 
 
@@ -4464,12 +4469,20 @@ def _semantic_dedup_ivf_sql(
     the top n_probe. ``pinned_cells`` replaces the adaptive params CTE
     with a constant — the streaming-contract configuration
     (semantic_dedup_incremental), where cell boundaries must not move
-    between ingestion batches."""
+    between ingestion batches.
+
+    Assignment arithmetic is the EXACT-GRID domain of
+    ``operators.similarity.ivf_cell_assignments``: the baked centroids
+    are pre-quantized to the 2^-20 grid and the normalized vectors snap
+    to it in the n CTE, so this direct Σ(v−c)² fold is bit-identical to
+    the Spark side's numpy matmul decomposition (every intermediate is
+    exactly representable — order-independent sums)."""
     n_bake = max(max_cells, pinned_cells or 0)
     vals = ",\n    ".join(
         f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
-        for i, cv in enumerate(S._lcg_unit_vectors(n_bake, dim, seed))
+        for i, cv in enumerate(S.quantized_unit_centroids(n_bake, dim, seed))
     )
+    grid = float(1 << S.IVF_GRID_BITS)
     nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     l2sq = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
@@ -4490,7 +4503,9 @@ cents(cell, cv) AS (VALUES
     {vals}),
 n AS (
     SELECT e.vec_id,
-           list_transform(e.embedding, x -> CAST(x AS DOUBLE) / {nrm}) AS v
+           list_transform(e.embedding,
+               x -> floor(CAST(x AS DOUBLE) / {nrm} * {grid!r} + 0.5)
+                    / {grid!r}) AS v
     FROM embeddings e WHERE {nrm} != 0
 ),
 assigned AS (
