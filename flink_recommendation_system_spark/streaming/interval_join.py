@@ -40,6 +40,23 @@ def click_purchase_interval_join(
     Inputs carry (event_id, user_id, s) with ``s`` in epoch seconds
     (the engine-wide integer-seconds contract). Output:
     (user_id, click_id, purchase_id, click_s, purchase_s).
+
+    Hot-key design (round 10, VERDICT r09 item 7's skew probe): a plain
+    (user_id) equi-join evaluates clicks × purchases WITHIN each user
+    before the range predicate — quadratic in a hot key's event count
+    (measured: 50% of the sf1 probe's events remapped onto one user
+    never finished; the output is only ~linear, the comparisons are
+    not). The join key therefore includes a TIME BUCKET of width
+    ``horizon_sec``: a purchase in (click_s, click_s + horizon] lives in
+    the click's bucket or the next one — exactly — so each click is
+    exploded to its two candidate buckets and the join becomes a
+    (user, bucket) equi-join with the identical range predicate on top.
+    Within-hot-key comparisons drop from C×P to Σ adjacent-bucket
+    products, and the extra key also splits a hot user's shuffle
+    partition. In streaming mode the exploded click rows just double
+    click-side state; the event-time range condition still bounds and
+    evicts state via the watermarks, and each purchase matches through
+    exactly ONE exploded row (its own bucket), so no dedup is needed.
     """
     c = (
         clicks.select(
@@ -49,6 +66,15 @@ def click_purchase_interval_join(
             F.timestamp_seconds("s").alias("c_ts"),
         )
         .withWatermark("c_ts", watermark)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.col("click_s") / horizon_sec).cast("long"),
+                    (F.col("click_s") / horizon_sec).cast("long") + 1,
+                )
+            ),
+        )
     )
     p = (
         purchases.select(
@@ -58,10 +84,14 @@ def click_purchase_interval_join(
             F.timestamp_seconds("s").alias("p_ts"),
         )
         .withWatermark("p_ts", watermark)
+        .withColumn(
+            "p_bucket", (F.col("purchase_s") / horizon_sec).cast("long")
+        )
     )
     joined = c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (
             F.col("p_ts")
