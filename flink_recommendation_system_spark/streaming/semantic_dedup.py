@@ -158,6 +158,53 @@ def start_streaming_semantic_dedup(
     )
 
 
+def compact_semantic_store(
+    spark: SparkSession,
+    store_path: str,
+    target_partitions: int | None = None,
+) -> tuple[int, int]:
+    """Compact both accumulated per-batch store tables (``assign`` and
+    ``vecs``) into single consolidated ``batch=0`` partitions — the
+    maintenance pass long-running deployments need, exactly as
+    ``near_dup.compact_signature_store`` prescribes for its signature
+    store (thousands of small ``batch=N`` directories would otherwise
+    dominate the per-trigger store scan). Returns (n_assignments,
+    n_vectors) compacted.
+
+    Same contract as the MinHash compactor: MUST run while the stream is
+    paused at a committed checkpoint boundary; the rewrite stages into
+    ``<table>.compact`` and swaps via rename, with the ``.old`` rollback
+    healing a crash between the two renames; batch ids restart above 0,
+    and the ``batch < N`` replay-exclusion contract still holds because
+    the stream's next batch id is strictly greater than any committed
+    one. Both tables compact (assign first) so a crash between the two
+    table compactions leaves each table individually consistent — the
+    read path never correlates batch ids ACROSS the two tables."""
+    import os
+    import shutil
+
+    counts = []
+    for sub, cols in (("assign", ["vec_id", "cell"]),
+                      ("vecs", ["vec_id", "embedding"])):
+        path = f"{store_path}/{sub}"
+        old = path.rstrip("/") + ".old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        df = spark.read.parquet(path).select(*cols)
+        counts.append(df.count())
+        writer = df.withColumn("batch", F.lit(0))
+        if target_partitions is not None:
+            writer = writer.repartition(target_partitions)
+        staging = path.rstrip("/") + ".compact"
+        writer.write.mode("overwrite").partitionBy("batch").parquet(staging)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    return counts[0], counts[1]
+
+
 def read_semantic_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
     """All qualifying pairs emitted so far: (id_a, id_b, cosine)."""
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "cosine")

@@ -161,6 +161,103 @@ def test_read_store_excludes_current_and_later_batches(spark, tmp_path):
     assert seen1 == {r["vec_id"] for r in b0.unionByName(b1).collect()}
 
 
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """The foreachBatch body replayed with the same batch id (the
+    crash-between-write-and-checkpoint-commit case) must overwrite its
+    own per-batch directories and leave the pairs table IDENTICAL —
+    never see its own half-written output via the store."""
+    from flink_recommendation_system_spark.streaming import semantic_dedup as SD
+
+    emb = _emb(spark).filter(F.col("vec_id") < 120).localCheckpoint()
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+
+    # hand-drive two batches through the same process body the stream uses
+    def process(batch_df, batch_id):
+        store_assign = SD._read_store(
+            spark, f"{store}/assign", SD.ASSIGN_SCHEMA, before_batch=batch_id
+        )
+        store_vecs = SD._read_store(
+            spark, f"{store}/vecs", SD.VEC_SCHEMA, before_batch=batch_id
+        )
+        new_assign = S.ivf_cell_assignments(
+            batch_df, N_CELLS, N_PROBE
+        ).localCheckpoint()
+        p = S.incremental_semantic_pairs(
+            batch_df, store_assign, store_vecs,
+            n_cells=N_CELLS, n_probe=N_PROBE, new_assign=new_assign,
+        )
+        p.write.mode("overwrite").parquet(f"{pairs}/batch={batch_id}")
+        new_assign.write.mode("overwrite").parquet(
+            f"{store}/assign/batch={batch_id}"
+        )
+        batch_df.write.mode("overwrite").parquet(
+            f"{store}/vecs/batch={batch_id}"
+        )
+
+    b0 = emb.filter(F.col("vec_id") < 60)
+    # batch 1: the rest plus EXACT copies of batch-0 vectors under new ids
+    # (cosine 1.0 — guarantees cross-store pairs so the equality assert
+    # is not vacuous at this tiny slice)
+    b1 = emb.filter(F.col("vec_id") >= 60).unionByName(
+        b0.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    process(b0, 0)
+    process(b1, 1)
+    first = sorted(
+        tuple(r)
+        for r in SD.read_semantic_pairs(spark, pairs).collect()
+    )
+    process(b1, 1)  # replay the last batch (post-crash retry)
+    second = sorted(
+        tuple(r)
+        for r in SD.read_semantic_pairs(spark, pairs).collect()
+    )
+    assert first == second
+    assert first, "no pairs at all — idempotence test is vacuous"
+
+
+def test_compact_semantic_store_preserves_replay_contract(spark, tmp_path):
+    """Compaction folds both store tables into batch=0 without changing
+    their contents, and a post-compaction batch still pairs against the
+    full compacted store."""
+    from flink_recommendation_system_spark.streaming.semantic_dedup import (
+        ASSIGN_SCHEMA,
+        _read_store,
+        compact_semantic_store,
+    )
+
+    emb = _emb(spark).filter(F.col("vec_id") < 90)
+    store = str(tmp_path / "store")
+    for i, (lo, hi) in enumerate([(0, 30), (30, 60), (60, 90)]):
+        b = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        S.ivf_cell_assignments(b, N_CELLS, N_PROBE).write.parquet(
+            f"{store}/assign/batch={i}"
+        )
+        b.write.parquet(f"{store}/vecs/batch={i}")
+    before = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _read_store(
+            spark, f"{store}/assign", ASSIGN_SCHEMA, before_batch=99
+        ).collect()
+    )
+    n_assign, n_vecs = compact_semantic_store(spark, store)
+    after = sorted(
+        (r["vec_id"], r["cell"])
+        for r in _read_store(
+            spark, f"{store}/assign", ASSIGN_SCHEMA, before_batch=99
+        ).collect()
+    )
+    assert before == after
+    assert n_assign == len(before)
+    assert n_vecs == emb.count()
+    # the consolidated store sits entirely in batch=0, visible to batch 1+
+    import os
+
+    assert os.path.isdir(f"{store}/assign/batch=0")
+    assert not os.path.isdir(f"{store}/assign/batch=1")
+
+
 def test_incremental_disjointness_guard(spark):
     """Overlapping ids between a batch and the vector store must raise —
     silently collapsed pairs are the failure mode the guard exists for."""
