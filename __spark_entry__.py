@@ -773,13 +773,16 @@ _WINDOW_PRIORITY = [
     "bpe_compression_stats",
     "record_linkage_scores",
     #
-    # ROUND-11 STAGING NOTE: past-window from here (ktruss_edges is row
-    # 51). The r9-refreshed block below (r4 vintage + the six r9-new)
-    # carries r9 greens; the remainder keeps its round-8 relative order
-    # (all r6+-green; covered every CI run at sf0.001 and by the local
-    # sf0.01 sweep). Round 11's head should be the remaining r6-vintage
-    # rows (ktruss_edges, ewma_event_trend onward) plus whatever round 11
-    # adds.
+    # ROUND-11 STAGING NOTE: past-window from here (semantic_dedup_artifact
+    # is row 51). Round 11's head should be semantic_dedup_artifact (added
+    # late in round 10 — green in the committed local sweep, no driver row
+    # yet), then the remaining r6-vintage rows (ktruss_edges,
+    # ewma_event_trend onward), plus whatever round 11 adds. The
+    # r9-refreshed block below (r4 vintage + the six r9-new) carries r9
+    # greens; the remainder keeps its round-8 relative order (all
+    # r6+-green; covered every CI run at sf0.001 and by the local sf0.01
+    # sweep).
+    "semantic_dedup_artifact",
     "ktruss_edges",
     "top_products",
     "good_ratings",

@@ -878,6 +878,28 @@ def test_semantic_dedup_ivf_invariants(spark):
     )
 
 
+def test_semantic_dedup_artifact_equals_inline_tier(spark):
+    """The artifact-backed steady state must return EXACTLY the inline
+    semantic_dedup_ivf kept set — the publisher runs the identical
+    composition, and the registered query is only artifact-read +
+    semi-join."""
+    import flink_recommendation_system_spark.plans.llm_pipeline_queries as L
+    from tests.conftest import SF0001
+
+    inline = {
+        r["vec_id"]
+        for r in L.QUERIES["semantic_dedup_ivf"][0](spark, SF0001).collect()
+    }
+    artifact = {
+        r["vec_id"]
+        for r in L.QUERIES["semantic_dedup_artifact"][0](
+            spark, SF0001
+        ).collect()
+    }
+    assert artifact == inline
+    assert artifact, "artifact tier kept nothing"
+
+
 def test_kmeans_one_step_decreases_or_holds_distortion(spark):
     """One Lloyd step must not increase total distortion: sum of squared
     distances to assigned centroids under (init, cell_init) >= under
