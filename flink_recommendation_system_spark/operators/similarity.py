@@ -901,37 +901,36 @@ def semantic_dedup_fixed(
     cosine runs on the RAW vectors (cosine is magnitude-invariant, and
     raw-vector cosine is the engine-proven ``_cosine_sql`` arithmetic).
 
-    Output: kept (vec_id, cell). Scale shape: broadcast n_clusters
-    centroids into a partial-agg'd argmin; the within-cell pair join is
-    the only superlinear step, Σ|cell|² bounded by scaling n_clusters
-    √N-style exactly as in ``semantic_dedup``.
+    Output: kept (vec_id, cell). Scale shape: assignment is
+    ``ivf_cell_assignments`` at n_probe=1 — the exact-grid BLAS path
+    (round 10; cluster membership therefore lives on the 2^-20 grid,
+    mirrored by the quantized-centroid oracle); the within-cell pair
+    join is the only superlinear step, Σ|cell|² bounded by scaling
+    n_clusters √N-style exactly as in ``semantic_dedup``.
     """
     spark = vectors.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(
-            [
-                (i, v)
-                for i, v in enumerate(
-                    _lcg_unit_vectors(n_clusters, dim, seed)
-                )
-            ],
-            "cell INT, cv ARRAY<DOUBLE>",
-        )
-    )
     dv = F.col(vec_col).cast("array<double>")
     norm = _norm(dv)
-    unit = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.when(norm != 0.0, F.transform(dv, lambda x: x / norm))
-        .otherwise(dv)
-        .alias("_v"),
+    # assignment via the exact-grid BLAS path (round 10 — the same
+    # cost-model fix as ivf_cell_assignments: interpreted HOF distances
+    # are ~10 µs each, so N × n_clusters of them dominate the tier).
+    # Zero vectors keep their legacy pass-through-with-a-cell contract:
+    # on the grid their distance to centroid j is exactly Σ cq_j², an
+    # order-independent exact sum, so the argmin is computable in plain
+    # Python with the same (d, cell) tie-break the SQL mirror ranks by.
+    cq = quantized_unit_centroids(n_clusters, dim, seed)
+    zcell = min(
+        range(n_clusters),
+        key=lambda i: (sum(w * w for w in cq[i]), i),
     )
-    assigned = (
-        unit.join(cents, F.lit(True))
-        .withColumn("_d", _l2sq(F.col("_v"), F.col("cv")))
-        .groupBy("_id")
-        .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("_m"))
-        .select("_id", F.col("_m.cell").alias("cell"))
+    assigned = ivf_cell_assignments(
+        vectors, n_clusters, n_probe=1, dim=dim, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    ).withColumnRenamed(id_col, "_id").unionByName(
+        vectors.filter(norm == 0.0).select(
+            F.col(id_col).alias("_id"),
+            F.lit(zcell).cast("int").alias("cell"),
+        )
     )
     raw = vectors.select(
         F.col(id_col).alias("_id"), dv.alias("_raw"), _norm(dv).alias("_n")

@@ -3590,10 +3590,20 @@ def _semantic_dedup_fixed_sql(
     dim: int = 64,
     seed: int = 11,
 ) -> str:
+    """Assignment arithmetic lives on the exact 2^-20 grid (round 10 —
+    mirrors the BLAS assignment in operators.similarity; see
+    ivf_cell_assignments): centroid literals are pre-quantized and the
+    normalized vectors snap to the grid in the n CTE. Zero vectors pass
+    through the same generic rank (their v is the zero vector, so d =
+    Σ cq² per cell — the Spark side computes that argmin driver-side,
+    same exact sums, same (d, cell) tie-break)."""
     vals = ",\n    ".join(
         f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
-        for i, cv in enumerate(S._lcg_unit_vectors(n_clusters, dim, seed))
+        for i, cv in enumerate(
+            S.quantized_unit_centroids(n_clusters, dim, seed)
+        )
     )
+    grid = float(1 << S.IVF_GRID_BITS)
     nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     l2sq = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
@@ -3604,10 +3614,14 @@ WITH cents(cell, cv) AS (VALUES
     {vals}),
 n AS (
     SELECT e.vec_id,
-           CASE WHEN {nrm} != 0
-                THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE) / {nrm})
-                ELSE list_transform(e.embedding, x -> CAST(x AS DOUBLE))
-           END AS v
+           list_transform(
+               CASE WHEN {nrm} != 0
+                    THEN list_transform(e.embedding,
+                                        x -> CAST(x AS DOUBLE) / {nrm})
+                    ELSE list_transform(e.embedding,
+                                        x -> CAST(x AS DOUBLE))
+               END,
+               x -> floor(x * {grid!r} + 0.5) / {grid!r}) AS v
     FROM embeddings e
 ),
 assigned AS (
@@ -3674,7 +3688,9 @@ def _semantic_dedup_sqrt_sql(
     [-1,1] mapping and L2 normalization are the same IEEE-double ops as
     operators.similarity._lcg_unit_vectors (verified bit-exact), and
     n_cells = floor(sqrt(count(*))) — the identical double sqrt the
-    Spark side computes."""
+    Spark side computes. Assignment arithmetic lives on the exact 2^-20
+    grid (round 10; see _semantic_dedup_fixed_sql)."""
+    grid = float(1 << S.IVF_GRID_BITS)
     nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     l2sq = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
@@ -3701,17 +3717,25 @@ comp AS (
 ),
 rawc AS (SELECT cell, list(x ORDER BY j) AS rv FROM comp GROUP BY cell),
 cents AS (
+    -- normalize, then snap to the exact 2^-20 grid (round 10 — the
+    -- quantized_unit_centroids mirror; see _semantic_dedup_fixed_sql)
     SELECT cell,
-           list_transform(rv, x -> x
-               / sqrt(list_sum(list_transform(rv, y -> y * y)))) AS cv
+           list_transform(
+               list_transform(rv, x -> x
+                   / sqrt(list_sum(list_transform(rv, y -> y * y)))),
+               x -> floor(x * {grid!r} + 0.5) / {grid!r}) AS cv
     FROM rawc
 ),
 n AS (
     SELECT e.vec_id,
-           CASE WHEN {nrm} != 0
-                THEN list_transform(e.embedding, x -> CAST(x AS DOUBLE) / {nrm})
-                ELSE list_transform(e.embedding, x -> CAST(x AS DOUBLE))
-           END AS v
+           list_transform(
+               CASE WHEN {nrm} != 0
+                    THEN list_transform(e.embedding,
+                                        x -> CAST(x AS DOUBLE) / {nrm})
+                    ELSE list_transform(e.embedding,
+                                        x -> CAST(x AS DOUBLE))
+               END,
+               x -> floor(x * {grid!r} + 0.5) / {grid!r}) AS v
     FROM embeddings e
 ),
 assigned AS (
