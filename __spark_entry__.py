@@ -767,11 +767,14 @@ _WINDOW_PRIORITY = [
     "tfidf_top_terms",
     "top_bigrams",
     "triangle_counts",
-    # 4. three oldest r6-vintage greens fill the 50-row window exactly
-    # (6 round-10 + 4 round-9 + 37 r5 + these 3)
+    # 4. IMPLEMENTATION CHANGED THIS ROUND (re-confirm — outranks plain
+    # staleness): the fixed/sqrt SemDeDup tiers moved to the exact-grid
+    # BLAS assignment (cluster membership now lives on the 2^-20 grid)
+    "semantic_dedup_fixed",
+    "semantic_dedup_sqrt",
+    # 5. the oldest r6-vintage green fills the 50-row window exactly
+    # (6 round-10 + 2 re-confirm + 4 round-9 + 37 r5 + 1 r6)
     "hard_negative_mining",
-    "bpe_compression_stats",
-    "record_linkage_scores",
     #
     # ROUND-11 STAGING NOTE: past-window from here (semantic_dedup_artifact
     # is row 51). Round 11's head should be semantic_dedup_artifact (added
@@ -784,6 +787,8 @@ _WINDOW_PRIORITY = [
     # sweep).
     "semantic_dedup_artifact",
     "ktruss_edges",
+    "bpe_compression_stats",
+    "record_linkage_scores",
     "top_products",
     "good_ratings",
     "co_review_edges",
@@ -843,7 +848,6 @@ _WINDOW_PRIORITY = [
     "minhash_near_dups",
     "near_dup_clusters_lsh",
     "deduped_corpus",
-    "semantic_dedup_sqrt",
     "hard_negative_mining_ann",
     "windowed_review_counts",
     "dsir_selected",
@@ -908,7 +912,6 @@ _WINDOW_PRIORITY = [
     "new_vs_returning",
     "subword_token_counts",
     "fuzzy_name_pairs_d2",
-    "semantic_dedup_fixed",
     "adamic_adar",
     "scc_components",
     "user_sessions",
