@@ -37,11 +37,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from flink_recommendation_system_spark.session import get_spark
+    from flink_recommendation_system_spark.session import (
+        LOCAL_SF_MAX_PARTITION_BYTES,
+        get_spark,
+    )
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("bench")
+    spark = get_spark("bench", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()

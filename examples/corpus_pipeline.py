@@ -38,7 +38,10 @@ from flink_recommendation_system_spark.operators.dedup import (
     publish_corpus_artifacts,
 )
 from flink_recommendation_system_spark.operators.lm import bigram_lm_scores
-from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.session import (
+    LOCAL_SF_MAX_PARTITION_BYTES,
+    get_spark,
+)
 from flink_recommendation_system_spark.sources.tables import load_table
 
 
@@ -49,7 +52,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else tempfile.mkdtemp(prefix="corpus_artifacts_")
     )
-    spark = get_spark("corpus-pipeline")
+    spark = get_spark("corpus-pipeline", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")

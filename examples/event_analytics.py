@@ -24,13 +24,16 @@ from flink_recommendation_system_spark.operators.events import (
 from flink_recommendation_system_spark.operators.sketches import (
     heavy_hitters_exact,
 )
-from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.session import (
+    LOCAL_SF_MAX_PARTITION_BYTES,
+    get_spark,
+)
 from flink_recommendation_system_spark.sources.tables import load_table
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("event-analytics")
+    spark = get_spark("event-analytics", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
     events = load_table(spark, sf_dir, "events").localCheckpoint()
 

@@ -27,7 +27,10 @@ from flink_recommendation_system_spark.plans.top_products import (
     publish_top_products,
     top_products,
 )
-from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.session import (
+    LOCAL_SF_MAX_PARTITION_BYTES,
+    get_spark,
+)
 from flink_recommendation_system_spark.sources.tables import reviews_from_events
 from flink_recommendation_system_spark.streaming.pipeline import (
     read_review_stream_json,
@@ -38,7 +41,7 @@ from flink_recommendation_system_spark.streaming.pipeline import (
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="lambda-")
-    spark = get_spark("lambda-demo")
+    spark = get_spark("lambda-demo", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
 
     reviews = reviews_from_events(spark, sf_dir)

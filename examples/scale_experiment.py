@@ -28,7 +28,10 @@ from flink_recommendation_system_spark.operators import graph as G
 from flink_recommendation_system_spark.operators.graph import good_reviews
 from flink_recommendation_system_spark.operators.text import tf_idf_top_terms
 from flink_recommendation_system_spark.plans.itemcf import item_cooccurrence
-from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.session import (
+    LOCAL_SF_MAX_PARTITION_BYTES,
+    get_spark,
+)
 from flink_recommendation_system_spark.sources.tables import (
     load_table,
     reviews_from_events,
@@ -68,7 +71,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-    spark = get_spark("scale-experiment")
+    spark = get_spark("scale-experiment", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
 
     docs1 = load_table(spark, sf_dir, "documents").localCheckpoint()

@@ -26,7 +26,10 @@ from flink_recommendation_system_spark.plans import (
     llm_pipeline_queries,
     mining_queries,
 )
-from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.session import (
+    LOCAL_SF_MAX_PARTITION_BYTES,
+    get_spark,
+)
 
 SHIFTS = {
     # per-table id columns to shift per replica (disjoint id spaces)
@@ -76,7 +79,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     big_dir = f"/tmp/mining_scale{n}"
-    spark = get_spark("scale-mining")
+    spark = get_spark("scale-mining", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
     print(f"replicating {sf_dir} x{n} -> {big_dir}")
     t0 = time.time()

@@ -32,14 +32,17 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_recommendation_system_spark.operators import bpe
-from flink_recommendation_system_spark.session import get_spark
+from flink_recommendation_system_spark.session import (
+    LOCAL_SF_MAX_PARTITION_BYTES,
+    get_spark,
+)
 from flink_recommendation_system_spark.sources.tables import load_table
 
 N_MERGES = 12
 
 
 def main(sf_dir: str, out_dir: str) -> None:
-    spark = get_spark("tokenizer-pipeline")
+    spark = get_spark("tokenizer-pipeline", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES)
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
 

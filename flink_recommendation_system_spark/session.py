@@ -13,10 +13,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Scan-split size for the repo's LOCAL SF tables (single small parquet
+# files, sf0.1: 4 KB-11 MB). With Spark's 128 MB default every scan — and
+# the scan-fused projection stage above it, where tokenization/signature/
+# feature work lives — lands on ONE task regardless of core count
+# (measured: 0.9 → 0.63 s subword_token_counts, 1.0 → 0.63 s
+# simhash_near_dups at sf0.1 with 1 MB splits). Bench/test/example entry
+# points pass this explicitly; the generic factory keeps Spark's 128 MB
+# default so a real deployment reusing it gets sane task counts.
+LOCAL_SF_MAX_PARTITION_BYTES = str(1024 * 1024)
+
+
 def get_spark(
     app_name: str = "flink-recommendation-system-spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    max_partition_bytes: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -29,24 +41,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
-    # Scan-split sizing: the repo's local SF tables are single small
-    # parquet files (sf0.1: 4 KB-11 MB), so Spark's 128 MB default puts
-    # EVERY scan — and the scan-fused projection stage above it, where
-    # tokenization/signature/feature work lives — on ONE task regardless
-    # of core count (measured: 0.9 → 0.63 s subword_token_counts,
-    # 1.0 → 0.63 s simhash_near_dups at sf0.1 with 1 MB splits). A real
-    # deployment sizes this to ITS files: at 100 TB set
-    # SPARK_GRAFT_MAX_PARTITION_BYTES back to 128m+ so task counts stay
-    # sane — the knob is environment-sized exactly like cpus.
+    # Scan-split sizing: env override > caller's request > Spark's 128 MB
+    # default (generic factory sets nothing). Only the local-SF entry
+    # points (bench, tests, local_correctness, examples) pass
+    # LOCAL_SF_MAX_PARTITION_BYTES — a deployment on real data keeps
+    # Spark's default unless it opts in.
     max_partition_bytes = os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", max_partition_bytes
     )
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -58,6 +65,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if max_partition_bytes is not None:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", max_partition_bytes
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

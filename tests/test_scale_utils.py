@@ -424,8 +424,10 @@ def test_session_factory_pins_scale_configs(spark):
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
-        # scan-split sizing (round 10): local SF files are tiny, so the
-        # 128 MB default serializes every scan-fused stage onto one task
+        # scan-split sizing (round 10, scoped in round 11): tiny local SF
+        # files serialize scan-fused stages under the 128 MB default, so
+        # the LOCAL-SF entry points (conftest included) opt in to 1 MB
+        # splits; the generic factory itself no longer sets this conf
         "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
         "spark.sql.files.openCostInBytes": str(64 * 1024),
     }

@@ -66,7 +66,10 @@ def main() -> int:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from flink_recommendation_system_spark.session import get_spark
+    from flink_recommendation_system_spark.session import (
+        LOCAL_SF_MAX_PARTITION_BYTES,
+        get_spark,
+    )
 
     queries = entrymod.queries()
     sqls = entrymod.oracle_sql()
@@ -78,7 +81,9 @@ def main() -> int:
             raise SystemExit(f"unknown queries: {missing}")
         names = want
 
-    spark = get_spark("local-correctness")
+    spark = get_spark(
+        "local-correctness", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES
+    )
     results: dict[str, dict] = {}
     t_total = time.time()
     n_bad = 0
