@@ -9,8 +9,9 @@ of how the LLM-data operators compose in production:
       → exact dedup (constant-size-key shuffle)
       → one-pass near-dup artifacts (signatures / pairs / clusters /
         deduped corpus — publish_corpus_artifacts)
-      → ANN semantic dedup on the survivors' embeddings (paraphrases,
-        not just copies — the banded-SRP sublinear tier)
+      → semantic dedup on the survivors' embeddings (paraphrases, not
+        just copies — the multi-probe IVF sublinear tier, the engine's
+        measured-best recall at this threshold)
       → LM-score quality resampling (curation mixture)
       → corpus profile sketches (count-min hot sources, log-histogram
         length quantiles — fixed-state, mergeable per shard)
@@ -102,19 +103,22 @@ def main() -> None:
     n_pairs = spark.read.parquet(paths["pairs"]).count()
 
     # 5b. SEMANTIC dedup on the surviving docs' embeddings (doc_id ≡
-    #     vec_id): banded-SRP ANN candidates with corpus-adaptive band
-    #     widths feed the exact-cosine keep/drop — the sublinear tier
-    #     (round 9); near-dup catches copies, this catches paraphrases
+    #     vec_id): multi-probe IVF-cell candidates feed the exact-cosine
+    #     keep/drop — the engine's measured-best sublinear tier (drop
+    #     recall 0.65-0.96 across probes where banded SRP measures
+    #     0.05-0.36: a cosine-0.45 duplicate sits 63° apart, wider than
+    #     sign-agreement banding reaches — PERFORMANCE.md r10 recall
+    #     table); near-dup catches copies, this catches paraphrases
     from flink_recommendation_system_spark.operators.similarity import (
-        semantic_dedup_ann,
+        semantic_dedup_ivf,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").join(
         corpus.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    sem_keep = semantic_dedup_ann(emb, threshold=0.45).select(
-        F.col("vec_id").alias("doc_id")
-    )
+    sem_keep = semantic_dedup_ivf(
+        emb, threshold=0.45, max_cells=2048
+    ).select(F.col("vec_id").alias("doc_id"))
     corpus = corpus.join(sem_keep, "doc_id", "left_semi")
     n_sem = corpus.count()
 
@@ -174,7 +178,7 @@ def main() -> None:
     print(f"after exact dedup    {n_exact}")
     print(f"near-dup pairs       {n_pairs}")
     print(f"deduped corpus       {n_final}")
-    print(f"after semantic dedup {n_sem} (ANN-candidate tier)")
+    print(f"after semantic dedup {n_sem} (multi-probe IVF tier)")
     print(f"after curation       {n_curated}")
     print(f"hot sources (CMS)    {top_sources}")
     print(f"length quantiles     {quant} (chars, bucket lower bounds)")

@@ -1528,7 +1528,13 @@ def incremental_semantic_pairs(
         new_assign.alias("n")
         .join(
             store_assign.alias("s"),
-            F.col("n.cell") == F.col("s.cell"),
+            (F.col("n.cell") == F.col("s.cell"))
+            # equal ids never pair: for disjoint inputs this is a no-op,
+            # and under at-least-once redelivery (the same vector re-sent
+            # in a LATER batch, so the before_batch store exclusion does
+            # not screen it) it stops the cosine-1.0 self-pair from
+            # dropping the vector against its own store copy
+            & (F.col(f"n.{id_col}") != F.col(f"s.{id_col}")),
         )
         .select(
             F.least(

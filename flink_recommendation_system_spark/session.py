@@ -36,6 +36,18 @@ def get_spark(
     driver environment); shuffle partitions default to the same so a
     local-mode shuffle produces one partition per core — on a real cluster
     AQE coalesces the initial number down to fit the data.
+
+    ``max_partition_bytes`` sets ``spark.sql.files.maxPartitionBytes``;
+    when omitted the factory sets NOTHING and Spark's 128 MB default
+    applies (sane for real data). Local-SF entry points (bench, tests,
+    tools, examples) pass ``LOCAL_SF_MAX_PARTITION_BYTES`` (1 MB) so
+    single-small-file scans parallelize across cores. PRECEDENCE NOTE:
+    the ``SPARK_GRAFT_MAX_PARTITION_BYTES`` env var, when set, overrides
+    an explicit caller argument — the opposite of the usual
+    explicit-arg-wins convention, deliberately: it is the operator's
+    one-knob override for re-running a packaged entry point (whose
+    call sites already pass the local-SF value) against different data
+    without editing code.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

@@ -130,6 +130,14 @@ def start_streaming_semantic_dedup(
         new_assign = ivf_cell_assignments(
             vecs, n_cells, n_probe, dim, seed
         ).localCheckpoint()
+        # check_disjoint=False (VERDICT r11 item 3): the guard's semi-join
+        # scans the full vector store's id column EVERY micro-batch, and an
+        # at-least-once duplicate id would fail the whole query. Replay
+        # safety here comes from the store contract instead — _read_store
+        # excludes `batch >= batch_id`, so a replayed batch never sees its
+        # own half-written rows and re-emits the identical pairs. (The
+        # batch twin in plans/llm_pipeline_queries passes False for the
+        # same reason: its %3 batches are disjoint by construction.)
         pairs = incremental_semantic_pairs(
             vecs,
             store_assign,
@@ -140,6 +148,7 @@ def start_streaming_semantic_dedup(
             dim=dim,
             seed=seed,
             new_assign=new_assign,
+            check_disjoint=False,
         )
         pairs.write.mode("overwrite").parquet(
             f"{pairs_path}/batch={batch_id}"
@@ -206,8 +215,26 @@ def compact_semantic_store(
 
 
 def read_semantic_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
-    """All qualifying pairs emitted so far: (id_a, id_b, cosine)."""
-    return spark.read.parquet(pairs_path).select("id_a", "id_b", "cosine")
+    """All qualifying pairs emitted so far: (id_a, id_b, cosine). Before
+    the first batch commits the path does not exist yet — return the
+    empty relation, the same missing-path contract as
+    ``read_semantic_dropped`` (VERDICT r11 item 4: the two read APIs
+    previously disagreed, this one raised)."""
+    try:
+        return spark.read.parquet(pairs_path).select("id_a", "id_b", "cosine")
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("id_a", LongType()),
+                        StructField("id_b", LongType()),
+                        StructField("cosine", DoubleType()),
+                    ]
+                ),
+            )
+        raise
 
 
 def read_semantic_dropped(

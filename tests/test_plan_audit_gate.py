@@ -76,3 +76,39 @@ def test_sampled_plans_have_no_hard_antipatterns(spark):
                 unverified.append((name, notok))
     assert not bad, f"hard plan antipatterns: {bad}"
     assert not unverified, f"unverified plan waivers: {unverified}"
+
+
+def test_tiny_filter_matches_only_top_level_conjuncts():
+    """VERDICT r11 item 2 / ADVICE r10 item 1: a `key < N` comparison
+    inside NOT(...) or an OR branch bounds NOTHING and must not verify a
+    broadcast build side as tiny; only a top-level AND conjunct that IS
+    the comparison counts."""
+    from plan_audit import _TINY_CONJUNCT, _strip_outer_parens, _top_conjuncts
+
+    def tiny_bound(pred: str):
+        for c in _top_conjuncts(pred):
+            m = _TINY_CONJUNCT.match(_strip_outer_parens(c))
+            if m and int(m.group(1)) <= 200:
+                return int(m.group(1))
+        return None
+
+    # genuine contract-tiny shapes still verify
+    assert tiny_bound("((isnotnull(vec_id#12L) AND (vec_id#12L < 10)))") == 10
+    assert tiny_bound("(doc_id#3L < 200)") == 200
+    assert (
+        tiny_bound("(((x#1L > 3) AND (vec_id#2L < 50)) AND isnotnull(b#3))")
+        == 50
+    )
+    # the false-verify shapes the old free-search regex accepted
+    assert tiny_bound("NOT (vec_id#12L < 60)") is None
+    assert tiny_bound("(NOT (vec_id#12L < 60))") is None
+    assert tiny_bound("((vec_id#12L < 60) OR (doc_id#3L < 5))") is None
+    assert (
+        tiny_bound("(isnotnull(x#1) AND NOT (vec_id#12L < 60))") is None
+    )
+    assert (
+        tiny_bound("(isnotnull(x#1) AND ((vec_id#2L < 9) OR (x#1 = 3)))")
+        is None
+    )
+    # non-row-key columns never bound (ADVICE r09 rule preserved)
+    assert tiny_bound("(user_id#4L < 10)") is None

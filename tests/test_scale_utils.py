@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from flink_recommendation_system_spark.operators.skew import (
@@ -433,6 +434,47 @@ def test_session_factory_pins_scale_configs(spark):
     }
     for k, v in expected.items():
         assert spark.conf.get(k) == v, k
+
+
+def test_session_factory_default_leaves_scan_split_unset():
+    """ADVICE r11: the behavioral half of the round-11 scoping change —
+    `get_spark` WITHOUT `max_partition_bytes` (and without the env
+    override) must not pin `spark.sql.files.maxPartitionBytes`, so a real
+    deployment reusing the factory keeps Spark's 128 MB default. Builder
+    options are inspected directly (`_options`) because the process-wide
+    session already carries the conftest's 1 MB opt-in — getOrCreate
+    would just return it."""
+    import os
+    from unittest import mock
+
+    from flink_recommendation_system_spark.session import (
+        LOCAL_SF_MAX_PARTITION_BYTES,
+        get_spark,
+    )
+
+    env = {k: v for k, v in os.environ.items()
+           if k != "SPARK_GRAFT_MAX_PARTITION_BYTES"}
+    with mock.patch.dict(os.environ, env, clear=True):
+        with mock.patch.object(
+            SparkSession.Builder, "getOrCreate", lambda self: self
+        ):
+            default_builder = get_spark()
+            optin_builder = get_spark(
+                max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES
+            )
+        # env override beats an explicit argument (documented precedence)
+        env_over = dict(env, SPARK_GRAFT_MAX_PARTITION_BYTES="2097152")
+        with mock.patch.dict(os.environ, env_over, clear=True):
+            with mock.patch.object(
+                SparkSession.Builder, "getOrCreate", lambda self: self
+            ):
+                env_builder = get_spark(
+                    max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES
+                )
+    key = "spark.sql.files.maxPartitionBytes"
+    assert key not in default_builder._options
+    assert optin_builder._options[key] == LOCAL_SF_MAX_PARTITION_BYTES
+    assert env_builder._options[key] == "2097152"
 
 
 def test_cep_asof_stream_matches_registered_batch_twin(spark, tmp_path):

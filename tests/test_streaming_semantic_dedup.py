@@ -269,3 +269,72 @@ def test_incremental_disjointness_guard(spark):
         S.incremental_semantic_pairs(
             emb, assign, emb, n_cells=N_CELLS, n_probe=N_PROBE
         ).count()
+
+
+def test_read_semantic_pairs_before_first_batch(spark, tmp_path):
+    """Both read APIs share the missing-path contract (VERDICT r11 item
+    4): before any batch commits, the pairs table reads as EMPTY with the
+    stable schema — not AnalysisException."""
+    missing = str(tmp_path / "never_written")
+    pairs = read_semantic_pairs(spark, missing)
+    assert pairs.columns == ["id_a", "id_b", "cosine"]
+    assert pairs.count() == 0
+    dropped = read_semantic_dropped(spark, missing)
+    assert dropped.columns == ["vec_id"]
+    assert dropped.count() == 0
+
+
+def test_at_least_once_redelivery_in_later_batch(spark, tmp_path):
+    """At-least-once delivery re-sends a batch-0 vector in a LATER batch
+    (different batch id, so the before_batch store exclusion does NOT
+    screen it). The live foreachBatch body must neither raise (the
+    disjointness guard is off on the streaming path — VERDICT r11 item 3)
+    nor let the redelivered vector self-pair against its own store copy
+    and drop itself; the verdict must equal the batch tier over the
+    DISTINCT corpus."""
+    emb = _emb(spark).filter(F.col("vec_id") < 120).localCheckpoint()
+
+    src = str(tmp_path / "in")
+    b0 = emb.filter(F.col("vec_id") < 60)
+    # batch 1 = the rest PLUS a redelivered copy of the three lowest ids
+    redelivered = b0.filter(F.col("vec_id") < 3)
+    b1 = emb.filter(F.col("vec_id") >= 60).unionByName(redelivered)
+    b0.coalesce(1).write.mode("append").json(f"{src}/b0")
+    b1.coalesce(1).write.mode("append").json(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = start_streaming_semantic_dedup(
+        stream,
+        store_path=str(tmp_path / "store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_cells=N_CELLS,
+        n_probe=N_PROBE,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    pairs = read_semantic_pairs(spark, str(tmp_path / "pairs"))
+    assert pairs.filter(F.col("id_a") == F.col("id_b")).count() == 0, (
+        "a redelivered vector self-paired against its own store copy"
+    )
+    dropped = {
+        r["vec_id"]
+        for r in read_semantic_dropped(
+            spark, str(tmp_path / "pairs")
+        ).collect()
+    }
+    kept_stream = {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    } - dropped
+    kept_batch = {
+        r["vec_id"]
+        for r in S.semantic_dedup_ivf(
+            emb, n_probe=N_PROBE, max_cells=N_CELLS, min_cells=N_CELLS
+        ).collect()
+    }
+    assert kept_stream == kept_batch

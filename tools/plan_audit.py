@@ -75,9 +75,72 @@ _ROW_KEY_COLUMNS = (
     "n_nationkey",  # nation row key
     "r_regionkey",  # region row key
 )
-_TINY_FILTER = re.compile(
-    r"\((?:" + "|".join(_ROW_KEY_COLUMNS) + r")#\d+L? < (\d{1,3})\)"
+# anchored CONJUNCT form (VERDICT r11 item 2 / ADVICE r10 item 1): the
+# old free search over the Filter's whole simpleString also matched a
+# `key < N` buried inside NOT(...) or an OR branch — e.g.
+# `Filter NOT (vec_id#1L < 60)` (unbounded!) verified as tiny. The
+# predicate is now split into TOP-LEVEL AND conjuncts first
+# (_top_conjuncts), and only a conjunct that IS the comparison — after
+# paren stripping, nothing but `col#N < lit` — counts as a bound.
+_TINY_CONJUNCT = re.compile(
+    r"^(?:" + "|".join(_ROW_KEY_COLUMNS) + r")#\d+L? < (\d{1,3})$"
 )
+_KEY_DOMAIN_CONJUNCT = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*#\d+L?) < (\d{1,3})$"
+)
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    return s  # outer parens do not match — e.g. "(a) OR (b)"
+        s = s[1:-1].strip()
+    return s
+
+
+def _top_conjuncts(pred: str) -> list[str]:
+    """Split a predicate string into its top-level AND conjuncts —
+    recursing through nested parens so `((a AND b) AND c)` yields
+    [a, b, c], while anything under NOT(...) or an OR stays INSIDE its
+    conjunct (a NOT/OR branch never contributes a top-level bound)."""
+    pred = _strip_outer_parens(pred)
+    parts: list[str] = []
+    depth = start = i = 0
+    n = len(pred)
+    while i < n:
+        ch = pred[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and pred.startswith(" AND ", i):
+            parts.append(pred[start:i])
+            i += 5
+            start = i
+            continue
+        i += 1
+    parts.append(pred[start:])
+    if len(parts) == 1:
+        return [pred]
+    out: list[str] = []
+    for p in parts:
+        out.extend(_top_conjuncts(p))
+    return out
+
+
+def _filter_conjuncts(p) -> list[str]:
+    """Top-level AND conjuncts of a Filter node's predicate, each with
+    its own enclosing parens stripped (ready for anchored matching)."""
+    s = _simple_wide(p)
+    pred = s.split("Filter", 1)[1] if "Filter" in s else s
+    return [_strip_outer_parens(c) for c in _top_conjuncts(pred)]
 
 
 def _plan_children(p) -> list:
@@ -169,10 +232,11 @@ def _bounded(p, allow_grouped_agg: bool) -> str | None:
             for d in _walk(p):
                 if not _node_name(d).startswith("Filter"):
                     continue
-                for attr, lit in re.findall(
-                    r"([A-Za-z_][A-Za-z0-9_]*#\d+L?) < (\d{1,3})\)",
-                    _simple_wide(d),
-                ):
+                for conj in _filter_conjuncts(d):
+                    m = _KEY_DOMAIN_CONJUNCT.match(conj)
+                    if not m:
+                        continue
+                    attr, lit = m.group(1), m.group(2)
                     if attr in key_attrs and int(lit) <= 200:
                         return f"key-domain-agg({attr.split('#')[0]}<{lit})"
         kids = _plan_children(p)
@@ -182,9 +246,10 @@ def _bounded(p, allow_grouped_agg: bool) -> str | None:
                 "LocalLimit"):
         return "top-k/limit"
     if name.startswith("Filter"):
-        m = _TINY_FILTER.search(s)
-        if m and int(m.group(1)) <= 200:
-            return f"tiny-id-filter(<{m.group(1)})"
+        for conj in _filter_conjuncts(p):
+            m = _TINY_CONJUNCT.match(conj)
+            if m and int(m.group(1)) <= 200:
+                return f"tiny-id-filter(<{m.group(1)})"
     if name.startswith("ReusedExchange"):
         # points at an exchange defined elsewhere in the tree. The Scala
         # node (ReusedExchangeExec) is a leaf — children() is empty — but
