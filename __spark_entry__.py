@@ -694,98 +694,41 @@ _SUITES = [
 # green history and remain covered at sf0.001 by tests/test_entry_queries.py
 # every CI run.
 #
-# ROUND-9 ROTATION (VERDICT r08 item 1): the never-driver-checked backlog
-# emptied in round 8, so rotation now targets STALENESS — the queries whose
-# driver greens are oldest (r4 vintage: the §2 pipeline core and early LLM
-# ops, whose implementations have been rewritten repeatedly since those
-# rows). Window = 6 new round-9 queries + all 42 r4-vintage + the 2
-# oldest VERDICT-named r5 core operators. Every out-of-window query keeps sf0.001
+# Since round 9 rotation targets STALENESS (the never-driver-checked
+# backlog emptied in round 8): new + changed-this-round first, then the
+# oldest driver greens on record. Every out-of-window query keeps sf0.001
 # CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # 1. NEW THIS ROUND (round 10 — never driver-checked): the
-    # multi-probe IVF SemDeDup tier (VERDICT r09 item 2 — drop recall
-    # 0.96-1.0 vs the SRP tier's 0.12-0.36), the drop-set recall audit,
-    # the incremental-ingestion twin of the streaming semantic-dedup
-    # pipeline (item 5 — value-checks replay == batch), and the running
-    # top-K leaderboard batch twin (item 4 — the
-    # transformWithStateInPandas-path family's driver row)
-    "semantic_dedup_ivf",
+    # ROUND-12 WINDOW (the driver checks the first 50 entries).
+    # 1. NEW THIS ROUND: the Lloyd-fitted probe-16 SemDeDup tier — the
+    # config the round-10 dup-dense sf1 probe measured at 0.95 drop-set
+    # recall (VERDICT r11: "better config not yet registered"); measured
+    # 1.0 drop recall at sf0.1 in the refreshed recall audit
+    "semantic_dedup_ivf_refit",
+    # 2. IMPLEMENTATION CHANGED THIS ROUND (re-confirm): the recall audit
+    # gained the refit tier row; incremental pairs gained the equal-id
+    # exclusion on the new-vs-store join (at-least-once redelivery
+    # safety); the IVF tier's keep/drop tail moved to a shared helper;
+    # and semantic_dedup_artifact FINALLY takes its staged driver row
+    # (added late in round 10, local-sweep green since, never
+    # driver-checked — VERDICT r11 item 1)
     "semantic_dedup_recall",
     "semantic_dedup_incremental",
-    "user_topk_reviews",
-    # 2. IMPLEMENTATION CHANGED THIS ROUND (re-confirm): the ANN tier's
-    # oracle gained the mirrored greatest(count,2) guard (ADVICE r09);
-    # the recall report gained per-tier result truncation
-    "semantic_dedup_ann",
-    "ann_recall_report",
-    # 3. ROUND-10 ROTATION HEAD (VERDICT r09 item 1, exactly as staged in
-    # round 9): the 4 round-9 additions whose driver rows were still
-    # missing, then the 36 r5-vintage queries — the oldest driver greens
-    # on record. After this window lands the oldest green moves from r5
-    # to r6. The r9-refreshed block (r4 vintage + kv_roundtrip +
-    # user_product_sets + the six r9-new) drops below the window with
-    # fresh r9 greens.
-    "t_closeness",
-    "butterfly_counts",
-    "implicit_negatives",
-    "click_attribution_pairs",
-    "split_db_part",
-    "fingerprints",
-    "exact_dedup_keys",
-    "token_counts",
-    "clean_corpus",
-    "community_sizes",
-    "graph_vertices",
-    "undirected_edges",
-    "activity_similarity",
-    "bfs_hops",
-    "click_conversion_labels",
-    "connected_components",
-    "contamination_by_source",
-    "corpus_mixture",
-    "cosine_topk",
-    "curriculum_order",
-    "decontamination",
-    "embedding_near_dups_lsh",
-    "embedding_stats",
-    "frame_sample_plan",
-    "hll_brand_distinct",
-    "image_resize",
-    "language_id",
-    "lineitem_measures_unpivot",
-    "lsh_topk",
-    "multimodal_features",
-    "nation_trade_flows",
-    "near_dup_clusters",
-    "near_dup_pipeline",
-    "ngram_jaccard_pairs",
-    "quality_stats",
-    "repetition_stats",
-    "sliding_chunks",
-    "special_discount_revenue",
-    "tfidf_top_terms",
-    "top_bigrams",
-    "triangle_counts",
-    # 4. IMPLEMENTATION CHANGED THIS ROUND (re-confirm — outranks plain
-    # staleness): the fixed/sqrt SemDeDup tiers moved to the exact-grid
-    # BLAS assignment (cluster membership now lives on the 2^-20 grid)
-    "semantic_dedup_fixed",
-    "semantic_dedup_sqrt",
-    # 5. the oldest r6-vintage green fills the 50-row window exactly
-    # (6 round-10 + 2 re-confirm + 4 round-9 + 37 r5 + 1 r6)
-    "hard_negative_mining",
-    #
-    # ROUND-11 STAGING NOTE: past-window from here (semantic_dedup_artifact
-    # is row 51). Round 11's head should be semantic_dedup_artifact (added
-    # late in round 10 — green in the committed local sweep, no driver row
-    # yet), then the remaining r6-vintage rows (ktruss_edges,
-    # ewma_event_trend onward), plus whatever round 11 adds. The
-    # r9-refreshed block below (r4 vintage + the six r9-new) carries r9
-    # greens; the remainder keeps its round-8 relative order (all
-    # r6+-green; covered every CI run at sf0.001 and by the local sf0.01
-    # sweep).
+    "semantic_dedup_ivf",
     "semantic_dedup_artifact",
+    # 3. THE ROWS-ONLY FOUR (VERDICT r11: newest driver rows r4/r5 — they
+    # were never in this list at all, so rotation always skipped them;
+    # they are rows-only checks by design — MLlib ALS / fitted-KMeans /
+    # fitted-IVF / fitted-PQ are not SQL-expressible — but their
+    # rows+schema driver signal should not stay 7 rounds stale)
+    "als_recommendations",
+    "semantic_dedup",
+    "ivf_topk",
+    "pq_topk",
+    # 4. OLDEST-VINTAGE ROTATION: the r6-green block exactly as staged by
+    # the round-11 note (ktruss_edges onward), filling the window to 50.
+    # After this window lands the oldest driver green moves from r6 to r8.
     "ktruss_edges",
     "bpe_compression_stats",
     "record_linkage_scores",
@@ -827,6 +770,56 @@ _WINDOW_PRIORITY = [
     "returned_items",
     "revenue_grouping_sets",
     "simhash_near_dups",
+    # -- past-window from here: r11-refreshed names first (newest greens),
+    # then the round-8 relative order, all covered every CI run at
+    # sf0.001 and by the committed local sf0.01 sweep --
+    "user_topk_reviews",
+    "semantic_dedup_ann",
+    "ann_recall_report",
+    "t_closeness",
+    "butterfly_counts",
+    "implicit_negatives",
+    "click_attribution_pairs",
+    "split_db_part",
+    "fingerprints",
+    "exact_dedup_keys",
+    "token_counts",
+    "clean_corpus",
+    "community_sizes",
+    "graph_vertices",
+    "undirected_edges",
+    "activity_similarity",
+    "bfs_hops",
+    "click_conversion_labels",
+    "connected_components",
+    "contamination_by_source",
+    "corpus_mixture",
+    "cosine_topk",
+    "curriculum_order",
+    "decontamination",
+    "embedding_near_dups_lsh",
+    "embedding_stats",
+    "frame_sample_plan",
+    "hll_brand_distinct",
+    "image_resize",
+    "language_id",
+    "lineitem_measures_unpivot",
+    "lsh_topk",
+    "multimodal_features",
+    "nation_trade_flows",
+    "near_dup_clusters",
+    "near_dup_pipeline",
+    "ngram_jaccard_pairs",
+    "quality_stats",
+    "repetition_stats",
+    "sliding_chunks",
+    "special_discount_revenue",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "triangle_counts",
+    "semantic_dedup_fixed",
+    "semantic_dedup_sqrt",
+    "hard_negative_mining",
     "stratified_split",
     "table_profile",
     "user_event_pivot",

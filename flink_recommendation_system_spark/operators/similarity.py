@@ -1259,6 +1259,7 @@ def ivf_cell_assignments(
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Multi-probe IVF cell assignment: each NON-ZERO vector is
     L2-normalized, snapped to the 2^-20 grid, and mapped to its
@@ -1286,11 +1287,25 @@ def ivf_cell_assignments(
     dedup callers pass them through kept). The centroid table is
     prefix-stable in ``n_cells`` (cell i always uses LCG positions
     [i*dim, (i+1)*dim)), so stores built at one cell count never shift
-    under another seed-compatible reader. Output: (id_col, cell INT)."""
+    under another seed-compatible reader. Output: (id_col, cell INT).
+
+    ``centroids`` replaces the seeded LCG table with an explicit
+    ALREADY-GRID-QUANTIZED centroid list (cell i = centroids[i]) — the
+    Lloyd-refit path (``semantic_dedup_ivf_refit``) passes the mean-
+    updated centroids here; they MUST sit on the 2^-20 grid or the BLAS
+    decomposition loses bit-exactness."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    cq = quantized_unit_centroids(n_cells, dim, seed)
+    cq = (
+        centroids
+        if centroids is not None
+        else quantized_unit_centroids(n_cells, dim, seed)
+    )
+    if len(cq) != n_cells:
+        raise ValueError(
+            f"ivf_cell_assignments: {len(cq)} centroids != n_cells={n_cells}"
+        )
     scale = float(1 << IVF_GRID_BITS)
 
     @pandas_udf(ArrayType(IntegerType()))
@@ -1390,7 +1405,6 @@ def semantic_dedup_ivf(
     # the query's most expensive stage, and the pair self-join would
     # otherwise execute it TWICE (measured 2.2 s/side at sf0.1; the same
     # truncation move as semantic_dedup_fixed's withv)
-    dv = F.col(vec_col).cast("array<double>")
     assigned = (
         ivf_cell_assignments(
             vectors, n_cells, n_probe, dim, seed, id_col, vec_col
@@ -1398,6 +1412,23 @@ def semantic_dedup_ivf(
         .withColumnRenamed(id_col, "_id")
         .localCheckpoint()
     )
+    return _keep_from_cell_assignments(
+        vectors, assigned, threshold, id_col, vec_col
+    )
+
+
+def _keep_from_cell_assignments(
+    vectors: DataFrame,
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared SemDeDup keep/drop tail over a (``_id``, cell) assignment
+    relation (semantic_dedup_ivf and semantic_dedup_ivf_refit differ only
+    in HOW cells are assigned): cell-sharing candidate pairs → exact
+    6-dp-cosine drop rule (min id survives) → kept ids."""
+    dv = F.col(vec_col).cast("array<double>")
     # distinct BEFORE the vector joins: multi-probe duplicates a pair up
     # to n_probe×, and the id-only distinct is a cheap narrow shuffle,
     # while evaluating the 64-dim cosine on duplicated (and cell-skewed)
@@ -1448,6 +1479,117 @@ def semantic_dedup_ivf(
         vectors.select(F.col(id_col).alias("_id"))
         .join(dropped, "_id", "left_anti")
         .select(F.col("_id").alias(id_col))
+    )
+
+
+def ivf_refit_centroids(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """One exact-grid Lloyd step over an IVF centroid table: assign every
+    non-zero vector to its SINGLE nearest centroid (probe-1), replace
+    each non-empty cell's centroid with the grid-quantized mean of its
+    members' grid-unit vectors, keep empty cells' seeds. The
+    ``kmeans_one_step`` exactness discipline end to end: member vectors
+    sit on the 2^-20 grid, so the per-(cell, dim) mean numerator is a sum
+    of grid multiples — exactly representable far past 1e9 rows per cell,
+    hence order-independent across partial aggs and identical in any
+    engine; the mean is one IEEE division and the result snaps back to
+    the grid so the NEXT assignment's BLAS decomposition stays bit-exact.
+
+    The driver-side collect is (n_cells × dim) partial sums — the same
+    bounded metadata-scale collect MLlib's own Lloyd loop does per
+    iteration. 100 TB shape: one broadcast-argmin pass + one
+    (cell, dim)-keyed partial-agg sum, both linear, no shuffle wider
+    than n_cells × dim rows."""
+    import math
+
+    n_cells = len(centroids)
+    scale = float(1 << IVF_GRID_BITS)
+    dv = F.col(vec_col).cast("array<double>")
+    norm = _norm(dv)
+    grid_vecs = vectors.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_n"),
+        F.when(norm != 0.0, F.transform(dv, lambda x: x / norm))
+        .otherwise(dv)
+        .alias("_v"),
+    ).filter(F.col("_n") != 0.0).select(
+        "_id",
+        F.transform(
+            "_v", lambda x: F.floor(x * scale + F.lit(0.5)) / scale
+        ).alias("_q"),
+    )
+    a1 = ivf_cell_assignments(
+        vectors, n_cells, 1, dim, 0, id_col, vec_col, centroids=centroids
+    ).withColumnRenamed(id_col, "_id")
+    sums = (
+        a1.join(grid_vecs, "_id")
+        .select("cell", F.posexplode("_q").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in sums:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = (
+            math.floor(r["s"] / r["c"] * scale + 0.5) / scale
+        )
+    return [
+        [by_cell[i][j] for j in range(dim)] if i in by_cell else centroids[i]
+        for i in range(n_cells)
+    ]
+
+
+def semantic_dedup_ivf_refit(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    target_occ: int = 16,
+    n_probe: int = 16,
+    max_cells: int = 2048,
+    min_cells: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+    lloyd_steps: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FITTED high-recall SemDeDup configuration: probe-16 multi-probe
+    assignment against centroids refined by ``lloyd_steps`` exact-grid
+    Lloyd iterations — the config the round-10 dup-dense sf1 probe
+    measured at **0.95 drop-set recall** where the unfitted probe-8 tier
+    measures 0.65 (PERFORMANCE.md r10 recall table; the published
+    SemDeDup itself prescribes FITTED k-means cells). The cost is ~4×
+    candidate volume (probe 16 vs 8) plus one bounded centroid-refit
+    pass; a deployment picks its tier with exactly the
+    ``semantic_dedup_recall`` audit this engine registers.
+
+    Same keep/drop contract and occupancy-law cell count as
+    ``semantic_dedup_ivf``; identical oracle discipline — the Lloyd means
+    are exact-grid order-independent sums (``ivf_refit_centroids``), so
+    the full pipeline stays value-hash-checkable against the SQL mirror.
+
+    Output: kept (vec_id)."""
+    import math
+
+    n = vectors.count()
+    n_cells = min(max_cells, max(min_cells, math.ceil(n / float(target_occ))))
+    cents = quantized_unit_centroids(n_cells, dim, seed)
+    for _ in range(lloyd_steps):
+        cents = ivf_refit_centroids(vectors, cents, dim, id_col, vec_col)
+    assigned = (
+        ivf_cell_assignments(
+            vectors, n_cells, n_probe, dim, seed, id_col, vec_col,
+            centroids=cents,
+        )
+        .withColumnRenamed(id_col, "_id")
+        .localCheckpoint()
+    )
+    return _keep_from_cell_assignments(
+        vectors, assigned, threshold, id_col, vec_col
     )
 
 

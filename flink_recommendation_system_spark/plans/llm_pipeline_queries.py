@@ -1132,6 +1132,10 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("semdedup_fixed", q_semantic_dedup_fixed),
         ("semdedup_ann", q_semantic_dedup_ann),
         ("semdedup_ivf", q_semantic_dedup_ivf),
+        # round 12: the Lloyd-fitted probe-16 config — the measured-best
+        # tier (0.95 at the dup-dense sf1 probe) now audits alongside the
+        # occupancy-law default it improves on
+        ("semdedup_ivf_refit", q_semantic_dedup_ivf_refit),
     ]
     out = None
     for name, fn in dedup_tiers:
@@ -4567,6 +4571,139 @@ QUERIES["semantic_dedup_ivf"] = (
 )
 
 
+# --- Lloyd-fitted probe-16 SemDeDup tier (round 12) --------------------------
+
+SDR_N_PROBE = 16
+
+
+def q_semantic_dedup_ivf_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FITTED high-recall SemDeDup configuration (round 12 — VERDICT
+    r11 noted the engine's own measured-best config was not registered):
+    one exact-grid Lloyd step refines the LCG seed centroids, then
+    probe-16 multi-probe assignment feeds the standard keep/drop. The
+    round-10 dup-dense sf1 probe measured this at **0.95 drop-set
+    recall** vs 0.65 for the unfitted probe-8 tier (PERFORMANCE.md r10
+    recall table) — the published SemDeDup prescribes fitted k-means
+    cells, and this is that prescription in oracle-checkable form. FULL
+    value oracle: the Lloyd mean is an order-independent sum of 2^-20
+    grid multiples + one IEEE division, re-snapped to the grid so the
+    probe-16 assignment's BLAS decomposition stays bit-exact."""
+    return S.semantic_dedup_ivf_refit(
+        _emb(spark, sf_dir),
+        threshold=SDA_THRESHOLD,
+        target_occ=SDI_TARGET_OCC,
+        n_probe=SDR_N_PROBE,
+        max_cells=SDI_MAX_CELLS,
+        min_cells=SDI_MIN_CELLS,
+    )
+
+
+def _semantic_dedup_ivf_refit_sql(
+    threshold: float = SDA_THRESHOLD,
+    target_occ: int = SDI_TARGET_OCC,
+    n_probe: int = SDR_N_PROBE,
+    max_cells: int = SDI_MAX_CELLS,
+    min_cells: int = SDI_MIN_CELLS,
+    dim: int = 64,
+    seed: int = 11,
+) -> str:
+    """Mirror of operators.similarity.semantic_dedup_ivf_refit (one Lloyd
+    step): probe-1 seed assignment → per-(cell, dim) exact-grid mean,
+    re-snapped to the 2^-20 grid (empty cells keep their seed centroid)
+    → probe-``n_probe`` assignment against the refitted table → the
+    shared cand/drop/kept tail. Exactness: the mean numerator is a sum
+    of grid multiples (order-independent in any engine), the division is
+    one IEEE op, and the re-quantized centroids return every distance
+    intermediate to the exact-representable domain, so DuckDB's direct
+    Σ(v−c)² fold equals the Spark side's BLAS decomposition bit for
+    bit."""
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
+        for i, cv in enumerate(
+            S.quantized_unit_centroids(max_cells, dim, seed)
+        )
+    )
+    grid = float(1 << S.IVF_GRID_BITS)
+    nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    l2sq = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])))"
+    )
+    return f"""
+WITH params AS (
+    SELECT CAST(least({max_cells}, greatest({min_cells},
+               ceil(CAST(count(*) AS DOUBLE) / {float(target_occ)!r})))
+           AS INT) AS n_cells
+    FROM embeddings
+),
+cents(cell, cv) AS (VALUES
+    {vals}),
+n AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(CAST(x AS DOUBLE) / {nrm} * {grid!r} + 0.5)
+                    / {grid!r}) AS v
+    FROM embeddings e WHERE {nrm} != 0
+),
+a1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM n CROSS JOIN cents c CROSS JOIN params
+        WHERE c.cell < params.n_cells
+    ) WHERE rn = 1
+),
+sums AS (
+    SELECT a1.cell AS cell, t.j AS pos, sum(n.v[t.j]) AS s,
+           count(*) AS cnt
+    FROM n JOIN a1 USING (vec_id) CROSS JOIN range(1, {dim} + 1) t(j)
+    GROUP BY 1, 2
+),
+refit AS (
+    SELECT c0.cell AS cell, coalesce(u.cv, c0.cv) AS cv
+    FROM cents c0 CROSS JOIN params LEFT JOIN (
+        SELECT cell,
+               list(floor(s / cnt * {grid!r} + 0.5) / {grid!r}
+                    ORDER BY pos) AS cv
+        FROM sums GROUP BY cell
+    ) u ON u.cell = c0.cell
+    WHERE c0.cell < params.n_cells
+),
+assigned AS (
+    SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+        FROM n CROSS JOIN refit c
+    ) WHERE rn <= {n_probe}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dropped AS (
+    SELECT DISTINCT c.id_b AS vec_id
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= {threshold!r}
+)
+SELECT e.vec_id
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+SEMANTIC_DEDUP_IVF_REFIT_SQL = _semantic_dedup_ivf_refit_sql()
+
+QUERIES["semantic_dedup_ivf_refit"] = (
+    q_semantic_dedup_ivf_refit,
+    SEMANTIC_DEDUP_IVF_REFIT_SQL,
+)
+
+
 # --- incremental-ingestion SemDeDup batch twin (round 10, VERDICT r09
 # item 5) -------------------------------------------------------------------
 
@@ -4702,6 +4839,7 @@ SEMANTIC_DEDUP_RECALL_SQL = _assemble_semantic_dedup_recall_sql(
         ),
         "semdedup_ann": SEMANTIC_DEDUP_ANN_SQL,
         "semdedup_ivf": SEMANTIC_DEDUP_IVF_SQL,
+        "semdedup_ivf_refit": SEMANTIC_DEDUP_IVF_REFIT_SQL,
     },
     threshold=SDA_THRESHOLD,
 )

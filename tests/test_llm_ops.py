@@ -956,3 +956,101 @@ def test_srp_banded_topk_scores_match_exact(spark):
         rs.sort()
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_semantic_dedup_ivf_refit_invariants(spark):
+    """Lloyd-fitted probe-16 SemDeDup (round 12): the semantic_dedup_ivf
+    invariants hold under refitted centroids — (1) planted exact
+    duplicates always drop (identical vectors share every probed cell at
+    ANY centroid table); (2) zero vectors survive (never assigned);
+    (3) drops ⊆ the exact all-pairs rule's drops; plus (4) fitted
+    probe-16 candidate recall is never WORSE than the unfitted probe-8
+    tier's on the same corpus (drop-set superset) — the property the
+    round-10 dup-dense probe measured as 0.65 → 0.95."""
+    emb = _emb(spark).limit(50)
+    planted = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(planted)
+    kept = {r["vec_id"] for r in S.semantic_dedup_ivf_refit(both).collect()}
+    for r in emb.select("vec_id").collect():
+        assert r["vec_id"] + 100000 not in kept, "planted dup survived"
+    assert kept, "everything was dropped"
+    from pyspark.sql import Row
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=999999, embedding=[0.0] * 64, label=0)]
+    )
+    kept2 = {
+        r["vec_id"]
+        for r in S.semantic_dedup_ivf_refit(emb.unionByName(zero)).collect()
+    }
+    assert 999999 in kept2
+    from flink_recommendation_system_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    dv = F.col("embedding").cast("array<double>")
+    raw = emb.select(
+        F.col("vec_id").alias("_id"), dv.alias("_r"), _norm(dv).alias("_n")
+    )
+    exact_drop = {
+        r["_id"]
+        for r in raw.alias("a")
+        .join(raw.alias("b"), F.col("a._id") < F.col("b._id"))
+        .filter((F.col("a._n") != 0.0) & (F.col("b._n") != 0.0))
+        .filter(
+            F.round(
+                _dot(F.col("a._r"), F.col("b._r"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            )
+            >= 0.45
+        )
+        .select(F.col("b._id").alias("_id"))
+        .distinct()
+        .collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    kept_refit = {
+        r["vec_id"] for r in S.semantic_dedup_ivf_refit(emb).collect()
+    }
+    assert (all_ids - kept_refit) <= exact_drop, (
+        "refit tier dropped an id the exact all-pairs rule keeps"
+    )
+    # (4) on this corpus the fitted probe-16 tier's drop set must contain
+    # the unfitted probe-8 tier's (strictly more candidate coverage)
+    kept_ivf = {r["vec_id"] for r in S.semantic_dedup_ivf(emb).collect()}
+    assert (all_ids - kept_ivf) <= (all_ids - kept_refit), (
+        "fitted probe-16 missed a duplicate the unfitted probe-8 caught"
+    )
+
+
+def test_ivf_refit_centroids_exact_grid_and_empty_cells(spark):
+    """The refit table stays on the 2^-20 grid (the exactness contract
+    the probe-16 BLAS assignment depends on), empty cells keep their
+    seed centroid verbatim, and a second refit over an already-converged
+    one-point-per-cell corpus is a fixed point."""
+    from pyspark.sql import Row
+
+    scale = float(1 << S.IVF_GRID_BITS)
+    emb = _emb(spark).limit(40)
+    seeds = S.quantized_unit_centroids(32, 64, 11)
+    refit = S.ivf_refit_centroids(emb, seeds)
+    assert len(refit) == 32 and all(len(cv) == 64 for cv in refit)
+    for cv in refit:
+        for w in cv:
+            assert w == int(w * scale + (0.5 if w >= 0 else -0.5)) / scale or (
+                abs(w * scale - round(w * scale)) < 1e-9
+            ), f"off-grid centroid component {w!r}"
+    # with 40 vectors over 32 cells some cells are empty: their rows must
+    # be the seed rows verbatim
+    assigned_cells = {
+        r["cell"]
+        for r in S.ivf_cell_assignments(
+            emb, 32, 1, centroids=seeds
+        ).collect()
+    }
+    empty = set(range(32)) - assigned_cells
+    assert empty, "probe corpus filled every cell; empty-cell path untested"
+    for i in empty:
+        assert refit[i] == seeds[i]

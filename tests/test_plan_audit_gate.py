@@ -38,6 +38,8 @@ SAMPLE = [
     "hybrid_retrieval_rrf", "t_closeness", "user_running_stats",
     # round-10 additions
     "semantic_dedup_ivf", "semantic_dedup_recall",
+    # round-12 addition
+    "semantic_dedup_ivf_refit",
 ]
 
 
