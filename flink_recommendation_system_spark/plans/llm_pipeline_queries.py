@@ -3582,7 +3582,14 @@ QUERIES["subword_token_counts"] = (
 def q_semantic_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`semantic_dedup`'s assignment + within-cell dedup machinery on
     FIXED hash-derived centroids — FULL value oracle (the PQ/IVF recipe);
-    the KMeans variant stays rows-only beside it."""
+    the KMeans variant stays rows-only beside it.
+
+    AUDIT-CLASS / SAMPLE-SCALE-ONLY (``AUDIT_CLASS_QUERIES``): a fixed
+    cell count makes the within-cell pair volume Σ|cell|² grow ~N²/c —
+    superlinear BY DESIGN. This is the bracketing baseline the recall
+    audit measures the sublinear tiers against; production pipelines run
+    `semantic_dedup_ivf_refit` (occupancy-law cells, linear candidate
+    volume)."""
     return S.semantic_dedup_fixed(
         _emb(spark, sf_dir), n_clusters=16, threshold=0.45
     )
@@ -3674,7 +3681,13 @@ def q_semantic_dedup_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     count() (the same adaptive-planning trade AQE makes) feeding the same
     deterministic hash-derived LCG centroids, which the DuckDB oracle
     regenerates bit-exactly in SQL (recursive-CTE LCG over HUGEINT, the
-    identical IEEE ops), so the oracle follows the law at ANY sf."""
+    identical IEEE ops), so the oracle follows the law at ANY sf.
+
+    AUDIT-CLASS / SAMPLE-SCALE-ONLY (``AUDIT_CLASS_QUERIES``): ~N^1.5 is
+    still superlinear BY DESIGN — this is the SemDeDup paper's cell-count
+    law kept as the mid-point baseline between the fixed-cell tier and
+    the occupancy-law production tier; production pipelines run
+    `semantic_dedup_ivf_refit`."""
     import math
 
     emb = _emb(spark, sf_dir)

@@ -45,3 +45,18 @@ def test_no_silently_empty_oracles():
         if len(rows) == 0:
             empty.append(name)
     assert not empty, f"oracles with 0 rows at sf0.01 (stale literals?): {empty}"
+
+
+def test_audit_class_registry_is_consistent():
+    """Registry-level audit-class marking (VERDICT r11 item 6): every
+    name in AUDIT_CLASS_QUERIES must be a registered query, the two
+    deliberately-superlinear SemDeDup baseline tiers must be marked, and
+    every entry must name a registered production-scale twin so a user
+    scanning the registry can find the tier to run instead."""
+    marked = entrymod.AUDIT_CLASS_QUERIES
+    assert set(marked) <= set(QUERIES), sorted(set(marked) - set(QUERIES))
+    assert {"semantic_dedup_fixed", "semantic_dedup_sqrt"} <= set(marked)
+    for name, (why, twin) in marked.items():
+        assert why and twin, name
+        # the twin field must reference at least one registered query
+        assert any(q in twin for q in QUERIES), (name, twin)

@@ -413,12 +413,6 @@ WAIVED_BY_CONTRACT = {
         "embedding_near_dups_lsh",
         1,
     ),
-    "customer_deciles": (
-        "exact global ntile needs a total order over the customer dim; "
-        "scale path = quantile-cutpoint join (approx_order_quantiles "
-        "family)",
-        1,
-    ),
     "conversion_latency_quantiles": (
         "EXACT rank-selection quantiles by contract (observed values, "
         "engines cannot drift); approx_order_quantiles is the scale path",
