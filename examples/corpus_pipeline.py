@@ -103,20 +103,22 @@ def main() -> None:
     n_pairs = spark.read.parquet(paths["pairs"]).count()
 
     # 5b. SEMANTIC dedup on the surviving docs' embeddings (doc_id ≡
-    #     vec_id): multi-probe IVF-cell candidates feed the exact-cosine
-    #     keep/drop — the engine's measured-best sublinear tier (drop
-    #     recall 0.65-0.96 across probes where banded SRP measures
-    #     0.05-0.36: a cosine-0.45 duplicate sits 63° apart, wider than
-    #     sign-agreement banding reaches — PERFORMANCE.md r10 recall
-    #     table); near-dup catches copies, this catches paraphrases
+    #     vec_id): the Lloyd-FITTED probe-16 multi-probe IVF tier — the
+    #     engine's measured-best sublinear config (drop recall 1.0 at
+    #     sf0.1 / 0.95 at the dup-dense sf1 probe, vs 0.65 unfitted
+    #     probe-8 and 0.05-0.36 for banded SRP: a cosine-0.45 duplicate
+    #     sits 63° apart, wider than sign-agreement banding reaches —
+    #     PERFORMANCE.md r10/r12 recall tables); one occupancy-law
+    #     broadcast-argmin Lloyd step, still linear end to end. Near-dup
+    #     catches copies, this catches paraphrases
     from flink_recommendation_system_spark.operators.similarity import (
-        semantic_dedup_ivf,
+        semantic_dedup_ivf_refit,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").join(
         corpus.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
-    sem_keep = semantic_dedup_ivf(
+    sem_keep = semantic_dedup_ivf_refit(
         emb, threshold=0.45, max_cells=2048
     ).select(F.col("vec_id").alias("doc_id"))
     corpus = corpus.join(sem_keep, "doc_id", "left_semi")
