@@ -726,6 +726,18 @@ _WINDOW_PRIORITY = [
     "semantic_dedup",
     "ivf_topk",
     "pq_topk",
+    # 3b. LATE-R12 ADDITIONS to the window: the correctness-history scan
+    # (all CORRECTNESS_r1..r11 files + this window) found exactly TWO
+    # queries with NO driver row in ANY round — both rows-only checks
+    # that, like the rows-only four above, were never in this list at
+    # all; plus customer_deciles, whose implementation changed this
+    # round (ntile window → distributed global-rank recovery, same
+    # oracle) and whose newest driver row is the r6 ntile version.
+    # The last three r6-block entries fall out to positions 51-53 and
+    # head the r13 rotation instead.
+    "approx_supplier_counts",
+    "quality_classifier",
+    "customer_deciles",
     # 4. OLDEST-VINTAGE ROTATION: the r6-green block exactly as staged by
     # the round-11 note (ktruss_edges onward), filling the window to 50.
     # After this window lands the oldest driver green moves from r6 to r8.

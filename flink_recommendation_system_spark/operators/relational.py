@@ -225,6 +225,52 @@ def global_positions(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list[Column],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact SQL ``ntile(n) OVER (ORDER BY ...)`` WITHOUT the
+    single-partition global sort that window form forces (every row
+    through ONE task). Rides ``global_positions`` for the contiguous
+    1..N rank, then recovers ntile's exact bucket law arithmetically:
+    with q = N DIV n and rem = N % n, the first rem buckets hold q+1
+    rows and the rest hold q, so
+
+        bucket(r) = (r-1) DIV (q+1) + 1              if r <= rem*(q+1)
+                    rem + (r-1-rem*(q+1)) DIV q + 1  otherwise
+
+    Integer DIV throughout — no double rounding at any N. ``order_cols``
+    must be a total order (same contract as ``global_positions``). The
+    only driver round-trips are the #partitions-row offset collect and a
+    broadcast 1-row COUNT(*): both metadata-sized at any scale. The
+    position column is dropped; callers needing both rank and bucket
+    compose ``global_positions`` with the same arithmetic."""
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        global_positions(df, order_cols, position_col="_pos")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_q", F.expr(f"_n DIV {int(n_buckets)}"))
+        .withColumn("_rem", F.col("_n") % F.lit(int(n_buckets)))
+        .withColumn("_cut", F.col("_rem") * (F.col("_q") + F.lit(1)))
+        .withColumn(
+            bucket_col,
+            F.when(
+                F.col("_pos") <= F.col("_cut"),
+                F.expr("(_pos - 1) DIV (_q + 1) + 1"),
+            )
+            .otherwise(
+                # _q = 0 (N < n_buckets) never reaches this branch
+                # (_cut = N); greatest() keeps the divisor nonzero anyway
+                F.expr("_rem + (_pos - 1 - _cut) DIV greatest(_q, 1) + 1")
+            )
+            .cast("long"),
+        )
+        .drop("_pos", "_n", "_q", "_rem", "_cut")
+    )
+
+
 def uniform_sample_k(
     df: DataFrame, k: int, id_col: str, salt: str = "sample"
 ) -> DataFrame:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import global_positions
+from ..operators.relational import global_ntile
 from ..sources.tables import load_table
 
 
@@ -152,45 +152,18 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ntile(10) decile of customers by account balance + per-decile
     stats — WITHOUT the single-partition global sort `ntile() OVER
     (ORDER BY ...)` forces (Exchange SinglePartition funnels every row
-    through one task). Instead the distributed global-rank machinery
-    (``global_positions``: repartitionByRange + per-partition row_number
-    + broadcast offset join) yields the contiguous 1..N position, and the
-    decile is recovered arithmetically from (position, N) under SQL
-    ntile's exact bucket law: with q = N DIV 10 and rem = N % 10, the
-    first rem buckets hold q+1 rows and the rest hold q, so
-
-        decile(r) = (r-1) DIV (q+1) + 1                   if r <= rem*(q+1)
-                    rem + (r-1-rem*(q+1)) DIV q + 1       otherwise
-
-    Integer DIV throughout (no double rounding at any N). The only
-    driver round-trips are the #partitions-row offset collect inside
-    ``global_positions`` and the broadcast 1-row COUNT(*) — both
-    metadata-sized at any scale."""
+    through one task). ``operators.relational.global_ntile`` recovers
+    ntile's exact bucket law arithmetically from the distributed global
+    rank (repartitionByRange + per-partition row_number + broadcast
+    offset join); the only driver round-trips are the #partitions-row
+    offset collect and a broadcast 1-row COUNT(*) — metadata-sized at
+    any scale."""
     cust = load_table(spark, sf_dir, "customer")
-    ranked = global_positions(
+    with_decile = global_ntile(
         cust.select("c_acctbal", "c_custkey"),
+        10,
         [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
-        position_col="_pos",
-    )
-    total = cust.agg(F.count(F.lit(1)).alias("_n"))
-    with_decile = (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn("_q", F.expr("_n DIV 10"))
-        .withColumn("_rem", F.col("_n") % F.lit(10))
-        .withColumn("_cut", F.col("_rem") * (F.col("_q") + F.lit(1)))
-        .withColumn(
-            "decile",
-            F.when(
-                F.col("_pos") <= F.col("_cut"),
-                F.expr("(_pos - 1) DIV (_q + 1) + 1"),
-            )
-            .otherwise(
-                # _q = 0 (N < 10) never reaches this branch (_cut = N);
-                # greatest() keeps the unevaluated divisor nonzero anyway
-                F.expr("_rem + (_pos - 1 - _cut) DIV greatest(_q, 1) + 1")
-            )
-            .cast("long"),
-        )
+        bucket_col="decile",
     )
     return with_decile.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -80,3 +80,33 @@ def test_activity_similarity_matches_dense_bruteforce(spark):
     assert got[(1, 3)] == (4 + 1) + 1  # no shared bucket: n1+n3 = 6
     assert got[(2, 3)] == 2 + 1
     assert got[(2, 1)] == got[(1, 2)] and got[(3, 1)] == got[(1, 3)]
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """global_ntile's arithmetic bucket recovery must equal Spark's own
+    ntile() window at every (N, n_buckets) shape that exercises the
+    bucket law: N % n == 0, N % n != 0, N < n (every row its own
+    bucket), and N == 1 — on shuffled input with a unique tie-break."""
+    from pyspark.sql import Window
+
+    from flink_recommendation_system_spark.operators.relational import (
+        global_ntile,
+    )
+
+    for n_rows, n_buckets in ((40, 10), (47, 10), (7, 10), (1, 10), (23, 4)):
+        # values with heavy ties so the unique-key tie-break matters
+        rows = [(i, (i * 7919) % 5) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, ["k", "v"]).repartition(8)
+        order = [F.col("v").desc(), F.col("k").asc()]
+        got = {
+            r["k"]: r["bucket"]
+            for r in global_ntile(df, n_buckets, order).collect()
+        }
+        w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+        want = {
+            r["k"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(n_buckets).over(w).cast("long")
+            ).collect()
+        }
+        assert got == want, (n_rows, n_buckets)
