@@ -1,0 +1,144 @@
+"""S10 (visualization relay) — the stdlib SSE analog of the reference's
+Kafka→WebSocket service (`service.js:5-55`, `index.js:1-34`): HTTP
+surface, broadcast semantics, and the streaming foreachBatch relay
+end-to-end over a file-source replay (no Kafka broker in the container,
+same waiver as the rest of the streaming suite)."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+from flink_recommendation_system_spark.streaming.viz_service import (
+    RecommendationVizService,
+    parse_output_message,
+    start_recommendation_viz,
+)
+
+
+def _wait_for_clients(svc, n, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        with svc._lock:
+            if len(svc._clients) >= n:
+                return
+        time.sleep(0.05)
+    raise AssertionError(f"no {n} SSE subscribers after {timeout}s")
+
+
+class _SseReader:
+    """Background /events subscriber collecting decoded messages."""
+
+    def __init__(self, port):
+        self.messages: list[str] = []
+        self._conn = http.client.HTTPConnection(
+            "127.0.0.1", port, timeout=30
+        )
+        self._conn.request("GET", "/events")
+        self._resp = self._conn.getresponse()
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    def _pump(self):
+        try:
+            for raw in self._resp.fp:
+                if raw.startswith(b"data: "):
+                    self.messages.append(raw[6:].strip().decode())
+        except Exception:
+            pass  # server shutdown / socket close ends the pump
+
+    def wait_for(self, n, timeout=30.0):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if len(self.messages) >= n:
+                return list(self.messages)
+            time.sleep(0.05)
+        raise AssertionError(
+            f"got {len(self.messages)}/{n} SSE messages after {timeout}s"
+        )
+
+    def close(self):
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+
+
+def test_viz_http_surface_and_broadcast():
+    """Page + 404 contract (service.js:18 404s everything but the
+    protocol endpoints) and sendUTF-style broadcast to BOTH clients."""
+    svc = RecommendationVizService(port=0)
+    port = svc.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10
+        ).read().decode()
+        assert "EventSource" in page and "data-display" in page
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=10
+            )
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        r1, r2 = _SseReader(port), _SseReader(port)
+        _wait_for_clients(svc, 2)
+        wire = json.dumps({"userId": 7, "recommendedProducts": ["1", "2"]})
+        svc.publish(wire)
+        for reader in (r1, r2):
+            (msg,) = reader.wait_for(1)
+            assert parse_output_message(msg) == (7, ["1", "2"])
+            reader.close()
+    finally:
+        svc.stop()
+
+
+def test_viz_stream_relays_every_output_row(spark, tmp_path):
+    """File-source replay through start_recommendation_viz: every enriched
+    row reaches the subscribed browser in the exact KafkaOutput wire
+    format (KafkaOutputSerialization.java:10-19)."""
+    rows = [
+        {"user_id": i, "recommended_products": [str(i * 10), "99"]}
+        for i in range(6)
+    ]
+    d = tmp_path / "enriched_in"
+    d.mkdir()
+    for i in (0, 1):
+        with open(d / f"part-{i}.json", "w") as f:
+            for r in rows[i * 3 : (i + 1) * 3]:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, recommended_products array<string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+
+    svc = RecommendationVizService(port=0)
+    port = svc.start()
+    try:
+        reader = _SseReader(port)
+        _wait_for_clients(svc, 1)
+        q = start_recommendation_viz(stream, svc, str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            parse_output_message(m) for m in reader.wait_for(len(rows))
+        )
+        want = sorted(
+            (r["user_id"], r["recommended_products"]) for r in rows
+        )
+        assert got == want
+        reader.close()
+    finally:
+        svc.stop()
