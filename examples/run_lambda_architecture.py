@@ -89,6 +89,42 @@ def main() -> None:
     print(f"[speed] served {served.count()} recommendation messages; "
           f"{ratings.count()} distinct ratings persisted")
     print(f"[speed] sample output: {served.first()['value'][:100]}")
+
+    # --- S10 visualization relay: replay the served output through the
+    # SSE service (the reference's Kafka→WebSocket→browser display;
+    # open http://127.0.0.1:<port>/ during a live run to watch) ---
+    from flink_recommendation_system_spark.streaming.viz_service import (
+        RecommendationVizService,
+        start_recommendation_viz,
+    )
+
+    svc = RecommendationVizService(port=0)
+    port = svc.start()
+    # the speed layer persists wire JSON; re-derive the enriched shape
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.schemas import OUTPUT_SCHEMA
+
+    enriched_dir = f"{out}/enriched"
+    (
+        served.select(F.from_json("value", OUTPUT_SCHEMA).alias("o"))
+        .select(
+            F.col("o.userId").alias("user_id"),
+            F.col("o.recommendedProducts").alias("recommended_products"),
+        )
+        .write.mode("overwrite")
+        .parquet(enriched_dir)
+    )
+    viz_stream = spark.readStream.schema(
+        "user_id long, recommended_products array<string>"
+    ).parquet(enriched_dir)
+    vq = start_recommendation_viz(viz_stream, svc, f"{out}/viz_ckpt")
+    vq.processAllAvailable()
+    vq.stop()
+    print(f"[viz] SSE relay served on port {port} "
+          "(display-bounded foreachBatch broadcast)")
+    svc.stop()
+
     print(f"artifacts in {out}")
     spark.stop()
 
