@@ -740,7 +740,19 @@ _WINDOW_PRIORITY = [
     "customer_deciles",
     # 4. OLDEST-VINTAGE ROTATION: the r6-green block exactly as staged by
     # the round-11 note (ktruss_edges onward), filling the window to 50.
-    # After this window lands the oldest driver green moves from r6 to r8.
+    #
+    # ROUND-13 STAGING (vintage scan over CORRECTNESS_r1..r11 + this
+    # window): after this window lands, every query has >=1 driver row
+    # and the oldest-vintage population is 45 at r6, 34 at r7, 45 at r8,
+    # 13 at r9. Round 13's window = the three entries this round pushed
+    # out (returned_items, revenue_grouping_sets, simhash_near_dups, all
+    # r6) + the remaining r6 block (active_nations,
+    # approx_order_quantiles, classifier_scores, closeness_estimates,
+    # clustering_coefficients, conditional_agg, customer_distribution,
+    # customer_latest_order, customer_name_parse, customer_order_counts,
+    # ... alphabetical through waiting_suppliers) + the start of the r7
+    # block, filling to 50. After that window the oldest green moves to
+    # r7.
     "ktruss_edges",
     "bpe_compression_stats",
     "record_linkage_scores",
