@@ -952,15 +952,12 @@ _WINDOW_PRIORITY = [
     "nations_in_both",
     "customer_name_parse",
     "part_type_stats",
-    "approx_supplier_counts",
     "order_priority_counts",
     "conditional_agg",
-    "customer_deciles",
     "customer_order_gaps",
     "pq_adc_topk",
     "ivf_probe",
     "classifier_scores",
-    "quality_classifier",
     "customer_distribution",
     "waiting_suppliers",
     "global_sales_opportunity",

@@ -116,8 +116,9 @@ def main() -> None:
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
     n = emb.count()
-    # the occupancy law the batch IVF tier uses, pinned at stream start
-    n_cells = max(8, min(2048, n // 16))
+    # the occupancy law the batch IVF tier uses (ceil(n/16), the same
+    # clamp as semantic_dedup_ivf), pinned at stream start
+    n_cells = max(8, min(2048, -(-n // 16)))
     # warmup replay (2 batches over a 10% slice) so the first measured
     # mode does not absorb JVM/codegen warmup — the r12 first cut showed
     # batch 0 at 9.7 s vs a 1.7 s steady state purely from warmup

@@ -195,6 +195,19 @@ def global_positions(
     The result is deterministic even though range boundaries are sampled:
     under a total order, the global rank of a row is boundary-invariant.
     """
+    positions, _total = _global_positions_with_total(
+        df, order_cols, position_col
+    )
+    return positions
+
+
+def _global_positions_with_total(
+    df: DataFrame, order_cols: list[Column], position_col: str
+) -> tuple[DataFrame, int]:
+    """``global_positions`` plus the total row count — N is the sum of
+    the per-partition counts the offset pass already collects, so callers
+    that need it (``global_ntile``) get it for free instead of paying a
+    second full aggregation over the input."""
     ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -211,10 +224,10 @@ def global_positions(
         acc += n
     spark = df.sparkSession
     offset_df = F.broadcast(
-        spark.createDataFrame(offsets, ["_pid", "_offset"])
+        spark.createDataFrame(offsets or [(0, 0)], ["_pid", "_offset"])
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    positions = (
         with_pid.withColumn("_local", F.row_number().over(w))
         .join(offset_df, "_pid")
         .withColumn(
@@ -223,6 +236,7 @@ def global_positions(
         )
         .drop("_pid", "_local", "_offset")
     )
+    return positions, acc
 
 
 def global_ntile(
@@ -243,31 +257,32 @@ def global_ntile(
 
     Integer DIV throughout — no double rounding at any N. ``order_cols``
     must be a total order (same contract as ``global_positions``). The
-    only driver round-trips are the #partitions-row offset collect and a
-    broadcast 1-row COUNT(*): both metadata-sized at any scale. The
-    position column is dropped; callers needing both rank and bucket
-    compose ``global_positions`` with the same arithmetic."""
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    only driver round-trip is the #partitions-row offset collect already
+    inside the rank pass — N is the sum of those per-partition counts,
+    so the bucket constants (q, rem, cut) fold into the plan as literals
+    with no second scan and no broadcast join. The position column is
+    dropped; callers needing both rank and bucket compose
+    ``global_positions`` with the same arithmetic."""
+    positions, n = _global_positions_with_total(
+        df, order_cols, position_col="_pos"
+    )
+    q, rem = n // n_buckets, n % n_buckets
+    cut = rem * (q + 1)
     return (
-        global_positions(df, order_cols, position_col="_pos")
-        .crossJoin(F.broadcast(total))
-        .withColumn("_q", F.expr(f"_n DIV {int(n_buckets)}"))
-        .withColumn("_rem", F.col("_n") % F.lit(int(n_buckets)))
-        .withColumn("_cut", F.col("_rem") * (F.col("_q") + F.lit(1)))
-        .withColumn(
+        positions.withColumn(
             bucket_col,
             F.when(
-                F.col("_pos") <= F.col("_cut"),
-                F.expr("(_pos - 1) DIV (_q + 1) + 1"),
+                F.col("_pos") <= F.lit(cut),
+                F.expr(f"(_pos - 1) DIV {q + 1} + 1"),
             )
             .otherwise(
-                # _q = 0 (N < n_buckets) never reaches this branch
-                # (_cut = N); greatest() keeps the divisor nonzero anyway
-                F.expr("_rem + (_pos - 1 - _cut) DIV greatest(_q, 1) + 1")
+                # q = 0 (N < n_buckets) never reaches this branch
+                # (cut = N); max() keeps the literal divisor nonzero
+                F.expr(f"{rem} + (_pos - 1 - {cut}) DIV {max(q, 1)} + 1")
             )
             .cast("long"),
         )
-        .drop("_pos", "_n", "_q", "_rem", "_cut")
+        .drop("_pos")
     )
 
 

@@ -1260,6 +1260,7 @@ def ivf_cell_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    include_quantized: bool = False,
 ) -> DataFrame:
     """Multi-probe IVF cell assignment: each NON-ZERO vector is
     L2-normalized, snapped to the 2^-20 grid, and mapped to its
@@ -1293,7 +1294,12 @@ def ivf_cell_assignments(
     ALREADY-GRID-QUANTIZED centroid list (cell i = centroids[i]) — the
     Lloyd-refit path (``semantic_dedup_ivf_refit``) passes the mean-
     updated centroids here; they MUST sit on the 2^-20 grid or the BLAS
-    decomposition loses bit-exactness."""
+    decomposition loses bit-exactness.
+
+    ``include_quantized`` adds the grid-snapped unit vector as a
+    ``quantized`` column — the Lloyd refit pass needs (cell, quantized)
+    together, and emitting both from the one normalize+snap pass saves a
+    second full projection plus an N-row rejoin per Lloyd step."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -1342,9 +1348,11 @@ def ivf_cell_assignments(
             "_v", lambda x: F.floor(x * scale + F.lit(0.5)) / scale
         ).alias("_q"),
     )
+    extra = [F.col("_q").alias("quantized")] if include_quantized else []
     return quant.select(
         F.col("_id").alias(id_col),
         F.explode(_top_cells(F.col("_q"))).alias("cell"),
+        *extra,
     )
 
 
@@ -1509,26 +1517,22 @@ def ivf_refit_centroids(
 
     n_cells = len(centroids)
     scale = float(1 << IVF_GRID_BITS)
-    dv = F.col(vec_col).cast("array<double>")
-    norm = _norm(dv)
-    grid_vecs = vectors.select(
-        F.col(id_col).alias("_id"),
-        norm.alias("_n"),
-        F.when(norm != 0.0, F.transform(dv, lambda x: x / norm))
-        .otherwise(dv)
-        .alias("_v"),
-    ).filter(F.col("_n") != 0.0).select(
-        "_id",
-        F.transform(
-            "_v", lambda x: F.floor(x * scale + F.lit(0.5)) / scale
-        ).alias("_q"),
+    # one pass: the probe-1 assignment's own normalize+snap projection
+    # also yields the grid-unit vector the mean needs (include_quantized)
+    # — no second projection, no N-row rejoin
+    a1q = ivf_cell_assignments(
+        vectors,
+        n_cells,
+        1,
+        dim,
+        0,
+        id_col,
+        vec_col,
+        centroids=centroids,
+        include_quantized=True,
     )
-    a1 = ivf_cell_assignments(
-        vectors, n_cells, 1, dim, 0, id_col, vec_col, centroids=centroids
-    ).withColumnRenamed(id_col, "_id")
     sums = (
-        a1.join(grid_vecs, "_id")
-        .select("cell", F.posexplode("_q").alias("pos", "val"))
+        a1q.select("cell", F.posexplode("quantized").alias("pos", "val"))
         .groupBy("cell", "pos")
         .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()

@@ -4491,6 +4491,71 @@ def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sql_fragments(
+    dim: int, seed: int, n_bake: int, threshold: float
+) -> dict[str, str]:
+    """The exactness-critical SQL fragments BOTH IVF-tier oracles share —
+    one copy of the grid-snap formula, the baked pre-quantized centroid
+    literal, the L2 rank expression, and the cand/dropped/kept tail, so
+    a future fix to any of them cannot silently diverge between the
+    probe-8 and the Lloyd-refit mirrors (they must stay bit-identical to
+    the same Spark-side machinery in operators.similarity)."""
+    grid = float(1 << S.IVF_GRID_BITS)
+    nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    return {
+        "cents_vals": ",\n    ".join(
+            f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
+            for i, cv in enumerate(
+                S.quantized_unit_centroids(n_bake, dim, seed)
+            )
+        ),
+        "grid": repr(grid),
+        "n_cte": f"""n AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(CAST(x AS DOUBLE) / {nrm} * {grid!r} + 0.5)
+                    / {grid!r}) AS v
+    FROM embeddings e WHERE {nrm} != 0
+)""",
+        "l2sq": (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])))"
+        ),
+        "tail": f"""cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dropped AS (
+    SELECT DISTINCT c.id_b AS vec_id
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= {threshold!r}
+)
+SELECT e.vec_id
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+WHERE d.vec_id IS NULL""",
+    }
+
+
+def _ivf_params_cte(
+    target_occ: int,
+    max_cells: int,
+    min_cells: int,
+    pinned_cells: int | None,
+) -> str:
+    """The adaptive clamp(ceil(N/occ), min, max) cell-count CTE, or a
+    pinned constant (the streaming contract, where cell boundaries must
+    not move between ingestion batches)."""
+    if pinned_cells is not None:
+        return f"SELECT CAST({pinned_cells} AS INT) AS n_cells"
+    return f"""SELECT CAST(least({max_cells}, greatest({min_cells},
+               ceil(CAST(count(*) AS DOUBLE) / {float(target_occ)!r})))
+           AS INT) AS n_cells
+    FROM embeddings"""
+
+
 def _semantic_dedup_ivf_sql(
     threshold: float = SDA_THRESHOLD,
     target_occ: int = SDI_TARGET_OCC,
@@ -4518,61 +4583,27 @@ def _semantic_dedup_ivf_sql(
     to it in the n CTE, so this direct Σ(v−c)² fold is bit-identical to
     the Spark side's numpy matmul decomposition (every intermediate is
     exactly representable — order-independent sums)."""
-    n_bake = max(max_cells, pinned_cells or 0)
-    vals = ",\n    ".join(
-        f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
-        for i, cv in enumerate(S.quantized_unit_centroids(n_bake, dim, seed))
+    f = _ivf_sql_fragments(
+        dim, seed, max(max_cells, pinned_cells or 0), threshold
     )
-    grid = float(1 << S.IVF_GRID_BITS)
-    nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
-    l2sq = (
-        f"list_sum(list_transform(range(1, {dim} + 1), "
-        f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])))"
-    )
-    if pinned_cells is not None:
-        params = f"SELECT CAST({pinned_cells} AS INT) AS n_cells"
-    else:
-        params = f"""SELECT CAST(least({max_cells}, greatest({min_cells},
-               ceil(CAST(count(*) AS DOUBLE) / {float(target_occ)!r})))
-           AS INT) AS n_cells
-    FROM embeddings"""
+    params = _ivf_params_cte(target_occ, max_cells, min_cells, pinned_cells)
     return f"""
 WITH params AS (
     {params}
 ),
 cents(cell, cv) AS (VALUES
-    {vals}),
-n AS (
-    SELECT e.vec_id,
-           list_transform(e.embedding,
-               x -> floor(CAST(x AS DOUBLE) / {nrm} * {grid!r} + 0.5)
-                    / {grid!r}) AS v
-    FROM embeddings e WHERE {nrm} != 0
-),
+    {f["cents_vals"]}),
+{f["n_cte"]},
 assigned AS (
     SELECT vec_id, cell FROM (
         SELECT n.vec_id, c.cell,
                row_number() OVER (PARTITION BY n.vec_id
-                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+                                  ORDER BY {f["l2sq"]} ASC, c.cell ASC) AS rn
         FROM n CROSS JOIN cents c CROSS JOIN params
         WHERE c.cell < params.n_cells
     ) WHERE rn <= {n_probe}
 ),
-cand AS (
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM assigned a JOIN assigned b
-      ON a.cell = b.cell AND a.vec_id < b.vec_id
-),
-dropped AS (
-    SELECT DISTINCT c.id_b AS vec_id
-    FROM cand c
-    JOIN embeddings x ON x.vec_id = c.id_a
-    JOIN embeddings y ON y.vec_id = c.id_b
-    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= {threshold!r}
-)
-SELECT e.vec_id
-FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
-WHERE d.vec_id IS NULL
+{f["tail"]}
 """
 
 
@@ -4630,39 +4661,21 @@ def _semantic_dedup_ivf_refit_sql(
     intermediate to the exact-representable domain, so DuckDB's direct
     Σ(v−c)² fold equals the Spark side's BLAS decomposition bit for
     bit."""
-    vals = ",\n    ".join(
-        f"({i}, [{', '.join(repr(w) for w in cv)}]::DOUBLE[])"
-        for i, cv in enumerate(
-            S.quantized_unit_centroids(max_cells, dim, seed)
-        )
-    )
-    grid = float(1 << S.IVF_GRID_BITS)
-    nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
-    l2sq = (
-        f"list_sum(list_transform(range(1, {dim} + 1), "
-        f"j -> (n.v[j] - c.cv[j]) * (n.v[j] - c.cv[j])))"
-    )
+    f = _ivf_sql_fragments(dim, seed, max_cells, threshold)
+    params = _ivf_params_cte(target_occ, max_cells, min_cells, None)
+    grid = f["grid"]
     return f"""
 WITH params AS (
-    SELECT CAST(least({max_cells}, greatest({min_cells},
-               ceil(CAST(count(*) AS DOUBLE) / {float(target_occ)!r})))
-           AS INT) AS n_cells
-    FROM embeddings
+    {params}
 ),
 cents(cell, cv) AS (VALUES
-    {vals}),
-n AS (
-    SELECT e.vec_id,
-           list_transform(e.embedding,
-               x -> floor(CAST(x AS DOUBLE) / {nrm} * {grid!r} + 0.5)
-                    / {grid!r}) AS v
-    FROM embeddings e WHERE {nrm} != 0
-),
+    {f["cents_vals"]}),
+{f["n_cte"]},
 a1 AS (
     SELECT vec_id, cell FROM (
         SELECT n.vec_id, c.cell,
                row_number() OVER (PARTITION BY n.vec_id
-                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+                                  ORDER BY {f["l2sq"]} ASC, c.cell ASC) AS rn
         FROM n CROSS JOIN cents c CROSS JOIN params
         WHERE c.cell < params.n_cells
     ) WHERE rn = 1
@@ -4677,7 +4690,7 @@ refit AS (
     SELECT c0.cell AS cell, coalesce(u.cv, c0.cv) AS cv
     FROM cents c0 CROSS JOIN params LEFT JOIN (
         SELECT cell,
-               list(floor(s / cnt * {grid!r} + 0.5) / {grid!r}
+               list(floor(s / cnt * {grid} + 0.5) / {grid}
                     ORDER BY pos) AS cv
         FROM sums GROUP BY cell
     ) u ON u.cell = c0.cell
@@ -4687,25 +4700,11 @@ assigned AS (
     SELECT vec_id, cell FROM (
         SELECT n.vec_id, c.cell,
                row_number() OVER (PARTITION BY n.vec_id
-                                  ORDER BY {l2sq} ASC, c.cell ASC) AS rn
+                                  ORDER BY {f["l2sq"]} ASC, c.cell ASC) AS rn
         FROM n CROSS JOIN refit c
     ) WHERE rn <= {n_probe}
 ),
-cand AS (
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM assigned a JOIN assigned b
-      ON a.cell = b.cell AND a.vec_id < b.vec_id
-),
-dropped AS (
-    SELECT DISTINCT c.id_b AS vec_id
-    FROM cand c
-    JOIN embeddings x ON x.vec_id = c.id_a
-    JOIN embeddings y ON y.vec_id = c.id_b
-    WHERE {_cosine_sql('x.embedding', 'y.embedding')} >= {threshold!r}
-)
-SELECT e.vec_id
-FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
-WHERE d.vec_id IS NULL
+{f["tail"]}
 """
 
 

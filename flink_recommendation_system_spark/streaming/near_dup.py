@@ -84,11 +84,27 @@ def start_streaming_near_dup(
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", "text").localCheckpoint()
-        if not docs.take(1):
+        raw = batch_df.select("doc_id", "text").localCheckpoint()
+        if not raw.take(1):
             return
-        spark = docs.sparkSession
+        spark = raw.sparkSession
         store = _read_store(spark, store_path, before_batch=batch_id)
+        # At-least-once ingestion hygiene (the semantic_dedup twin's
+        # contract, round 12): dedup ids WITHIN the batch, then anti-join
+        # against the signature store's id column — a doc redelivered in
+        # a LATER batch (which the before_batch exclusion cannot screen)
+        # is already fully represented, so re-ingesting it would
+        # duplicate its store row forever and re-emit its pairs. The
+        # store is ALREADY scanned this trigger for the candidate join,
+        # so the screen adds no new per-trigger scan class; a replayed
+        # batch (SAME id) keeps its own rows via the batch exclusion.
+        docs = (
+            raw.dropDuplicates(["doc_id"])
+            .join(
+                store.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            .localCheckpoint()
+        )
         new_sigs = minhash_signatures(
             docs, num_hashes, shingle_n
         ).localCheckpoint()

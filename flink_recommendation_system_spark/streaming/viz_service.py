@@ -65,10 +65,12 @@ class RecommendationVizService:
         self._port = port
         self._clients: list[queue.Queue] = []
         self._lock = threading.Lock()
+        self._stopped = False
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     def start(self) -> int:
+        self._stopped = False
         svc = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -91,6 +93,11 @@ class RecommendationVizService:
                     self.end_headers()
                     q: queue.Queue = queue.Queue()
                     with svc._lock:
+                        # a client racing stop() must not register a
+                        # queue nobody will ever put the shutdown
+                        # sentinel on — it would block in q.get() forever
+                        if svc._stopped:
+                            return
                         svc._clients.append(q)
                     try:
                         while True:
@@ -126,6 +133,7 @@ class RecommendationVizService:
 
     def stop(self) -> None:
         with self._lock:
+            self._stopped = True
             for q in self._clients:
                 q.put(None)
             self._clients.clear()

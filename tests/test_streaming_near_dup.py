@@ -172,3 +172,54 @@ def test_compaction_recovers_from_crash_between_renames(spark, tmp_path):
         for r in _read_store(spark, store, before_batch=9).collect()
     }
     assert after == before
+
+
+def test_at_least_once_redelivery_in_later_batch(spark, tmp_path):
+    """A doc redelivered in a LATER batch (different batch id, so the
+    before_batch store exclusion cannot screen it) must be screened by
+    the ingestion anti-join: signature store stays unique per id, pairs
+    are emitted exactly once, and the verdict equals the batch LSH over
+    the distinct corpus."""
+    docs = (
+        load_table(spark, SF0001, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+        .localCheckpoint()
+    )
+    src = str(tmp_path / "in")
+    b0 = docs.filter(F.col("doc_id") < 60)
+    redelivered = b0.filter(F.col("doc_id") < 3)
+    b1 = docs.filter(F.col("doc_id") >= 60).unionByName(redelivered)
+    b0.coalesce(1).write.mode("append").json(f"{src}/b0")
+    b1.coalesce(1).write.mode("append").json(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/b*")
+    )
+    q = start_streaming_near_dup(
+        stream,
+        store_path=str(tmp_path / "sigs"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    sigs = spark.read.parquet(str(tmp_path / "sigs")).select("doc_id")
+    assert sigs.count() == sigs.distinct().count(), (
+        "redelivery duplicated rows in the signature store"
+    )
+    pairs = read_near_dup_pairs(spark, str(tmp_path / "pairs"))
+    assert pairs.count() == pairs.distinct().count(), (
+        "redelivery re-emitted already-emitted pairs"
+    )
+    got = {
+        (r["a_id"], r["b_id"]) for r in pairs.collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in D.minhash_lsh_pairs(docs).select("a_id", "b_id").collect()
+    }
+    assert got == want

@@ -322,6 +322,20 @@ def test_at_least_once_redelivery_in_later_batch(spark, tmp_path):
     assert pairs.filter(F.col("id_a") == F.col("id_b")).count() == 0, (
         "a redelivered vector self-paired against its own store copy"
     )
+    # the ingestion screen must keep both store tables UNIQUE per id and
+    # the pair table exactly-once: a redelivered id re-ingested would
+    # duplicate its store rows forever and re-emit every pair it touches
+    for sub in ("assign", "vecs"):
+        store = spark.read.parquet(str(tmp_path / "store" / sub))
+        ids = store.select("vec_id", *(
+            ["cell"] if sub == "assign" else []
+        ))
+        assert ids.count() == ids.distinct().count(), (
+            f"redelivery duplicated rows in the {sub} store"
+        )
+    assert pairs.count() == pairs.distinct().count(), (
+        "redelivery re-emitted already-emitted pairs"
+    )
     dropped = {
         r["vec_id"]
         for r in read_semantic_dropped(
