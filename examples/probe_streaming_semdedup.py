@@ -66,7 +66,7 @@ def run_replay(
     )
     per_batch = []
     for b in range(n_batches):
-        vecs = (
+        raw = (
             emb.filter(F.col("vec_id") % n_batches == b)
             .select("vec_id", "embedding")
             .localCheckpoint()
@@ -76,6 +76,18 @@ def run_replay(
             spark, assign_path, ASSIGN_SCHEMA, before_batch=b
         )
         store_vecs = _read_store(spark, vecs_path, VEC_SCHEMA, before_batch=b)
+        # the round-12 at-least-once ingestion screen, mirrored from
+        # process(): within-batch id dedup + anti-join vs the assignment
+        # store already scanned this trigger
+        vecs = (
+            raw.dropDuplicates(["vec_id"])
+            .join(
+                store_assign.select("vec_id").distinct(),
+                "vec_id",
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
         new_assign = ivf_cell_assignments(
             vecs, n_cells, 8, 64, 11
         ).localCheckpoint()
