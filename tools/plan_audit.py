@@ -500,6 +500,16 @@ def main() -> int:
                 ok, notok = [], [f"verifier-error:{e!r}"[:100]]
             parts = sorted(set(ok))
             distinct_notok = sorted(set(notok))
+            if not parts and not distinct_notok:
+                # the coarse string detector fired (e.g. a bloom-filter
+                # scalar-agg subquery's SinglePartition exchange plus
+                # unrelated local SMJ sorts) but the precise tree walk
+                # found no offending exchange→sort / nested-loop node:
+                # say so instead of leaving the column blank, which reads
+                # as an unexplained flag (entity_clusters, round 12)
+                parts.append(
+                    "string-flag-only: tree walk found no offending node"
+                )
             if distinct_notok and name in WAIVED_BY_CONTRACT:
                 reason, max_nodes = WAIVED_BY_CONTRACT[name]
                 if len(distinct_notok) <= max_nodes:
