@@ -25,6 +25,69 @@ from pyspark.sql.utils import AnalysisException
 from ..errors import is_path_not_found
 
 
+def heal_staged_swap(path: str) -> None:
+    """Roll back a crash between ``staged_swap``'s two renames: the live
+    directory missing with ``<path>.old`` present means ``.old`` holds
+    the ONLY copy of the table — restore it before reading. Callers of
+    ``staged_swap`` MUST run this first; without it a retry would read
+    PATH_NOT_FOUND, rebuild from partial inputs, and then delete the
+    ``.old`` backup, losing previously published rows."""
+    import os
+
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def staged_swap(write_fn, path: str, staging_suffix: str = ".staging") -> None:
+    """Atomically replace the table at ``path``: ``write_fn(staging)``
+    writes the new contents into ``<path><staging_suffix>``, then two
+    renames swap it live with a ``.old`` rollback window. A crash at any
+    point leaves either the old table live, or the old table at ``.old``
+    where ``heal_staged_swap`` restores it — the live path is never
+    half-written. ONE shared copy of this ritual (round 12): it was
+    previously hand-rolled in merge_upsert and both streaming-store
+    compactors, and the crash-window logic must not drift between them.
+
+    Readers can still observe a missing path for the microseconds
+    between the two renames — concurrent-reader call sites pair this
+    with ``read_parquet_retry``; the compactors run while their stream
+    is paused, so they don't need it."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + ".old"
+    staging = path.rstrip("/") + staging_suffix
+    write_fn(staging)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def read_parquet_retry(
+    spark: SparkSession, path: str, retries: int = 3, delay_s: float = 0.1
+) -> DataFrame:
+    """Read a staged-swap-published table, retrying the missing-path
+    error a few times: a reader landing in ``staged_swap``'s
+    microsecond rename window sees PATH_NOT_FOUND transiently — retry;
+    a genuinely absent table still raises after the retries (first-ever
+    publish has not happened: that IS an error for a model consumer)."""
+    import time
+
+    for attempt in range(retries + 1):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if not is_path_not_found(e) or attempt == retries:
+                raise
+            time.sleep(delay_s)
+    raise AssertionError("unreachable")
+
+
 def publish_partitioned(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
@@ -84,17 +147,7 @@ def merge_upsert(
     files; at 100 TB you'd partition the target and prune the anti-join to
     touched partitions first.
     """
-    import os
-    import shutil
-
-    # Crash recovery FIRST: a previous run that died between the two swap
-    # renames leaves target missing and <target>.old holding the only
-    # copy of the table. Roll it back before reading — without this, the
-    # replay path would read PATH_NOT_FOUND, rebuild from the batch alone,
-    # and then DELETE the .old backup, losing every previously merged key.
-    old = target_path.rstrip("/") + ".old"
-    if not os.path.exists(target_path) and os.path.exists(old):
-        os.rename(old, target_path)
+    heal_staged_swap(target_path)
 
     dup = (
         updates.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
@@ -119,15 +172,13 @@ def merge_upsert(
         if not is_path_not_found(e):
             raise
         result = upserts
-    staging = target_path.rstrip("/") + ".staging"
-    result.write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(staging, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    n = 0
+
+    def _write(staging: str) -> None:
+        nonlocal n
+        result.write.mode("overwrite").parquet(staging)
+        n = spark.read.parquet(staging).count()
+
+    staged_swap(_write, target_path)
     return n
 

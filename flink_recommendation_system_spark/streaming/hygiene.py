@@ -14,16 +14,45 @@ touching the stream.
 
 Idempotence follows the module pattern of `streaming.near_dup`: both sinks
 write ``mode("overwrite")`` into per-batch subdirectories, so a replayed
-micro-batch overwrites its own output instead of duplicating it.
+micro-batch overwrites its own output instead of duplicating it; and
+(round 12) each batch dedups its own doc_ids and anti-joins the ids both
+sinks already decided, so an at-least-once redelivery in a LATER batch —
+which per-batch overwrite cannot screen — is not re-gated or re-accepted.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
+from ..errors import is_path_not_found
 from ..operators.bloom import DEFAULT_K, DEFAULT_M_BITS, bloom_probe_arrow
 from ..operators.text import quality_stats, redact_pii, token_ngrams
+
+_ID_BATCH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("batch", LongType())]
+)
+
+
+def _prior_ids(
+    spark: SparkSession, path: str, before_batch: int
+) -> DataFrame:
+    """doc_ids already decided by batches STRICTLY BEFORE ``before_batch``
+    — the redelivery screen's store (the sink itself doubles as it).
+    Schema-supplied read so a footer-less crash remnant reads empty, and
+    only missing-path means 'no sink yet' (the near_dup/semantic_dedup
+    store-reader contract)."""
+    try:
+        df = spark.read.schema(_ID_BATCH_SCHEMA).parquet(path)
+    except AnalysisException as e:
+        if is_path_not_found(e):
+            return spark.createDataFrame(
+                [], StructType([StructField("doc_id", LongType())])
+            )
+        raise
+    return df.filter(F.col("batch") < before_batch).select("doc_id")
 
 
 def hygiene_gate(
@@ -97,9 +126,25 @@ def start_hygiene_stream(
     land under ``rejected_path`` with the failing verdict for audit."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", "text").localCheckpoint()
-        if not docs.take(1):
+        raw = batch_df.select("doc_id", "text").localCheckpoint()
+        if not raw.take(1):
             return
+        spark = raw.sparkSession
+        # At-least-once ingestion hygiene (the dedup twins' round-12
+        # contract): a duplicate doc_id WITHIN a batch would fan out
+        # multiplicatively through hygiene_gate's self-joins (2 copies →
+        # 8 output rows), and a doc redelivered in a LATER batch would be
+        # re-accepted into the sink. Dedup within the batch, then screen
+        # against the ids both sinks already decided — the sinks double
+        # as the store, and the screen is a column-pruned id scan.
+        decided = _prior_ids(spark, accepted_path, batch_id).unionByName(
+            _prior_ids(spark, rejected_path, batch_id)
+        )
+        docs = (
+            raw.dropDuplicates(["doc_id"])
+            .join(decided, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
         gated = hygiene_gate(
             docs, bloom_words, decon_n, m_bits, k, min_quality
         ).localCheckpoint()

@@ -52,7 +52,19 @@ def start_top_products_refresh(
             .orderBy(F.col("avg_rating").desc(), F.col("product_id").asc())
             .limit(k)
         )
-        top.write.mode("overwrite").parquet(model_path)
+        # stage-and-swap, NOT a plain overwrite: the speed layer reads
+        # model_path concurrently every micro-batch, and mode("overwrite")
+        # deletes-then-writes — a concurrent read lands on a partial or
+        # empty model (or dies on the missing path). The swap shrinks the
+        # reader-visible window to two renames; readers pair it with
+        # read_parquet_retry for the residual microseconds.
+        from ..sources.warehouse import heal_staged_swap, staged_swap
+
+        heal_staged_swap(model_path)
+        staged_swap(
+            lambda staging: top.write.mode("overwrite").parquet(staging),
+            model_path,
+        )
 
     return (
         agg.writeStream.outputMode("complete")

@@ -53,9 +53,18 @@ def _read_store(
     makes replay safe: a retried batch never pairs against its own
     partial write. Only the missing-path error is treated as 'no store
     yet' — any other read failure must surface, not silently produce an
-    empty store (which would drop that batch's cross-store pairs)."""
+    empty store (which would drop that batch's cross-store pairs).
+
+    The read passes the KNOWN schema (plus the ``batch`` partition
+    column): a first-batch crash mid-write can leave the path existing
+    but footer-less, where schema inference fails with
+    UNABLE_TO_INFER_SCHEMA — not PATH_NOT_FOUND, so replay would wedge
+    forever. With the schema supplied, a footer-less store reads empty."""
+    read_schema = StructType(
+        list(SIG_SCHEMA.fields) + [StructField("batch", LongType())]
+    )
     try:
-        df = spark.read.parquet(store_path)
+        df = spark.read.schema(read_schema).parquet(store_path)
     except AnalysisException as e:
         if is_path_not_found(e):
             return spark.createDataFrame([], SIG_SCHEMA)
@@ -159,27 +168,19 @@ def compact_signature_store(
     ``target_partitions`` controls the consolidated file count (defaults
     to the session's shuffle parallelism via AQE coalesce).
     """
-    import os
-    import shutil
+    from ..sources.warehouse import heal_staged_swap, staged_swap
 
-    # Crash recovery: a previous compaction that died between the two swap
-    # renames leaves the store missing and <store>.old holding it — roll
-    # back first so the documented "retry after crash" path actually works
-    # (a bare retry would otherwise fail at the initial read).
-    old = store_path.rstrip("/") + ".old"
-    if not os.path.exists(store_path) and os.path.exists(old):
-        os.rename(old, store_path)
-
+    heal_staged_swap(store_path)
     df = spark.read.parquet(store_path).select("doc_id", "sig")
     n = df.count()
     writer = df.withColumn("batch", F.lit(0))
     if target_partitions is not None:
         writer = writer.repartition(target_partitions)
-    staging = store_path.rstrip("/") + ".compact"
-    writer.write.mode("overwrite").partitionBy("batch").parquet(staging)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(store_path, old)
-    os.rename(staging, store_path)
-    shutil.rmtree(old)
+    staged_swap(
+        lambda staging: writer.write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(staging),
+        store_path,
+        staging_suffix=".compact",
+    )
     return n

@@ -26,9 +26,11 @@ event-time windows (the reference's watermark is vestigial, T1).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import is_path_not_found
 from ..schemas import REVIEW_JSON_SCHEMA
 
 MAX_RECOMMENDATION_SIZE = 20  # RealTimeRecommendations.java:35
@@ -148,8 +150,15 @@ def enrich_with_recommendations(
 
     Returns (user_id, recommended_products ARRAY<STRING>).
     """
+    batch_users = reviews.select("user_id").distinct()
     user_recs = (
-        user_recommendations.groupBy("user_id")
+        # prune the model to the batch's users BEFORE the collect_set:
+        # Catalyst cannot push the later join below the aggregation, so
+        # without this semi-join every micro-batch would shuffle and
+        # aggregate the FULL model table — O(|model|) per trigger instead
+        # of O(|batch| × recs-per-user)
+        user_recommendations.join(batch_users, "user_id", "left_semi")
+        .groupBy("user_id")
         .agg(
             F.collect_set(F.col("product_id").cast("string")).alias("recs")
         )
@@ -158,8 +167,7 @@ def enrich_with_recommendations(
         F.collect_set(F.col("product_id").cast("string")).alias("top_recs")
     )
     return (
-        reviews.select("user_id")
-        .distinct()
+        batch_users
         .join(user_recs, "user_id", "left")
         .crossJoin(F.broadcast(top_arr))
         .select(
@@ -250,17 +258,36 @@ def start_speed_layer(
         new_ratings = batch.select("user_id", "product_id", "rating").distinct()
         try:
             existing = spark.read.parquet(user_ratings_out)
+        except AnalysisException as e:
+            # ONLY the missing-path error means "first batch, no table
+            # yet" — any other read failure must surface: swallowing it
+            # would skip the anti-join screen and append duplicates,
+            # silently breaking the SADD idempotence contract (the same
+            # narrow contract every store reader in this package uses)
+            if not is_path_not_found(e):
+                raise
+            existing = None
+        if existing is not None:
             new_ratings = new_ratings.join(
                 existing, ["user_id", "product_id", "rating"], "left_anti"
             )
-        except Exception:
-            pass  # first batch: table does not exist yet
         new_ratings.write.mode("append").parquet(user_ratings_out)
-        # (b) enrich against the latest model snapshot and emit
-        user_recs = spark.read.parquet(user_recommendations_path)
-        top = spark.read.parquet(top_products_path)
+        # (b) enrich against the latest model snapshot and emit — into a
+        # per-batch subdirectory with overwrite, the package's replay
+        # contract (a micro-batch replayed after a crash between sink
+        # commit and checkpoint commit overwrites its own output instead
+        # of appending it twice)
+        # retry-reads: the continuous model publishers swap these paths
+        # atomically (staged_swap) — a read landing in the microsecond
+        # rename window sees a transient missing path, not a partial table
+        from ..sources.warehouse import read_parquet_retry
+
+        user_recs = read_parquet_retry(spark, user_recommendations_path)
+        top = read_parquet_retry(spark, top_products_path)
         enriched = enrich_with_recommendations(batch, user_recs, top)
-        to_output_json(enriched).write.mode("append").parquet(output_out)
+        to_output_json(enriched).write.mode("overwrite").parquet(
+            f"{output_out}/batch={batch_id}"
+        )
 
     writer = (
         reviews_stream.writeStream.foreachBatch(process_batch)

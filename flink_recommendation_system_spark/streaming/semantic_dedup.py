@@ -75,9 +75,20 @@ def _read_store(
     """Store rows accumulated by batches STRICTLY BEFORE ``before_batch``
     (empty before the first batch). Only the missing-path error means 'no
     store yet'; any other failure surfaces — an empty fallback would
-    silently drop that batch's cross-store pairs."""
+    silently drop that batch's cross-store pairs.
+
+    The read passes the KNOWN schema (plus the ``batch`` partition
+    column) instead of inferring: a first-batch crash mid-write can
+    leave the path existing but footer-less, and schema inference would
+    then fail with UNABLE_TO_INFER_SCHEMA — which is not
+    PATH_NOT_FOUND, so every replay of that batch would fail forever.
+    With the schema supplied, a footer-less store reads as empty and the
+    replay proceeds."""
+    read_schema = StructType(
+        list(schema.fields) + [StructField("batch", LongType())]
+    )
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.schema(read_schema).parquet(path)
     except AnalysisException as e:
         if is_path_not_found(e):
             return spark.createDataFrame([], schema)
@@ -128,21 +139,24 @@ def start_streaming_semantic_dedup(
             spark, vecs_path, VEC_SCHEMA, before_batch=batch_id
         )
         # At-least-once ingestion hygiene: dedup ids WITHIN the batch,
-        # then anti-join against the assignment store's id column. A
-        # vector redelivered in a LATER batch (which the before_batch
-        # exclusion cannot screen) is already fully represented — its
-        # store rows written, its pairs emitted — so re-ingesting it
-        # would duplicate store rows forever and re-emit every pair it
-        # participates in, breaking the emitted-exactly-once contract.
-        # The screen costs nothing new at scale: store_assign (two ints
-        # per probe) is ALREADY scanned this trigger for the candidate
-        # join, unlike the removed check_disjoint guard's extra job over
-        # the full vector store. A replayed batch (SAME id) keeps its own
-        # rows: the store read excludes batch >= batch_id.
+        # then anti-join against the VECTOR store's id column. A vector
+        # redelivered in a LATER batch (which the before_batch exclusion
+        # cannot screen) is already fully represented — its store rows
+        # written, its pairs emitted — so re-ingesting it would duplicate
+        # store rows forever and re-emit every pair it participates in,
+        # breaking the emitted-exactly-once contract. The screen must use
+        # the VECS store, not the assignment store: zero vectors get no
+        # assignment rows (ivf_cell_assignments skips them) but DO land
+        # in the vecs store, so an assign-side screen would re-ingest a
+        # redelivered zero vector forever. Cost: a column-pruned scan of
+        # the vecs store's id column — metadata-scale next to the
+        # candidate join's store scans this trigger already pays. A
+        # replayed batch (SAME id) keeps its own rows: the store read
+        # excludes batch >= batch_id.
         vecs = (
             raw.dropDuplicates(["vec_id"])
             .join(
-                store_assign.select("vec_id").distinct(),
+                store_vecs.select("vec_id").distinct(),
                 "vec_id",
                 "left_anti",
             )
@@ -212,28 +226,25 @@ def compact_semantic_store(
     one. Both tables compact (assign first) so a crash between the two
     table compactions leaves each table individually consistent — the
     read path never correlates batch ids ACROSS the two tables."""
-    import os
-    import shutil
+    from ..sources.warehouse import heal_staged_swap, staged_swap
 
     counts = []
     for sub, cols in (("assign", ["vec_id", "cell"]),
                       ("vecs", ["vec_id", "embedding"])):
         path = f"{store_path}/{sub}"
-        old = path.rstrip("/") + ".old"
-        if not os.path.exists(path) and os.path.exists(old):
-            os.rename(old, path)
+        heal_staged_swap(path)
         df = spark.read.parquet(path).select(*cols)
         counts.append(df.count())
         writer = df.withColumn("batch", F.lit(0))
         if target_partitions is not None:
             writer = writer.repartition(target_partitions)
-        staging = path.rstrip("/") + ".compact"
-        writer.write.mode("overwrite").partitionBy("batch").parquet(staging)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old)
+        staged_swap(
+            lambda staging, w=writer: w.write.mode("overwrite")
+            .partitionBy("batch")
+            .parquet(staging),
+            path,
+            staging_suffix=".compact",
+        )
     return counts[0], counts[1]
 
 

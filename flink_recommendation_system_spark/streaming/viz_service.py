@@ -91,7 +91,10 @@ class RecommendationVizService:
                     self.send_header("Content-Type", "text/event-stream")
                     self.send_header("Cache-Control", "no-cache")
                     self.end_headers()
-                    q: queue.Queue = queue.Queue()
+                    # bounded, drop-oldest on overflow (publish side):
+                    # display semantics — a stalled browser tab must not
+                    # grow an unbounded backlog on the driver
+                    q: queue.Queue = queue.Queue(maxsize=1024)
                     with svc._lock:
                         # a client racing stop() must not register a
                         # queue nobody will ever put the shutdown
@@ -126,16 +129,37 @@ class RecommendationVizService:
         return self._server.server_address[1]
 
     def publish(self, message: str) -> None:
-        """Broadcast one wire-format JSON string to all connected clients."""
+        """Broadcast one wire-format JSON string to all connected clients.
+
+        Queues are bounded: a client that stopped draining (full TCP
+        window, stalled tab) loses its OLDEST messages rather than
+        growing driver memory without limit — the live-display contract
+        (the reference's relay offers no replay either)."""
         with self._lock:
             for q in list(self._clients):
-                q.put(message)
+                while True:
+                    try:
+                        q.put_nowait(message)
+                        break
+                    except queue.Full:
+                        try:
+                            q.get_nowait()  # drop oldest
+                        except queue.Empty:
+                            pass
 
     def stop(self) -> None:
         with self._lock:
             self._stopped = True
             for q in self._clients:
-                q.put(None)
+                while True:  # the shutdown sentinel must never block
+                    try:
+                        q.put_nowait(None)
+                        break
+                    except queue.Full:
+                        try:
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
             self._clients.clear()
         if self._server is not None:
             self._server.shutdown()

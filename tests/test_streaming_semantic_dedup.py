@@ -295,9 +295,20 @@ def test_at_least_once_redelivery_in_later_batch(spark, tmp_path):
     emb = _emb(spark).filter(F.col("vec_id") < 120).localCheckpoint()
 
     src = str(tmp_path / "in")
-    b0 = emb.filter(F.col("vec_id") < 60)
-    # batch 1 = the rest PLUS a redelivered copy of the three lowest ids
-    redelivered = b0.filter(F.col("vec_id") < 3)
+    # a ZERO vector gets no assignment rows (ivf_cell_assignments skips
+    # it) but does land in the vecs store — the redelivery screen must
+    # catch its re-send too (round-12 review: an assign-side screen
+    # would re-ingest it forever)
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(100001, [0.0] * dim)], ["vec_id", "embedding"]
+    )
+    b0 = emb.filter(F.col("vec_id") < 60).unionByName(zero)
+    # batch 1 = the rest PLUS redelivered copies of the three lowest ids
+    # AND the zero vector
+    redelivered = b0.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id") == 100001)
+    )
     b1 = emb.filter(F.col("vec_id") >= 60).unionByName(redelivered)
     b0.coalesce(1).write.mode("append").json(f"{src}/b0")
     b1.coalesce(1).write.mode("append").json(f"{src}/b1")
