@@ -250,7 +250,19 @@ def decode_avi(data: bytes) -> np.ndarray:
     (riff_len,) = struct.unpack("<I", data[4:8])
     end = min(8 + riff_len, len(data))
     width = height = bitcount = compression = None
-    frames: list[bytes] = []
+    vids_idx: int | None = None
+    stream_idx = -1
+    tagged: list[tuple[bytes, bytes]] = []  # (stream-id fourcc prefix, raw)
+
+    def collect_movi(start: int, stop: int) -> None:
+        # frames may be grouped inside 'LIST rec ' chunks (interleaved
+        # muxers) — recurse, else rec-wrapped frames would silently drop
+        for fcc2, b2, l2 in _riff_chunks(data, start, stop):
+            if fcc2 == b"LIST" and data[b2:b2 + 4] == b"rec ":
+                collect_movi(b2 + 4, b2 + l2)
+            elif fcc2[2:4] in (b"db", b"dc"):
+                tagged.append((fcc2[:2], data[b2:b2 + l2]))
+
     for fourcc, body, length in _riff_chunks(data, 12, end):
         if fourcc != b"LIST":
             continue
@@ -259,22 +271,32 @@ def decode_avi(data: bytes) -> np.ndarray:
             for fcc2, b2, l2 in _riff_chunks(data, body + 4, body + length):
                 if fcc2 != b"LIST" or data[b2:b2 + 4] != b"strl":
                     continue
+                # streams are numbered by strl order within hdrl
+                stream_idx += 1
                 fcc_type = None
                 for fcc3, b3, l3 in _riff_chunks(data, b2 + 4, b2 + l2):
                     if fcc3 == b"strh":
                         fcc_type = data[b3:b3 + 4]
-                    elif fcc3 == b"strf" and fcc_type == b"vids":
+                    elif (
+                        fcc3 == b"strf"
+                        and fcc_type == b"vids"
+                        and vids_idx is None
+                    ):
+                        vids_idx = stream_idx
                         if l3 < 40:
                             raise ValueError("strf too short for BITMAPINFOHEADER")
                         (_sz, width, height, _planes, bitcount, compression) = (
                             struct.unpack("<IiiHHI", data[b3:b3 + 20])
                         )
         elif list_type == b"movi":
-            for fcc2, b2, l2 in _riff_chunks(data, body + 4, body + length):
-                if fcc2[2:4] in (b"db", b"dc"):
-                    frames.append(data[b2:b2 + l2])
-    if width is None:
+            collect_movi(body + 4, body + length)
+    if width is None or vids_idx is None:
         raise ValueError("no video ('vids') stream header found")
+    # only the vids stream's chunks: a second stream's '01db' frames would
+    # otherwise be decoded with THIS stream's dimensions — a silent wrong
+    # frame, which this codec's contract forbids
+    sid = b"%02d" % vids_idx
+    frames: list[bytes] = [raw for s, raw in tagged if s == sid]
     if compression != 0 or bitcount != 24:
         raise ValueError(
             f"unsupported AVI encoding (compression={compression}, "

@@ -33,8 +33,15 @@ def rating_zscore(df: DataFrame, value_col: str = "rating", key_col: str = "prod
         F.avg(value_col).alias("_mean"),
         F.stddev_pop(value_col).alias("_std"),
     )
+    # null-safe equality: a plain equi-join drops every NULL-key row (the
+    # groupBy even PRODUCES a NULL-group stats row that NULL != NULL can
+    # never match) — a normalization helper must be row-preserving
     return (
-        df.join(F.broadcast(stats), key_col)
+        df.join(
+            F.broadcast(stats.withColumnRenamed(key_col, "_k")),
+            F.col(key_col).eqNullSafe(F.col("_k")),
+        )
+        .drop("_k")
         .withColumn(
             f"{value_col}_z",
             _zscore_udf(F.col(value_col), F.col("_mean"), F.col("_std")),

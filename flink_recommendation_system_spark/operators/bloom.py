@@ -43,10 +43,19 @@ load — 16 MiB as a bitmap, and the position relation stays ≤ m ints).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # optional: ONLY bloom_probe_arrow needs the Python data libs —
+    # the pure-JVM join impl and bloom_fit/bloom_positions must stay
+    # importable in a minimal environment without them (and pandas_udf
+    # resolves the probe's "pd.Series" type hints via module globals,
+    # so the names must exist at module level when present)
+    import numpy as np
+    import pandas as pd
+except ImportError:  # pragma: no cover - exercised only in minimal envs
+    np = None
+    pd = None
 
 from .text import token_ngrams
 
@@ -202,6 +211,11 @@ def bloom_probe_arrow(
     executor (never per row)."""
     from pyspark.sql.functions import pandas_udf
 
+    if np is None or pd is None:
+        raise ImportError(
+            "bloom_probe_arrow needs numpy+pandas; use impl='join' "
+            "(pure JVM) in environments without them"
+        )
     _check_m(m_bits)
     warr = np.array(words, dtype=np.int64).view(np.uint64)
     m_u, k_n = np.uint64(m_bits), k
@@ -220,8 +234,13 @@ def bloom_probe_arrow(
         return pd.Series(ok)
 
     h1, h2 = _h1_h2(F.col(key_col))
+    # NULL keys drop deterministically, matching impl="join" (md5(NULL) is
+    # NULL, which pandas delivers as NaN and int64-casts to INT64_MIN — the
+    # row would otherwise be probed at an arbitrary bit position and kept
+    # or dropped by luck)
     return (
-        rows.withColumn("_h1", h1)
+        rows.filter(F.col(key_col).isNotNull())
+        .withColumn("_h1", h1)
         .withColumn("_h2", h2)
         .filter(_probe("_h1", "_h2"))
         .drop("_h1", "_h2")

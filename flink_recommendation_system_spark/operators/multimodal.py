@@ -71,7 +71,10 @@ def _fake_features(payload: bytes, n: int = 4) -> list[float]:
     s = sum(payload)
     mx = max(payload)
     mn = min(payload)
-    return [float(total), float(s % 997), float(mx), float(mn)]
+    stats = [float(total), float(s % 997), float(mx), float(mn)]
+    # honor n on BOTH branches: a fixed-width feature column must not mix
+    # widths within one DataFrame (n != 4 previously produced ragged rows)
+    return (stats + [0.0] * n)[:n]
 
 
 def _resolve_mode(decode: str, fake_decode: bool) -> str:
@@ -132,6 +135,7 @@ def extract_features(
     fake_decode: bool = False,
     batch_hint: int = 1024,
     decode: str = "stub",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -140,6 +144,11 @@ def extract_features(
     ``decode="real"`` runs actual codecs (see module docstring);
     ``decode="fake"`` (= legacy ``fake_decode=True``) the deterministic
     stand-in; the default raises so callers must choose.
+
+    ``on_error="skip"`` quarantines malformed payloads per row (the
+    codecs raise ValueError per bad input for exactly this) instead of
+    failing the job — at corpus scale one corrupt asset among billions
+    must not abort the run; the default "raise" keeps strict semantics.
     """
     mode = _resolve_mode(decode, fake_decode)
 
@@ -149,20 +158,30 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            if mode == "real":
-                feats = [
-                    _real_features(p, m)
-                    for p, m in zip(pdf["payload"], pdf["modality"])
-                ]
-            else:
-                feats = [_fake_features(p) for p in pdf["payload"]]
+            rows = []
+            for aid, m, p in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                try:
+                    feats = (
+                        _real_features(p, m)
+                        if (mode == "real" and p)
+                        # the binary column is nullable and both tiers
+                        # treat an empty payload as zeros
+                        else _fake_features(p)
+                    )
+                except ValueError:
+                    # the codecs turn every malformed payload into a
+                    # per-row ValueError precisely so the pipeline can
+                    # quarantine it — one corrupt image among billions
+                    # must not abort the whole run
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append((aid, m, len(p) if p is not None else 0, feats))
             yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "features": feats,
-                }
+                rows,
+                columns=["asset_id", "modality", "n_bytes", "features"],
             )
 
     return assets.select("asset_id", "modality", "payload").mapInPandas(
@@ -187,6 +206,7 @@ def resize_images(
     target: tuple[int, int] = (64, 64),
     fake_decode: bool = False,
     decode: str = "stub",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched image resize over binary payloads — the third
     mapInPandas stage of the media pipeline (decode → RESIZE → embed).
@@ -226,18 +246,24 @@ def resize_images(
                 return bytes(b[:cap])
 
         for pdf in batches:
-            out = pdf["payload"].map(one)
+            rows = []
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    o = one(b if b is not None else b"")
+                except ValueError:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append((
+                    aid, w, h, len(o),
+                    base64.b64encode(o).decode("ascii"), sum(o) % 997,
+                ))
             yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "width": w,
-                    "height": h,
-                    "n_bytes_out": out.map(len),
-                    "payload": out.map(
-                        lambda b: base64.b64encode(b).decode("ascii")
-                    ),
-                    "checksum": out.map(lambda b: sum(b) % 997),
-                }
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_bytes_out",
+                    "payload", "checksum",
+                ],
             )
 
     return (
@@ -264,6 +290,7 @@ def extract_frames(
     fake_decode: bool = False,
     decode: str = "stub",
     fake_frame_bytes: int = 1024,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Frame sampling WITH decode — the mapInPandas stage
     ``frame_sample_plan`` plans for: every ``every_n``-th frame of each
@@ -312,7 +339,11 @@ def extract_frames(
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                one(aid, payload, rows)
+                try:
+                    one(aid, payload if payload is not None else b"", rows)
+                except ValueError:
+                    if on_error == "raise":
+                        raise
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -327,17 +358,26 @@ def extract_frames(
     )
 
 
-def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(
+    assets: DataFrame, every_n: int = 10, frame_bytes: int = 1024
+) -> DataFrame:
     """Video frame-sampling *plan* shape: one row per sampled frame index,
-    derived from metadata only (frame count = payload size // 1024 as the
-    stand-in). Shows the explode-based fan-out a real frame sampler uses —
-    ``extract_frames`` is the mapInPandas stage that actually decodes."""
+    derived from metadata only (frame count = payload size //
+    ``frame_bytes``, the same stand-in as ``extract_frames``'s fake
+    tier). Shows the explode-based fan-out a real frame sampler uses —
+    ``extract_frames`` is the mapInPandas stage that actually decodes.
+
+    Indices are ``range(0, n_frames, every_n)`` — EXCLUSIVE of n_frames
+    and empty when n_frames = 0, exactly the arithmetic the extractor's
+    decode loop runs (round-12 review: the previous inclusive sequence
+    bound emitted a frame index the extractor never produces, so a
+    consumer sizing decode work from the plan over-allocated)."""
+    n_frames = (F.length("payload") / frame_bytes).cast("long")
     frames = F.sequence(
-        F.lit(0),
-        F.greatest((F.length("payload") / 1024).cast("long"), F.lit(0)),
-        F.lit(every_n),
+        F.lit(0), n_frames - F.lit(1), F.lit(every_n)
     )
     return (
         assets.filter(F.col("modality") == "video")
+        .filter(n_frames > 0)
         .select("asset_id", F.explode(frames).alias("frame_idx"))
     )

@@ -1701,16 +1701,20 @@ WHERE doc_id % 3 = 0
 
 
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_bytes=128 matches q_frame_extraction's fake tier, so the
+    registered plan and the registered extraction share the exact
+    frame-count arithmetic (and the ~300-550-char corpus yields a real
+    multi-frame fan-out at every SF)."""
     assets = M.synthesize_assets(_docs(spark, sf_dir))
-    return M.frame_sample_plan(assets, every_n=10)
+    return M.frame_sample_plan(assets, every_n=10, frame_bytes=128)
 
 
 FRAME_SAMPLE_SQL = """
 SELECT doc_id AS asset_id,
-       unnest(generate_series(0, greatest(strlen(text) // 1024, 0), 10))
+       unnest(generate_series(0, strlen(text) // 128 - 1, 10))
            AS frame_idx
 FROM documents
-WHERE doc_id % 3 = 2
+WHERE doc_id % 3 = 2 AND strlen(text) // 128 > 0
 """
 
 

@@ -68,21 +68,47 @@ def staged_swap(write_fn, path: str, staging_suffix: str = ".staging") -> None:
         shutil.rmtree(old)
 
 
+def _is_transient_swap_error(e: Exception) -> bool:
+    """PATH_NOT_FOUND at analysis time, or an executor-side
+    FileNotFoundException from a listing that went stale mid-swap — the
+    two faces of reading across a concurrent ``staged_swap``."""
+    if isinstance(e, AnalysisException):
+        return is_path_not_found(e)
+    return "FileNotFoundException" in str(e)
+
+
 def read_parquet_retry(
-    spark: SparkSession, path: str, retries: int = 3, delay_s: float = 0.1
+    spark: SparkSession,
+    path: str,
+    retries: int = 3,
+    delay_s: float = 0.1,
+    materialize: bool = False,
 ) -> DataFrame:
-    """Read a staged-swap-published table, retrying the missing-path
-    error a few times: a reader landing in ``staged_swap``'s
-    microsecond rename window sees PATH_NOT_FOUND transiently — retry;
-    a genuinely absent table still raises after the retries (first-ever
-    publish has not happened: that IS an error for a model consumer)."""
+    """Read a staged-swap-published table, retrying the transient errors
+    a concurrent swap produces: PATH_NOT_FOUND in the rename window, or
+    an executor FileNotFoundException when the file listing went stale
+    before the job ran. A genuinely absent table still raises after the
+    retries (first-ever publish has not happened: that IS an error for a
+    model consumer).
+
+    ``materialize=True`` localCheckpoints the table INSIDE the retry
+    loop — required when the caller's job runs lazily LATER (e.g. the
+    speed layer's per-trigger model read feeding a join): without it the
+    returned DataFrame still holds the original file listing, and a swap
+    landing between this call and the downstream action fails the job
+    beyond the retry's reach. Size note: intended for model/dim tables;
+    a table format with snapshot isolation replaces this at warehouse
+    scale."""
     import time
 
     for attempt in range(retries + 1):
         try:
-            return spark.read.parquet(path)
-        except AnalysisException as e:
-            if not is_path_not_found(e) or attempt == retries:
+            df = spark.read.parquet(path)
+            if materialize:
+                df = df.localCheckpoint()
+            return df
+        except Exception as e:
+            if not _is_transient_swap_error(e) or attempt == retries:
                 raise
             time.sleep(delay_s)
     raise AssertionError("unreachable")
@@ -149,6 +175,11 @@ def merge_upsert(
     """
     heal_staged_swap(target_path)
 
+    # pin the batch once: the dup-key check below and the staged write are
+    # two actions, and without this the whole upstream transformation
+    # (often a foreachBatch micro-batch pipeline) would recompute per
+    # action — updates are per-batch keyed deltas, small by contract
+    updates = updates.localCheckpoint()
     dup = (
         updates.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
     )

@@ -277,13 +277,17 @@ def start_speed_layer(
         # contract (a micro-batch replayed after a crash between sink
         # commit and checkpoint commit overwrites its own output instead
         # of appending it twice)
-        # retry-reads: the continuous model publishers swap these paths
-        # atomically (staged_swap) — a read landing in the microsecond
-        # rename window sees a transient missing path, not a partial table
+        # retry-reads + pin: the continuous model publishers swap these
+        # paths atomically (staged_swap) — a read landing in the rename
+        # window sees a transient missing path, and materialize=True
+        # pins the snapshot so a swap DURING this batch's lazy execution
+        # cannot invalidate the file listing mid-join
         from ..sources.warehouse import read_parquet_retry
 
-        user_recs = read_parquet_retry(spark, user_recommendations_path)
-        top = read_parquet_retry(spark, top_products_path)
+        user_recs = read_parquet_retry(
+            spark, user_recommendations_path, materialize=True
+        )
+        top = read_parquet_retry(spark, top_products_path, materialize=True)
         enriched = enrich_with_recommendations(batch, user_recs, top)
         to_output_json(enriched).write.mode("overwrite").parquet(
             f"{output_out}/batch={batch_id}"

@@ -236,3 +236,140 @@ def test_pil_tier_cross_checks_stdlib_codec():  # pragma: no cover
     data = codecs.encode_png(arr)
     pil = np.asarray(codecs._PILImage.open(io.BytesIO(data)))
     assert np.array_equal(pil, arr)
+
+
+def test_frame_sample_plan_matches_extractor_indices(spark):
+    """The metadata-only plan must emit EXACTLY the (asset_id, frame_idx)
+    set the fake-tier extractor decodes at the same (every_n,
+    frame_bytes) — including zero rows for payloads shorter than one
+    frame (round-12 review: the plan's old inclusive bound emitted an
+    index the extractor never produces)."""
+    from flink_recommendation_system_spark.operators.multimodal import (
+        extract_frames,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, "video", bytearray(range(256)) * 5),   # 1280 B → 10 frames
+        (2, "video", b"x" * 128),                  # exactly one frame
+        (3, "video", b"y" * 127),                  # shorter than a frame
+        (4, "video", b""),                         # empty payload
+        (5, "image", b"z" * 1000),                 # non-video: excluded
+    ]
+    assets = spark.createDataFrame(
+        [(i, m, bytes(p)) for i, m, p in rows],
+        "asset_id long, modality string, payload binary",
+    )
+    plan = {
+        (r["asset_id"], r["frame_idx"])
+        for r in frame_sample_plan(
+            assets, every_n=3, frame_bytes=128
+        ).collect()
+    }
+    extracted = {
+        (r["asset_id"], r["frame_idx"])
+        for r in extract_frames(
+            assets, every_n=3, decode="fake", fake_frame_bytes=128
+        ).collect()
+    }
+    assert plan == extracted
+    assert (2, 0) in plan and not any(a in (3, 4, 5) for a, _ in plan)
+
+
+def test_decode_avi_rec_lists_and_stream_filter():
+    """Frames wrapped in 'LIST rec ' groups (interleaved muxers) must
+    decode, and a second stream's '01db' chunks must NOT be interpreted
+    with the vids stream's dimensions (round-12 review: both were silent
+    wrong-output paths in a codec whose contract forbids them)."""
+    import struct
+
+    import numpy as np
+
+    from flink_recommendation_system_spark.functions.codecs import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, 4, 6, 3), dtype=np.uint8)
+    plain = encode_avi(frames, fps=5)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    # rebuild: same headers, but movi holds frame0 at top level, frame1
+    # inside a LIST rec, plus a bogus second-stream '01db' chunk
+    movi_off = plain.find(b"LIST", 12)
+    while plain[movi_off + 8:movi_off + 12] != b"movi":
+        movi_off = plain.find(b"LIST", movi_off + 4)
+    (movi_len,) = struct.unpack("<I", plain[movi_off + 4:movi_off + 8])
+    movi_body = plain[movi_off + 12:movi_off + 8 + movi_len]
+    # extract the two committed 00db chunks from the original movi body
+    raws, pos = [], 0
+    while pos + 8 <= len(movi_body):
+        fcc = movi_body[pos:pos + 4]
+        (ln,) = struct.unpack("<I", movi_body[pos + 4:pos + 8])
+        if fcc == b"00db":
+            raws.append(movi_body[pos + 8:pos + 8 + ln])
+        pos += 8 + ln + (ln & 1)
+    assert len(raws) == 2
+    new_movi = (
+        chunk(b"00db", raws[0])
+        + chunk(b"LIST", b"rec " + chunk(b"00db", raws[1]))
+        + chunk(b"01db", b"\x07" * len(raws[0]))  # second stream: ignore
+    )
+    rebuilt = (
+        plain[:movi_off]
+        + chunk(b"LIST", b"movi" + new_movi)
+        + plain[movi_off + 8 + movi_len + (movi_len & 1):]
+    )
+    # fix the RIFF size header
+    rebuilt = (
+        rebuilt[:4] + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    )
+    out = decode_avi(rebuilt)
+    assert out.shape == frames.shape
+    assert (out == frames).all()
+
+
+def test_on_error_skip_quarantines_malformed_rows(spark):
+    """One corrupt payload among good ones must not abort the job when
+    on_error='skip' — the per-row ValueError contract the codecs were
+    built for (round-12 review: the real tier previously had no
+    quarantine path at all). Default 'raise' keeps strict semantics."""
+    import numpy as np
+    import pytest
+
+    from flink_recommendation_system_spark.functions.codecs import (
+        encode_avi,
+        encode_image,
+    )
+    from flink_recommendation_system_spark.operators.multimodal import (
+        extract_features,
+        extract_frames,
+        resize_images,
+    )
+
+    img = encode_image(np.full((4, 4, 3), 9, dtype=np.uint8))
+    vid = encode_avi(
+        np.zeros((2, 2, 2, 3), dtype=np.uint8), fps=5
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, "image", img),
+            (2, "image", b"not-a-png"),
+            (3, "video", vid),
+            (4, "video", b"not-an-avi"),
+        ],
+        "asset_id long, modality string, payload binary",
+    )
+    feats = extract_features(assets, decode="real", on_error="skip")
+    assert {r["asset_id"] for r in feats.collect()} == {1, 3}
+    rs = resize_images(assets, target=(2, 2), decode="real", on_error="skip")
+    assert {r["asset_id"] for r in rs.collect()} == {1}
+    fr = extract_frames(assets, every_n=1, decode="real", on_error="skip")
+    assert {r["asset_id"] for r in fr.collect()} == {3}
+    with pytest.raises(Exception):
+        extract_features(assets, decode="real").collect()
