@@ -700,59 +700,87 @@ _SUITES = [
 # CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # ROUND-12 WINDOW (the driver checks the first 50 entries).
-    # 1. NEW THIS ROUND: the Lloyd-fitted probe-16 SemDeDup tier — the
-    # config the round-10 dup-dense sf1 probe measured at 0.95 drop-set
-    # recall (VERDICT r11: "better config not yet registered"); measured
-    # 1.0 drop recall at sf0.1 in the refreshed recall audit
-    "semantic_dedup_ivf_refit",
-    # 2. IMPLEMENTATION CHANGED THIS ROUND (re-confirm): the recall audit
-    # gained the refit tier row; incremental pairs gained the equal-id
-    # exclusion on the new-vs-store join (at-least-once redelivery
-    # safety); the IVF tier's keep/drop tail moved to a shared helper;
-    # and semantic_dedup_artifact FINALLY takes its staged driver row
-    # (added late in round 10, local-sweep green since, never
-    # driver-checked — VERDICT r11 item 1)
+    # ROUND-13 WINDOW (the driver checks the first 50 entries; rotation
+    # targets STALENESS — see the consumer below and COVERAGE.md).
+    # 1. IMPLEMENTATION CHANGED THIS ROUND (re-confirm): both recall
+    # audits now run on the bounded audit corpus
+    # (RECALL_AUDIT_MAX_VECS, VERDICT r12 item 4) — a no-op at the
+    # driver's sf0.01 (500 vecs < 1000) but the oracle SQL was
+    # rewritten (_bound_audit_corpus) and the tier invocations moved to
+    # operator level, so the pair re-earns its driver row.
+    "ann_recall_report",
     "semantic_dedup_recall",
+    # 2. OLDEST-VINTAGE ROTATION (VERDICT r12 item 1, staged by the
+    # round-12 vintage scan): the complete r6-green block (45 queries,
+    # alphabetical), then the first three of the r7 block to fill 50.
+    # After this window lands the oldest driver green moves to r7.
+    #
+    # ROUND-14 STAGING: vintage population after this window = 31 at r7
+    # (benford_deviation..), 45 at r8, 13 at r9, 47 at r11, rest r12/13.
+    # Round 14's window = any new/changed entries + the remaining 31 r7
+    # entries + the start of the r8 block.
+    "active_nations",
+    "approx_order_quantiles",
+    "classifier_scores",
+    "closeness_estimates",
+    "clustering_coefficients",
+    "conditional_agg",
+    "customer_distribution",
+    "customer_latest_order",
+    "customer_name_parse",
+    "customer_order_counts",
+    "customer_order_gaps",
+    "customer_running_spend",
+    "customers_with_orders",
+    "daily_rollup",
+    "degree_distribution",
+    "domain_capped_corpus",
+    "embedding_quantization",
+    "epoch_shuffle",
+    "frame_extraction",
+    "global_sales_opportunity",
+    "hll_part_distinct",
+    "ivf_probe",
+    "lsh_quality_report",
+    "national_market_share",
+    "nations_in_both",
+    "order_priority_counts",
+    "order_value_quantiles",
+    "part_type_stats",
+    "pq_adc_topk",
+    "price_size_correlation",
+    "pricing_summary",
+    "promo_revenue",
+    "revenue_by_nation",
+    "revenue_cube",
+    "revenue_rollup",
+    "shipping_priority",
+    "skew_safe_event_stats",
+    "sliding_windows",
+    "small_quantity_revenue",
+    "sql_surface",
+    "temperature_mixture",
+    "top_orders_per_customer",
+    "top_supplier",
+    "training_pairs",
+    "waiting_suppliers",
+    "activity_streaks",
+    "adamic_adar",
+    "basket_lift",
+    # -- past-window from here: previous windows in their prior relative
+    # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
+    # and by the committed per-round sf0.01 local sweep --
+    "semantic_dedup_ivf_refit",
     "semantic_dedup_incremental",
     "semantic_dedup_ivf",
     "semantic_dedup_artifact",
-    # 3. THE ROWS-ONLY FOUR (VERDICT r11: newest driver rows r4/r5 — they
-    # were never in this list at all, so rotation always skipped them;
-    # they are rows-only checks by design — MLlib ALS / fitted-KMeans /
-    # fitted-IVF / fitted-PQ are not SQL-expressible — but their
-    # rows+schema driver signal should not stay 7 rounds stale)
     "als_recommendations",
     "semantic_dedup",
     "ivf_topk",
     "pq_topk",
-    # 3b. LATE-R12 ADDITIONS to the window: the correctness-history scan
-    # (all CORRECTNESS_r1..r11 files + this window) found exactly TWO
-    # queries with NO driver row in ANY round — both rows-only checks
-    # that, like the rows-only four above, were never in this list at
-    # all; plus customer_deciles, whose implementation changed this
-    # round (ntile window → distributed global-rank recovery, same
-    # oracle) and whose newest driver row is the r6 ntile version.
-    # The last three r6-block entries fall out to positions 51-53 and
-    # head the r13 rotation instead.
     "approx_supplier_counts",
     "quality_classifier",
     "customer_deciles",
-    # 4. OLDEST-VINTAGE ROTATION: the r6-green block exactly as staged by
-    # the round-11 note (ktruss_edges onward), filling the window to 50.
-    #
-    # ROUND-13 STAGING (vintage scan over CORRECTNESS_r1..r11 + this
-    # window): after this window lands, every query has >=1 driver row
-    # and the oldest-vintage population is 45 at r6, 34 at r7, 45 at r8,
-    # 13 at r9. Round 13's window = the three entries this round pushed
-    # out (returned_items, revenue_grouping_sets, simhash_near_dups, all
-    # r6) + the remaining r6 block (active_nations,
-    # approx_order_quantiles, classifier_scores, closeness_estimates,
-    # clustering_coefficients, conditional_agg, customer_distribution,
-    # customer_latest_order, customer_name_parse, customer_order_counts,
-    # ... alphabetical through waiting_suppliers) + the start of the r7
-    # block, filling to 50. After that window the oldest green moves to
-    # r7.
     "ktruss_edges",
     "bpe_compression_stats",
     "record_linkage_scores",
@@ -794,12 +822,8 @@ _WINDOW_PRIORITY = [
     "returned_items",
     "revenue_grouping_sets",
     "simhash_near_dups",
-    # -- past-window from here: r11-refreshed names first (newest greens),
-    # then the round-8 relative order, all covered every CI run at
-    # sf0.001 and by the committed local sf0.01 sweep --
     "user_topk_reviews",
     "semantic_dedup_ann",
-    "ann_recall_report",
     "t_closeness",
     "butterfly_counts",
     "implicit_negatives",
@@ -906,14 +930,12 @@ _WINDOW_PRIORITY = [
     "session_paths",
     "random_walks",
     "phrase_search",
-    "basket_lift",
     "pareto_frontier",
     "zorder_layout",
     "event_autocorrelation",
     "cusum_changepoint",
     "snapshot_diff",
     "chi_square_cells",
-    "activity_streaks",
     "touch_attribution",
     "k_anonymity",
     "weighted_median",
@@ -929,55 +951,9 @@ _WINDOW_PRIORITY = [
     "new_vs_returning",
     "subword_token_counts",
     "fuzzy_name_pairs_d2",
-    "adamic_adar",
     "scc_components",
     "user_sessions",
     "session_overlaps",
-    "domain_capped_corpus",
-    "temperature_mixture",
-    "sliding_windows",
-    "daily_rollup",
-    "customers_with_orders",
-    "customer_order_counts",
-    "revenue_by_nation",
-    "active_nations",
-    "pricing_summary",
-    "shipping_priority",
-    "top_orders_per_customer",
-    "sql_surface",
-    "customer_latest_order",
-    "revenue_cube",
-    "revenue_rollup",
-    "order_value_quantiles",
-    "nations_in_both",
-    "customer_name_parse",
-    "part_type_stats",
-    "order_priority_counts",
-    "conditional_agg",
-    "customer_order_gaps",
-    "pq_adc_topk",
-    "ivf_probe",
-    "classifier_scores",
-    "customer_distribution",
-    "waiting_suppliers",
-    "global_sales_opportunity",
-    "frame_extraction",
-    "small_quantity_revenue",
-    "national_market_share",
-    "embedding_quantization",
-    "skew_safe_event_stats",
-    "customer_running_spend",
-    "lsh_quality_report",
-    "closeness_estimates",
-    "price_size_correlation",
-    "degree_distribution",
-    "clustering_coefficients",
-    "promo_revenue",
-    "top_supplier",
-    "training_pairs",
-    "approx_order_quantiles",
-    "epoch_shuffle",
-    "hll_part_distinct",
 ]
 
 
@@ -1025,6 +1001,32 @@ AUDIT_CLASS_QUERIES: dict[str, tuple[str, str]] = {
         "bounded audit slice vs banded-MinHash candidates",
         "near_dup_clusters / deduped_corpus (the banded production path)",
     ),
+}
+
+
+# Machine-readable twin map for the PERMANENT rows-only queries (VERDICT
+# r12 item 8): these six omit oracle_sql() BY DESIGN — each wraps an
+# iterative MLlib fit or sketch internals that no ANSI-SQL oracle can
+# reproduce — so the driver records only a rows+schema check for them.
+# The correctness argument the verdicts rely on is the PAIRING: each maps
+# here to a registered, value-oracled, hash-exact query that exercises the
+# same downstream machinery with a fixed (hash-derived) model in place of
+# the fit. tests/test_entry_queries.py enforces the map's consistency the
+# same way it does AUDIT_CLASS_QUERIES (twin exists, twin HAS an oracle,
+# rows-only query does NOT, map covers exactly the no-oracle set).
+ROWS_ONLY_TWINS: dict[str, str] = {
+    # MLlib ALS fit → LCG-factor matrix scoring, same serving join/top-k
+    "als_recommendations": "mf_scoring_fixed",
+    # MLlib KMeans fit → fixed hash-derived centroids, same keep/drop
+    "semantic_dedup": "semantic_dedup_fixed",
+    # KMeans-fitted IVF index → fixed-centroid probe, same re-rank
+    "ivf_topk": "ivf_probe",
+    # Lloyd-fitted PQ codebooks → fixed codebooks, same ADC reduction
+    "pq_topk": "pq_adc_topk",
+    # approx_count_distinct sketch internals → CMS estimates, exact math
+    "approx_supplier_counts": "cms_part_counts",
+    # MLlib LogisticRegression fit → fixed-weight linear scores
+    "quality_classifier": "classifier_scores",
 }
 
 

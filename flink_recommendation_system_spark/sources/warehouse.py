@@ -49,6 +49,14 @@ def staged_swap(write_fn, path: str, staging_suffix: str = ".staging") -> None:
     previously hand-rolled in merge_upsert and both streaming-store
     compactors, and the crash-window logic must not drift between them.
 
+    Heals a crashed prior swap itself before doing anything (round 13):
+    the heal used to be a caller obligation enforced only by convention,
+    and a caller that forgot would rebuild from a missing live path and
+    then DELETE the ``.old`` backup — the exact loss mode the heal
+    exists to prevent. ``heal_staged_swap`` stays public for read-side
+    callers; write_fn callbacks that read the live path (e.g.
+    merge_upsert) rely on the heal having run by the time they execute.
+
     Readers can still observe a missing path for the microseconds
     between the two renames — concurrent-reader call sites pair this
     with ``read_parquet_retry``; the compactors run while their stream
@@ -56,6 +64,7 @@ def staged_swap(write_fn, path: str, staging_suffix: str = ".staging") -> None:
     import os
     import shutil
 
+    heal_staged_swap(path)
     old = path.rstrip("/") + ".old"
     staging = path.rstrip("/") + staging_suffix
     write_fn(staging)
@@ -70,11 +79,15 @@ def staged_swap(write_fn, path: str, staging_suffix: str = ".staging") -> None:
 
 def _is_transient_swap_error(e: Exception) -> bool:
     """PATH_NOT_FOUND at analysis time, or an executor-side
-    FileNotFoundException from a listing that went stale mid-swap — the
-    two faces of reading across a concurrent ``staged_swap``."""
+    ``java.io.FileNotFoundException`` from a listing that went stale
+    mid-swap — the two faces of reading across a concurrent
+    ``staged_swap``. Anchored on the fully-qualified JVM class name
+    (round-13 advisor finding): a bare substring match would also retry
+    genuinely fatal errors that merely MENTION the string somewhere in a
+    Py4J stack trace, masking the real failure for retries*delay."""
     if isinstance(e, AnalysisException):
         return is_path_not_found(e)
-    return "FileNotFoundException" in str(e)
+    return "java.io.FileNotFoundException" in str(e)
 
 
 def read_parquet_retry(

@@ -16,12 +16,13 @@ half-written output, overwrites its own directories, and produces the same
 pairs. Signatures are computed ONCE per batch and shared by the pair join
 and the store sink.
 
-Long-running deployments should periodically compact the store (rewrite
-the accumulated ``batch=N`` directories into one partition set via
-``publish_minhash_signatures`` / ``publish_minhash_bands``) — thousands of
-small per-batch files would otherwise dominate the per-trigger store scan.
-Pause the stream for the compaction: the store read treats a missing path
-as empty but does not guard against concurrent rewrites.
+Long-running deployments should periodically compact the store
+(``compact_signature_store`` below) — thousands of small per-batch files
+would otherwise dominate the per-trigger store scan. Pause the stream for
+the compaction (the store read does not guard against concurrent
+rewrites) and pass the stream's ``checkpoint_dir`` so only COMMITTED
+batches fold — an interrupted batch's directories must survive verbatim
+for its replay to stay correct.
 """
 
 from __future__ import annotations
@@ -107,8 +108,16 @@ def start_streaming_near_dup(
         # store is ALREADY scanned this trigger for the candidate join,
         # so the screen adds no new per-trigger scan class; a replayed
         # batch (SAME id) keeps its own rows via the batch exclusion.
+        # Deterministic within-batch dedup (round-13 advisor finding):
+        # dropDuplicates keeps an ARBITRARY row, so a batch carrying two
+        # rows with the same id but different text could emit different
+        # signatures/pairs on replay than the first attempt did,
+        # breaking the replay-produces-identical-output contract. max()
+        # picks the byte-wise greatest payload — any total order works,
+        # it just has to be the SAME one on every attempt.
         docs = (
-            raw.dropDuplicates(["doc_id"])
+            raw.groupBy("doc_id")
+            .agg(F.max("text").alias("text"))
             .join(
                 store.select("doc_id").distinct(), "doc_id", "left_anti"
             )
@@ -145,42 +154,35 @@ def compact_signature_store(
     spark: SparkSession,
     store_path: str,
     target_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> int:
-    """Compact the accumulated per-batch signature store into a single
-    consolidated ``batch=0`` partition — the maintenance pass the module
-    docstring prescribes for long-running deployments, where thousands of
-    small ``batch=N`` directories would otherwise dominate the per-trigger
+    """Compact the accumulated per-batch signature store into one
+    consolidated partition — the maintenance pass the module docstring
+    prescribes for long-running deployments, where thousands of small
+    ``batch=N`` directories would otherwise dominate the per-trigger
     store scan. Returns the number of signatures compacted.
 
-    MUST run while the stream is paused AT A COMMITTED CHECKPOINT
-    BOUNDARY (documented store contract: the read path does not guard
-    against concurrent rewrites; compacting an uncommitted batch's
-    partial write would fold it into ``batch=0`` and make that batch's
-    replay pair against its own documents). The rewrite is
-    crash-safe against *re-running compaction*: it stages into
-    ``<store>.compact``, then atomically swaps via rename — a crash
-    mid-stage leaves the original store untouched; a crash between the
-    two renames leaves the staged copy ready for a retry. After
-    compaction, batch ids restart above 0; the replay-exclusion contract
-    (``batch < N``) still holds because the stream's next batch id is
-    strictly greater than any already-committed one.
+    Pass the stream's ``checkpoint_dir`` to make the pass safe at ANY
+    stopped boundary: only batches the checkpoint has COMMITTED are
+    folded (into ``batch=<max folded id>``); an interrupted batch's
+    directories are carried through verbatim so its replay still
+    excludes its own rows and still sees the whole prior corpus
+    (round-13 advisor finding: folding an uncommitted batch's rows
+    would make its replay anti-join its own documents away and
+    overwrite the pairs partition with an empty result). Without
+    ``checkpoint_dir`` every partition folds and the CALLER must
+    guarantee the last written batch committed — merely stopping the
+    stream does not guarantee that.
 
-    ``target_partitions`` controls the consolidated file count (defaults
-    to the session's shuffle parallelism via AQE coalesce).
+    Crash-safety of the rewrite itself and the ``target_partitions``
+    knob: see ``streaming.compaction.compact_batched_store`` (shared
+    with the semantic-dedup and output-sink compactors).
     """
-    from ..sources.warehouse import heal_staged_swap, staged_swap
+    from .compaction import compact_batched_store
 
-    heal_staged_swap(store_path)
-    df = spark.read.parquet(store_path).select("doc_id", "sig")
-    n = df.count()
-    writer = df.withColumn("batch", F.lit(0))
-    if target_partitions is not None:
-        writer = writer.repartition(target_partitions)
-    staged_swap(
-        lambda staging: writer.write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(staging),
+    return compact_batched_store(
+        spark,
         store_path,
-        staging_suffix=".compact",
+        checkpoint_dir=checkpoint_dir,
+        target_partitions=target_partitions,
     )
-    return n

@@ -299,3 +299,33 @@ def start_speed_layer(
         .trigger(**(trigger if trigger is not None else {"processingTime": "0 seconds"}))
     )
     return writer.start()
+
+
+def compact_output_sink(
+    spark: SparkSession,
+    output_out: str,
+    checkpoint_dir: str,
+    target_partitions: int | None = None,
+) -> int:
+    """Fold the enriched-output sink's accumulated ``batch=N``
+    directories (one per trigger, the replay-idempotence scheme above)
+    into one consolidated partition — retention maintenance for
+    long-running streams, the analog of the signature/semantic store
+    compactors (the reference's counterpart is an unbounded Kafka topic,
+    so this is an operational improvement, not a semantics change).
+    Returns the number of output rows folded.
+
+    ``checkpoint_dir`` is REQUIRED here (unlike the store compactors'
+    legacy mode): only batches the checkpoint has committed fold, so a
+    replayed batch still overwrites exactly its own directory and the
+    folded rows — which Structured Streaming will never replay — are
+    untouchable. Run while the stream is stopped; any boundary is safe.
+    """
+    from .compaction import compact_batched_store
+
+    return compact_batched_store(
+        spark,
+        output_out,
+        checkpoint_dir=checkpoint_dir,
+        target_partitions=target_partitions,
+    )

@@ -153,8 +153,13 @@ def start_streaming_semantic_dedup(
         # candidate join's store scans this trigger already pays. A
         # replayed batch (SAME id) keeps its own rows: the store read
         # excludes batch >= batch_id.
+        # groupBy/max, not dropDuplicates: deterministic pick when a
+        # batch carries the same id twice with different payloads, so a
+        # replay emits byte-identical output (arrays of doubles are
+        # orderable; see near_dup.py for the full rationale).
         vecs = (
-            raw.dropDuplicates(["vec_id"])
+            raw.groupBy("vec_id")
+            .agg(F.max("embedding").alias("embedding"))
             .join(
                 store_vecs.select("vec_id").distinct(),
                 "vec_id",
@@ -208,42 +213,38 @@ def compact_semantic_store(
     spark: SparkSession,
     store_path: str,
     target_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[int, int]:
     """Compact both accumulated per-batch store tables (``assign`` and
-    ``vecs``) into single consolidated ``batch=0`` partitions — the
-    maintenance pass long-running deployments need, exactly as
+    ``vecs``) into single consolidated partitions — the maintenance pass
+    long-running deployments need, exactly as
     ``near_dup.compact_signature_store`` prescribes for its signature
     store (thousands of small ``batch=N`` directories would otherwise
     dominate the per-trigger store scan). Returns (n_assignments,
     n_vectors) compacted.
 
-    Same contract as the MinHash compactor: MUST run while the stream is
-    paused at a committed checkpoint boundary; the rewrite stages into
-    ``<table>.compact`` and swaps via rename, with the ``.old`` rollback
-    healing a crash between the two renames; batch ids restart above 0,
-    and the ``batch < N`` replay-exclusion contract still holds because
-    the stream's next batch id is strictly greater than any committed
-    one. Both tables compact (assign first) so a crash between the two
-    table compactions leaves each table individually consistent — the
-    read path never correlates batch ids ACROSS the two tables."""
-    from ..sources.warehouse import heal_staged_swap, staged_swap
+    Same contract as the MinHash compactor (shared implementation:
+    ``streaming.compaction.compact_batched_store``): pass the stream's
+    ``checkpoint_dir`` and only COMMITTED batches fold, with an
+    interrupted batch's directories carried through verbatim so its
+    replay keeps the ``batch >= N`` self-exclusion and the full prior
+    corpus — without it, a replayed batch whose rows were folded would
+    be screened away by the ingestion anti-join and overwrite its pairs
+    partition with an empty result (round-13 advisor finding). Both
+    tables compact (assign first) so a crash between the two table
+    compactions leaves each table individually consistent — the read
+    path never correlates batch ids ACROSS the two tables."""
+    from .compaction import compact_batched_store
 
     counts = []
-    for sub, cols in (("assign", ["vec_id", "cell"]),
-                      ("vecs", ["vec_id", "embedding"])):
-        path = f"{store_path}/{sub}"
-        heal_staged_swap(path)
-        df = spark.read.parquet(path).select(*cols)
-        counts.append(df.count())
-        writer = df.withColumn("batch", F.lit(0))
-        if target_partitions is not None:
-            writer = writer.repartition(target_partitions)
-        staged_swap(
-            lambda staging, w=writer: w.write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(staging),
-            path,
-            staging_suffix=".compact",
+    for sub in ("assign", "vecs"):
+        counts.append(
+            compact_batched_store(
+                spark,
+                f"{store_path}/{sub}",
+                checkpoint_dir=checkpoint_dir,
+                target_partitions=target_partitions,
+            )
         )
     return counts[0], counts[1]
 

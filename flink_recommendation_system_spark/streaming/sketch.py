@@ -62,6 +62,36 @@ def start_cms_refresh(
     )
 
 
+def compact_sketch_store(
+    spark: SparkSession,
+    store_path: str,
+    checkpoint_dir: str | None = None,
+    target_partitions: int | None = None,
+) -> int:
+    """Fold a per-batch sketch store's committed ``batch=N`` directories
+    into one partition (streaming.compaction.compact_batched_store — the
+    same maintenance pass as the signature/semantic/output compactors).
+    Works for all three stores here: the read-side merges are cell-wise
+    sum (CMS, histogram) or per-bucket max (HLL), both order- and
+    partition-independent, so folding changes nothing a reader sees.
+
+    The checkpoint matters MORE for the additive stores than for the
+    dedup stores: their readers sum over EVERY batch directory with no
+    ``batch < N`` exclusion, so folding an UNCOMMITTED batch's cells and
+    then having Structured Streaming replay that batch (which rewrites
+    its ``batch=N`` directory) would DOUBLE-COUNT the batch forever.
+    Pass the stream's ``checkpoint_dir`` and only committed batches —
+    which are never replayed — fold. Returns rows folded."""
+    from .compaction import compact_batched_store
+
+    return compact_batched_store(
+        spark,
+        store_path,
+        checkpoint_dir=checkpoint_dir,
+        target_partitions=target_partitions,
+    )
+
+
 def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
     """The current corpus-wide sketch: cell-wise sum over every batch's
     sketch — identical to ``cms_build`` over the concatenated input

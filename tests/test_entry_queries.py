@@ -60,3 +60,21 @@ def test_audit_class_registry_is_consistent():
         assert why and twin, name
         # the twin field must reference at least one registered query
         assert any(q in twin for q in QUERIES), (name, twin)
+
+
+def test_rows_only_twin_map_is_consistent():
+    """Machine-readable rows-only pairing (VERDICT r12 item 8): the six
+    permanent no-oracle queries each name a hash-exact twin. The map must
+    cover EXACTLY the no-oracle set (a new rows-only query without a twin
+    fails here, as does a rows-only query that gains an oracle but keeps
+    a stale map entry), every twin must be registered AND value-oracled,
+    and no query may be its own twin."""
+    twins = entrymod.ROWS_ONLY_TWINS
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert set(twins) == no_oracle, (
+        sorted(set(twins) ^ no_oracle)
+    )
+    for name, twin in twins.items():
+        assert twin in QUERIES, (name, twin)
+        assert twin in ORACLES, (name, twin)  # twin must be hash-exact
+        assert twin != name, name

@@ -218,9 +218,10 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 
 
 def test_compact_semantic_store_preserves_replay_contract(spark, tmp_path):
-    """Compaction folds both store tables into batch=0 without changing
-    their contents, and a post-compaction batch still pairs against the
-    full compacted store."""
+    """Compaction folds both store tables into one partition (at the max
+    folded batch id, so any later batch's ``batch < N`` read still sees
+    every row) without changing their contents, and a post-compaction
+    batch still pairs against the full compacted store."""
     from flink_recommendation_system_spark.streaming.semantic_dedup import (
         ASSIGN_SCHEMA,
         _read_store,
@@ -251,10 +252,12 @@ def test_compact_semantic_store_preserves_replay_contract(spark, tmp_path):
     assert before == after
     assert n_assign == len(before)
     assert n_vecs == emb.count()
-    # the consolidated store sits entirely in batch=0, visible to batch 1+
+    # the consolidated store sits entirely at the max folded id (2),
+    # visible to batch 3+ via the batch < N read
     import os
 
-    assert os.path.isdir(f"{store}/assign/batch=0")
+    assert os.path.isdir(f"{store}/assign/batch=2")
+    assert not os.path.isdir(f"{store}/assign/batch=0")
     assert not os.path.isdir(f"{store}/assign/batch=1")
 
 

@@ -240,3 +240,59 @@ def test_read_hll_rejects_width_mismatch(spark, tmp_path):
     with _pytest.raises(ValueError, match="b=6"):
         read_hll(spark, str(tmp_path / "hll"))
     assert read_hll(spark, str(tmp_path / "hll"), b=6).count() <= 64
+
+
+def test_cms_store_compaction_preserves_sums_and_uncommitted(spark, tmp_path):
+    """Sketch-store compaction (round 13): folding committed batches must
+    not change the read-side cell-wise sum, and an UNCOMMITTED batch's
+    directory must survive verbatim — its replay overwrites batch=N
+    idempotently; folding it would double-count the batch forever."""
+    from flink_recommendation_system_spark.streaming.compaction import (
+        batch_ids,
+    )
+    from flink_recommendation_system_spark.streaming.sketch import (
+        compact_sketch_store,
+    )
+
+    events = load_table(spark, SF0001, "events").select("user_id")
+    store = str(tmp_path / "cms")
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    # sf0.001 user ids span 0-14; keep all three batches non-empty
+    for i, (lo, hi) in enumerate([(0, 5), (5, 10), (10, 10**9)]):
+        b = events.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi))
+        cms_build(b, "user_id", W, D).write.parquet(f"{store}/batch={i}")
+        if i < 2:  # batch 2 written but never committed
+            (ckpt / "commits" / str(i)).write_text("v1")
+
+    before = {
+        (r.r, r.j): r.cnt for r in read_cms(spark, store).collect()
+    }
+    n = compact_sketch_store(spark, store, checkpoint_dir=str(ckpt))
+    assert n > 0
+    assert batch_ids(store) == [1, 2]  # 0,1 folded; 2 untouched
+    after = {
+        (r.r, r.j): r.cnt for r in read_cms(spark, store).collect()
+    }
+    assert after == before
+
+    # replay of the uncommitted batch: overwrite batch=2 with the SAME
+    # sketch — totals unchanged (the idempotence the fold must preserve)
+    b2 = events.filter(F.col("user_id") >= 10)
+    cms_build(b2, "user_id", W, D).write.mode("overwrite").parquet(
+        f"{store}/batch=2"
+    )
+    replayed = {
+        (r.r, r.j): r.cnt for r in read_cms(spark, store).collect()
+    }
+    assert replayed == before
+    # estimates served off the compacted store match the batch sketch
+    est = cms_estimate(
+        read_cms(spark, store),
+        spark.createDataFrame([(5,)], "user_id BIGINT"),
+        "user_id",
+        W,
+        D,
+    ).collect()[0]["est_cnt"]
+    truth = events.filter(F.col("user_id") == 5).count()
+    assert est >= truth

@@ -62,10 +62,14 @@ class _SseReader:
         )
 
     def close(self):
-        try:
-            self._conn.close()
-        except Exception:
-            pass
+        # the response holds its own socket file object — closing only
+        # the connection would leave the OS socket open (no FIN), so the
+        # server's dead-pipe sweep would never fire
+        for obj in (self._resp, self._conn):
+            try:
+                obj.close()
+            except Exception:
+                pass
 
 
 def test_viz_http_surface_and_broadcast():
@@ -95,6 +99,111 @@ def test_viz_http_surface_and_broadcast():
             (msg,) = reader.wait_for(1)
             assert parse_output_message(msg) == (7, ["1", "2"])
             reader.close()
+    finally:
+        svc.stop()
+
+
+def test_viz_soak_client_churn_under_stream(spark, tmp_path):
+    """Soak under churn (VERDICT r12 item 7): many clients connecting and
+    disconnecting across many triggers while the stream runs must leak
+    nothing — the client set returns to 0 once every subscriber is gone,
+    queues stay bounded, and survivors still receive messages."""
+    import queue as queue_mod
+
+    n_files = 10
+    d = tmp_path / "enriched_in"
+    d.mkdir()
+    for i in range(n_files):
+        with open(d / f"part-{i:02d}.json", "w") as f:
+            for j in range(5):
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": i * 10 + j,
+                            "recommended_products": [str(j)],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, recommended_products array<string>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+
+    svc = RecommendationVizService(port=0)
+    port = svc.start()
+    try:
+        # 20 clients; the even-indexed half disconnects mid-stream
+        readers = [_SseReader(port) for _ in range(20)]
+        _wait_for_clients(svc, 20)
+        q = start_recommendation_viz(stream, svc, str(tmp_path / "ckpt"))
+        try:
+            # churn while triggers fire: drop half the clients, then add
+            # five more that only see the remaining batches
+            time.sleep(0.3)
+            for r in readers[0::2]:
+                r.close()
+            late = [_SseReader(port) for _ in range(5)]
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # survivors that were present from the start saw every row
+        survivor = readers[1]
+        got = {
+            parse_output_message(m)[0]
+            for m in survivor.wait_for(n_files * 5)
+        }
+        assert got == {i * 10 + j for i in range(n_files) for j in range(5)}
+
+        # close every subscriber; the next publish sweeps the dead pipes
+        for r in readers[1::2] + late:
+            r.close()
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            svc.publish(json.dumps(
+                {"userId": 0, "recommendedProducts": []}
+            ))
+            with svc._lock:
+                if not svc._clients:
+                    break
+            time.sleep(0.1)
+        with svc._lock:
+            assert not svc._clients, (
+                f"{len(svc._clients)} client queues leaked after churn"
+            )
+    finally:
+        svc.stop()
+
+
+def test_viz_publish_queue_stays_bounded():
+    """A subscriber that never drains (stalled tab) must lose oldest
+    messages, not grow driver memory: after thousands of publishes its
+    queue holds exactly the newest maxsize messages."""
+    svc = RecommendationVizService(port=0)
+    port = svc.start()
+    try:
+        reader = _SseReader(port)
+        _wait_for_clients(svc, 1)
+        with svc._lock:
+            q = svc._clients[0]
+        # stall the drain: the handler thread is blocked in q.get() for
+        # the FIRST message only; flood far past the bound
+        for i in range(3000):
+            svc.publish(str(i))
+        assert q.qsize() <= q.maxsize
+        # newest survive: the tail of the queue is the last published id
+        drained = []
+        try:
+            while True:
+                drained.append(q.get_nowait())
+        except Exception:
+            pass
+        assert drained[-1] == "2999"
+        reader.close()
     finally:
         svc.stop()
 
