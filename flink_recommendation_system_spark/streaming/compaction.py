@@ -113,12 +113,10 @@ def compact_batched_store(
     first): the live path is never half-written, and a crash between the
     swap's renames rolls back from ``.old`` on the next attempt.
     """
-    from ..sources.warehouse import staged_swap
-
     # staged_swap heals on entry, but the ids listing below reads the live
     # path BEFORE the swap runs — heal explicitly so a crashed prior
     # compaction doesn't present an empty/missing store here.
-    from ..sources.warehouse import heal_staged_swap
+    from ..sources.warehouse import heal_staged_swap, staged_swap
 
     heal_staged_swap(path)
     ids = batch_ids(path)
