@@ -112,12 +112,25 @@ def compact_batched_store(
     ``sources.warehouse.staged_swap`` (which heals a prior crashed swap
     first): the live path is never half-written, and a crash between the
     swap's renames rolls back from ``.old`` on the next attempt.
+
+    Torn-write safety (round-13 review): only the COMMITTED batch
+    directories are ever read through Spark — committed means the sink's
+    job commit finished, so their files are complete. An uncommitted
+    directory may hold a footer-less part file from the very
+    crash-mid-write this pass must tolerate, so it is carried into the
+    staging tree by a filesystem copy (genuinely verbatim, bytes
+    included), never parsed.
     """
+    import shutil
+
     # staged_swap heals on entry, but the ids listing below reads the live
     # path BEFORE the swap runs — heal explicitly so a crashed prior
-    # compaction doesn't present an empty/missing store here.
+    # compaction doesn't present an empty/missing store here. Normalize
+    # the scheme once: every os-level call below (heal, listing, copy,
+    # swap renames) needs the bare path Spark's file: URIs refer to.
     from ..sources.warehouse import heal_staged_swap, staged_swap
 
+    path = _local_path(path).rstrip("/")
     heal_staged_swap(path)
     ids = batch_ids(path)
     if not ids:
@@ -132,32 +145,31 @@ def compact_batched_store(
     if not fold_ids:
         return 0
     fold_bound = max(fold_ids)
+    keep_ids = [i for i in ids if i > fold_bound]
 
-    # partition discovery infers batch as int; normalize to long so the
-    # folded/kept union below lines up with the stores' LongType reads
-    df = spark.read.parquet(path).withColumn(
-        "batch", F.col("batch").cast("long")
-    )
-    data_cols = [c for c in df.columns if c != "batch"]
+    # read ONLY the committed directories (no basePath: the batch
+    # partition column is re-added as a literal, normalized to long to
+    # line up with the stores' LongType read schemas)
     folded: DataFrame = (
-        df.filter(F.col("batch") <= fold_bound)
-        .select(*data_cols)
+        spark.read.parquet(*[f"{path}/batch={i}" for i in fold_ids])
         .withColumn("batch", F.lit(fold_bound).cast("long"))
     )
-    n = folded.count()
     if target_partitions is not None:
         folded = folded.repartition(target_partitions)
-    out = folded
-    if any(i > fold_bound for i in ids):
-        kept = df.filter(F.col("batch") > fold_bound).select(
-            *data_cols, "batch"
-        )
-        out = folded.unionByName(kept)
-    staged_swap(
-        lambda staging: out.write.mode("overwrite")
-        .partitionBy("batch")
-        .parquet(staging),
-        path,
-        staging_suffix=".compact",
-    )
+
+    n = 0
+
+    def _write(staging: str) -> None:
+        nonlocal n
+        folded.write.mode("overwrite").partitionBy("batch").parquet(staging)
+        # count the freshly-written consolidated output (merge_upsert's
+        # pattern) instead of re-scanning the fragmented input a second
+        # time; runs BEFORE the verbatim copies so only folded rows count
+        n = spark.read.parquet(staging).count()
+        for i in keep_ids:
+            shutil.copytree(
+                f"{path}/batch={i}", f"{staging}/batch={i}"
+            )
+
+    staged_swap(_write, path, staging_suffix=".compact")
     return n

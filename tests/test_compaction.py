@@ -298,3 +298,50 @@ def test_streaming_dedup_deterministic_on_conflicting_payloads(
         ).collect()
     }
     assert got == expect
+
+
+def test_compaction_tolerates_torn_uncommitted_write(spark, tmp_path):
+    """The crash this feature targets can leave a FOOTER-LESS part file
+    in the uncommitted batch directory. Compaction must neither parse it
+    (schema inference would raise) nor alter it — the directory is
+    carried into the compacted store byte-identical, ready for the
+    replay's overwrite."""
+    store = str(tmp_path / "store")
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    for i in (0, 1):
+        D.minhash_signatures(docs.limit(30 + i), 32, 5).write.parquet(
+            f"{store}/batch={i}"
+        )
+        (ckpt / "commits" / str(i)).write_text("v1")
+    torn = tmp_path / "store" / "batch=2"
+    torn.mkdir()
+    junk = b"PAR1\x00\x07torn-mid-write"  # magic but no footer
+    (torn / "part-00000.parquet").write_bytes(junk)
+
+    n = compact_signature_store(spark, store, checkpoint_dir=str(ckpt))
+    assert n > 0
+    assert batch_ids(store) == [1, 2]
+    assert (
+        tmp_path / "store" / "batch=2" / "part-00000.parquet"
+    ).read_bytes() == junk  # verbatim, bytes included
+    # the committed rows all read back from the consolidated partition
+    folded = spark.read.parquet(f"{store}/batch=1")
+    assert folded.count() == n
+
+
+def test_compaction_accepts_file_scheme_paths(spark, tmp_path):
+    """Spark-style file: URIs must work end-to-end — the os-level heal/
+    listing/swap calls normalize the scheme once at entry."""
+    store = str(tmp_path / "store")
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("v1")
+    spark.range(10).write.parquet(f"{store}/batch=0")
+    n = compact_batched_store(
+        spark, f"file://{store}", checkpoint_dir=f"file://{ckpt}"
+    )
+    assert n == 10
+    assert batch_ids(store) == [0]
+    assert spark.read.parquet(store).count() == 10

@@ -182,28 +182,30 @@ def test_viz_soak_client_churn_under_stream(spark, tmp_path):
 def test_viz_publish_queue_stays_bounded():
     """A subscriber that never drains (stalled tab) must lose oldest
     messages, not grow driver memory: after thousands of publishes its
-    queue holds exactly the newest maxsize messages."""
+    queue holds exactly the newest maxsize messages. Tested against a
+    directly-registered queue with NO live handler thread — with one, a
+    loopback client's TCP buffers absorb small frames without blocking,
+    so the handler would race the flood and the drained contents would
+    be timing-dependent."""
+    import queue as queue_mod
+
     svc = RecommendationVizService(port=0)
-    port = svc.start()
+    svc.start()
     try:
-        reader = _SseReader(port)
-        _wait_for_clients(svc, 1)
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=1024)
         with svc._lock:
-            q = svc._clients[0]
-        # stall the drain: the handler thread is blocked in q.get() for
-        # the FIRST message only; flood far past the bound
+            svc._clients.append(q)
         for i in range(3000):
             svc.publish(str(i))
-        assert q.qsize() <= q.maxsize
-        # newest survive: the tail of the queue is the last published id
+        assert q.qsize() == q.maxsize  # clamped, not grown
         drained = []
-        try:
-            while True:
+        while True:
+            try:
                 drained.append(q.get_nowait())
-        except Exception:
-            pass
-        assert drained[-1] == "2999"
-        reader.close()
+            except queue_mod.Empty:
+                break
+        # drop-oldest: exactly the contiguous newest suffix survives
+        assert drained == [str(i) for i in range(3000 - 1024, 3000)]
     finally:
         svc.stop()
 
