@@ -86,9 +86,27 @@ def main() -> None:
     q.stop()
     served = spark.read.parquet(f"{out}/output")
     ratings = spark.read.parquet(f"{out}/user_ratings")
-    print(f"[speed] served {served.count()} recommendation messages; "
+    n_served = served.count()
+    print(f"[speed] served {n_served} recommendation messages; "
           f"{ratings.count()} distinct ratings persisted")
     print(f"[speed] sample output: {served.first()['value'][:100]}")
+
+    # --- retention maintenance (round 13): the output sink grows one
+    # batch=N directory per trigger for crash-replay idempotence; fold
+    # the committed ones while the stream is stopped. Passing the
+    # stream's checkpoint makes this safe at ANY stopped boundary —
+    # only batches Structured Streaming will never replay are folded.
+    # (re-read the table after the swap: `served`'s pre-compaction file
+    # listing is stale once the directories are rewritten)
+    from flink_recommendation_system_spark.streaming.pipeline import (
+        compact_output_sink,
+    )
+
+    n_folded = compact_output_sink(spark, f"{out}/output", f"{out}/ckpt")
+    served = spark.read.parquet(f"{out}/output")
+    assert served.count() == n_served
+    print(f"[maintenance] output sink compacted: {n_folded} rows folded, "
+          f"{served.count()} still served")
 
     # --- S10 visualization relay: replay the served output through the
     # SSE service (the reference's Kafka→WebSocket→browser display;
