@@ -710,6 +710,19 @@ _WINDOW_PRIORITY = [
     # operator level, so the pair re-earns its driver row.
     "ann_recall_report",
     "semantic_dedup_recall",
+    # 1b. SPEC FIXES THIS ROUND (round-13 review of the mining suite —
+    # defects both engines shared, so oracle parity never caught them):
+    # chi-square grid densified (zero cells contribute E), CUSUM series
+    # gap-filled (an outage day is a data point), negatives exclude ALL
+    # interactions (not just liked), untouched purchases kept with
+    # n_touches=0, t_closeness class_size = customer count (triad
+    # parity). Outputs changed → each re-earns its driver row; the last
+    # five oldest-vintage entries slide to the r14 head to make room.
+    "chi_square_cells",
+    "cusum_changepoint",
+    "implicit_negatives",
+    "touch_attribution",
+    "t_closeness",
     # 2. OLDEST-VINTAGE ROTATION (VERDICT r12 item 1, staged by the
     # round-12 vintage scan): the complete r6-green block (45 queries,
     # alphabetical), then the first three of the r7 block to fill 50.
@@ -762,14 +775,16 @@ _WINDOW_PRIORITY = [
     "temperature_mixture",
     "top_orders_per_customer",
     "top_supplier",
+    # -- past-window from here: previous windows in their prior relative
+    # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
+    # and by the committed per-round sf0.01 local sweep --
+    # r14 HEAD CANDIDATES (displaced from the r13 window by the five
+    # spec-fix re-confirms): the r6 tail + the r7 head.
     "training_pairs",
     "waiting_suppliers",
     "activity_streaks",
     "adamic_adar",
     "basket_lift",
-    # -- past-window from here: previous windows in their prior relative
-    # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
-    # and by the committed per-round sf0.01 local sweep --
     "semantic_dedup_ivf_refit",
     "semantic_dedup_incremental",
     "semantic_dedup_ivf",

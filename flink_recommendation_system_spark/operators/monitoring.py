@@ -17,7 +17,21 @@ def cusum_over_daily(daily: DataFrame) -> DataFrame:
     S'_t = n·S_t stays an exact BIGINT; the argmax-|S'| day is flagged
     (earliest wins ties).
 
-    Output: one row per day — (d, x, cusum_scaled, is_changepoint)."""
+    Days are gap-filled across [min, max] so an absent day enters the
+    series as x = 0 (round-13 review): a zero-event day is a DATA POINT —
+    an outage is exactly the changepoint this scan exists to find — and
+    dropping it from the series shifts n, the mean, and the |S'| peak.
+    Same spine convention as ``ewma_over_daily`` below.
+
+    Output: one row per calendar day in range —
+    (d, x, cusum_scaled, is_changepoint)."""
+    bounds = daily.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    all_days = bounds.select(
+        F.explode(F.sequence("d_lo", "d_hi")).alias("d")
+    )
+    daily = all_days.join(daily, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
     tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "d", "x", (F.col("n") * F.col("x") - F.col("sx")).alias("dev")

@@ -436,8 +436,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — dev_t = n·x_t − Σx is integer, so the running sum S'_t =
     n·S_t is an exact BIGINT (n ≤ ~30 days, n·x ≲ 1e6·30 ≪ 2^63).
 
-    Output: one row per day with the count, the scaled CUSUM statistic,
-    and is_changepoint on the argmax-|S'| row (earliest day wins ties).
+    Output: one row per CALENDAR day in [min, max] — zero-event days are
+    gap-filled as x = 0 (an outage is a changepoint, not a missing row) —
+    with the count, the scaled CUSUM statistic, and is_changepoint on the
+    argmax-|S'| row (earliest day wins ties).
 
     Scale design (100 TB): the scan partial-aggregates to one row per day;
     the running sum is a window over ≤ thousands of rows on the driver-
@@ -453,10 +455,16 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSUM_CHANGEPOINT_SQL = f"""
-WITH daily AS (
+WITH daily_sparse AS (
     SELECT CAST(epoch_ns(ts) // {_NS_PER_DAY} AS BIGINT) AS d,
            count(*) AS x
     FROM events GROUP BY 1
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily_sparse),
+days AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+daily AS (
+    SELECT days.d, COALESCE(s.x, 0) AS x
+    FROM days LEFT JOIN daily_sparse s USING (d)
 ),
 tot AS (SELECT count(*) AS n, sum(x) AS sx FROM daily),
 cus AS (
@@ -585,11 +593,18 @@ def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT summed here (a float sum over cells would be order-dependent) —
     the caller sums the 6-dp-rounded contributions, which is stable.
 
+    The contingency grid is DENSIFIED (round-13 review): a (type, bucket)
+    combination with zero observed events still contributes
+    (0 − E)²/E = E to the statistic, so it must appear as an
+    observed=0 row — omitting empty cells understates chi² and biases
+    the test toward non-rejection. The bucket domain is the fixed 0..3
+    (6-hour blocks of a day); the type domain is the observed types.
+
     Scale design (100 TB): the raw scan partial-aggregates straight to the
-    ≤ |types|×4 cell grid; marginals are window sums over that tiny grid
-    (broadcast-scale), never a second scan."""
+    ≤ |types|×4 cell grid; densification and marginals are window sums
+    over that tiny grid (broadcast-scale), never a second scan."""
     ev = load_table(spark, sf_dir, "events")
-    cells = (
+    sparse = (
         ev.select(
             "event_type",
             F.expr(
@@ -600,6 +615,14 @@ def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_bucket")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
+    grid = sparse.select("event_type").distinct().crossJoin(
+        spark.range(4).select(
+            F.col("id").cast("bigint").alias("hour_bucket")
+        )
+    )
+    cells = grid.join(
+        sparse, ["event_type", "hour_bucket"], "left"
+    ).withColumn("observed", F.coalesce("observed", F.lit(0)))
     w_r = Window.partitionBy("event_type")
     w_c = Window.partitionBy("hour_bucket")
     w_n = Window.partitionBy()
@@ -625,12 +648,23 @@ def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHI_SQUARE_CELLS_SQL = f"""
-WITH cells AS (
+WITH sparse AS (
     SELECT event_type,
            CAST((epoch_ns(ts) % {_NS_PER_DAY}) // {6 * _NS_PER_HOUR}
                 AS BIGINT) AS hour_bucket,
            count(*) AS observed
     FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT t.event_type, b.hour_bucket
+    FROM (SELECT DISTINCT event_type FROM sparse) t
+    CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT)
+                    AS hour_bucket) b
+),
+cells AS (
+    SELECT g.event_type, g.hour_bucket,
+           COALESCE(s.observed, 0) AS observed
+    FROM grid g LEFT JOIN sparse s USING (event_type, hour_bucket)
 ),
 g AS (
     SELECT event_type, hour_bucket, observed,
@@ -736,7 +770,11 @@ _ATTR_WINDOW_SEC = 3600
 
 
 def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marketing attribution: for every purchase, the click/view touches by
+    """Marketing attribution: for EVERY purchase — including a direct
+    purchase with no prior touch, which reports n_touches = 0 with NULL
+    first/last touch (round-13 review: an inner join dropped untouched
+    purchases entirely, silently shrinking any downstream denominator
+    like 'share of touch-assisted purchases') — the click/view touches by
     the same user in the preceding hour (s in (purchase−3600, purchase]),
     with the touch count and the first-/last-touch event types. Touch
     order is the total order (s, event_id) — event ids are unique, so
@@ -768,12 +806,19 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ord"),
         F.col("event_type").alias("touch_type"),
     )
-    joined = purchases.join(touches, "user_id").filter(
-        (F.col("ts_s") <= F.col("ps"))
-        & (F.col("ts_s") > F.col("ps") - _ATTR_WINDOW_SEC)
+    # LEFT join with the window predicate in the ON clause (a post-join
+    # filter would re-drop the unmatched purchases the left join keeps)
+    joined = purchases.join(
+        touches,
+        (purchases["user_id"] == touches["user_id"])
+        & (F.col("ts_s") <= F.col("ps"))
+        & (F.col("ts_s") > F.col("ps") - _ATTR_WINDOW_SEC),
+        "left",
     )
     return joined.groupBy("purchase_id").agg(
-        F.count(F.lit(1)).alias("n_touches"),
+        # count(touch_type), not count(*): the unmatched purchase's one
+        # all-NULL touch row must count as zero touches
+        F.count("touch_type").alias("n_touches"),
         F.min_by("touch_type", "ord").alias("first_touch"),
         F.max_by("touch_type", "ord").alias("last_touch"),
     )
@@ -795,11 +840,12 @@ touches AS (
            event_type AS touch_type
     FROM ev WHERE event_type IN ('click', 'view')
 )
-SELECT purchase_id, count(*) AS n_touches,
+SELECT purchase_id, count(touch_type) AS n_touches,
        arg_min(touch_type, ord) AS first_touch,
        arg_max(touch_type, ord) AS last_touch
-FROM purchases JOIN touches USING (user_id)
-WHERE ts_s <= ps AND ts_s > ps - {_ATTR_WINDOW_SEC}
+FROM purchases LEFT JOIN touches
+  ON purchases.user_id = touches.user_id
+ AND ts_s <= ps AND ts_s > ps - {_ATTR_WINDOW_SEC}
 GROUP BY purchase_id
 """
 
@@ -938,6 +984,16 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     products stay ≪ 2^63 at any driver SF — at true 100 TB counts use
     DECIMAL(38)); ONE final IEEE division by C·G·(m−1), rounded 6-dp.
 
+    Class semantics (round-13 review): the sensitive attribute lives on
+    ORDERS, so the distributions p/q are over order records — but
+    ``class_size`` reports the class's CUSTOMER count, matching what the
+    same class reports in `k_anonymity` and `l_diversity` (it previously
+    reported the order-row count, so the triad disagreed about the same
+    class). A class whose customers placed no orders has an EMPTY
+    sensitive distribution — no EMD to compute — and is deliberately
+    absent here (it vacuously satisfies any t); `l_diversity` reports it
+    with n_sensitive = 0.
+
     Scale design (100 TB): customer⨝orders custkey join → partial-agg to
     (class, priority) cells; the dense grid and window run over ≤
     |QID classes|·m rows — metadata-sized, independent of fact rows."""
@@ -949,12 +1005,16 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
         " DIV 100000 AS BIGINT)"
     )
-    rows = cust.select(
+    cust_q = cust.select(
         "c_custkey",
         F.col("c_nationkey").cast("long").alias("nationkey"),
         "c_mktsegment",
         bucket.alias("bal_bucket"),
-    ).join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    class_cust = cust_q.groupBy(
+        "nationkey", "c_mktsegment", "bal_bucket"
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    rows = cust_q.join(orders, F.col("c_custkey") == F.col("o_custkey"))
     cells = rows.groupBy(
         "nationkey", "c_mktsegment", "bal_bucket", "o_orderpriority"
     ).agg(F.count(F.lit(1)).alias("cell_n"))
@@ -988,7 +1048,6 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.groupBy("nationkey", "c_mktsegment", "bal_bucket")
         .agg(
-            F.first("class_n").alias("class_size"),
             F.round(
                 F.sum(F.abs("cum_num")).cast("double")
                 / (
@@ -999,18 +1058,37 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("emd"),
         )
-        .withColumn("meets_t", F.col("emd") <= F.lit(_T_CLOSENESS))
+        .join(
+            F.broadcast(class_cust),
+            ["nationkey", "c_mktsegment", "bal_bucket"],
+        )
+        .select(
+            "nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "class_size",
+            "emd",
+            (F.col("emd") <= F.lit(_T_CLOSENESS)).alias("meets_t"),
+        )
     )
 
 
 T_CLOSENESS_SQL = f"""
-WITH rows_ AS (
-    SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
-           c.c_mktsegment,
-           CAST((CAST(round(c.c_acctbal * 100) AS BIGINT) + 100000000)
-                // 100000 AS BIGINT) AS bal_bucket,
-           o.o_orderpriority
-    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WITH cust_q AS (
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment,
+           CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)
+                // 100000 AS BIGINT) AS bal_bucket
+    FROM customer
+),
+class_cust AS (
+    SELECT nationkey, c_mktsegment, bal_bucket, count(*) AS class_size
+    FROM cust_q GROUP BY 1, 2, 3
+),
+rows_ AS (
+    SELECT q.nationkey, q.c_mktsegment, q.bal_bucket, o.o_orderpriority
+    FROM cust_q q JOIN orders o ON o.o_custkey = q.c_custkey
 ),
 cells AS (
     SELECT nationkey, c_mktsegment, bal_bucket, o_orderpriority,
@@ -1047,17 +1125,17 @@ cum AS (
            ) AS cum_num
     FROM dense
 )
-SELECT nationkey, c_mktsegment, bal_bucket,
-       CAST(first(class_n) AS BIGINT) AS class_size,
-       round(CAST(sum(abs(cum_num)) AS DOUBLE)
-             / (CAST(first(class_n) AS DOUBLE) * CAST(first(total_n) AS DOUBLE)
-                * CAST(first(n_vals) - 1 AS DOUBLE)), 6) AS emd,
-       round(CAST(sum(abs(cum_num)) AS DOUBLE)
-             / (CAST(first(class_n) AS DOUBLE) * CAST(first(total_n) AS DOUBLE)
-                * CAST(first(n_vals) - 1 AS DOUBLE)), 6) <= {_T_CLOSENESS!r}
-           AS meets_t
-FROM cum
-GROUP BY 1, 2, 3
+SELECT e.nationkey, e.c_mktsegment, e.bal_bucket,
+       cc.class_size, e.emd, e.emd <= {_T_CLOSENESS!r} AS meets_t
+FROM (
+    SELECT nationkey, c_mktsegment, bal_bucket,
+           round(CAST(sum(abs(cum_num)) AS DOUBLE)
+                 / (CAST(first(class_n) AS DOUBLE)
+                    * CAST(first(total_n) AS DOUBLE)
+                    * CAST(first(n_vals) - 1 AS DOUBLE)), 6) AS emd
+    FROM cum
+    GROUP BY 1, 2, 3
+) e JOIN class_cust cc USING (nationkey, c_mktsegment, bal_bucket)
 """
 
 QUERIES["t_closeness"] = (q_t_closeness, T_CLOSENESS_SQL)
@@ -1158,22 +1236,33 @@ def q_implicit_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash — the regenerable negative set a training pipeline
     needs (same salt → same negatives on any run, engine, partitioning).
     Candidate grid = users × product catalog (the catalog is the fixed
-    ~100-product dimension → broadcast), anti-joined against the liked
-    relation, ranked per user by (hash, product_id). Full value oracle
-    (md5-derived hash, integer ranks).
+    ~100-product dimension → broadcast), anti-joined against the user's
+    INTERACTIONS — every review at any rating, not just the liked
+    relation (round-13 review: a product the user rated 2.0 is a real
+    interaction, and sampling it as a 'negative' poisons implicit-
+    feedback training; likewise the catalog is every reviewed product,
+    not only products someone liked). Ranked per user by
+    (hash, product_id). Full value oracle (md5-derived hash, integer
+    ranks).
 
     Scale design (100 TB): the catalog side is a broadcast dim; the grid
-    is |users|·|catalog| rows of longs with codegen hashing; liked
-    anti-join and the per-user top-k window shuffle on user_id once."""
+    is |users|·|catalog| rows of longs with codegen hashing; the
+    interaction anti-join and the per-user top-k window shuffle on
+    user_id once."""
     from ..operators.dedup import portable_hash32
     from ..operators.graph import good_reviews
     from ..sources.tables import reviews_from_events
 
-    liked = good_reviews(reviews_from_events(spark, sf_dir)).localCheckpoint()
+    reviews = reviews_from_events(spark, sf_dir).localCheckpoint()
+    liked = good_reviews(reviews)
     users = liked.select("user_id").distinct()
-    catalog = liked.select("product_id").distinct()
+    catalog = reviews.select("product_id").distinct()
     grid = users.join(F.broadcast(catalog), F.lit(True))
-    cand = grid.join(liked, ["user_id", "product_id"], "left_anti")
+    cand = grid.join(
+        reviews.select("user_id", "product_id"),
+        ["user_id", "product_id"],
+        "left_anti",
+    )
     h = portable_hash32(
         F.concat_ws(
             ":",
@@ -1200,13 +1289,13 @@ def _implicit_negatives_sql() -> str:
 WITH {REVIEWS_CTE},
 {LIKED_CTE},
 users AS (SELECT DISTINCT user_id FROM liked),
-catalog AS (SELECT DISTINCT product_id FROM liked),
+catalog AS (SELECT DISTINCT product_id FROM reviews),
 cand AS (
     SELECT u.user_id, c.product_id
     FROM users u CROSS JOIN catalog c
     WHERE NOT EXISTS (
-        SELECT 1 FROM liked l
-        WHERE l.user_id = u.user_id AND l.product_id = c.product_id
+        SELECT 1 FROM reviews r
+        WHERE r.user_id = u.user_id AND r.product_id = c.product_id
     )
 ),
 h AS (
@@ -2006,14 +2095,17 @@ def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map audit for data skipping (Moerkotte 1998 "small
     materialized aggregates" — the mechanism behind parquet footer
     min/max pruning and ORC/Iceberg zone maps): bucket lineitem into
-    ship-month zones, compute each zone's row count and min/max
+    FIXED 30-EPOCH-DAY ship-date zones (zone = ship_days DIV 30 — zones
+    are write-layout blocks, not calendar months; a calendar-month label
+    would drift ~5 days/year off these blocks), compute each zone's row
+    count and min/max
     statistics for the ship date (epoch days, exact ints) and extended
     price (exact cents), and evaluate which zones a fixed one-year probe
     predicate could SKIP — plus each zone's min/max orderkey to show how
     badly a time-ordered layout fragments a key-range predicate (the
     motivation for the sibling `zorder_layout` query).
 
-    Scale design (100 TB): one partial-agg'd scan → ≤ |months| rows;
+    Scale design (100 TB): one partial-agg'd scan → ≤ |30-day blocks| rows;
     this is exactly the statistics pass a writer runs per file at scale.
     """
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -469,3 +469,120 @@ def test_modularity_two_cliques(spark):
         .collect()[0][0]
     )
     assert num / (e2 * e2) == 0.5
+
+
+def test_touch_attribution_keeps_untouched_purchases(spark, tmp_path):
+    """Round-13 spec fix: a direct purchase with no prior touch reports
+    n_touches=0 with NULL first/last touch — it must not vanish from the
+    output (the old inner join shrank every downstream denominator)."""
+    t0 = TS(2024, 1, 1, 12, 0, 0)
+    d = _write_events(
+        spark,
+        tmp_path,
+        [
+            (10, t0, 1, "purchase", 1.0, "{}"),  # no touches at all
+            (11, t0, 2, "purchase", 1.0, "{}"),
+            (1, t0 - datetime.timedelta(seconds=5), 2, "click", 1.0, "{}"),
+        ],
+    )
+    out = {r["purchase_id"]: r for r in q_touch_attribution(spark, d).collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["n_touches"] == 0
+    assert out[10]["first_touch"] is None
+    assert out[10]["last_touch"] is None
+    assert out[11]["n_touches"] == 1
+
+
+def test_cusum_gap_fills_zero_event_days(spark, tmp_path):
+    """Round-13 spec fix: a zero-event day is a data point — an outage IS
+    the changepoint. Series [5,5,5,(0),(0),5-ish...] with days 3-4 absent
+    from the raw events must flag inside/adjacent to the outage, and the
+    output must carry one row per calendar day including x=0 rows."""
+    rows = []
+    eid = 0
+    # days 0-2: 5 events; days 3-4: NOTHING; days 5-6: 5 events
+    for day in [0, 1, 2, 5, 6]:
+        for _ in range(5):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    TS(2024, 1, 1) + datetime.timedelta(days=day, hours=1),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+    d = _write_events(spark, tmp_path, rows)
+    out = {r["d"]: r for r in q_cusum_changepoint(spark, d).collect()}
+    base = (TS(2024, 1, 1) - TS(1970, 1, 1)).days
+    assert len(out) == 7  # calendar spine, not just active days
+    assert out[base + 3]["x"] == 0 and out[base + 4]["x"] == 0
+    # hand CUSUM: x=[5,5,5,0,0,5,5], n=7, sx=25 → dev=7x-25 =
+    # [10,10,10,-25,-25,10,10]; S'=[10,20,30,5,-20,-10,0]; |S'| peaks 30
+    # at day index 2 — the last pre-outage day
+    flagged = [k for k, v in out.items() if v["is_changepoint"]]
+    assert flagged == [base + 2]
+    assert out[base + 2]["cusum_scaled"] == 30
+
+
+def test_chi_square_densifies_zero_cells(spark, tmp_path):
+    """Round-13 spec fix: a (type, bucket) cell with zero observations
+    contributes (0-E)^2/E = E to chi-square and must appear as an
+    observed=0 row; omitting it biased the test toward non-rejection."""
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        QUERIES as MQ,
+    )
+
+    rows = []
+    eid = 0
+    # 'click' only in bucket 0 (hours 0-5); 'view' in all four buckets
+    for h, typ in [(1, "click")] + [(1, "view"), (7, "view"),
+                                    (13, "view"), (19, "view")]:
+        eid += 1
+        rows.append(
+            (eid, TS(2024, 1, 1, h), 1, typ, 1.0, "{}")
+        )
+    d = _write_events(spark, tmp_path, rows)
+    out = {(r["event_type"], r["hour_bucket"]): r
+           for r in MQ["chi_square_cells"][0](spark, d).collect()}
+    assert len(out) == 8  # 2 types x 4 buckets, dense
+    zero = out[("click", 1)]
+    assert zero["observed"] == 0
+    # E = R*C/N = 1*1/5 (click row total 1, bucket-1 column total 1, N=5);
+    # contribution = E for a zero cell
+    assert zero["expected"] == round(1 * 1 / 5, 6)
+    assert zero["contribution"] == zero["expected"]
+
+
+def test_implicit_negatives_excludes_all_interactions(spark, tmp_path):
+    """Round-13 spec fix: a product the user rated LOW (<=3) is still an
+    interaction — it must never be sampled as a negative; and the catalog
+    is every reviewed product, not only liked ones."""
+    from flink_recommendation_system_spark.plans.mining_queries import (
+        QUERIES as MQ,
+    )
+
+    t0 = TS(2024, 1, 1)
+    rows = []
+    # reviews_from_events maps product_id = props.k and
+    # rating = floor(value) % 5 + 1, so value 4.0 → rating 5.0 (liked)
+    # and value 1.0 → rating 2.0 (interacted, NOT liked).
+    # user 1 likes p1, DISLIKES p2; p3 is only ever reviewed (liked) by
+    # user 2 → p3 is in the catalog and is user 1's only legitimate
+    # negative
+    for eid, uid, pid, value in [
+        (1, 1, 1, 4.0),
+        (2, 1, 2, 1.0),
+        (3, 2, 3, 4.0),
+    ]:
+        rows.append(
+            (eid, t0, uid, "review", value, f'{{"k": {pid}}}')
+        )
+    d = _write_events(spark, tmp_path, rows)
+    out = MQ["implicit_negatives"][0](spark, d).collect()
+    negs = {(r["user_id"], r["product_id"]) for r in out}
+    assert (1, 2) not in negs, "low-rated interaction sampled as negative"
+    assert (1, 3) in negs
+    assert (2, 1) in negs and (2, 2) in negs
