@@ -723,6 +723,16 @@ _WINDOW_PRIORITY = [
     "implicit_negatives",
     "touch_attribution",
     "t_closeness",
+    # 1c. SECOND SPEC-FIX BATCH (analytics suite): supplier-vs-order key
+    # corrected in both HLL-per-brand queries (the rows-only one and its
+    # portable value-oracled twin), hll_set_overlap columns renamed to
+    # the (user, product)-pair grain they actually compute, and the
+    # conversion-label window start made inclusive at the truncated
+    # second. Four more oldest-vintage entries slide to the r14 head.
+    "approx_supplier_counts",
+    "hll_brand_distinct",
+    "hll_set_overlap",
+    "click_conversion_labels",
     # 2. OLDEST-VINTAGE ROTATION (VERDICT r12 item 1, staged by the
     # round-12 vintage scan): the complete r6-green block (45 queries,
     # alphabetical), then the first three of the r7 block to fill 50.
@@ -771,15 +781,15 @@ _WINDOW_PRIORITY = [
     "skew_safe_event_stats",
     "sliding_windows",
     "small_quantity_revenue",
+    # -- past-window from here: previous windows in their prior relative
+    # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
+    # and by the committed per-round sf0.01 local sweep --
+    # r14 HEAD CANDIDATES (displaced from the r13 window by the nine
+    # spec-fix re-confirms): the r6 tail + the r7 head.
     "sql_surface",
     "temperature_mixture",
     "top_orders_per_customer",
     "top_supplier",
-    # -- past-window from here: previous windows in their prior relative
-    # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
-    # and by the committed per-round sf0.01 local sweep --
-    # r14 HEAD CANDIDATES (displaced from the r13 window by the five
-    # spec-fix re-confirms): the r6 tail + the r7 head.
     "training_pairs",
     "waiting_suppliers",
     "activity_streaks",
@@ -1038,8 +1048,9 @@ ROWS_ONLY_TWINS: dict[str, str] = {
     "ivf_topk": "ivf_probe",
     # Lloyd-fitted PQ codebooks → fixed codebooks, same ADC reduction
     "pq_topk": "pq_adc_topk",
-    # approx_count_distinct sketch internals → CMS estimates, exact math
-    "approx_supplier_counts": "cms_part_counts",
+    # HLL++ sketch internals → the SAME query shape (distinct suppliers
+    # per brand) on the portable md5-register HLL, estimator value-exact
+    "approx_supplier_counts": "hll_brand_distinct",
     # MLlib LogisticRegression fit → fixed-weight linear scores
     "quality_classifier": "classifier_scores",
 }

@@ -93,9 +93,17 @@ def conversion_labels(
     ts_col: str = "s",
 ) -> DataFrame:
     """Label every ``trigger_type`` event with whether the same user
-    produced an ``outcome_type`` event within ``(0, horizon_sec]`` seconds
-    AFTER it. Output: (id_col, user_col, ts_col, converted BOOLEAN) — the
+    produced an ``outcome_type`` event within ``[0, horizon_sec]`` seconds
+    of it. Output: (id_col, user_col, ts_col, converted BOOLEAN) — the
     supervised label join behind CTR/conversion models.
+
+    The window START is INCLUSIVE (round-13 review): callers feed
+    second-truncated timestamps, where a strict ``>`` would label the
+    FASTEST conversions — purchase 0.7 s after the click, same truncated
+    second — as negatives, systematically poisoning the positive class.
+    The cost is that an outcome in the same second but fractionally
+    BEFORE the trigger also counts; at 1-second resolution the two are
+    indistinguishable, and counting them is the smaller labeling error.
 
     Distributed shape (same blocking family as
     ``rangejoin.bounded_diff_self_join``): outcomes land in their
@@ -122,7 +130,7 @@ def conversion_labels(
     hits = (
         probes.join(outcomes, [user_col, "_bucket"])
         .filter(
-            (F.col("_o_ts") > F.col(ts_col))
+            (F.col("_o_ts") >= F.col(ts_col))
             & (F.col("_o_ts") <= F.col(ts_col) + horizon_sec)
         )
         .select(id_col)

@@ -71,18 +71,21 @@ GROUP BY p_type
 
 
 def q_approx_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct count (approx_count_distinct) per part brand —
-    the constant-memory sketch a 100 TB distinct-count uses. Rows-only in
-    the driver (HLL estimates are engine-specific); accuracy vs the exact
-    count is asserted in tests."""
+    """HLL-sketch distinct-SUPPLIER count (approx_count_distinct) per part
+    brand — the constant-memory sketch a 100 TB distinct-count uses
+    (round-13 review: the query previously counted distinct ORDERS while
+    its name promised suppliers — a consumer measuring supplier diversity
+    per brand got order cardinalities ~100x off). Rows-only in the driver
+    (HLL++ estimates are engine-specific); the portable-register twin
+    `hll_brand_distinct` runs the same shape value-oracled."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-                "approx_orders"
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias(
+                "approx_suppliers"
             )
         )
     )
@@ -154,10 +157,12 @@ def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ORDER BY ...)` forces (Exchange SinglePartition funnels every row
     through one task). ``operators.relational.global_ntile`` recovers
     ntile's exact bucket law arithmetically from the distributed global
-    rank (repartitionByRange + per-partition row_number + broadcast
-    offset join); the only driver round-trips are the #partitions-row
-    offset collect and a broadcast 1-row COUNT(*) — metadata-sized at
-    any scale."""
+    rank (repartitionByRange + per-partition row_number, with the bucket
+    constants folded in as plan literals); the ONLY driver round-trip is
+    the #partitions-row offset collect — N is derived from those same
+    offsets, so there is no COUNT(*) job and no broadcast join
+    (round-12 follow-up removed them; this note tracked the code in
+    round 13) — metadata-sized at any scale."""
     cust = load_table(spark, sf_dir, "customer")
     with_decile = global_ntile(
         cust.select("c_acctbal", "c_custkey"),
@@ -897,29 +902,31 @@ QUERIES["hll_part_distinct"] = (q_hll_part_distinct, HLL_PART_DISTINCT_SQL)
 
 
 def q_hll_brand_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PER-GROUP portable HLL: distinct-order estimates per part brand —
-    the exact query shape of `approx_supplier_counts`, but with the
-    md5-register sketch both engines reproduce, so the driver can
-    hash-check the ESTIMATES (the built-in HLL++ variant stays rows-only).
-    State <= 256 cells per brand; one (brand, bucket) partial agg."""
+    """PER-GROUP portable HLL: distinct-SUPPLIER estimates per part brand
+    — the exact query shape of `approx_supplier_counts` (round 13: both
+    switched from the order key to the supplier key their names promise),
+    but with the md5-register sketch both engines reproduce, so the
+    driver can hash-check the ESTIMATES (the built-in HLL++ variant stays
+    rows-only). State <= 256 cells per brand; one (brand, bucket)
+    partial agg."""
     from ..operators.sketches import hll_estimate_by, hll_registers_by
 
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     joined = li.join(
         F.broadcast(part), li["l_partkey"] == part["p_partkey"]
-    ).select("p_brand", "l_orderkey")
-    regs = hll_registers_by(joined, "p_brand", "l_orderkey")
+    ).select("p_brand", "l_suppkey")
+    regs = hll_registers_by(joined, "p_brand", "l_suppkey")
     return hll_estimate_by(regs, "p_brand")
 
 
 HLL_BRAND_DISTINCT_SQL = f"""
 WITH j AS (
     SELECT p_brand,
-           CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)
+           CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8)
                 AS BIGINT) AS hv
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_orderkey IS NOT NULL
+    WHERE l_suppkey IS NOT NULL
 ),
 reg AS (
     SELECT p_brand, CAST(hv % {HLL_M} AS INT) AS bucket,
@@ -941,8 +948,11 @@ QUERIES["hll_brand_distinct"] = (q_hll_brand_distinct, HLL_BRAND_DISTINCT_SQL)
 
 
 def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based audience overlap — the set operation HLL alone cannot
-    answer: distinct users who CLICKED and who PURCHASED, their union via
+    """Sketch-based set overlap — the set operation HLL alone cannot
+    answer: distinct (user, product) CLICK interactions and PURCHASE
+    interactions (the column names say _pairs because that is the grain
+    computed — round-13 review: they previously claimed user counts; the
+    PAIR grain is deliberate, see the inline note), their union via
     the register merge (per-bucket max — the only set op HLL supports
     natively), and the INTERSECTION by inclusion-exclusion
     |A∩B| ≈ |A| + |B| − |A∪B| (Flajolet's standard composition; error
@@ -982,36 +992,36 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = ev.filter(F.col("event_type") == "purchase")
     ra = hll_registers(clicks, "pair").localCheckpoint()
     rb = hll_registers(purch, "pair").localCheckpoint()
-    ea = hll_estimate(ra).select(F.col("est").alias("est_clickers"))
-    eb = hll_estimate(rb).select(F.col("est").alias("est_purchasers"))
+    ea = hll_estimate(ra).select(F.col("est").alias("est_click_pairs"))
+    eb = hll_estimate(rb).select(F.col("est").alias("est_purchase_pairs"))
     eu = hll_estimate(hll_merge(ra, rb)).select(
         F.col("est").alias("est_union")
     )
     exact = ev.agg(
         F.countDistinct(
             F.when(F.col("event_type") == "click", F.col("pair"))
-        ).alias("exact_clickers"),
+        ).alias("exact_click_pairs"),
         F.countDistinct(
             F.when(F.col("event_type") == "purchase", F.col("pair"))
-        ).alias("exact_purchasers"),
+        ).alias("exact_purchase_pairs"),
     )
     return (
         ea.crossJoin(eb)
         .crossJoin(eu)
         .select(
-            "est_clickers",
-            "est_purchasers",
+            "est_click_pairs",
+            "est_purchase_pairs",
             "est_union",
             F.round(
-                F.col("est_clickers")
-                + F.col("est_purchasers")
+                F.col("est_click_pairs")
+                + F.col("est_purchase_pairs")
                 - F.col("est_union"),
                 4,
             ).alias("est_intersection"),
             F.round(
                 (
-                    F.col("est_clickers")
-                    + F.col("est_purchasers")
+                    F.col("est_click_pairs")
+                    + F.col("est_purchase_pairs")
                     - F.col("est_union")
                 )
                 / F.col("est_union"),
@@ -1053,21 +1063,21 @@ eb AS (SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
 eu AS (SELECT coalesce(sum(power(2.0, -rho)), 0.0) AS s,
               count(*) AS nonzero FROM ru),
 est AS (
-    SELECT (SELECT {_hll_est_sql()} FROM ea) AS est_clickers,
-           (SELECT {_hll_est_sql()} FROM eb) AS est_purchasers,
+    SELECT (SELECT {_hll_est_sql()} FROM ea) AS est_click_pairs,
+           (SELECT {_hll_est_sql()} FROM eb) AS est_purchase_pairs,
            (SELECT {_hll_est_sql()} FROM eu) AS est_union
 )
-SELECT est_clickers, est_purchasers, est_union,
-       round(est_clickers + est_purchasers - est_union, 4)
+SELECT est_click_pairs, est_purchase_pairs, est_union,
+       round(est_click_pairs + est_purchase_pairs - est_union, 4)
            AS est_intersection,
-       round((est_clickers + est_purchasers - est_union) / est_union, 6)
+       round((est_click_pairs + est_purchase_pairs - est_union) / est_union, 6)
            AS overlap_ratio,
        (SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':'
                               || json_extract_string(props, '$.k'))
-        FROM events WHERE event_type = 'click') AS exact_clickers,
+        FROM events WHERE event_type = 'click') AS exact_click_pairs,
        (SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':'
                               || json_extract_string(props, '$.k'))
-        FROM events WHERE event_type = 'purchase') AS exact_purchasers
+        FROM events WHERE event_type = 'purchase') AS exact_purchase_pairs
 FROM est
 """
 
@@ -1259,8 +1269,10 @@ QUERIES["training_pairs"] = (q_training_pairs, TRAINING_PAIRS_SQL)
 
 def q_click_conversion_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised conversion labels (operators.training): each click event
-    marked with whether the same user purchased within the next hour —
-    bucketed (user, window) equi-join, never an unbounded theta join."""
+    marked with whether the same user purchased within the next hour
+    (window start inclusive at the truncated second — a strict > labeled
+    sub-second conversions as negatives; round-13 review) — bucketed
+    (user, window) equi-join, never an unbounded theta join."""
     from ..operators.training import conversion_labels
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1283,7 +1295,7 @@ purch AS (SELECT user_id, s FROM ev WHERE event_type = 'purchase')
 SELECT c.event_id, c.user_id, c.s,
        EXISTS (SELECT 1 FROM purch p
                WHERE p.user_id = c.user_id
-                 AND p.s > c.s AND p.s <= c.s + 3600) AS converted
+                 AND p.s >= c.s AND p.s <= c.s + 3600) AS converted
 FROM clicks c
 """
 

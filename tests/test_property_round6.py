@@ -48,7 +48,7 @@ def test_conversion_labels_match_bruteforce_on_random_events(spark):
             assert eid not in got
             continue
         expect = any(
-            pu == u and s < ps <= s + 3600 for pu, ps in purchases
+            pu == u and s <= ps <= s + 3600 for pu, ps in purchases
         )
         assert got[eid] == expect, (eid, u, s)
 

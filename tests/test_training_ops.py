@@ -70,7 +70,9 @@ def test_conversion_labels_window_semantics(spark):
     rows = [
         # (event_id, user, type, s)
         (1, 7, "click", 1000),
-        (2, 7, "purchase", 1000),     # same second: NOT converted (> only)
+        (2, 7, "purchase", 1000),     # same second: converted (inclusive
+                                      # start — sub-second conversions
+                                      # truncate to the click's second)
         (3, 7, "click", 2000),
         (4, 7, "purchase", 5600),     # exactly +3600: converted (inclusive)
         (5, 8, "click", 100),         # other user's purchase must not leak
@@ -82,7 +84,7 @@ def test_conversion_labels_window_semantics(spark):
         rows, ["event_id", "user_id", "event_type", "s"]
     )
     got = {r["event_id"]: r["converted"] for r in conversion_labels(ev).collect()}
-    assert got == {1: False, 3: True, 5: False, 7: True}
+    assert got == {1: True, 3: True, 5: False, 7: True}
 
 
 def test_conversion_labels_one_row_per_trigger(spark):
