@@ -733,6 +733,16 @@ _WINDOW_PRIORITY = [
     "hll_brand_distinct",
     "hll_set_overlap",
     "click_conversion_labels",
+    # 1d. THIRD SPEC-FIX BATCH (relational/streaming suites): Q21 numwait
+    # now counts late lineitem ROWS (the cited semantics), shipping
+    # delays < 0 get an explicit INVALID bucket (the generator really
+    # ships ~40% of lines before their order date — they inflated FAST),
+    # and the windowed value_sum moved to the integer cents grid (a
+    # double sum could flip 2-dp rounding between partial-agg orders).
+    # daily_rollup shares the cents fix and is already in the window.
+    "waiting_suppliers",
+    "shipping_mode_stats",
+    "event_windows",
     # 2. OLDEST-VINTAGE ROTATION (VERDICT r12 item 1, staged by the
     # round-12 vintage scan): the complete r6-green block (45 queries,
     # alphabetical), then the first three of the r7 block to fill 50.
@@ -778,20 +788,19 @@ _WINDOW_PRIORITY = [
     "revenue_cube",
     "revenue_rollup",
     "shipping_priority",
-    "skew_safe_event_stats",
-    "sliding_windows",
-    "small_quantity_revenue",
     # -- past-window from here: previous windows in their prior relative
     # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
     # and by the committed per-round sf0.01 local sweep --
     # r14 HEAD CANDIDATES (displaced from the r13 window by the nine
     # spec-fix re-confirms): the r6 tail + the r7 head.
+    "skew_safe_event_stats",
+    "sliding_windows",
+    "small_quantity_revenue",
     "sql_surface",
     "temperature_mixture",
     "top_orders_per_customer",
     "top_supplier",
     "training_pairs",
-    "waiting_suppliers",
     "activity_streaks",
     "adamic_adar",
     "basket_lift",

@@ -307,11 +307,12 @@ def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     `"productId:rating"` and parse back (P4) — exercises concat_ws, split,
     element_at, casts.
 
-    Rows with a NULL product_id are dropped on BOTH sides: Spark's
-    concat_ws silently skips NULLs while DuckDB's concat would turn them
-    into an empty string that errors under CAST(... AS BIGINT), so the
-    encodable domain is pinned explicitly instead of relying on the test
-    data having no NULL keys."""
+    Rows whose props.k does not CAST to a product id are dropped on BOTH
+    sides (round-13 review: the oracle previously filtered only the raw
+    string for NULL and then hard-CAST — a non-numeric key like "abc"
+    crashed the oracle while Spark silently dropped the row; it now
+    TRY_CASTs and filters post-cast, the same domain pin as Spark's
+    ``.cast("long").isNotNull()``)."""
     reviews = reviews_from_events(spark, sf_dir).filter(
         F.col("product_id").isNotNull()
     )
@@ -321,12 +322,16 @@ def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 KV_ROUNDTRIP_SQL = """
 WITH kv AS (
     SELECT user_id,
-           concat(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR),
+           concat(CAST(k AS VARCHAR),
                   ':',
                   CAST(CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS VARCHAR)
            ) AS member
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    FROM (
+        SELECT user_id, value,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    WHERE k IS NOT NULL
 )
 SELECT user_id,
        CAST(split_part(member, ':', 1) AS BIGINT) AS product_id,
@@ -586,8 +591,11 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. Expressed Spark-first as one per-order aggregate (distinct
     supplier count, distinct late-supplier count) joined back to the late
     lineitems — two scans of lineitem instead of three correlated probes,
-    the rewrite Catalyst cannot derive from EXISTS itself. Top 10 by
-    numwait with name tie-break."""
+    the rewrite Catalyst cannot derive from EXISTS itself. numwait counts
+    qualifying late lineitem ROWS, exactly as Q21's count(*) over l1 does
+    (round-13 review: a distinct (order, supplier) pre-aggregation
+    silently collapsed multi-lineitem waits and could reshuffle the
+    top 10). Top 10 by numwait with name tie-break."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
@@ -603,9 +611,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
     )
-    late_items = (
-        li.filter(late).select("l_orderkey", "l_suppkey").distinct()
-    )
+    late_items = li.filter(late).select("l_orderkey", "l_suppkey")
     waiting = (
         late_items.join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
@@ -638,7 +644,7 @@ per_order AS (
 ),
 waiting AS (
     SELECT l_suppkey, count(*) AS numwait
-    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) x
+    FROM (SELECT l_orderkey, l_suppkey FROM li WHERE late) x
     JOIN per_order USING (l_orderkey)
     WHERE n_supp > 1 AND n_late = 1
     GROUP BY l_suppkey
@@ -741,8 +747,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey") == F.col("p_partkey"),
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # NULL prices are excluded BEFORE the argmin (round-13 review):
+    # Spark's min(struct) sorts NULL first, so one NULL-price lineitem —
+    # exactly the dirty row integrity_report audits — would hijack the
+    # per-part minimum (min_price=NULL, best_supp=the NULL row's
+    # supplier), while SQL MIN ignores NULLs; align on ignore.
     pick = (
         li.select("p_partkey", "p_name", cents.alias("cents"), "l_suppkey")
+        .filter(F.col("cents").isNotNull())
         .groupBy("p_partkey", "p_name")
         .agg(F.min(F.struct("cents", "l_suppkey")).alias("best"))
         .select(
@@ -917,18 +929,23 @@ QUERIES["important_parts"] = (q_important_parts, IMPORTANT_PARTS_SQL)
 def q_shipping_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (join + two-way CASE split over a derived mode):
     lineitems bucketed by shipping delay (days from order date to ship
-    date: <=30 FAST, <=90 MEDIUM, else SLOW — the schema has no
-    l_shipmode), counting high-priority (1-URGENT/2-HIGH) vs
-    low-priority order lines per bucket. Both engines compute the delay
-    on midnight-aligned timestamps so the day arithmetic is exact;
-    outputs are pure counts. One fact-fact join (orders side projected
-    to two columns) and a 3-group aggregate — map-side combine leaves
-    ~3 rows per task at any scale."""
+    date: <0 INVALID, <=30 FAST, <=90 MEDIUM, else SLOW — the schema has
+    no l_shipmode), counting high-priority (1-URGENT/2-HIGH) vs
+    low-priority order lines per bucket. The INVALID bucket is explicit
+    (round-13 review): this generator genuinely ships some lineitems
+    BEFORE their order date (see integrity_report), and a negative delay
+    previously landed in FAST — impossible rows silently inflating the
+    best bucket. Both engines compute the delay on midnight-aligned
+    timestamps so the day arithmetic is exact; outputs are pure counts.
+    One fact-fact join (orders side projected to two columns) and a
+    4-group aggregate — map-side combine leaves ~4 rows per task at any
+    scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     mode = (
-        F.when(delay <= 30, "FAST")
+        F.when(delay < 0, "INVALID")
+        .when(delay <= 30, "FAST")
         .when(delay <= 90, "MEDIUM")
         .otherwise("SLOW")
     )
@@ -947,7 +964,8 @@ def q_shipping_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHIPPING_MODE_STATS_SQL = """
-SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 0 THEN 'INVALID'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
             WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
             ELSE 'SLOW' END AS ship_mode,
        count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1182,17 +1200,24 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_violations"),
         )
 
-    orphan_li_orders = li.join(
+    # orphan = a NON-NULL FK with no parent (round-13 review): a NULL FK
+    # is a missing value, not a dangling reference — and the oracle's
+    # previous NOT IN form was NULL-poisoned in the opposite direction
+    # (one NULL in either column silently zeroed the count). Both
+    # engines now express the same NOT-EXISTS-with-key semantics.
+    orphan_li_orders = li.filter(F.col("l_orderkey").isNotNull()).join(
         orders.select("o_orderkey"),
         li["l_orderkey"] == F.col("o_orderkey"),
         "left_anti",
     )
-    orphan_li_parts = li.join(
+    orphan_li_parts = li.filter(F.col("l_partkey").isNotNull()).join(
         part.select("p_partkey"),
         li["l_partkey"] == F.col("p_partkey"),
         "left_anti",
     )
-    orphan_orders_cust = orders.join(
+    orphan_orders_cust = orders.filter(
+        F.col("o_custkey").isNotNull()
+    ).join(
         cust.select("c_custkey"),
         orders["o_custkey"] == F.col("c_custkey"),
         "left_anti",
@@ -1239,13 +1264,16 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INTEGRITY_REPORT_SQL = """
 SELECT 'lineitem_orphan_orderkey' AS check_name, count(*) AS n_violations
-FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
 UNION ALL
 SELECT 'lineitem_orphan_partkey', count(*)
-FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+FROM lineitem l WHERE l.l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
 UNION ALL
 SELECT 'orders_orphan_custkey', count(*)
-FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders o WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 UNION ALL
 SELECT 'orders_duplicate_pk', count(*)
 FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)

@@ -39,7 +39,8 @@ WITH e AS (
 SELECT (s // {TUMBLE_SEC}) * {TUMBLE_SEC} AS win_start_sec,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS value_sum
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS value_sum
 FROM e
 GROUP BY 1, 2
 """
@@ -200,11 +201,17 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = (F.col("win_start_sec") - F.col("win_start_sec") % 86400).alias(
         "day_start_sec"
     )
+    # sums-of-sums stay on the integer cents grid: each hourly value_sum
+    # is exactly a cents multiple, so round(x*100) recovers the integer
+    # and the daily sum is order-independent (round-13 review)
+    cents = F.round(F.col("value_sum") * 100).cast("long")
     return (
         hourly.groupBy(day, "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("value_sum"), 2).alias("value_sum"),
+            F.round(
+                F.sum(cents).cast("double") / 100.0, 2
+            ).alias("value_sum"),
         )
     )
 
@@ -218,13 +225,15 @@ hourly AS (
     SELECT (s // {TUMBLE_SEC}) * {TUMBLE_SEC} AS win_start_sec,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS value_sum
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS value_sum
     FROM e GROUP BY 1, 2
 )
 SELECT win_start_sec - win_start_sec % 86400 AS day_start_sec,
        event_type,
        CAST(sum(n_events) AS BIGINT) AS n_events,
-       round(sum(value_sum), 2) AS value_sum
+       round(CAST(sum(CAST(round(value_sum * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS value_sum
 FROM hourly
 GROUP BY 1, 2
 """
@@ -762,11 +771,17 @@ def q_trending_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRENDING_PRODUCTS_SQL = """
 WITH clicks AS (
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+    -- TRY_CAST + post-cast filter = Spark's .cast("long").isNotNull()
+    -- domain pin (a non-numeric key must drop, not crash the oracle)
+    SELECT product_id,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day
-    FROM events
-    WHERE event_type = 'click'
-      AND json_extract_string(props, '$.k') IS NOT NULL
+    FROM (
+        SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS product_id,
+               ts, event_type
+        FROM events
+    )
+    WHERE event_type = 'click' AND product_id IS NOT NULL
 ),
 per_day AS (
     SELECT product_id, day, count(*) AS n FROM clicks GROUP BY 1, 2

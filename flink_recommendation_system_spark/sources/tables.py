@@ -85,6 +85,14 @@ def reviews_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor + integer modulo are exact on doubles, so Spark and DuckDB agree
     bit-for-bit — no float-roundoff hazard in the derivation itself.
+
+    DOMAIN PRECONDITION (round-13 review): the mapping yields the
+    documented {1.0 … 5.0} range only for value >= 0 — both engines use
+    sign-of-dividend modulo, so a negative value would map to
+    {-3.0 … 0.0} IDENTICALLY on both sides (invisible to the oracle).
+    The driver generator draws value >= 0 at every SF (verified
+    min(value) >= 0 at sf0.001/0.01/0.1); a deployment feeding real
+    events with signed values must pmod here and in every oracle CTE.
     """
     events = load_table(spark, sf_dir, "events")
     return events.select(

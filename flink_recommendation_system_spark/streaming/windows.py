@@ -40,17 +40,25 @@ def tumbling_window_stats(
 
     Output uses exact integer window bounds (``win_start_sec``) so the
     DuckDB oracle can reproduce it with integer arithmetic — the TIMESTAMP
-    window struct stays internal.
+    window struct stays internal. value_sum accumulates on the integer
+    CENTS grid (values are 2-dp in the data; round-13 review: a plain
+    double sum is order-dependent across partial-agg merge orders, so the
+    2-dp rounding could flip between engines at a half-cent boundary —
+    the same integer-grid discipline as every money query in the suite),
+    then converts with one IEEE division.
     """
     e = events_with_event_time(events)
     if watermark is not None:
         e = e.withWatermark("event_time", watermark)
     win = F.window("event_time", f"{width_sec} seconds")
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         e.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("value_sum"),
+            F.round(
+                F.sum(cents).cast("double") / 100.0, 2
+            ).alias("value_sum"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start_sec"),
