@@ -743,6 +743,14 @@ _WINDOW_PRIORITY = [
     "waiting_suppliers",
     "shipping_mode_stats",
     "event_windows",
+    # 1e. FOURTH SPEC-FIX BATCH (LLM-pipeline text/quality suites):
+    # dataset_card's dedup section now reports exact (sha256) AND
+    # normalized dup counts as separate rows — the normalized count was
+    # previously published AS the exact rate. (The batch's other fixes —
+    # one bigram convention repo-wide, BM25 term-count dl, all-docs
+    # readability/subword rows, resample-threshold rounding — are
+    # hash-neutral on the clean generator corpus.)
+    "dataset_card",
     # 2. OLDEST-VINTAGE ROTATION (VERDICT r12 item 1, staged by the
     # round-12 vintage scan): the complete r6-green block (45 queries,
     # alphabetical), then the first three of the r7 block to fill 50.
@@ -787,12 +795,12 @@ _WINDOW_PRIORITY = [
     "revenue_by_nation",
     "revenue_cube",
     "revenue_rollup",
-    "shipping_priority",
     # -- past-window from here: previous windows in their prior relative
     # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
     # and by the committed per-round sf0.01 local sweep --
     # r14 HEAD CANDIDATES (displaced from the r13 window by the nine
     # spec-fix re-confirms): the r6 tail + the r7 head.
+    "shipping_priority",
     "skew_safe_event_stats",
     "sliding_windows",
     "small_quantity_revenue",

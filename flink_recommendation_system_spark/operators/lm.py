@@ -44,13 +44,24 @@ _GRID = float(1 << 38)
 
 
 def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Adjacent bigrams in the RAW whitespace split, both tokens
+    non-empty — the ONE bigram convention this engine uses everywhere
+    (importance.py's ``_feature_array`` and every bigram oracle CTE share
+    it). Round-13 review: this helper previously dropped empty tokens
+    BEFORE pairing, so ``"x  y"`` formed the bigram (x, y) here but not
+    in the oracle or the DSIR features — a silent engine-vs-oracle hash
+    break waiting for a corpus with consecutive spaces."""
     pos = _spread(docs).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w1")
-    ).filter(F.col("w1") != "")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
         pos.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
+        .filter(
+            F.col("w2").isNotNull()
+            & (F.col("w1") != "")
+            & (F.col("w2") != "")
+        )
         .select(id_col, "w1", "w2")
     )
 

@@ -62,12 +62,17 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("dl")
-    )
+    # dl = NUMBER OF TERMS (non-empty tokens), the same count the
+    # postings side indexes (round-13 review: raw split-cell size counted
+    # empty cells, so "spark  dup" normalized as dl=3 vs "spark dup"'s
+    # dl=2 despite identical term content — Okapi's dl is term count)
+    n_terms = F.size(
+        F.filter(tokens(text_col), lambda t: t != "")
+    ).cast("long")
+    dl = docs.select(F.col(id_col), n_terms.alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(text_col)).cast("long")).alias("total_dl"),
+        F.sum(n_terms).alias("total_dl"),
     )
 
     qterms = (

@@ -51,6 +51,14 @@ def bpe_ish_tokens(col: str | Column = "text") -> Column:
 
 
 def token_count(col: str | Column = "text") -> Column:
+    """RAW whitespace-split cell count — deliberately including empty
+    cells, so an empty document counts 1 and "x  y" counts 3. This is the
+    parity-pinned convention every consumer (token_counts, quality_stats,
+    dataset_card, length_histogram, context_packing) AND their DuckDB
+    oracles share via ``len(string_split(text, ' '))``; term-level
+    consumers that need non-empty tokens (BM25 dl, bigrams, readability)
+    filter explicitly. Changing this to non-empty counting must change
+    every oracle with it."""
     return F.size(tokens(col))
 
 
@@ -719,6 +727,12 @@ def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``206.835 − 1.015·(w/s) − 84.6·(syl/w)`` is a FIXED expression over
     them — two IEEE divisions, identical in DuckDB; rounded to 4 dp.
 
+    Per-document contract (round-13 review): EVERY input document gets a
+    row — a wordless document (empty/whitespace text) scores n_words = 0,
+    n_syllables = 0, n_sentences = 1 (the floor) and flesch_score = NULL
+    (the formula divides by n_words; "unreadable" is a NULL score, not a
+    missing row a downstream gate would treat as unscored).
+
     Scale shape: one scan → token explode → per-doc partial agg (the
     token_counts plan family); the sentence count rides the explode as a
     carried column (computed once per doc row, F.first on the agg)."""
@@ -752,6 +766,15 @@ def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.sum(syl).alias("n_syllables"),
     )
+    # all-docs re-join (the bigram_lm_scores convention): wordless docs
+    # still appear, with zero counts and a NULL score
+    all_docs = docs.select("doc_id", sent.alias("_ns"))
+    agg = all_docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_sentences", F.col("_ns")).alias("n_sentences"),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_syllables", F.lit(0)).alias("n_syllables"),
+    )
     w = F.col("n_words").cast("double")
     s = F.col("n_sentences").cast("double")
     y = F.col("n_syllables").cast("double")
@@ -761,7 +784,12 @@ def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("n_syllables").cast("long").alias("n_syllables"),
         F.col("n_sentences").cast("long").alias("n_sentences"),
         F.round(
-            F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835)
+                - F.lit(1.015) * (w / s)
+                - F.lit(84.6) * (y / w),
+            ),
             4,
         ).alias("flesch_score"),
     )

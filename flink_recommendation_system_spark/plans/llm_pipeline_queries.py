@@ -273,6 +273,13 @@ FROM documents GROUP BY sha256(text)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over DISTINCT WORD (1-gram) SETS, blocked by lang —
+    order- and multiplicity-blind BY DEFINITION (round-13 review note:
+    this measure is NOT the char-5-shingle Jaccard the MinHash tiers
+    estimate; `near_dup_clusters` composes the same graph-components
+    machinery over either pair generator, but the two edge sets come
+    from DIFFERENT similarity measures and thresholds — pick by policy,
+    don't treat one as the other's exact baseline)."""
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
@@ -293,10 +300,13 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's END PRODUCT: every document mapped to its
     near-dup cluster representative — connected components over the exact
-    Jaccard ≥ 0.8 pair graph, cluster id = min doc_id in the component,
-    singleton docs map to themselves. Fully value-checked (recursive-CTE
-    closure oracle). At scale the same composition runs with
-    minhash_lsh_pairs as the edge generator."""
+    distinct-word-set Jaccard ≥ 0.8 pair graph, cluster id = min doc_id
+    in the component, singleton docs map to themselves. Fully
+    value-checked (recursive-CTE closure oracle). At scale the same
+    COMPOSITION (pair graph → star-CC → representative) runs with
+    minhash_lsh_pairs as the edge generator — note that generator
+    estimates char-5-shingle Jaccard, a different similarity measure
+    (see near_dup_clusters_lsh for the composed scale tier)."""
     from ..operators import graph as G
 
     docs = _docs(spark, sf_dir)
@@ -1883,10 +1893,13 @@ post AS (
     WHERE tok != ''
     GROUP BY doc_id, tok
 ),
-dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+dl AS (SELECT doc_id,
+              len(list_filter(string_split(text, ' '), x -> x != '')) AS dl
+       FROM documents),
 stats AS (
     SELECT count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_dl
+           sum(len(list_filter(string_split(text, ' '), x -> x != '')))
+               AS total_dl
     FROM documents
 ),
 qpost AS (
@@ -2310,9 +2323,9 @@ SELECT doc_id, n_bigrams, avg_surprise, CAST(bucket AS BIGINT) AS bucket
 FROM b
 WHERE (CAST('0x' || substr(md5('{RESAMPLE_SALT}' || CAST(doc_id AS VARCHAR)),
             1, 8) AS BIGINT) % 1000000)
-      < CASE bucket WHEN 0 THEN {int(RESAMPLE_RATES[0] * 1_000_000)}
-                    WHEN 1 THEN {int(RESAMPLE_RATES[1] * 1_000_000)}
-                    ELSE {int(RESAMPLE_RATES[2] * 1_000_000)} END
+      < CASE bucket WHEN 0 THEN {int(round(RESAMPLE_RATES[0] * 1_000_000))}
+                    WHEN 1 THEN {int(round(RESAMPLE_RATES[1] * 1_000_000))}
+                    ELSE {int(round(RESAMPLE_RATES[2] * 1_000_000))} END
 """
 
 
@@ -2441,6 +2454,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         nt.alias("nt"),
         F.md5(T.normalized("text")).alias("fp"),
+        F.sha2("text", 256).alias("ehash"),
     )
 
     sizes = base.agg(
@@ -2450,18 +2464,27 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nt"), 6).alias("avg_doc_tokens"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
         F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
-        (F.count(F.lit(1)) - F.count_distinct("fp"))
+        # exact = byte-identical text (what exact_dedup_keys removes);
+        # normalized = case/punct/space-folded fingerprint (a NEAR-dup
+        # signal). Round-13 review: the card previously published the
+        # normalized count AS the exact rate, overstating what the
+        # exact-dedup stage would actually remove.
+        (F.count(F.lit(1)) - F.count_distinct("ehash"))
         .cast("double")
         .alias("exact_dup_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("fp"))
+        .cast("double")
+        .alias("normalized_dup_docs"),
     ).selectExpr(
-        """stack(7,
+        """stack(8,
             'size','n_docs',n_docs,
             'size','n_tokens',n_tokens,
             'size','n_chars',n_chars_total,
             'size','avg_doc_tokens',avg_doc_tokens,
             'length','p50_chars',p50_chars,
             'length','p90_chars',p90_chars,
-            'dedup','exact_dup_docs',exact_dup_docs
+            'dedup','exact_dup_docs',exact_dup_docs,
+            'dedup','normalized_dup_docs',normalized_dup_docs
         ) as (section, metric, value)"""
     )
     langs = base.groupBy("lang").agg(
@@ -2475,7 +2498,12 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (
         T.quality_stats(docs)
         .agg(
-            F.sum((F.col("quality_score") == 3).cast("long"))
+            # coalesce: SUM over an empty corpus is NULL; the oracle's
+            # count FILTER is 0 — the degenerate input must still match
+            F.coalesce(
+                F.sum((F.col("quality_score") == 3).cast("long")),
+                F.lit(0),
+            )
             .cast("double")
             .alias("value")
         )
@@ -2493,7 +2521,8 @@ WITH base AS (
     SELECT doc_id, lang, source, n_chars,
            len(string_split(text, ' ')) AS nt,
            md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                              ' +', ' ', 'g')) AS fp
+                              ' +', ' ', 'g')) AS fp,
+           sha256(text) AS ehash
     FROM documents
 ),
 quality AS (
@@ -2517,7 +2546,9 @@ SELECT 'length', 'p50_chars', round(quantile_cont(n_chars, 0.5), 4) FROM base
 UNION ALL
 SELECT 'length', 'p90_chars', round(quantile_cont(n_chars, 0.9), 4) FROM base
 UNION ALL
-SELECT 'dedup', 'exact_dup_docs', CAST(count(*) - count(DISTINCT fp) AS DOUBLE) FROM base
+SELECT 'dedup', 'exact_dup_docs', CAST(count(*) - count(DISTINCT ehash) AS DOUBLE) FROM base
+UNION ALL
+SELECT 'dedup', 'normalized_dup_docs', CAST(count(*) - count(DISTINCT fp) AS DOUBLE) FROM base
 UNION ALL
 SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM base GROUP BY lang
 UNION ALL
@@ -3587,7 +3618,7 @@ def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words, vocab, merges = _bpe_corpus(spark, sf_dir)
     tokenized = bpe.bpe_tokenize_words(vocab.select("word"), merges)
-    return (
+    counts = (
         words.join(
             F.broadcast(tokenized.select("word", "n_subword_tokens")),
             "word",
@@ -3596,6 +3627,21 @@ def q_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_subword_tokens").alias("n_subword_tokens"),
+        )
+    )
+    # every document gets a row (round-13 review): a doc with no [a-z]+
+    # runs counts 0/0 instead of vanishing — a downstream consumer must
+    # see "zero tokens", not "unscored"
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subword_tokens", F.lit(0).cast("long")).alias(
+                "n_subword_tokens"
+            ),
         )
     )
 
@@ -3650,10 +3696,16 @@ fin AS (
 def _subword_token_counts_sql(n_merges: int = N_BPE_MERGES) -> str:
     return f"""
 {_bpe_unrolled_with(n_merges)}
-SELECT w.doc_id, count(*) AS n_words,
-       CAST(sum(f.n_sub) AS BIGINT) AS n_subword_tokens
-FROM w0 w JOIN fin f USING (word)
-GROUP BY 1
+SELECT d.doc_id,
+       coalesce(c.n_words, 0) AS n_words,
+       coalesce(c.n_subword_tokens, 0) AS n_subword_tokens
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN (
+    SELECT w.doc_id, count(*) AS n_words,
+           CAST(sum(f.n_sub) AS BIGINT) AS n_subword_tokens
+    FROM w0 w JOIN fin f USING (word)
+    GROUP BY 1
+) c USING (doc_id)
 """
 
 
@@ -4093,16 +4145,25 @@ agg AS (
                    string_split_regex(lower(word), '[^aeiou]+'),
                    p -> p != '')), 1)) AS n_syllables
     FROM w GROUP BY doc_id
+),
+-- every document gets a row: wordless docs score 0 counts + NULL flesch
+dense AS (
+    SELECT t.doc_id,
+           coalesce(agg.n_sentences, t.n_sentences) AS n_sentences,
+           coalesce(agg.n_words, 0) AS n_words,
+           coalesce(agg.n_syllables, 0) AS n_syllables
+    FROM t LEFT JOIN agg USING (doc_id)
 )
 SELECT doc_id,
        CAST(n_words AS BIGINT) AS n_words,
        CAST(n_syllables AS BIGINT) AS n_syllables,
        CAST(n_sentences AS BIGINT) AS n_sentences,
-       round(206.835
+       round(CASE WHEN n_words > 0 THEN 206.835
              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             END,
              4) AS flesch_score
-FROM agg
+FROM dense
 """
 
 

@@ -1054,3 +1054,84 @@ def test_ivf_refit_centroids_exact_grid_and_empty_cells(spark):
     assert empty, "probe corpus filled every cell; empty-cell path untested"
     for i in empty:
         assert refit[i] == seeds[i]
+
+
+def test_bigram_convention_is_strict_adjacency(spark):
+    """Round-13 spec fix: ONE bigram convention repo-wide — adjacent in
+    the RAW whitespace split with both tokens non-empty. "x  y" (double
+    space) must form NO bigram, matching importance.py's features and
+    every bigram oracle; lm._bigrams previously bridged the gap."""
+    from flink_recommendation_system_spark.operators.lm import _bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "x  y"), (2, "a b c"), (3, ""), (4, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r.doc_id, r.w1, r.w2)
+        for r in _bigrams(docs, "text", "doc_id").collect()
+    }
+    assert got == {(2, "a", "b"), (2, "b", "c")}
+
+
+def test_bm25_dl_ignores_empty_split_cells(spark):
+    """Round-13 spec fix: dl is the TERM count. Two docs with identical
+    term content must score identically regardless of double spaces."""
+    from flink_recommendation_system_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark dup alpha"), (2, "spark  dup  alpha"), (3, "other words")],
+        "doc_id LONG, text STRING",
+    )
+    queries = spark.createDataFrame(
+        [(1, "spark dup")], "query_id LONG, query_text STRING"
+    )
+    rows = {r.doc_id: r.score for r in bm25_topk(docs, queries).collect()}
+    assert rows[1] == rows[2], "double space changed BM25 normalization"
+
+
+def test_readability_emits_row_for_wordless_doc(spark):
+    """Round-13 spec fix: every document gets a readability row — a
+    wordless doc scores 0 counts + NULL flesch, not a missing row."""
+    from flink_recommendation_system_spark.operators.text import (
+        readability_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat."), (2, ""), (3, "   ")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in readability_scores(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_words"] == 0 and got[2]["flesch_score"] is None
+    assert got[3]["n_words"] == 0 and got[3]["flesch_score"] is None
+    assert got[1]["n_words"] == 3 and got[1]["flesch_score"] is not None
+
+
+def test_dataset_card_separates_exact_and_normalized_dups(spark):
+    """Round-13 spec fix: exact_dup_docs counts byte-identical text (what
+    exact dedup removes); case/punct variants land in normalized_dup_docs
+    only."""
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        QUERIES as LQ,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (1, "Hello world", "en", "a", 11),
+                (2, "hello, world!", "en", "a", 13),  # normalized dup of 1
+                (3, "Hello world", "en", "a", 11),    # exact dup of 1
+                (4, "something else entirely", "en", "a", 23),
+            ],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        ).write.parquet(f"{d}/documents.parquet")
+        card = {
+            (r.section, r.metric): r.value
+            for r in LQ["dataset_card"][0](spark, d).collect()
+        }
+        assert card[("dedup", "exact_dup_docs")] == 1.0
+        assert card[("dedup", "normalized_dup_docs")] == 2.0
