@@ -756,10 +756,14 @@ _WINDOW_PRIORITY = [
     # alphabetical), then the first three of the r7 block to fill 50.
     # After this window lands the oldest driver green moves to r7.
     #
-    # ROUND-14 STAGING: vintage population after this window = 31 at r7
-    # (benford_deviation..), 45 at r8, 13 at r9, 47 at r11, rest r12/13.
-    # Round 14's window = any new/changed entries + the remaining 31 r7
-    # entries + the start of the r8 block.
+    # ROUND-14 STAGING (final post-rotation vintage scan): the four
+    # spec-fix batches displaced 12 oldest-vintage entries from this
+    # window, so the post-r13 population is 9 at r6 (shipping_priority,
+    # skew_safe_event_stats, sliding_windows, small_quantity_revenue,
+    # sql_surface, temperature_mixture, top_orders_per_customer,
+    # top_supplier, training_pairs), 31 at r7 (activity_streaks..,
+    # alphabetical), 43 at r8, 13 at r9, rest r11+. Round 14's window =
+    # any new/changed entries + those 9 r6 + the 31 r7 + r8 head to 50.
     "active_nations",
     "approx_order_quantiles",
     "classifier_scores",
