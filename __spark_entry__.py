@@ -311,9 +311,14 @@ def _q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Effective-diameter readout from the HyperANF curve (the number
     HyperANF papers actually report): the smallest hop h whose estimated
-    neighbourhood function reaches 90% of the horizon total, plus the
-    saturation ratio per hop boundary. Pure arithmetic over the
-    oracle-checked `neighborhood_function` rows — one row out."""
+    neighbourhood function reaches 90% of the horizon total. One row out:
+    (effective_diameter, horizon_reach_est), where horizon_reach_est is
+    N(max_hop) — the SAME denominator the 90% saturation test uses (the
+    r14 graph-suite review fixed this: it was max over hops, which equals
+    N(max_hop) only while the guarded HLL estimator is monotone across
+    the linear-counting boundary; the saturation filter and the reported
+    horizon now cannot disagree). Pure arithmetic over the oracle-checked
+    `neighborhood_function` rows."""
     from pyspark.sql import functions as F
 
     anf = _q_neighborhood_function(spark, sf_dir)
@@ -336,14 +341,8 @@ def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sat.filter(F.col("saturation") >= 0.9)
         .agg(F.min("hop").alias("effective_diameter"))
     )
-    return (
-        eff.crossJoin(
-            F.broadcast(
-                sat.agg(
-                    F.max("total_reach_est").alias("horizon_reach_est")
-                )
-            )
-        )
+    return eff.crossJoin(
+        F.broadcast(total.select(F.col("nt").alias("horizon_reach_est")))
     )
 
 
@@ -700,70 +699,90 @@ _SUITES = [
 # CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # ROUND-13 WINDOW (the driver checks the first 50 entries; rotation
+    # ROUND-14 WINDOW (the driver checks the first 50 entries; rotation
     # targets STALENESS — see the consumer below and COVERAGE.md).
-    # 1. IMPLEMENTATION CHANGED THIS ROUND (re-confirm): both recall
-    # audits now run on the bounded audit corpus
-    # (RECALL_AUDIT_MAX_VECS, VERDICT r12 item 4) — a no-op at the
-    # driver's sf0.01 (500 vecs < 1000) but the oracle SQL was
-    # rewritten (_bound_audit_corpus) and the tier invocations moved to
-    # operator level, so the pair re-earns its driver row.
+    # This window executes the rotation staged in commit 2eff452 and
+    # ordered by VERDICT r13 item 1: retire EVERY remaining r6- and
+    # r7-vintage driver row (9 + 31 queries, alphabetical within each
+    # vintage block), then the r8 head (alphabetical) fills to 50.
+    # After this window lands the oldest driver green on record moves
+    # to r8. Changed-this-round re-confirms, if any land, displace the
+    # r8 fillers from the BOTTOM (never the r6/r7 blocks — retiring
+    # those is the round's contract).
+    # 1. r6-VINTAGE BLOCK (oldest driver greens on record, 9 queries):
+    "shipping_priority",
+    "skew_safe_event_stats",
+    "sliding_windows",
+    "small_quantity_revenue",
+    "sql_surface",
+    "temperature_mixture",
+    "top_orders_per_customer",
+    "top_supplier",
+    "training_pairs",
+    # 2. r7-VINTAGE BLOCK (31 queries, alphabetical):
+    "activity_streaks",
+    "adamic_adar",
+    "basket_lift",
+    "benford_deviation",
+    "bounce_rate_daily",
+    "classifier_calibration",
+    "conversion_latency_quantiles",
+    "event_autocorrelation",
+    "event_rate_trend",
+    "fuzzy_name_pairs_d2",
+    "incremental_agg_update",
+    "incremental_join_update",
+    "k_anonymity",
+    "lead_time_histogram",
+    "new_vs_returning",
+    "pareto_frontier",
+    "phrase_search",
+    "popularity_gini",
+    "ppjoin_pairs",
+    "priority_scd2",
+    "random_walks",
+    "revenue_concentration",
+    "scc_components",
+    "session_overlaps",
+    "session_paths",
+    "snapshot_diff",
+    "subword_token_counts",
+    "trending_products",
+    "user_sessions",
+    "weighted_median",
+    "zorder_layout",
+    # 3. r8 HEAD (alphabetical, fills the window to 50):
+    "ab_test_report",
+    "betweenness_sampled",
+    "bpe_vocab",
+    "community_modularity",
+    "deduped_corpus",
+    "deduped_corpus_aggressive",
+    "degree_assortativity",
+    "dominant_part_suppliers",
+    "dsir_sampled",
+    "dsir_selected",
+    # -- past-window from here: previous windows in their prior
+    # relative order (FIRST occurrence kept — the r13 list had 12
+    # superseded duplicate tails, removed per ADVICE r13 item 1; a
+    # uniqueness check now guards the consumer). All covered every
+    # CI run at sf0.001 (tests/test_entry_queries) and by the
+    # committed per-round sf0.01 local sweep (CORRECTNESS_LOCAL). --
     "ann_recall_report",
     "semantic_dedup_recall",
-    # 1b. SPEC FIXES THIS ROUND (round-13 review of the mining suite —
-    # defects both engines shared, so oracle parity never caught them):
-    # chi-square grid densified (zero cells contribute E), CUSUM series
-    # gap-filled (an outage day is a data point), negatives exclude ALL
-    # interactions (not just liked), untouched purchases kept with
-    # n_touches=0, t_closeness class_size = customer count (triad
-    # parity). Outputs changed → each re-earns its driver row; the last
-    # five oldest-vintage entries slide to the r14 head to make room.
     "chi_square_cells",
     "cusum_changepoint",
     "implicit_negatives",
     "touch_attribution",
     "t_closeness",
-    # 1c. SECOND SPEC-FIX BATCH (analytics suite): supplier-vs-order key
-    # corrected in both HLL-per-brand queries (the rows-only one and its
-    # portable value-oracled twin), hll_set_overlap columns renamed to
-    # the (user, product)-pair grain they actually compute, and the
-    # conversion-label window start made inclusive at the truncated
-    # second. Four more oldest-vintage entries slide to the r14 head.
     "approx_supplier_counts",
     "hll_brand_distinct",
     "hll_set_overlap",
     "click_conversion_labels",
-    # 1d. THIRD SPEC-FIX BATCH (relational/streaming suites): Q21 numwait
-    # now counts late lineitem ROWS (the cited semantics), shipping
-    # delays < 0 get an explicit INVALID bucket (the generator really
-    # ships ~40% of lines before their order date — they inflated FAST),
-    # and the windowed value_sum moved to the integer cents grid (a
-    # double sum could flip 2-dp rounding between partial-agg orders).
-    # daily_rollup shares the cents fix and is already in the window.
     "waiting_suppliers",
     "shipping_mode_stats",
     "event_windows",
-    # 1e. FOURTH SPEC-FIX BATCH (LLM-pipeline text/quality suites):
-    # dataset_card's dedup section now reports exact (sha256) AND
-    # normalized dup counts as separate rows — the normalized count was
-    # previously published AS the exact rate. (The batch's other fixes —
-    # one bigram convention repo-wide, BM25 term-count dl, all-docs
-    # readability/subword rows, resample-threshold rounding — are
-    # hash-neutral on the clean generator corpus.)
     "dataset_card",
-    # 2. OLDEST-VINTAGE ROTATION (VERDICT r12 item 1, staged by the
-    # round-12 vintage scan): the complete r6-green block (45 queries,
-    # alphabetical), then the first three of the r7 block to fill 50.
-    # After this window lands the oldest driver green moves to r7.
-    #
-    # ROUND-14 STAGING (final post-rotation vintage scan): the four
-    # spec-fix batches displaced 12 oldest-vintage entries from this
-    # window, so the post-r13 population is 9 at r6 (shipping_priority,
-    # skew_safe_event_stats, sliding_windows, small_quantity_revenue,
-    # sql_surface, temperature_mixture, top_orders_per_customer,
-    # top_supplier, training_pairs), 31 at r7 (activity_streaks..,
-    # alphabetical), 43 at r8, 13 at r9, rest r11+. Round 14's window =
-    # any new/changed entries + those 9 r6 + the 31 r7 + r8 head to 50.
     "active_nations",
     "approx_order_quantiles",
     "classifier_scores",
@@ -799,23 +818,6 @@ _WINDOW_PRIORITY = [
     "revenue_by_nation",
     "revenue_cube",
     "revenue_rollup",
-    # -- past-window from here: previous windows in their prior relative
-    # order; all covered every CI run at sf0.001 (tests/test_entry_queries)
-    # and by the committed per-round sf0.01 local sweep --
-    # r14 HEAD CANDIDATES (displaced from the r13 window by the nine
-    # spec-fix re-confirms): the r6 tail + the r7 head.
-    "shipping_priority",
-    "skew_safe_event_stats",
-    "sliding_windows",
-    "small_quantity_revenue",
-    "sql_surface",
-    "temperature_mixture",
-    "top_orders_per_customer",
-    "top_supplier",
-    "training_pairs",
-    "activity_streaks",
-    "adamic_adar",
-    "basket_lift",
     "semantic_dedup_ivf_refit",
     "semantic_dedup_incremental",
     "semantic_dedup_ivf",
@@ -824,7 +826,6 @@ _WINDOW_PRIORITY = [
     "semantic_dedup",
     "ivf_topk",
     "pq_topk",
-    "approx_supplier_counts",
     "quality_classifier",
     "customer_deciles",
     "ktruss_edges",
@@ -848,12 +849,10 @@ _WINDOW_PRIORITY = [
     "context_packing",
     "corpus_sample_k",
     "customers_without_orders",
-    "dataset_card",
     "decontaminated_corpus",
     "deduped_corpus_quality",
     "doc_chunks",
     "embedding_near_dups",
-    "event_windows",
     "events_within_hour",
     "funnel_stages",
     "heavy_users",
@@ -870,9 +869,7 @@ _WINDOW_PRIORITY = [
     "simhash_near_dups",
     "user_topk_reviews",
     "semantic_dedup_ann",
-    "t_closeness",
     "butterfly_counts",
-    "implicit_negatives",
     "click_attribution_pairs",
     "split_db_part",
     "fingerprints",
@@ -884,7 +881,6 @@ _WINDOW_PRIORITY = [
     "undirected_edges",
     "activity_similarity",
     "bfs_hops",
-    "click_conversion_labels",
     "connected_components",
     "contamination_by_source",
     "corpus_mixture",
@@ -894,7 +890,6 @@ _WINDOW_PRIORITY = [
     "embedding_near_dups_lsh",
     "embedding_stats",
     "frame_sample_plan",
-    "hll_brand_distinct",
     "image_resize",
     "language_id",
     "lineitem_measures_unpivot",
@@ -925,31 +920,22 @@ _WINDOW_PRIORITY = [
     "user_running_stats",
     "hybrid_retrieval_rrf",
     "ewma_event_trend",
-    "betweenness_sampled",
     "zone_map_stats",
-    "bpe_vocab",
     "mf_scoring_fixed",
     "seasonal_decomposition",
     "user_recommendations",
     "serving_snapshot",
     "minhash_near_dups",
     "near_dup_clusters_lsh",
-    "deduped_corpus",
     "hard_negative_mining_ann",
     "windowed_review_counts",
-    "dsir_selected",
     "neighborhood_function",
-    "deduped_corpus_aggressive",
     "similar_documents",
-    "dsir_sampled",
     "entity_clusters",
-    "community_modularity",
-    "degree_assortativity",
     "readability_scores",
     "temporal_reachability",
     "l_diversity",
     "markov_attribution",
-    "hll_set_overlap",
     "pagerank_weighted",
     "zipf_fit",
     "heaps_law",
@@ -957,9 +943,7 @@ _WINDOW_PRIORITY = [
     "min_cost_supplier",
     "nation_profit",
     "important_parts",
-    "shipping_mode_stats",
     "supplier_part_variety",
-    "dominant_part_suppliers",
     "fuzzy_name_pairs",
     "weighted_corpus_sample",
     "gap_filled_hourly",
@@ -968,38 +952,6 @@ _WINDOW_PRIORITY = [
     "recommender_eval",
     "hits_scores",
     "pmi_collocations",
-    "ab_test_report",
-    "priority_scd2",
-    "trending_products",
-    "event_rate_trend",
-    "ppjoin_pairs",
-    "session_paths",
-    "random_walks",
-    "phrase_search",
-    "pareto_frontier",
-    "zorder_layout",
-    "event_autocorrelation",
-    "cusum_changepoint",
-    "snapshot_diff",
-    "chi_square_cells",
-    "touch_attribution",
-    "k_anonymity",
-    "weighted_median",
-    "benford_deviation",
-    "incremental_agg_update",
-    "conversion_latency_quantiles",
-    "popularity_gini",
-    "classifier_calibration",
-    "incremental_join_update",
-    "bounce_rate_daily",
-    "lead_time_histogram",
-    "revenue_concentration",
-    "new_vs_returning",
-    "subword_token_counts",
-    "fuzzy_name_pairs_d2",
-    "scc_components",
-    "user_sessions",
-    "session_overlaps",
 ]
 
 
@@ -1124,6 +1076,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for suite in _SUITES:
         for name, (fn, _sql) in suite.items():
             out[name] = fn
+    if len(set(_WINDOW_PRIORITY)) != len(_WINDOW_PRIORITY):
+        # duplicates would silently misrepresent the past-window order
+        # that vintage scans/rotations read (ADVICE r13 item 1) — the
+        # dict comprehension below dedupes on first occurrence, so the
+        # runtime never sees them; fail loudly instead.
+        dup = sorted(
+            n for n in set(_WINDOW_PRIORITY)
+            if _WINDOW_PRIORITY.count(n) > 1
+        )
+        raise RuntimeError(f"duplicate window-priority names: {dup}")
     ordered = {n: out[n] for n in _WINDOW_PRIORITY if n in out}
     missing = [n for n in _WINDOW_PRIORITY if n not in out]
     if missing:

@@ -11,6 +11,14 @@ every output column into one aggregate instead of ``count()``-ing, because
 Catalyst prunes projection-only expressions under ``count()`` — a query
 whose cost lives in its projected columns (fingerprints, token stats,
 signatures) would otherwise measure little more than the scan.
+
+Measurement protocol (round 14): every query runs twice and records the
+min; queries still >= 5 s record the median of three runs. ``value`` is the
+sum of the recorded per-query times; ``wall_sec`` is the loop's raw wall
+clock. Two host-drift canaries (CPU fold + fixed-shape shuffle agg) bracket
+the loop; their raw run arrays are the primary signal and the normalized
+totals are advisory interval endpoints, emitted only at the calibrated
+SPARK_GRAFT_CPUS=32.
 """
 
 from __future__ import annotations
@@ -42,6 +50,25 @@ CANARY_ROWS = 512_000_000
 CANARY_CHAIN = 8
 CANARY_REF_SEC = 0.83
 
+# Shuffle/IO mini-canary (VERDICT r13 item 2): the CPU canary above can't
+# see memory/IO contention, which is where most of the residual ±20%
+# normalized spread lives (Spark queries are partly shuffle-bound). This
+# fixed shape — 100M generated rows exchanged into a 32-partition hash
+# aggregate over 1M keys — exercises shuffle write + exchange + shuffle
+# read + hash-agg memory pressure with zero overlap with any real query.
+# Together the two canaries bracket the host: normalized_total_cpu and
+# normalized_total_shuffle are the measurement INTERVAL's endpoints, not
+# two point estimates. References are in-context medians from the
+# round-14 calibration run on a quiet host (same protocol as the CPU
+# canary's 0.83 s). Both canaries are ADVISORY normalizers (ADVICE r13
+# item 4): the raw canary_runs / shuffle_canary_runs arrays are the
+# primary cross-round signal, and the references must be re-derived if
+# the Spark/JVM toolchain changes.
+SHUFFLE_CANARY_ROWS = 100_000_000
+SHUFFLE_CANARY_KEYS = 1_000_000
+SHUFFLE_CANARY_PARTS = 32
+SHUFFLE_CANARY_REF_SEC = 1.93
+
 
 def _canary_once(spark) -> float:
     from pyspark.sql import functions as F
@@ -55,6 +82,33 @@ def _canary_once(spark) -> float:
         F.expr("bit_xor(h)")
     ).collect()
     return time.time() - t0
+
+
+def _shuffle_canary_once(spark) -> float:
+    from pyspark.sql import functions as F
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # pin the exchange width (and disable AQE coalescing for the one
+    # statement) so the canary's shuffle shape is identical regardless of
+    # the session's spark.sql.shuffle.partitions / AQE decisions
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_CANARY_PARTS))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t0 = time.time()
+        (
+            spark.range(0, SHUFFLE_CANARY_ROWS, 1, cores)
+            .select((F.col("id") % SHUFFLE_CANARY_KEYS).alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"), F.sum("k").alias("s"))
+            .agg(F.expr("bit_xor(xxhash64(k, c, s))"))
+            .collect()
+        )
+        return time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def _force_full_evaluation(df) -> None:
@@ -144,24 +198,66 @@ def main() -> None:
     except Exception:
         pass
 
-    # canary bracketing: one discarded codegen-warm run, then 3 runs
-    # before + 3 after the timed loop; median of the six = the host's
-    # throughput across the measurement window
+    # canary bracketing: one discarded codegen-warm run per canary, then
+    # 3 runs before + 3 after the timed loop; median of the six = the
+    # host's throughput across the measurement window
     _canary_once(spark)
+    _shuffle_canary_once(spark)
     canary_runs = [_canary_once(spark) for _ in range(3)]
+    shuffle_canary_runs = [_shuffle_canary_once(spark) for _ in range(3)]
 
+    # Per-query protocol (VERDICT r13 item 2 — make one run adjudicable):
+    # identical code measured hours apart swung up to 3.3× per query on
+    # this shared host, so a single observation per query cannot be
+    # compared across rounds. Every query runs TWICE (plan rebuilt each
+    # time; the recorded value is the min — the host's best observed
+    # throughput for that plan). A query whose best-of-2 is still ≥ 5 s
+    # gets a third run and records the MEDIAN of the three (for the
+    # expensive tail, one lucky run shouldn't set the number either).
+    # `value` = Σ recorded per-query seconds (the comparable total);
+    # `wall_sec` = raw wall-clock of the whole timed loop (the cost of
+    # producing it). Both canaries bracket the same window.
     timings: dict[str, float] = {}
+    runs_per_query: dict[str, int] = {}
     t_all = time.time()
     for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        _force_full_evaluation(df)
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        obs = []
+        for _ in range(2):
+            t0 = time.time()
+            _force_full_evaluation(fn(spark, sf_dir))
+            obs.append(time.time() - t0)
+        if min(obs) >= 5.0:
+            t0 = time.time()
+            _force_full_evaluation(fn(spark, sf_dir))
+            obs.append(time.time() - t0)
+            timings[name] = round(sorted(obs)[1], 3)  # median of 3
+        else:
+            timings[name] = round(min(obs), 3)  # best of 2
+        runs_per_query[name] = len(obs)
+    wall_sec = round(time.time() - t_all, 3)
+    total = round(sum(timings.values()), 3)
 
     canary_runs += [_canary_once(spark) for _ in range(3)]
+    shuffle_canary_runs += [_shuffle_canary_once(spark) for _ in range(3)]
     canary_sec = round(sorted(canary_runs)[len(canary_runs) // 2], 3)
-    normalized_total = round(total * (CANARY_REF_SEC / canary_sec), 1)
+    shuffle_canary_sec = round(
+        sorted(shuffle_canary_runs)[len(shuffle_canary_runs) // 2], 3
+    )
+    # Normalized totals are ADVISORY (ADVICE r13 items 2+4): emitted only
+    # at the calibrated SPARK_GRAFT_CPUS=32 (at other core counts the
+    # canaries scale ~1/cores and the references don't apply), and the
+    # two values are the endpoints of the drift interval — a cross-round
+    # comparison should quote [min, max], falling back to the raw
+    # canary-run arrays when the interval is wide.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if cpus == 32:
+        normalized_total = round(total * (CANARY_REF_SEC / canary_sec), 1)
+        normalized_total_shuffle = round(
+            total * (SHUFFLE_CANARY_REF_SEC / shuffle_canary_sec), 1
+        )
+    else:
+        normalized_total = None
+        normalized_total_shuffle = None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
@@ -191,12 +287,20 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {"metric": "all_queries", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf_val, "cpus": os.environ.get(
-                 "SPARK_GRAFT_CPUS", "32"),
+             "protocol": "best-of-2; median-of-3 for >=5s queries",
+             "wall_sec": wall_sec,
+             "queries": timings, "runs_per_query": runs_per_query,
+             "sf": sf_val, "cpus": cpus,
              "canary_sec": canary_sec,
              "canary_runs": [round(c, 3) for c in canary_runs],
              "canary_ref_sec": CANARY_REF_SEC,
-             "normalized_total": normalized_total},
+             "shuffle_canary_sec": shuffle_canary_sec,
+             "shuffle_canary_runs": [
+                 round(c, 3) for c in shuffle_canary_runs
+             ],
+             "shuffle_canary_ref_sec": SHUFFLE_CANARY_REF_SEC,
+             "normalized_total": normalized_total,
+             "normalized_total_shuffle": normalized_total_shuffle},
             fh,
         )
         fh.write("\n")
@@ -206,9 +310,13 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "protocol": "bo2_med3",
+                "wall_sec": wall_sec,
                 "n_queries": len(timings),
                 "canary_sec": canary_sec,
+                "shuffle_canary_sec": shuffle_canary_sec,
                 "normalized_total": normalized_total,
+                "normalized_total_shuffle": normalized_total_shuffle,
                 "detail": "BENCH_DETAIL.json",
                 "queries": {
                     k: timings[k] for k in headline if k in timings

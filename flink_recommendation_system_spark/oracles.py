@@ -1031,6 +1031,10 @@ PAGERANK_WEIGHTED_SQL = (
 
 # Effective diameter from the HyperANF curve (entry _q_effective_diameter):
 # smallest hop whose N(h) reaches 90% of the horizon estimate.
+# horizon_reach_est = N(max_hop), the saturation test's own denominator
+# (r14 graph-suite review — was max over hops, which can diverge from
+# N(max_hop) if the guarded HLL estimator dips across the
+# linear-counting boundary; both engines changed together).
 EFFECTIVE_DIAMETER_SQL = (
     f"WITH {REVIEWS_CTE},\n{LIKED_CTE},\n{anf_ctes()},\n"
     + "\ncurve AS ("
@@ -1045,6 +1049,6 @@ tot AS (
 SELECT (SELECT min(hop) FROM curve, tot
         WHERE round(total_reach_est / nt, 6) >= 0.9)
            AS effective_diameter,
-       (SELECT max(total_reach_est) FROM curve) AS horizon_reach_est
+       (SELECT nt FROM tot) AS horizon_reach_est
 """
 )

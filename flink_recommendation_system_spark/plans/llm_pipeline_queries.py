@@ -54,8 +54,19 @@ def _bound_audit_corpus(sql: str, max_vecs: int = None) -> str:
 
     if max_vecs is None:
         max_vecs = RECALL_AUDIT_MAX_VECS
-    body = re.sub(r"\bembeddings\b", "emb_audit", sql)
+    body, n_refs = re.subn(r"\bembeddings\b", "emb_audit", sql)
+    # Guards (ADVICE r13 item 3): the textual rewrite is only sound when
+    # (a) at least one table reference was actually rewritten, and (b) the
+    # split point is the OUTER `WITH` keyword — i.e. the first non-blank
+    # text of the statement — not a 'WITH' inside a comment or literal.
+    if n_refs == 0:
+        raise ValueError("audit oracle has no `embeddings` reference")
     head, rest = body.split("WITH", 1)
+    if head.strip():
+        raise ValueError(
+            "audit oracle must START with its outer WITH clause; "
+            f"found leading text {head.strip()[:40]!r}"
+        )
     return (
         head
         + "WITH emb_audit AS (SELECT * FROM embeddings WHERE vec_id < "

@@ -60,6 +60,10 @@ def _update_user_stats(
     # first time a key's state actually persists across micro-batches
     n, rating_sum, last_ts = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
+        if not len(pdf):
+            # Arrow chunking may hand a group an empty slice; max() of an
+            # empty series is NaN and int(NaN) raises (r14 review guard)
+            continue
         n += len(pdf)
         rating_sum += float(pdf["rating"].sum())
         last_ts = max(last_ts, int(pdf["ts"].max()))
@@ -394,6 +398,8 @@ def running_user_stats_tws(reviews_stream: DataFrame) -> DataFrame:
                 self._stats.get() if self._stats.exists() else (0, 0.0, 0)
             )
             for pdf in rows:
+                if not len(pdf):
+                    continue  # empty Arrow slice — see _update_user_stats
                 n += len(pdf)
                 rating_sum += float(pdf["rating"].sum())
                 last_ts = max(last_ts, int(pdf["ts"].max()))

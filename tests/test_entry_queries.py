@@ -78,3 +78,25 @@ def test_rows_only_twin_map_is_consistent():
         assert twin in QUERIES, (name, twin)
         assert twin in ORACLES, (name, twin)  # twin must be hash-exact
         assert twin != name, name
+
+
+def test_rows_only_twins_share_metric_grain(spark):
+    """The pairing argument only holds if each twin computes the SAME
+    metric shape (VERDICT r13 item 8, locking the r13 supplier-key
+    upgrade): the twin must carry the rows-only query's key/grain column
+    (its first output column) and at least half of its columns overall —
+    a twin drifting to a different grain fails here before a verdict has
+    to argue about it. Column inspection only (no job runs except the
+    eager MLlib fits the rows-only plans themselves perform)."""
+    for name, twin in entrymod.ROWS_ONLY_TWINS.items():
+        cols = QUERIES[name](spark, SF0001).columns
+        twin_cols = QUERIES[twin](spark, SF0001).columns
+        assert cols[0] == twin_cols[0], (name, twin, cols, twin_cols)
+        shared = set(cols) & set(twin_cols)
+        assert len(shared) * 2 >= len(cols), (name, twin, cols, twin_cols)
+    # pin the r13 upgrade specifically: both HLL-per-brand queries are
+    # keyed on p_brand and estimate DISTINCT SUPPLIERS (not orders)
+    assert QUERIES["approx_supplier_counts"](spark, SF0001).columns == [
+        "p_brand",
+        "approx_suppliers",
+    ]

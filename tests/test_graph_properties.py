@@ -960,3 +960,24 @@ def test_temporal_earliest_arrival_respects_time(spark):
         for r in earliest_arrival(inter2, seeds, max_user_hops=2).collect()
     }
     assert got2[6] == (300, 2), got2
+
+
+def test_effective_diameter_horizon_is_saturation_denominator(spark):
+    """r14 graph-suite review pin: `effective_diameter`'s reported
+    horizon_reach_est must be N(max_hop) from the SAME HyperANF curve the
+    saturation test divides by — not the max over hops, which diverges
+    whenever the guarded HLL estimator dips across the linear-counting
+    boundary between hops."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF0001
+
+    anf = {
+        r["hop"]: r["total_reach_est"]
+        for r in entrymod.queries()["neighborhood_function"](
+            spark, SF0001
+        ).collect()
+    }
+    row = (
+        entrymod.queries()["effective_diameter"](spark, SF0001).collect()[0]
+    )
+    assert row["horizon_reach_est"] == anf[max(anf)], (row, anf)

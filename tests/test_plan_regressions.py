@@ -504,3 +504,76 @@ def test_hyperanf_merge_is_partial_agg_on_id_bucket(spark):
     plan = _plan(hyperanf(edges, max_hops=1))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan, plan[:3000]
+
+
+def test_recall_audit_corpus_bound_is_binding(spark, monkeypatch):
+    """Mechanical pin of the recall-audit corpus bound (VERDICT r13 item
+    3): vectors with vec_id >= RECALL_AUDIT_MAX_VECS must be unable to
+    influence either audit's output. Proven semantically, not textually:
+    inflate the embeddings table with exact duplicates of every vector at
+    vec_id + 1_000_000 (above the bound) — if the bound filter were ever
+    lost, those duplicates would enter the exact ground truth (cos = 1.0
+    self-matches) and every tier, changing the report — and assert the
+    audit output is bit-identical to the clean-corpus run."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.plans import llm_pipeline_queries as L
+
+    real_emb = L._emb(spark, SF0001)
+    inflated = real_emb.unionByName(
+        real_emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+
+    for q in (L.q_ann_recall_report, L.q_semantic_dedup_recall):
+        clean = sorted(map(tuple, q(spark, SF0001).collect()))
+        monkeypatch.setattr(L, "_emb", lambda s, d: inflated)
+        try:
+            bounded = sorted(map(tuple, q(spark, SF0001).collect()))
+        finally:
+            monkeypatch.setattr(L, "_emb", lambda s, d: real_emb)
+        assert bounded == clean, q.__name__
+
+
+def test_recall_audit_bound_reaches_parquet_scan(spark):
+    """The audit-corpus bound must be PUSHED into the parquet scan (the
+    audits never materialize unbounded vectors even transiently)."""
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.plans import llm_pipeline_queries as L
+
+    bounded_scan = L._emb(spark, SF0001).filter(
+        F.col("vec_id") < L.RECALL_AUDIT_MAX_VECS
+    )
+    plan = _plan(bounded_scan)
+    assert "PushedFilters" in plan and "vec_id" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:2000]
+
+
+def test_bound_audit_corpus_sql_shape_and_guards():
+    """Pin the oracle rewrite's shape and its failure modes (ADVICE r13
+    item 3): both assembled audit SQLs start with the injected emb_audit
+    CTE carrying the bound; the rewriter refuses an oracle with no
+    `embeddings` reference and one whose first `WITH` is not the outer
+    clause (e.g. hidden in a leading comment)."""
+    import pytest
+
+    from flink_recommendation_system_spark.plans import llm_pipeline_queries as L
+
+    for sql in (L.ANN_RECALL_REPORT_SQL, L.SEMANTIC_DEDUP_RECALL_SQL):
+        head = sql.lstrip()
+        assert head.startswith(
+            "WITH emb_audit AS (SELECT * FROM embeddings WHERE vec_id < "
+            f"{L.RECALL_AUDIT_MAX_VECS})"
+        ), head[:120]
+        # exactly one bounded scan of the REAL table; all other
+        # references were rewritten to the CTE
+        assert sql.count("FROM embeddings") == 1
+
+    with pytest.raises(ValueError, match="no `embeddings` reference"):
+        L._bound_audit_corpus("WITH t AS (SELECT 1) SELECT * FROM t")
+    with pytest.raises(ValueError, match="outer WITH"):
+        L._bound_audit_corpus(
+            "-- a comment mentioning WITH first\n"
+            "SELECT vec_id FROM embeddings"
+        )

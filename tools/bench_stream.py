@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Speed-layer streaming benchmark (VERDICT r13 item 4): sustained
+events/sec and per-trigger latency for ``start_speed_layer`` under
+file-source replay, swept over ``maxFilesPerTrigger``.
+
+What it measures, per sweep point:
+- the FULL production micro-batch body (both sinks: SADD-idempotent
+  ratings append with its anti-join screen, and the stream-static
+  enrichment join against the sf-sized published model tables with
+  retry-read + localCheckpoint pinning),
+- driven by Trigger.AvailableNow so the run drains a fixed replay corpus
+  in ``n_files / max_files_per_trigger`` micro-batches and stops,
+- timing from StreamingQuery progress events (``batchDuration`` per
+  trigger, wall clock for the sustained rate).
+
+The reference's only published performance fact is its replay DESIGN
+rate: 1 event/second (kafka_stream_generator.py:17,38). This artifact
+tracks how far the Spark micro-batch speed layer stays above that and
+what per-trigger latency a deployment should expect at each throttle.
+
+Usage:
+    python tools/bench_stream.py [sf_dir] [out_json]
+defaults: $SPARK_GRAFT_SF_DIR | /root/testdata/sf0.1, BENCH_STREAM.json.
+Prints the JSON line and writes it to out_json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_EVENTS = 10_000
+N_FILES = 100
+SWEEP = (1, 4, 16, 64)
+
+
+def _percentile(xs: list[float], p: float) -> float:
+    """Nearest-rank percentile (deterministic, no interpolation)."""
+    s = sorted(xs)
+    idx = max(0, min(len(s) - 1, int(round(p / 100.0 * len(s) + 0.5)) - 1))
+    return s[idx]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_STREAM.json"
+
+    from pyspark.sql import functions as F
+
+    from flink_recommendation_system_spark.plans.recommendations import (
+        user_recommendations,
+    )
+    from flink_recommendation_system_spark.plans.top_products import (
+        top_products,
+    )
+    from flink_recommendation_system_spark.session import (
+        LOCAL_SF_MAX_PARTITION_BYTES,
+        get_spark,
+    )
+    from flink_recommendation_system_spark.sources.tables import (
+        reviews_from_events,
+    )
+    from flink_recommendation_system_spark.streaming.pipeline import (
+        read_review_stream_json,
+        start_speed_layer,
+    )
+
+    spark = get_spark(
+        "bench-stream", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # 1) publish the sf-sized model tables once (the batch layer's job)
+        reviews = reviews_from_events(spark, sf_dir)
+        recs_path = f"{root}/user_recommendations"
+        top_path = f"{root}/top_products"
+        user_recommendations(reviews).write.mode("overwrite").parquet(
+            recs_path
+        )
+        top_products(reviews).select("product_id").write.mode(
+            "overwrite"
+        ).parquet(top_path)
+
+        # 2) a fixed replay corpus: N_EVENTS wire-format JSON lines split
+        # into N_FILES equal files (the file-source twin of the Kafka
+        # topic; same plan after parse_review_json)
+        replay_dir = f"{root}/replay"
+        from pyspark.sql import Window as W
+
+        # row_number (not monotonically_increasing_id) for the file split:
+        # mono ids are partition-prefixed, so `% N_FILES` leaves residues
+        # unoccupied and some replay files empty — row_number gives the
+        # exact N_EVENTS/N_FILES events per file the sweep assumes. The
+        # single-partition window is fine at replay-corpus size.
+        rn = F.row_number().over(
+            W.orderBy("ts", "user_id", "product_id")
+        )
+        wire = (
+            reviews.orderBy("ts", "user_id", "product_id")
+            .limit(N_EVENTS)
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("user_id").alias("userId"),
+                        F.col("product_id").alias("productId"),
+                        F.col("rating").alias("review"),
+                        F.col("ts").alias("timestamp"),
+                    )
+                ).alias("value"),
+                (rn % N_FILES).alias("_f"),
+            )
+        )
+        wire.repartition(N_FILES, "_f").select("value").write.mode(
+            "overwrite"
+        ).text(replay_dir)
+
+        results = []
+        for k in SWEEP:
+            run_dir = f"{root}/run_k{k}"
+            stream = read_review_stream_json(
+                spark, replay_dir, max_files_per_trigger=k
+            )
+            t0 = time.monotonic()
+            q = start_speed_layer(
+                stream,
+                recs_path,
+                top_path,
+                f"{run_dir}/user_ratings",
+                f"{run_dir}/output",
+                f"{run_dir}/ckpt",
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination()
+            wall = time.monotonic() - t0
+            raw_progress = [
+                json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            progress = [
+                p for p in raw_progress if p.get("numInputRows", 0) > 0
+            ]
+            rows = sum(p["numInputRows"] for p in progress)
+            durations = [
+                float(p["durationMs"]["triggerExecution"]) for p in progress
+            ]
+            results.append(
+                {
+                    "max_files_per_trigger": k,
+                    "n_triggers": len(progress),
+                    "rows": rows,
+                    "wall_sec": round(wall, 2),
+                    "events_per_sec": round(rows / wall, 1),
+                    "trigger_p50_ms": round(_percentile(durations, 50), 1),
+                    "trigger_p95_ms": round(_percentile(durations, 95), 1),
+                }
+            )
+
+        out = {
+            "metric": "speed_layer_replay",
+            "unit": "events_per_sec",
+            "value": max(r["events_per_sec"] for r in results),
+            "sf_dir": sf_dir,
+            "n_events": N_EVENTS,
+            "n_files": N_FILES,
+            "reference_design_rate_events_per_sec": 1,
+            "sweep": results,
+        }
+        line = json.dumps(out)
+        with open(out_json, "w") as fh:
+            fh.write(line + "\n")
+        print(line)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
