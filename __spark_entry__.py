@@ -709,6 +709,12 @@ _WINDOW_PRIORITY = [
     # to r8. Changed-this-round re-confirms, if any land, displace the
     # r8 fillers from the BOTTOM (never the r6/r7 blocks — retiring
     # those is the round's contract).
+    # 0. CHANGED THIS ROUND (re-confirm): the fitted IVF probe now
+    # selects cells by true L2 distance — the index's own assignment
+    # metric and the fixed twin's probe rule (r14 similarity review) —
+    # so the rows-only ivf_topk output changed; it re-earns its driver
+    # row and displaces the bottom r8 filler per the window contract.
+    "ivf_topk",
     # 1. r6-VINTAGE BLOCK (oldest driver greens on record, 9 queries):
     "shipping_priority",
     "skew_safe_event_stats",
@@ -761,7 +767,6 @@ _WINDOW_PRIORITY = [
     "degree_assortativity",
     "dominant_part_suppliers",
     "dsir_sampled",
-    "dsir_selected",
     # -- past-window from here: previous windows in their prior
     # relative order (FIRST occurrence kept — the r13 list had 12
     # superseded duplicate tails, removed per ADVICE r13 item 1; a
@@ -824,7 +829,6 @@ _WINDOW_PRIORITY = [
     "semantic_dedup_artifact",
     "als_recommendations",
     "semantic_dedup",
-    "ivf_topk",
     "pq_topk",
     "quality_classifier",
     "customer_deciles",
@@ -929,6 +933,7 @@ _WINDOW_PRIORITY = [
     "near_dup_clusters_lsh",
     "hard_negative_mining_ann",
     "windowed_review_counts",
+    "dsir_selected",
     "neighborhood_function",
     "similar_documents",
     "entity_clusters",

@@ -263,9 +263,16 @@ def ivf_probe(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe a fitted ``IVFIndex``: each query scores all centroids, keeps
-    its ``n_probe`` nearest cells, and exact-re-ranks only those cells via
-    an equi-join on cell id — per-query work is O(probed fraction of the
-    corpus) instead of O(N). Same output columns as ``cosine_topk``."""
+    its ``n_probe`` nearest cells BY L2 DISTANCE — the metric the KMeans
+    assignment itself partitions by, and the same probe rule as the
+    value-oracled fixed-centroid twin ``ivf_probe_fixed`` (r14 similarity
+    review: this previously ranked cells by −dot, which ignores ‖c‖² and
+    biases probing toward large-norm centroids on fitted, non-unit
+    centroid tables — the ROWS_ONLY_TWINS "same machinery" pairing is
+    only honest with the metrics aligned) — then exact-re-ranks only
+    those cells via an equi-join on cell id. Per-query work is O(probed
+    fraction of the corpus) instead of O(N). Same output columns as
+    ``cosine_topk``."""
     assigned, centroids = index.assigned, index.centroids
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -279,7 +286,7 @@ def ivf_probe(
         q.crossJoin(F.broadcast(centroids))
         .withColumn(
             "centroid_dist",
-            -_dot(F.col("q_vec"), F.col("centroid")),  # max cosine ≈ min -dot
+            _l2sq(F.col("q_vec").cast("array<double>"), F.col("centroid")),
         )
         .withColumn("_rn", F.row_number().over(probe_w))
         .filter(F.col("_rn") <= n_probe)
