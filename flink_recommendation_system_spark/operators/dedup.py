@@ -593,6 +593,13 @@ def incremental_pairs_from_signatures(
     cross = (
         nb.alias("a")
         .join(sb.alias("b"), band_keys)
+        # equal ids never pair (the incremental_semantic_pairs guard,
+        # mirrored here by the r14 review): for disjoint inputs this is a
+        # no-op, and under at-least-once redelivery (the same doc re-sent
+        # in a LATER batch, past the before_batch store exclusion) it
+        # stops the est_jaccard-1.0 self-pair from dropping the document
+        # against its own store copy
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("a_id"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("b_id"),

@@ -140,8 +140,15 @@ def start_hygiene_stream(
         decided = _prior_ids(spark, accepted_path, batch_id).unionByName(
             _prior_ids(spark, rejected_path, batch_id)
         )
+        # groupBy/max, not dropDuplicates (the r13 near_dup/semantic_dedup
+        # determinism fix, extended here by the r14 review): dropDuplicates
+        # keeps an ARBITRARY row, so a batch carrying two rows with the
+        # same id but different text could gate/redact/accept a DIFFERENT
+        # text on replay than the first attempt did — max() pins the same
+        # byte-wise-greatest payload on every attempt.
         docs = (
-            raw.dropDuplicates(["doc_id"])
+            raw.groupBy("doc_id")
+            .agg(F.max("text").alias("text"))
             .join(decided, "doc_id", "left_anti")
             .localCheckpoint()
         )

@@ -113,3 +113,50 @@ def test_accepted_text_is_redacted(spark, tmp_path):
     assert r.verdict == "accept"
     assert r.n_email == 1
     assert "<EMAIL>" in r.redacted and "bob@" not in r.redacted
+
+
+def test_hygiene_deterministic_on_conflicting_payloads(spark, tmp_path):
+    """r14 review pin (the r13 near_dup/semantic_dedup determinism fix,
+    extended to the hygiene gate): a batch carrying the SAME doc_id with
+    two different texts must gate the byte-wise greatest payload — an
+    arbitrary-row pick could accept a different text on replay than the
+    first attempt wrote."""
+    # a filter fitted on an unrelated doc: neither test text is flagged
+    words = bloom_fit(
+        token_ngrams(
+            spark.createDataFrame(
+                [(0, "q w e r t y u i o p")], ["doc_id", "text"]
+            ),
+            DECON_N,
+        ).select("ngram")
+    )
+    long_a = "alpha " * 40 + "text one for the gate"
+    long_b = "zeta " * 40 + "text two for the gate"
+    dup = spark.createDataFrame(
+        [(1, long_a), (1, long_b), (2, long_a)], ["doc_id", "text"]
+    )
+    src = str(tmp_path / "in")
+    dup.coalesce(1).write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema(dup.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_hygiene_stream(
+        stream,
+        words,
+        str(tmp_path / "acc"),
+        str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"),
+        decon_n=DECON_N,
+    )
+    q.processAllAvailable()
+    q.stop()
+    acc = {
+        r["doc_id"]: r["text"]
+        for r in read_accepted(spark, str(tmp_path / "acc")).collect()
+    }
+    # doc 1 must carry the byte-wise greatest of the two payloads
+    # (zeta... > alpha...), redaction-neutral on these texts
+    assert acc[1] == max(long_a, long_b), acc[1][:40]
+    assert acc[2] == long_a

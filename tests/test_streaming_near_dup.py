@@ -223,3 +223,27 @@ def test_at_least_once_redelivery_in_later_batch(spark, tmp_path):
         for r in D.minhash_lsh_pairs(docs).select("a_id", "b_id").collect()
     }
     assert got == want
+
+
+def test_incremental_pairs_never_emit_self_pair_on_overlap(spark):
+    """Operator-level defense-in-depth (r14 dedup review — mirrors the
+    guard incremental_semantic_pairs has carried since r12): if a store
+    doc reaches the operator again as 'new' (an upstream redelivery
+    screen failing, check_disjoint off as on the streaming path), the
+    cross join must not emit the (id, id) self-pair whose est_jaccard
+    1.0 would drop the document against its own store copy."""
+    docs = (
+        load_table(spark, SF0001, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    sigs = D.minhash_signatures(docs).localCheckpoint()
+    store = sigs.filter(F.col("doc_id") < 30)
+    new = sigs.filter(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 40)
+    )  # ids 25-29 overlap the store
+    pairs = D.incremental_pairs_from_signatures(
+        new, store, check_disjoint=False
+    )
+    self_rows = pairs.filter(F.col("a_id") == F.col("b_id")).count()
+    assert self_rows == 0
