@@ -67,7 +67,15 @@ CANARY_REF_SEC = 0.83
 SHUFFLE_CANARY_ROWS = 100_000_000
 SHUFFLE_CANARY_KEYS = 1_000_000
 SHUFFLE_CANARY_PARTS = 32
-SHUFFLE_CANARY_REF_SEC = 1.93
+# In-context median of the round-14 full-bench calibration run (six
+# bracketing runs 2.44-3.79 s, median 3.211 at local[32] on the quiet
+# closing host) — IN-CONTEXT, not the 1.93 s a fresh standalone session
+# measures: the bench JVM's accumulated heap/shuffle state slows the
+# fixed shape ~1.7×, and the bracketing runs inherit that state. The
+# round-14 BENCH_DETAIL.json therefore carries the 1.93-based
+# normalized_total_shuffle = 210.8 as a calibration artifact; the field
+# is meaningful from the first run after this constant landed.
+SHUFFLE_CANARY_REF_SEC = 3.21
 
 
 def _canary_once(spark) -> float:
