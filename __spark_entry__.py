@@ -709,6 +709,29 @@ _WINDOW_PRIORITY = [
     # to r8. Changed-this-round re-confirms, if any land, displace the
     # r8 fillers from the BOTTOM (never the r6/r7 blocks — retiring
     # those is the round's contract).
+    #
+    # ROUND-15 STAGING (post-r14 vintage scan, assuming this window
+    # lands green): 34 queries remain r8-vintage (the block minus the 10
+    # fillers below, plus dsir_selected which an r14 re-confirm
+    # displaced: dsir_selected, effective_diameter, entity_clusters,
+    # event_transitions, ewma_event_trend, fuzzy_name_pairs,
+    # gap_filled_hourly, hard_negative_mining_ann, heaps_law,
+    # hits_scores, important_parts, integrity_report, l_diversity,
+    # markov_attribution, mf_scoring_fixed, min_cost_supplier,
+    # minhash_near_dups, nation_profit, near_dup_clusters_lsh,
+    # neighborhood_function, pagerank_weighted, pmi_collocations,
+    # readability_scores, recommender_eval, seasonal_decomposition,
+    # serving_snapshot, similar_documents, supplier_part_variety,
+    # temporal_reachability, user_recommendations,
+    # weighted_corpus_sample, windowed_review_counts, zipf_fit,
+    # zone_map_stats) and 13 r9 (deduped_corpus_quality_artifact,
+    # hybrid_retrieval_rrf, kmeans_one_step, kv_roundtrip,
+    # returned_items, revenue_grouping_sets, simhash_near_dups,
+    # stratified_split, table_profile, user_event_pivot,
+    # user_product_sets, user_running_stats, value_outliers).
+    # Round 15's window = any new/changed entries + those 34 r8 + 13 r9
+    # + the r11 head (alphabetical: activity_similarity, bfs_hops,
+    # butterfly_counts) to fill 50.
     # 0. CHANGED THIS ROUND (re-confirm): the fitted IVF probe now
     # selects cells by true L2 distance — the index's own assignment
     # metric and the fixed twin's probe rule (r14 similarity review) —

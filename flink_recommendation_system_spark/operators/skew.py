@@ -31,9 +31,11 @@ def salted_aggregate(
 ) -> DataFrame:
     """Two-stage skew-safe aggregation: returns (key, <agg>_<col>).
 
-    The salt is derived from a hash of the full row's natural ordering
-    column when available; `spark_partition_id` avoids a Python RNG and is
-    stable within a task. Combinable aggregates only.
+    The salt is `spark_partition_id() % salt_buckets` — no Python RNG,
+    stable within a task, and already uniform over a hot key's rows
+    because they arrive spread across input partitions (r14 review: the
+    docstring previously described a row-hash salt this function never
+    had). Combinable aggregates only.
     """
     first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[agg]
     second = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}[agg]

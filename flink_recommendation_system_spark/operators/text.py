@@ -135,6 +135,15 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     (doc_id, dup_token_ratio, top_bigram_ratio), both rounded to 6 dp;
     documents with fewer than 2 tokens have top_bigram_ratio 0.
 
+    Convention note (r14 review): the bigram here is a raw-SLOT
+    statistic — adjacent raw split cells, EMPTY cells included, with the
+    denominator n_raw_cells − 1 — deliberately different from the LM
+    family's non-empty-bigram convention (``lm._bigrams``, the r13
+    repo-wide unification): the ratio measures what fraction of
+    adjacency SLOTS one pair occupies, so numerator and denominator
+    must count the same slot population. The DuckDB oracle mirrors the
+    slot form exactly.
+
     Scale shape: token stats are per-row codegen expressions; bigrams come
     from posexplode + a per-doc ``lead`` window — measured 3.5× faster at
     sf0.1 than building the bigram array with a higher-order ``transform``
