@@ -321,7 +321,12 @@ def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     `neighborhood_function` rows."""
     from pyspark.sql import functions as F
 
-    anf = _q_neighborhood_function(spark, sf_dir)
+    # pin the 4-row ANF curve: the readout references it four times
+    # (horizon, total, saturation, argmin) and each reference would
+    # otherwise re-execute the whole HyperANF pipeline — the snapshots
+    # inside hyperanf are checkpointed, but the final per-vertex estimate
+    # aggregation is not (measured 7.3 → ~5.5 s at sf0.1, r14 bench)
+    anf = _q_neighborhood_function(spark, sf_dir).localCheckpoint()
     horizon = anf.agg(F.max("hop").alias("mh"))
     total = (
         anf.join(F.broadcast(horizon), anf["hop"] == horizon["mh"])

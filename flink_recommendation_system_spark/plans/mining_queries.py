@@ -2326,6 +2326,12 @@ def markov_attribution_from_events(ev: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("rn").alias("fp"))
     )
+    # NOT checkpointed (r14 measured): kept feeds four consumers and fp
+    # three, but pinning them (fp + the events-sized kept) measured 5.8
+    # -> 6.3 s at sf0.1 — the replayed window passes are pipelined
+    # codegen over a cached scan, cheaper than materializing ~|events|
+    # rows through the block manager. The journey build is simply the
+    # query's cost; the metadata-scale iteration below IS checkpointed.
     j = r.join(fp, "user_id", "left")
     kept = j.filter(F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
 
