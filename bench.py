@@ -67,15 +67,25 @@ CANARY_REF_SEC = 0.83
 SHUFFLE_CANARY_ROWS = 100_000_000
 SHUFFLE_CANARY_KEYS = 1_000_000
 SHUFFLE_CANARY_PARTS = 32
-# In-context median of the round-14 full-bench calibration run (six
-# bracketing runs 2.44-3.79 s, median 3.211 at local[32] on the quiet
-# closing host) — IN-CONTEXT, not the 1.93 s a fresh standalone session
-# measures: the bench JVM's accumulated heap/shuffle state slows the
-# fixed shape ~1.7×, and the bracketing runs inherit that state. The
-# round-14 BENCH_DETAIL.json therefore carries the 1.93-based
-# normalized_total_shuffle = 210.8 as a calibration artifact; the field
-# is meaningful from the first run after this constant landed.
-SHUFFLE_CANARY_REF_SEC = 3.21
+# FRESH-SESSION reference (VERDICT r14 what's-wrong #1 / item 3): the
+# canary's in-context time depends on the bench JVM's accumulated
+# heap/shuffle state (measured ~1.7× slower than a fresh session — r14
+# in-context median 3.21 s vs fresh 1.93 s), so an in-context ref and an
+# in-context measurement are only comparable when both come from the
+# same JVM lifecycle stage. Since round 15 the normalizing measurement
+# runs in a FRESH subprocess JVM (one codegen-warm run + 3 timed,
+# median — see _shuffle_canary_fresh), so ref and measurement share JVM
+# state BY CONSTRUCTION and normalized_total_shuffle means the same
+# thing in every artifact. The in-context bracketing runs are still
+# recorded (shuffle_canary_sec / shuffle_canary_runs) as the ADVISORY
+# mid-bench drift signal only — they no longer feed the normalization.
+# History note: the committed r14 BENCH_DETAIL.json carries
+# shuffle_canary_ref_sec 3.21 with normalized_total_shuffle 416.0
+# (in-context ref, in-context measurement — internally consistent but
+# not comparable to fresh-ref artifacts); the 1.93-based 210.8 value
+# appears only in the r14 BENCH_r14.json driver artifact produced
+# before the 3.21 constant landed. Neither is comparable to r15+.
+SHUFFLE_CANARY_REF_SEC = 1.93
 
 
 def _canary_once(spark) -> float:
@@ -117,6 +127,45 @@ def _shuffle_canary_once(spark) -> float:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _shuffle_canary_only_main() -> None:
+    """Subprocess entry (``bench.py --shuffle-canary-only``): measure the
+    shuffle canary in a FRESH JVM — the same lifecycle state the reference
+    constant was measured in — and print one JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flink_recommendation_system_spark.session import get_spark
+
+    spark = get_spark("shuffle-canary")
+    spark.sparkContext.setLogLevel("ERROR")
+    _shuffle_canary_once(spark)  # discarded codegen-warm run
+    runs = [_shuffle_canary_once(spark) for _ in range(3)]
+    print(json.dumps({
+        "shuffle_canary_fresh_sec": round(sorted(runs)[1], 3),
+        "runs": [round(r, 3) for r in runs],
+    }))
+    spark.stop()
+
+
+def _shuffle_canary_fresh() -> dict | None:
+    """Run the fresh-JVM shuffle-canary subprocess and parse its JSON line.
+    Returns None (→ normalized_total_shuffle suppressed, like the cpus≠32
+    case) if the subprocess fails — the bench itself must not."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--shuffle-canary-only"],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{") and "shuffle_canary_fresh_sec" in line:
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
 
 
 def _force_full_evaluation(df) -> None:
@@ -251,6 +300,13 @@ def main() -> None:
     shuffle_canary_sec = round(
         sorted(shuffle_canary_runs)[len(shuffle_canary_runs) // 2], 3
     )
+    # The NORMALIZING shuffle measurement runs in a fresh subprocess JVM
+    # (same lifecycle state as the 1.93 s reference — see the constant's
+    # comment); the in-context bracketing medians above remain advisory.
+    fresh = _shuffle_canary_fresh()
+    shuffle_canary_fresh_sec = (
+        fresh["shuffle_canary_fresh_sec"] if fresh else None
+    )
     # Normalized totals are ADVISORY (ADVICE r13 items 2+4): emitted only
     # at the calibrated SPARK_GRAFT_CPUS=32 (at other core counts the
     # canaries scale ~1/cores and the references don't apply), and the
@@ -260,8 +316,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if cpus == 32:
         normalized_total = round(total * (CANARY_REF_SEC / canary_sec), 1)
-        normalized_total_shuffle = round(
-            total * (SHUFFLE_CANARY_REF_SEC / shuffle_canary_sec), 1
+        normalized_total_shuffle = (
+            round(total * (SHUFFLE_CANARY_REF_SEC / shuffle_canary_fresh_sec), 1)
+            if shuffle_canary_fresh_sec
+            else None  # fresh subprocess failed → suppress, don't mislead
         )
     else:
         normalized_total = None
@@ -306,7 +364,12 @@ def main() -> None:
              "shuffle_canary_runs": [
                  round(c, 3) for c in shuffle_canary_runs
              ],
+             "shuffle_canary_fresh_sec": shuffle_canary_fresh_sec,
+             "shuffle_canary_fresh_runs": (
+                 fresh.get("runs") if fresh else None
+             ),
              "shuffle_canary_ref_sec": SHUFFLE_CANARY_REF_SEC,
+             "shuffle_canary_ref_state": "fresh-subprocess-jvm",
              "normalized_total": normalized_total,
              "normalized_total_shuffle": normalized_total_shuffle},
             fh,
@@ -323,6 +386,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "canary_sec": canary_sec,
                 "shuffle_canary_sec": shuffle_canary_sec,
+                "shuffle_canary_fresh_sec": shuffle_canary_fresh_sec,
                 "normalized_total": normalized_total,
                 "normalized_total_shuffle": normalized_total_shuffle,
                 "detail": "BENCH_DETAIL.json",
@@ -337,4 +401,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--shuffle-canary-only" in sys.argv:
+        _shuffle_canary_only_main()
+    else:
+        main()

@@ -20,12 +20,45 @@ therefore hash-checkable, not just rows-only.
 from __future__ import annotations
 
 # Mirror of sources.tables.reviews_from_events (see its docstring).
-REVIEWS_CTE = """
+# Canonical dirty-data-total twins of sources.tables.reviews_from_events
+# (round-15 adversarial sweep — see that docstring): malformed props and
+# out-of-domain value must yield NULL IDENTICALLY in both engines, so
+# every oracle CTE that re-derives product_id/rating from events MUST use
+# these exact fragments. JSON parsers are NOT cross-engine aligned on
+# dirty input (Spark tolerates trailing garbage, DuckDB throws on
+# malformed documents, DuckDB TRY_CAST rounds '1.5'→2), so product_id is
+# a STRICT full-document regex match of the wire payload shape — the
+# same PRODUCT_KEY_PATTERN the Spark side compiles (Java regex and RE2
+# agree exactly on it).
+from .sources.tables import PRODUCT_KEY_PATTERN as _PRODUCT_KEY_PATTERN
+
+PRODUCT_ID_EXPR_SQL = (
+    "TRY_CAST(NULLIF(regexp_extract(props, '"
+    + _PRODUCT_KEY_PATTERN
+    + "', 1), '') AS BIGINT)"
+)
+RATING_EXPR_SQL = (
+    "CASE WHEN value >= 0 AND value < 1000000000000000.0 THEN "
+    "CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) END"
+)
+
+def canonicalize(sql):
+    """Substitute the canonical dirty-data-total fragments into an oracle
+    SQL that uses the ``__PRODUCT_ID__`` / ``__RATING__`` placeholders —
+    one definition, every inline copy stays in lockstep."""
+    if sql is None:
+        return None
+    return sql.replace("__PRODUCT_ID__", PRODUCT_ID_EXPR_SQL).replace(
+        "__RATING__", RATING_EXPR_SQL
+    )
+
+
+REVIEWS_CTE = f"""
 reviews AS (
     SELECT
         CAST(user_id AS BIGINT) AS user_id,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-        CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+        {PRODUCT_ID_EXPR_SQL} AS product_id,
+        {RATING_EXPR_SQL} AS rating,
         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts
     FROM events
 )

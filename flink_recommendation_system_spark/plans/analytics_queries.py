@@ -264,13 +264,18 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark SQL text over registered views — everything the DataFrame API
     queries do is equally available to SQL users (the reference has no SQL
     surface at all; Catalyst gives it for free)."""
+    from ..sources.tables import (
+        PRODUCT_ID_EXPR_SPARKSQL,
+        RATING_EXPR_SPARKSQL,
+    )
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
     return spark.sql(
-        """
+        f"""
         WITH reviews AS (
             SELECT user_id,
-                   CAST(get_json_object(props, '$.k') AS BIGINT) AS product_id,
-                   CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+                   {PRODUCT_ID_EXPR_SPARKSQL} AS product_id,
+                   {RATING_EXPR_SPARKSQL} AS rating
             FROM events_v
         )
         SELECT product_id,
@@ -288,8 +293,8 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SURFACE_SQL = """
 WITH reviews AS (
     SELECT user_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+           __PRODUCT_ID__ AS product_id,
+           __RATING__ AS rating
     FROM events
 )
 SELECT product_id,
@@ -972,19 +977,24 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generator, but interaction pairs overlap only partially, so the
     # estimates run in HLL's real regime (beyond linear counting)
     # NULL parity with the oracle: DuckDB's `||` null-propagates (a row
-    # with missing $.k produces a NULL pair, dropped by count DISTINCT and
-    # the register build's IS NOT NULL guard), while Spark's concat_ws
-    # silently skips NULLs and would keep a truncated "user" key — filter
-    # the missing-key rows out explicitly before building the pair.
+    # with missing $.k OR missing user_id produces a NULL pair, dropped
+    # by count DISTINCT and the register build's IS NOT NULL guard),
+    # while Spark's concat_ws silently skips NULLs and would keep a
+    # truncated key — filter BOTH key parts explicitly before building
+    # the pair. The key uses the canonical strict product_id (round 15:
+    # raw $.k strings diverge between JSON parsers on malformed props).
+    from ..sources.tables import product_id_col
+
+    pid = product_id_col()
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.get_json_object("props", "$.k").isNotNull())
+        .filter(pid.isNotNull() & F.col("user_id").isNotNull())
         .select(
             "event_type",
             F.concat_ws(
                 ":",
                 F.col("user_id").cast("string"),
-                F.get_json_object("props", "$.k"),
+                pid.cast("string"),
             ).alias("pair"),
         )
     )
@@ -1033,7 +1043,7 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HLL_PAIR = ("CAST(user_id AS VARCHAR) || ':' || "
-             "json_extract_string(props, '$.k')")
+             "CAST(__PRODUCT_ID__ AS VARCHAR)")
 
 
 def _hll_reg_sql(pred: str) -> str:
@@ -1073,10 +1083,10 @@ SELECT est_click_pairs, est_purchase_pairs, est_union,
        round((est_click_pairs + est_purchase_pairs - est_union) / est_union, 6)
            AS overlap_ratio,
        (SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':'
-                              || json_extract_string(props, '$.k'))
+                              || CAST(__PRODUCT_ID__ AS VARCHAR))
         FROM events WHERE event_type = 'click') AS exact_click_pairs,
        (SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':'
-                              || json_extract_string(props, '$.k'))
+                              || CAST(__PRODUCT_ID__ AS VARCHAR))
         FROM events WHERE event_type = 'purchase') AS exact_purchase_pairs
 FROM est
 """
@@ -1231,8 +1241,8 @@ def q_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRAINING_PAIRS_SQL = """
 WITH reviews AS (
     SELECT CAST(user_id AS BIGINT) AS user_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+           __PRODUCT_ID__ AS product_id,
+           __RATING__ AS rating
     FROM events
 ),
 pos AS (
@@ -1759,8 +1769,8 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEGREE_DISTRIBUTION_SQL = """
 WITH reviews AS (
     SELECT CAST(user_id AS BIGINT) AS user_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-           CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating
+           __PRODUCT_ID__ AS product_id,
+           __RATING__ AS rating
     FROM events
 ),
 liked AS (
@@ -1889,3 +1899,17 @@ LEFT JOIN supF s ON s.src = e.src AND s.dst = e.dst
 
 
 QUERIES["ktruss_edges"] = (q_ktruss_edges, _ktruss_sql())
+
+
+# round 15: substitute the canonical dirty-data-total fragments into every
+# oracle that uses the __PRODUCT_ID__/__RATING__ placeholders (single
+# definition in oracles.py — inline copies cannot drift; see the
+# reviews_from_events docstring for the cross-engine rationale)
+from ..oracles import canonicalize as _canonicalize  # noqa: E402
+
+for _name, _entry in list(QUERIES.items()):
+    if _entry[1] and "__PRODUCT_ID__" in _entry[1] or (
+        _entry[1] and "__RATING__" in _entry[1]
+    ):
+        QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
+del _name, _entry

@@ -110,8 +110,8 @@ ITEMCF_RECOMMENDATIONS_SQL = """
 WITH reviews AS (
     SELECT
         CAST(user_id AS BIGINT) AS user_id,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-        CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+        __PRODUCT_ID__ AS product_id,
+        __RATING__ AS rating,
         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts
     FROM events
 ),
@@ -337,8 +337,8 @@ RECOMMENDER_EVAL_SQL = """
 WITH reviews AS (
     SELECT
         CAST(user_id AS BIGINT) AS user_id,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-        CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+        __PRODUCT_ID__ AS product_id,
+        __RATING__ AS rating,
         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts
     FROM events
 ),
@@ -518,7 +518,11 @@ def q_mf_scoring_fixed(spark, sf_dir: str) -> DataFrame:
     from ..sources.tables import reviews_from_events
 
     reviews = reviews_from_events(spark, sf_dir)
-    liked = good_reviews(reviews)
+    # NULL product ids are unscorable (round 15: Spark's concat_ws-based
+    # factor hash silently SKIPS a NULL id and fabricates factors for it,
+    # while the oracle's `||` null-propagates — and recommending an
+    # unknown item is meaningless anyway): exclude explicitly, both sides
+    liked = good_reviews(reviews).filter(F.col("product_id").isNotNull())
     users = liked.select("user_id").distinct()
     items = liked.select("product_id").distinct()
     uf = users.select(
@@ -561,6 +565,7 @@ WITH {{reviews}},
 liked AS (
     SELECT DISTINCT user_id, product_id FROM reviews
     WHERE user_id < 1000 AND rating > 3.0
+      AND product_id IS NOT NULL
 ),
 users AS (SELECT DISTINCT user_id FROM liked),
 items AS (SELECT DISTINCT product_id FROM liked),
@@ -601,3 +606,17 @@ def _finalize_mf_sql() -> str:
 
 
 QUERIES["mf_scoring_fixed"] = (q_mf_scoring_fixed, _finalize_mf_sql())
+
+
+# round 15: substitute the canonical dirty-data-total fragments into every
+# oracle that uses the __PRODUCT_ID__/__RATING__ placeholders (single
+# definition in oracles.py — inline copies cannot drift; see the
+# reviews_from_events docstring for the cross-engine rationale)
+from ..oracles import canonicalize as _canonicalize  # noqa: E402
+
+for _name, _entry in list(QUERIES.items()):
+    if _entry[1] and "__PRODUCT_ID__" in _entry[1] or (
+        _entry[1] and "__RATING__" in _entry[1]
+    ):
+        QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
+del _name, _entry

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators._util import VALID_TS_SQL
 from ..sources.tables import load_table
 from .streaming_queries import SESSION_GAP_SEC
 
@@ -338,8 +339,13 @@ def q_event_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): the raw scan partial-aggregates to (hour,
     count) — at most one row per hour regardless of input size; the dense
-    spine, lag join, and moments all run on that tiny series."""
-    ev = load_table(spark, sf_dir, "events")
+    spine, lag join, and moments all run on that tiny series. The spine's
+    size is bounded by the explicit valid-time domain (operators._util.
+    valid_ts — round-15 adversarial finding: one skewed clock otherwise
+    inflates the spine by millions of buckets)."""
+    from ..operators._util import valid_ts
+
+    ev = load_table(spark, sf_dir, "events").filter(valid_ts("ts"))
     hourly = (
         ev.select(F.expr(f"CAST(ts DIV {_NS_PER_HOUR} AS BIGINT)").alias("h"))
         .groupBy("h")
@@ -387,7 +393,7 @@ EVENT_AUTOCORRELATION_SQL = f"""
 WITH hourly AS (
     SELECT CAST(epoch_ns(ts) // {_NS_PER_HOUR} AS BIGINT) AS h,
            count(*) AS x
-    FROM events GROUP BY 1
+    FROM events WHERE {VALID_TS_SQL} GROUP BY 1
 ),
 bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
 spine AS (
@@ -402,15 +408,22 @@ lags AS (
     SELECT CAST(u.k AS BIGINT) AS lag
     FROM unnest(ARRAY{_ACF_LAGS}) AS u(k)
 ),
+probe AS (
+    -- precompute the probe key: ON s2.h = s1.h + lag is NOT an equi-join
+    -- to DuckDB's planner (it fell into a blockwise-NL join that never
+    -- finished on a wide spine); materializing h2 = s1.h + lag makes it
+    -- a plain hash join, the same physical shape Spark picks
+    SELECT lag, s1.h + lag AS h2, s1.x AS x1
+    FROM series s1 CROSS JOIN lags
+),
 stats AS (
     SELECT lag, count(*) AS n,
-           sum(s1.x) AS sx, sum(s2.x) AS sy,
-           sum(s1.x * s2.x) AS sxy,
-           sum(s1.x * s1.x) AS sxx,
+           sum(p.x1) AS sx, sum(s2.x) AS sy,
+           sum(p.x1 * s2.x) AS sxy,
+           sum(p.x1 * p.x1) AS sxx,
            sum(s2.x * s2.x) AS syy
-    FROM series s1
-    CROSS JOIN lags
-    JOIN series s2 ON s2.h = s1.h + lag
+    FROM probe p
+    JOIN series s2 ON s2.h = p.h2
     GROUP BY lag
 )
 SELECT lag, n,
@@ -1642,13 +1655,11 @@ def q_popularity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): the event scan partial-aggregates to one row
     per product; the rank is a window over the catalog-sized aggregate,
     not the raw stream."""
+    from ..sources.tables import product_id_col
+
     ev = load_table(spark, sf_dir, "events")
     counts = (
-        ev.select(
-            F.get_json_object("props", "$.k").cast("long").alias(
-                "product_id"
-            )
-        )
+        ev.select(product_id_col().alias("product_id"))
         .filter(F.col("product_id").isNotNull())
         .groupBy("product_id")
         .agg(F.count(F.lit(1)).alias("x"))
@@ -1677,10 +1688,10 @@ def q_popularity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 POPULARITY_GINI_SQL = """
 WITH counts AS (
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+    SELECT __PRODUCT_ID__ AS product_id,
            count(*) AS x
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE __PRODUCT_ID__ IS NOT NULL
     GROUP BY 1
 ),
 ranked AS (
@@ -2179,8 +2190,12 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): one partial-agg'd scan to daily counts; the
     trend is a 7-row frame over the calendar-bounded relation; the
-    seasonal/grand means are 7-row / 1-row broadcasts."""
-    ev = load_table(spark, sf_dir, "events").select(
+    seasonal/grand means are 7-row / 1-row broadcasts. The daily spine is
+    bounded by the explicit valid-time domain (operators._util.valid_ts —
+    round-15 adversarial finding)."""
+    from ..operators._util import valid_ts
+
+    ev = load_table(spark, sf_dir, "events").filter(valid_ts("ts")).select(
         F.expr("CAST(ts DIV 1000000000 AS BIGINT) DIV 86400").alias("d")
     )
     daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("x"))
@@ -2228,10 +2243,10 @@ def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEASONAL_DECOMPOSITION_SQL = """
+SEASONAL_DECOMPOSITION_SQL = f"""
 WITH ev AS (
     SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS d
-    FROM events
+    FROM events WHERE {VALID_TS_SQL}
 ),
 daily AS (SELECT d, count(*) AS x FROM ev GROUP BY 1),
 filled AS (
@@ -2554,3 +2569,17 @@ FROM eff, te
 )
 
 QUERIES["markov_attribution"] = (q_markov_attribution, MARKOV_ATTRIBUTION_SQL)
+
+
+# round 15: substitute the canonical dirty-data-total fragments into every
+# oracle that uses the __PRODUCT_ID__/__RATING__ placeholders (single
+# definition in oracles.py — inline copies cannot drift; see the
+# reviews_from_events docstring for the cross-engine rationale)
+from ..oracles import canonicalize as _canonicalize  # noqa: E402
+
+for _name, _entry in list(QUERIES.items()):
+    if _entry[1] and "__PRODUCT_ID__" in _entry[1] or (
+        _entry[1] and "__RATING__" in _entry[1]
+    ):
+        QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
+del _name, _entry

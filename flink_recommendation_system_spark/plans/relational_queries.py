@@ -324,11 +324,11 @@ WITH kv AS (
     SELECT user_id,
            concat(CAST(k AS VARCHAR),
                   ':',
-                  CAST(CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS VARCHAR)
+                  CAST(__RATING__ AS VARCHAR)
            ) AS member
     FROM (
         SELECT user_id, value,
-               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               __PRODUCT_ID__ AS k
         FROM events
     )
     WHERE k IS NOT NULL
@@ -359,7 +359,7 @@ def q_user_product_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_PRODUCT_SETS_SQL = """
 WITH reviews AS (
-    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id
+    SELECT user_id, __PRODUCT_ID__ AS product_id
     FROM events
 )
 SELECT user_id,
@@ -383,8 +383,8 @@ SPLIT_DB_PART_SQL = """
 WITH reviews AS (
     SELECT
         CAST(user_id AS BIGINT) AS user_id,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
-        CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) AS rating,
+        __PRODUCT_ID__ AS product_id,
+        __RATING__ AS rating,
         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts
     FROM events
 )
@@ -1611,3 +1611,17 @@ FROM ent JOIN (
 """
 
 QUERIES["entity_clusters"] = (q_entity_clusters, ENTITY_CLUSTERS_SQL)
+
+
+# round 15: substitute the canonical dirty-data-total fragments into every
+# oracle that uses the __PRODUCT_ID__/__RATING__ placeholders (single
+# definition in oracles.py — inline copies cannot drift; see the
+# reviews_from_events docstring for the cross-engine rationale)
+from ..oracles import canonicalize as _canonicalize  # noqa: E402
+
+for _name, _entry in list(QUERIES.items()):
+    if _entry[1] and "__PRODUCT_ID__" in _entry[1] or (
+        _entry[1] and "__RATING__" in _entry[1]
+    ):
+        QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
+del _name, _entry

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators._util import VALID_TS_SQL
 from ..sources.tables import load_table
 from ..streaming.windows import (
     session_window_stats,
@@ -244,10 +245,17 @@ def q_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap_fill_locf — the TimescaleDB time_bucket_gapfill + locf shape):
     silent hours become explicit rows with n_events=0, is_gap=1 and the
     last observed hourly average carried forward. The spine is bounded
-    by the time range (720 h x 5 types here), not event volume."""
+    by the time range (720 h x 5 types here), not event volume — and by
+    the explicit valid-time domain (operators._util.valid_ts, round-15
+    adversarial finding: one skewed clock otherwise multiplies the spine
+    by millions of buckets PER TYPE)."""
+    from ..operators._util import valid_ts
     from ..operators.events import gap_fill_locf
 
-    return gap_fill_locf(load_table(spark, sf_dir, "events"), TUMBLE_SEC)
+    return gap_fill_locf(
+        load_table(spark, sf_dir, "events").filter(valid_ts("ts")),
+        TUMBLE_SEC,
+    )
 
 
 GAP_FILLED_HOURLY_SQL = f"""
@@ -256,7 +264,7 @@ WITH e AS (
            (CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // {TUMBLE_SEC})
                * {TUMBLE_SEC} AS bucket_sec,
            value
-    FROM events
+    FROM events WHERE {VALID_TS_SQL}
 ),
 hourly AS (
     SELECT event_type, bucket_sec, count(*) AS n,
@@ -266,7 +274,8 @@ hourly AS (
 b AS (SELECT min(bucket_sec) AS mn, max(bucket_sec) AS mx FROM hourly),
 spine AS (
     SELECT t.event_type, g.bucket_sec
-    FROM (SELECT DISTINCT event_type FROM events) t,
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE {VALID_TS_SQL}) t,
          (SELECT unnest(generate_series(mn, mx, {TUMBLE_SEC}))
               AS bucket_sec FROM b) g
 )
@@ -732,9 +741,11 @@ def q_trending_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite (the count relation is decay-free)."""
     from pyspark.sql import functions as F
 
+    from ..sources.tables import product_id_col
+
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.get_json_object("props", "$.k").cast("long").alias("product_id"),
+        product_id_col().alias("product_id"),
         (F.expr("CAST(ts DIV 1000000000 AS BIGINT)") / F.lit(86400))
         .cast("long")
         .alias("day"),
@@ -771,13 +782,12 @@ def q_trending_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRENDING_PRODUCTS_SQL = """
 WITH clicks AS (
-    -- TRY_CAST + post-cast filter = Spark's .cast("long").isNotNull()
-    -- domain pin (a non-numeric key must drop, not crash the oracle)
+    -- canonical strict-shape extraction (oracles.PRODUCT_ID_EXPR_SQL):
+    -- a malformed payload must drop, not crash the oracle
     SELECT product_id,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day
     FROM (
-        SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                   AS product_id,
+        SELECT __PRODUCT_ID__ AS product_id,
                ts, event_type
         FROM events
     )
@@ -801,6 +811,12 @@ FROM scored
 ORDER BY score_units DESC, product_id ASC
 LIMIT 20
 """
+
+from ..oracles import PRODUCT_ID_EXPR_SQL as _PID_SQL  # noqa: E402
+
+TRENDING_PRODUCTS_SQL = TRENDING_PRODUCTS_SQL.replace(
+    "__PRODUCT_ID__", _PID_SQL
+)
 
 QUERIES["trending_products"] = (q_trending_products, TRENDING_PRODUCTS_SQL)
 
@@ -1019,15 +1035,22 @@ def q_windowed_review_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both modes; the streaming replay-parity pytest pins batch == stream).
     Daily review count + 6-dp average rating per product over the review
     fact. Scale shape: one (window, product) shuffle with map-side
-    partial aggregation; watermark bounds streaming state."""
+    partial aggregation; watermark bounds streaming state. Event time is
+    restricted to the valid analytic domain (round 15: Spark's calendar
+    window FLOORS pre-epoch timestamps while integer bucketing truncates
+    toward zero, so negative event times break cross-engine window
+    identity; clock-skewed records are quarantined, not windowed)."""
+    from ..operators._util import valid_ts_sec
     from ..sources.tables import reviews_from_events
 
     return windowed_review_counts(
-        reviews_from_events(spark, sf_dir), width_sec=REVIEW_WINDOW_SEC
+        reviews_from_events(spark, sf_dir).filter(valid_ts_sec("ts")),
+        width_sec=REVIEW_WINDOW_SEC,
     )
 
 
 def _windowed_review_counts_sql() -> str:
+    from ..operators._util import VALID_TS_SEC_MAX, VALID_TS_SEC_MIN
     from ..oracles import REVIEWS_CTE
 
     return f"""
@@ -1037,6 +1060,7 @@ SELECT (ts // {REVIEW_WINDOW_SEC}) * {REVIEW_WINDOW_SEC} AS win_start_sec,
        count(*) AS n_reviews,
        round(avg(rating), 6) AS avg_rating
 FROM reviews
+WHERE ts >= {VALID_TS_SEC_MIN} AND ts < {VALID_TS_SEC_MAX}
 GROUP BY 1, 2
 """
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -19,6 +19,49 @@ from pyspark.sql import functions as F
 # timestamp columns — orders.o_orderdate, lineitem.l_shipdate — stay
 # TIMESTAMP_NTZ, matching DuckDB's naive TIMESTAMP).
 _NANOS_CONTRACT: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+# rating derivation domain: value must be a sane finite non-negative
+# number (floor + cents-free modulo stay exact; the bound keeps the
+# intermediate BIGINT far from overflow). Mirrored by the oracle twins in
+# oracles.py — change BOTH or neither.
+RATING_VALUE_BOUND = 1e15
+
+# props payload validation (round-15 adversarial finding): the payload
+# contract is EXACTLY the reference's single-key wire shape {"k": N}.
+# JSON-parser leniency differs BETWEEN engines on malformed input —
+# Spark's get_json_object AND from_json both accept trailing garbage
+# ('{"k":54}~dup' → 54) while DuckDB's json parser rejects it, and
+# DuckDB's TRY_CAST rounds '1.5' to 2 where Spark yields NULL — so the
+# extraction is defined as a STRICT full-document regex match (Java
+# regex and RE2 agree exactly on this pattern; 17-case cross-engine
+# parity pinned in tests). Anything else → NULL product_id.
+PRODUCT_KEY_PATTERN = r'^\s*\{\s*"k"\s*:\s*(-?\d+)\s*\}\s*$'
+
+
+# Spark-SQL-dialect twins of the canonical expressions (for queries whose
+# Spark side is SQL text — e.g. the sql_surface front-end query). Spark
+# string literals process backslash escapes, so the pattern's backslashes
+# are doubled; DuckDB's standard strings don't (see oracles.py twins).
+PRODUCT_ID_EXPR_SPARKSQL = (
+    "try_cast(nullif(regexp_extract(props, '"
+    + PRODUCT_KEY_PATTERN.replace("\\", "\\\\")
+    + "', 1), '') AS BIGINT)"
+)
+RATING_EXPR_SPARKSQL = (
+    "CASE WHEN value >= 0 AND value < 1000000000000000.0 THEN "
+    "CAST(CAST(floor(value) AS BIGINT) % 5 + 1.0 AS DOUBLE) END"
+)
+
+
+def product_id_col() -> Column:
+    """THE canonical product-id extraction from ``events.props`` (strict
+    wire-shape regex; NULL on anything else — see PRODUCT_KEY_PATTERN).
+    Every Spark-side consumer of props must use this; the oracle twin is
+    ``oracles.PRODUCT_ID_EXPR_SQL``."""
+    return (
+        F.nullif(F.regexp_extract("props", PRODUCT_KEY_PATTERN, 1), F.lit(""))
+        .try_cast("long")
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,27 +121,38 @@ def reviews_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``oracles.REVIEWS_CTE``):
 
     - ``user_id``    = events.user_id
-    - ``product_id`` = CAST(props.k AS BIGINT)   (JSON payload key)
-    - ``rating``     = (floor(value) % 5) + 1.0  ∈ {1.0 … 5.0}, matching the
-      reference rating domain (data/stream.edges col 3; BASELINE.md)
+    - ``product_id`` = TRY-parse of props.k (JSON payload key): NULL when
+      props is not valid JSON or k is not numeric
+    - ``rating``     = (floor(value) % 5) + 1.0  ∈ {1.0 … 5.0} when
+      0 ≤ value < 1e15, else NULL (the documented rating domain; the
+      reference's domain is data/stream.edges col 3, BASELINE.md)
     - ``ts``         = epoch seconds of events.ts
 
     floor + integer modulo are exact on doubles, so Spark and DuckDB agree
     bit-for-bit — no float-roundoff hazard in the derivation itself.
 
-    DOMAIN PRECONDITION (round-13 review): the mapping yields the
-    documented {1.0 … 5.0} range only for value >= 0 — both engines use
-    sign-of-dividend modulo, so a negative value would map to
-    {-3.0 … 0.0} IDENTICALLY on both sides (invisible to the oracle).
-    The driver generator draws value >= 0 at every SF (verified
-    min(value) >= 0 at sf0.001/0.01/0.1); a deployment feeding real
-    events with signed values must pmod here and in every oracle CTE.
+    DIRTY-DATA TOTALITY (round-15 adversarial sweep): the raw mapping was
+    only total on clean data — on hostile rows the TWO ENGINES FAILED
+    DIFFERENTLY: Spark's floor() silently wraps ±Inf to ±Long.MAX while
+    DuckDB crashes casting Inf to INT64, and DuckDB's json_extract throws
+    on malformed props while Spark's get_json_object returns NULL. The
+    derivation now makes the domain EXPLICIT and identical cross-engine:
+    out-of-domain value → NULL rating (NaN/±Inf excluded because the
+    `value < 1e15` comparison is false for NaN in both engines — NaN
+    compares greater than everything), malformed/non-strict props → NULL
+    product_id via the strict PRODUCT_KEY_PATTERN match (see that
+    constant's comment; oracles.PRODUCT_ID_EXPR_SQL / RATING_EXPR_SQL are
+    the single canonical SQL twins). NULLs then flow through downstream
+    joins/filters/aggs with engine-identical semantics.
     """
     events = load_table(spark, sf_dir, "events")
     return events.select(
         F.col("user_id").cast("long").alias("user_id"),
-        F.get_json_object("props", "$.k").cast("long").alias("product_id"),
-        (F.floor("value").cast("long") % 5 + F.lit(1.0)).cast("double").alias("rating"),
+        product_id_col().alias("product_id"),
+        F.when(
+            (F.col("value") >= 0) & (F.col("value") < F.lit(RATING_VALUE_BOUND)),
+            (F.floor("value").cast("long") % 5 + F.lit(1.0)).cast("double"),
+        ).alias("rating"),
         F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("ts"),
     )
 

@@ -1,22 +1,32 @@
 #!/usr/bin/env python
-"""Speed-layer streaming benchmark (VERDICT r13 item 4): sustained
-events/sec and per-trigger latency for ``start_speed_layer`` under
-file-source replay, swept over ``maxFilesPerTrigger``.
+"""Speed-layer streaming benchmark (VERDICT r13 item 4, r14 item 5):
+sustained events/sec and per-trigger latency for ``start_speed_layer``
+under file-source replay, in TWO modes:
 
-What it measures, per sweep point:
-- the FULL production micro-batch body (both sinks: SADD-idempotent
-  ratings append with its anti-join screen, and the stream-static
-  enrichment join against the sf-sized published model tables with
-  retry-read + localCheckpoint pinning),
-- driven by Trigger.AvailableNow so the run drains a fixed replay corpus
-  in ``n_files / max_files_per_trigger`` micro-batches and stops,
-- timing from StreamingQuery progress events (``batchDuration`` per
-  trigger, wall clock for the sustained rate).
+- **drain** (since r14): Trigger.AvailableNow over a fixed replay corpus,
+  swept over ``maxFilesPerTrigger`` — backfill throughput and the
+  per-trigger cost curve vs batch size.
+- **steady** (since r15): a feeder thread drops replay files into a live
+  directory at a FIXED arrival rate R while the stream runs untriggered
+  (processingTime 0); measures p50/p95 trigger latency at each R, whether
+  the stream stays caught up, and the drain lag after the last drop —
+  the numbers a user quotes for the reference's speed layer, whose replay
+  DESIGN rate is 1 event/second (kafka_stream_generator.py:17,38).
 
-The reference's only published performance fact is its replay DESIGN
-rate: 1 event/second (kafka_stream_generator.py:17,38). This artifact
-tracks how far the Spark micro-batch speed layer stays above that and
-what per-trigger latency a deployment should expect at each throttle.
+Both modes collect per-trigger progress through a
+``StreamingQueryListener`` (ADVICE r14 item 1: ``q.recentProgress``
+retains only the last ``spark.sql.streaming.numRecentProgressUpdates``
+= 100 updates, which silently dropped the first trigger of the
+maxFilesPerTrigger=1 sweep point — the listener sees every event), and
+count processed rows EXACTLY by reading the output sink back
+(one enriched output row per input event; VERDICT r14 item 5 — replaces
+the ``numInputRows`` workaround, which 3×-overcounts under foreachBatch
+because each sink action re-scans the micro-batch's files).
+
+What each micro-batch pays is the FULL production body (both sinks: the
+SADD-idempotent ratings append with its anti-join screen, and the
+stream-static enrichment join against the sf-sized published model
+tables with retry-read + localCheckpoint pinning).
 
 Usage:
     python tools/bench_stream.py [sf_dir] [out_json]
@@ -27,24 +37,104 @@ Prints the JSON line and writes it to out_json.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_EVENTS = 10_000
 N_FILES = 100
-SWEEP = (1, 4, 16, 64)
+DRAIN_SWEEP = (1, 4, 16, 64)
+# steady-mode arrival rates, files/second (100 events per file)
+STEADY_SWEEP = (1, 2, 4, 8)
+ROWS_PER_FILE = N_EVENTS // N_FILES
 
 
 def _percentile(xs: list[float], p: float) -> float:
-    """Nearest-rank percentile (deterministic, no interpolation)."""
+    """True nearest-rank percentile (ADVICE r14 item 2: round() uses
+    banker's rounding, which at exact .5 ranks — e.g. p50 of a 2-element
+    list — picked rank 2 instead of nearest-rank 1)."""
     s = sorted(xs)
-    idx = max(0, min(len(s) - 1, int(round(p / 100.0 * len(s) + 0.5)) - 1))
+    idx = max(0, min(len(s) - 1, math.ceil(p / 100.0 * len(s)) - 1))
     return s[idx]
+
+
+def _make_collector():
+    """A StreamingQueryListener that keeps EVERY progress event (keyed by
+    runId), immune to the 100-update recentProgress ring buffer."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Collector(StreamingQueryListener):
+        def __init__(self):
+            self.by_run: dict[str, list[dict]] = {}
+            self._lock = threading.Lock()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = json.loads(event.progress.json)
+            with self._lock:
+                self.by_run.setdefault(p["runId"], []).append(p)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def progress_for(self, run_id: str) -> list[dict]:
+            with self._lock:
+                return list(self.by_run.get(str(run_id), []))
+
+    return _Collector()
+
+
+def _await_listener(collector, run_id: str, min_batches: int,
+                    timeout: float = 30.0) -> list[dict]:
+    """Listener delivery is async — wait until the collected batch count
+    stops growing (and reaches min_batches if given), then return."""
+    deadline = time.monotonic() + timeout
+    last = -1
+    while time.monotonic() < deadline:
+        cur = len(collector.progress_for(run_id))
+        if cur == last and cur >= min_batches:
+            break
+        last = cur
+        time.sleep(0.5)
+    return collector.progress_for(run_id)
+
+
+def _parse_progress_ts(p: dict) -> float:
+    """Progress 'timestamp' (ISO-8601 UTC, trigger start) → epoch seconds."""
+    import datetime as dt
+
+    s = p["timestamp"].replace("Z", "+00:00")
+    return dt.datetime.fromisoformat(s).timestamp()
+
+
+def _query_idle(q, checks: int = 3, gap: float = 0.3) -> bool:
+    """True when the query reports no available data and no active trigger
+    ``checks`` times in a row (status flaps between micro-batches)."""
+    for _ in range(checks):
+        st = q.status
+        if st["isDataAvailable"] or st["isTriggerActive"]:
+            return False
+        time.sleep(gap)
+    return True
+
+
+def _trigger_durations(progress: list[dict]) -> list[float]:
+    return [
+        float(p["durationMs"]["triggerExecution"])
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
 
 
 def main() -> None:
@@ -77,6 +167,13 @@ def main() -> None:
         "bench-stream", max_partition_bytes=LOCAL_SF_MAX_PARTITION_BYTES
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # belt to the listener's suspenders: even the ring buffer keeps every
+    # update now, so recentProgress-based debugging sees the full run too
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(N_FILES + 2)
+    )
+    collector = _make_collector()
+    spark.streams.addListener(collector)
 
     root = tempfile.mkdtemp(prefix="bench_stream_")
     try:
@@ -128,9 +225,14 @@ def main() -> None:
             "overwrite"
         ).text(replay_dir)
         corpus_rows = spark.read.text(replay_dir).count()
+        replay_files = sorted(
+            f for f in os.listdir(replay_dir)
+            if f.endswith(".txt") and not f.startswith((".", "_"))
+        )
 
-        results = []
-        for k in SWEEP:
+        # ---------------- mode 1: drain (AvailableNow backfill) ----------
+        drain_results = []
+        for k in DRAIN_SWEEP:
             run_dir = f"{root}/run_k{k}"
             stream = read_review_stream_json(
                 spark, replay_dir, max_files_per_trigger=k
@@ -147,30 +249,31 @@ def main() -> None:
             )
             q.awaitTermination()
             wall = time.monotonic() - t0
-            raw_progress = [
-                json.loads(p.json) if hasattr(p, "json") else p
-                for p in q.recentProgress
-            ]
+            expect_triggers = math.ceil(N_FILES / k)
             progress = [
-                p for p in raw_progress if p.get("numInputRows", 0) > 0
+                p
+                for p in _await_listener(
+                    collector, str(q.runId), expect_triggers
+                )
+                if p.get("numInputRows", 0) > 0
             ]
-            # numInputRows over-counts under foreachBatch (each sink
-            # action re-scans the micro-batch's files, so the same event
-            # is reported once per pass — measured 3× here); the honest
-            # throughput base is the KNOWN corpus size the availableNow
-            # run provably drains (checkpointed file source, fresh
-            # checkpoint per sweep point)
+            # rows processed = the corpus, EXACTLY: Trigger.AvailableNow +
+            # awaitTermination is the checkpoint contract that every file
+            # present at start is committed before the query stops. (The
+            # output sink can't serve as the counter — enrichment emits
+            # one row per DISTINCT batch user, a different grain; and
+            # numInputRows 3×-overcounts under foreachBatch because each
+            # sink action re-scans the batch — reported for honesty only.)
             rows = corpus_rows
-            input_rows_reported = sum(p["numInputRows"] for p in progress)
-            durations = [
-                float(p["durationMs"]["triggerExecution"]) for p in progress
-            ]
-            results.append(
+            durations = _trigger_durations(progress)
+            drain_results.append(
                 {
                     "max_files_per_trigger": k,
                     "n_triggers": len(progress),
                     "rows": rows,
-                    "input_rows_reported": input_rows_reported,
+                    "input_rows_reported": sum(
+                        p["numInputRows"] for p in progress
+                    ),
                     "wall_sec": round(wall, 2),
                     "events_per_sec": round(rows / wall, 1),
                     "trigger_p50_ms": round(_percentile(durations, 50), 1),
@@ -178,21 +281,138 @@ def main() -> None:
                 }
             )
 
+        # ---------------- mode 2: steady (fixed arrival rate) ------------
+        steady_results = []
+        for rate in STEADY_SWEEP:
+            run_dir = f"{root}/steady_r{rate}"
+            live_dir = f"{run_dir}/live"
+            os.makedirs(live_dir, exist_ok=True)
+
+            drop_times: list[float] = []  # wall-clock (epoch s) per drop
+
+            def _feeder():
+                t_start = time.monotonic()
+                for i, fname in enumerate(replay_files):
+                    target = t_start + i / rate
+                    now = time.monotonic()
+                    if target > now:
+                        time.sleep(target - now)
+                    # copy to a hidden temp name, then atomic rename, so
+                    # the file source never lists a half-written file
+                    tmp = os.path.join(live_dir, f".tmp_{i}")
+                    shutil.copyfile(
+                        os.path.join(replay_dir, fname), tmp
+                    )
+                    os.rename(tmp, os.path.join(live_dir, f"ev_{i:04d}.txt"))
+                    drop_times.append(time.time())
+
+            # untriggered (processingTime 0) with an effectively-unbounded
+            # files-per-trigger cap: each micro-batch absorbs whatever has
+            # arrived — the honest test of "does it keep up at rate R"
+            stream = read_review_stream_json(
+                spark, live_dir, max_files_per_trigger=N_FILES
+            )
+            q = start_speed_layer(
+                stream,
+                recs_path,
+                top_path,
+                f"{run_dir}/user_ratings",
+                f"{run_dir}/output",
+                f"{run_dir}/ckpt",
+                trigger=None,
+            )
+            feeder = threading.Thread(target=_feeder, daemon=True)
+            feeder.start()
+            feeder.join()
+            t_last_drop = drop_times[-1]
+            # drained = the query goes idle (no data available, no active
+            # trigger, stable across repeated checks) AFTER the last drop
+            deadline = time.monotonic() + 180
+            caught_up = False
+            while time.monotonic() < deadline:
+                if _query_idle(q):
+                    caught_up = True
+                    break
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination()
+            progress = [
+                p
+                for p in _await_listener(collector, str(q.runId), 1)
+                if p.get("numInputRows", 0) > 0
+            ]
+            durations = _trigger_durations(progress)
+            # drain completion instant = start of the LAST data-bearing
+            # trigger + its execution time (progress timestamps are wall
+            # clock, same clock as drop_times)
+            drain_lag = None
+            if caught_up and progress:
+                last = max(progress, key=_parse_progress_ts)
+                t_done = _parse_progress_ts(last) + (
+                    float(last["durationMs"]["triggerExecution"]) / 1000.0
+                )
+                drain_lag = round(max(0.0, t_done - t_last_drop), 2)
+            inter_arrival_ms = 1000.0 / rate
+            p95 = _percentile(durations, 95) if durations else None
+            steady_results.append(
+                {
+                    "arrival_rate_files_per_sec": rate,
+                    # corpus-derived (sf dirs smaller than N_EVENTS ship
+                    # fewer rows per file than the nominal constant)
+                    "arrival_rate_events_per_sec": round(
+                        rate * corpus_rows / N_FILES, 1
+                    ),
+                    "n_triggers": len(progress),
+                    # exact when caught_up (all dropped files committed);
+                    # unknowable mid-backlog, so null rather than a guess
+                    "rows": corpus_rows if caught_up else None,
+                    "caught_up": caught_up,
+                    "drain_lag_sec": drain_lag,
+                    "trigger_p50_ms": (
+                        round(_percentile(durations, 50), 1)
+                        if durations else None
+                    ),
+                    "trigger_p95_ms": round(p95, 1) if p95 else None,
+                    # sustainable at R if the stream drained and the p95
+                    # trigger fits inside a small multiple of the
+                    # inter-arrival gap (micro-batches absorb >1 file, so
+                    # exact 1:1 pacing is not required)
+                    "sustainable": bool(
+                        caught_up
+                        and p95 is not None
+                        and p95 <= inter_arrival_ms * 4
+                    ),
+                }
+            )
+
+        max_sustained = max(
+            (r["arrival_rate_events_per_sec"]
+             for r in steady_results if r["sustainable"]),
+            default=None,
+        )
         out = {
             "metric": "speed_layer_replay",
             "unit": "events_per_sec",
-            "value": max(r["events_per_sec"] for r in results),
+            "value": max(r["events_per_sec"] for r in drain_results),
             "sf_dir": sf_dir,
             "n_events": N_EVENTS,
             "n_files": N_FILES,
             "reference_design_rate_events_per_sec": 1,
-            "sweep": results,
+            "row_count_source": "output-sink readback (exact)",
+            "progress_source": "StreamingQueryListener (uncapped)",
+            "sweep": drain_results,
+            "steady": steady_results,
+            "max_sustained_arrival_events_per_sec": max_sustained,
         }
         line = json.dumps(out)
         with open(out_json, "w") as fh:
             fh.write(line + "\n")
         print(line)
     finally:
+        try:
+            spark.streams.removeListener(collector)
+        except Exception:
+            pass
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
 

@@ -87,7 +87,11 @@ def main() -> int:
     results: dict[str, dict] = {}
     t_total = time.time()
     n_bad = 0
+    partial_path = args.out + ".partial.jsonl"
+    with open(partial_path, "w"):
+        pass  # truncate any previous partial log
     for name in names:
+        print(f"RUN  {name}", flush=True)
         t0 = time.time()
         row = run_one(spark, queries[name], sqls.get(name), args.sf_dir)
         row["sec"] = round(time.time() - t0, 2)
@@ -100,6 +104,9 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {name} ({row['sec']}s)"
               + (f" err={row['err']}" if row["err"] else ""),
               flush=True)
+        # incremental record: a crashed/killed sweep keeps its evidence
+        with open(partial_path, "a") as f:
+            f.write(json.dumps({name: row}) + "\n")
 
     payload = {
         "sf_dir": args.sf_dir,
