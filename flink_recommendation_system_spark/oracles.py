@@ -1085,3 +1085,88 @@ SELECT (SELECT min(hop) FROM curve, tot
        (SELECT nt FROM tot) AS horizon_reach_est
 """
 )
+
+
+# --- table-level measure-domain contract (round 15) -------------------------
+# Exact-cents queries assume measure columns are sane finite numbers; the
+# adversarial sweep showed the engines FAIL DIFFERENTLY out of domain
+# (Spark ANSI CAST_OVERFLOW / sum overflow vs DuckDB Inf-cast errors vs
+# silent HUGEINT promotion). Queries that do exact-integer arithmetic on
+# a table's measures therefore read the table through a CLEANED relation:
+# every measure column present and abs(col) < MEASURE_BOUND (which also
+# excludes NaN/±Inf/NULL — see operators._util.finite_measure). Clean
+# generator data passes the guard unchanged, so this is a no-op on the
+# driver's testdata; on dirty data both engines drop the SAME rows.
+# Spark twin: sources.tables.load_table_clean.
+# Per-column bound: PRICE-like columns get 1e9 (a billion-currency line
+# item is already absurd, and cents×rate products stay far inside BIGINT:
+# 1e11 cents × 1e3 rate-e2 = 1e14 per row), RATE-like columns (discount,
+# tax — fractions of 1) get 10.0, event `value` keeps the generic 1e12
+# (floored longs, never multiplied).
+MEASURE_GUARD_COLS: dict[str, tuple[tuple[str, float], ...]] = {
+    "lineitem": (
+        ("l_quantity", 1e9),
+        ("l_extendedprice", 1e9),
+        ("l_discount", 10.0),
+        ("l_tax", 10.0),
+    ),
+    "orders": (("o_totalprice", 1e9),),
+    "part": (("p_retailprice", 1e9),),
+    "customer": (("c_acctbal", 1e9),),
+    "supplier": (("s_acctbal", 1e9),),
+    "events": (("value", 1e12),),
+}
+
+
+def _clean_cte(table: str) -> str:
+    guards = " AND ".join(
+        f"abs({c}) < {float(b)!r}" for c, b in MEASURE_GUARD_COLS[table]
+    )
+    return f"{table}_clean AS (SELECT * FROM {table} WHERE {guards})"
+
+
+def clean_tables_sql(sql: str, *tables: str) -> str:
+    """Rewrite ``sql`` so every reference to each named table goes through
+    its cleaned relation: body references are renamed ``t`` → ``t_clean``
+    (word-boundary regex; column names never collide — they carry their
+    own prefixes) and the guard CTEs are prepended (merging into an
+    existing WITH). Purely textual, so it composes with any oracle."""
+    import re as _re
+
+    body = sql
+    for t in tables:
+        body = _re.sub(rf"\b{t}\b", f"{t}_clean", body)
+    ctes = ",\n".join(_clean_cte(t) for t in tables)
+    m = _re.match(r"(?is)^(\s*)WITH(\s+RECURSIVE)?\s", body)
+    if m:
+        # merge into the existing WITH list (the RECURSIVE keyword, when
+        # present, must stay immediately after WITH)
+        head = body[: m.end()]
+        return head + ctes + ",\n" + body[m.end():]
+    return f"WITH {ctes}\n{body}"
+
+
+def valid_events_sql(sql: str, also_clean: bool = False) -> str:
+    """Route an oracle's ``events`` references through the valid
+    event-time domain (operators._util.VALID_TS_SQL) — the oracle twin of
+    ``.filter(valid_ts("ts"))`` on the Spark side. Same rename-CTE
+    technique as :func:`clean_tables_sql`. ``also_clean=True`` folds the
+    events measure-domain guard into the same CTE (for queries whose
+    Spark side reads ``load_table_clean`` + ``valid_ts`` — use this
+    INSTEAD of listing events in a clean-table map, never both)."""
+    import re as _re
+
+    from .operators._util import VALID_TS_SQL
+
+    guards = VALID_TS_SQL
+    if also_clean:
+        measure = " AND ".join(
+            f"abs({c}) < {float(b)!r}" for c, b in MEASURE_GUARD_COLS["events"]
+        )
+        guards = f"{measure} AND {VALID_TS_SQL}"
+    body = _re.sub(r"\bevents\b", "events_tv", sql)
+    cte = f"events_tv AS (SELECT * FROM events WHERE {guards})"
+    m = _re.match(r"(?is)^(\s*)WITH(\s+RECURSIVE)?\s", body)
+    if m:
+        return body[: m.end()] + cte + ",\n" + body[m.end():]
+    return f"WITH {cte}\n{body}"

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import global_ntile
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_clean
 
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,7 +803,7 @@ def q_approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     CENTS (the fixed-point scale), so true_p <= est/100 * 1.125."""
     from ..operators.sketches import histogram_quantiles, log_histogram
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     hist = log_histogram(orders, "o_totalprice", scale=100)
     return histogram_quantiles(hist, APPROX_Q)
 
@@ -1099,8 +1099,8 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue that comes from PROMO-type parts. One lineitem scan, part dim
     broadcast, conditional partial agg — the scan-bound plan a 100 TB fact
     table wants (no shuffle of lineitem beyond the month-key agg)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    part = load_table_clean(spark, sf_dir, "part")
     # exact integer-cents revenue grid (same recipe as nation_trade_flows):
     # round(sum(double), 2) differs between engines at half-cent boundaries,
     # so both the total and the percentage are derived from exact BIGINT
@@ -1168,8 +1168,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a fixed ship-date quarter — the revenue view is aggregated once,
     the max is a broadcast single-row join back (no window over the whole
     supplier set), and ties are all returned (deterministic set)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    sup = load_table_clean(spark, sf_dir, "supplier")
     # exact integer-cents grid: the max lookup and the equi-join back both
     # run on the exact BIGINT sum, so a half-cent rounding flip can never
     # change WHICH supplier wins; the double conversion happens once, on
@@ -1322,10 +1322,10 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders ⨝ customer ⨝ supplier ⨝ nation ⨝ nation). Both nation dims
     broadcast; the fact-fact join (lineitem ⨝ orders) carries only the
     keys + measures, and Catalyst reorders the dim joins freely."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
+    sup = load_table_clean(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     n1 = nation.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
@@ -1390,8 +1390,8 @@ def q_special_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue under an OR of three (brand AND size AND
     quantity-range) conjunctions — the disjunctive-predicate pattern that
     tests Catalyst's boolean simplification + pushdown. One row out."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    part = load_table_clean(spark, sf_dir, "part")
     joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
     cond = (
         (
@@ -1456,8 +1456,8 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.2·avg test multiplies out to exact BIGINTs
     (5·n·qty < sum_qty ⟺ qty < 0.2·avg), and revenue sums on the
     integer-cents grid."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    part = load_table_clean(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     )
     qty = F.round(F.col("l_quantity")).cast("long")
@@ -1512,10 +1512,10 @@ def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid; the share is one double division of exact BIGINTs rounded at
     6 dp (identical quotient bits cross-engine — the accepted
     personalized_pagerank rounding stance)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
+    sup = load_table_clean(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name") == "ASIA"
@@ -1594,12 +1594,20 @@ def q_skew_safe_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     join splitting cannot fix, SURVEY §4)."""
     from ..operators.skew import salted_aggregate
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table_clean(spark, sf_dir, "events").select(
         "event_type", F.floor("value").cast("long").alias("v_int")
     )
     s = salted_aggregate(ev, "event_type", "v_int", "sum")
     c = salted_aggregate(ev, "event_type", "v_int", "count")
-    return s.join(c, "event_type")
+    # null-safe combine (round 15 adversarial find): a plain equi-join
+    # here silently DROPPED the NULL event_type group that both salted
+    # aggregates correctly produced — groupBy keeps a NULL key, equi-join
+    # doesn't match it
+    return s.join(
+        c, s["event_type"].eqNullSafe(c["event_type"])
+    ).select(
+        s["event_type"].alias("event_type"), "sum_v_int", "count_v_int"
+    )
 
 
 SKEW_SAFE_EVENT_STATS_SQL = """
@@ -1624,7 +1632,7 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_orderdate, o_orderkey) ordering makes the frame total and
     deterministic. At scale this is one range-partitioned sort per
     customer partition — no global sort."""
-    orders = load_table(spark, sf_dir, "orders").withColumn(
+    orders = load_table_clean(spark, sf_dir, "orders").withColumn(
         "price_e2", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     w = (
@@ -1654,11 +1662,13 @@ CUSTOMER_RUNNING_SPEND_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ORDER BY o_orderdate ASC NULLS FIRST,
+                               o_orderkey ASC NULLS FIRST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) / 100.0 AS running_spend,
        CAST(row_number() OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate ASC, o_orderkey ASC)
+                               ORDER BY o_orderdate ASC NULLS FIRST,
+                                        o_orderkey ASC NULLS FIRST)
             AS BIGINT) AS order_seq
 FROM orders
 """
@@ -1677,10 +1687,23 @@ def q_price_size_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are one partial-agg pass (the mergeable-statistics pattern every
     distributed stats library uses); the final formula is a single double
     expression over identical BIGINTs, so the 6-dp values hash-match."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_brand",
-        F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
-        F.col("p_size").cast("long").alias("y"),
+    # sufficient-statistics domain (round 15): the exact-BIGINT pattern
+    # squares its inputs, so the generic 1e9 price contract is NOT tight
+    # enough here ((1e11 cents)² overflows) — this query's own domain is
+    # price < 1e6 and |size| < 1e4, mirrored in the oracle's WHERE
+    from ..operators._util import finite_measure
+
+    part = (
+        load_table_clean(spark, sf_dir, "part")
+        .filter(
+            finite_measure("p_retailprice", 1e6)
+            & (F.abs(F.col("p_size")) < 10000)
+        )
+        .select(
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("x"),
+            F.col("p_size").cast("long").alias("y"),
+        )
     )
     s = part.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1728,7 +1751,9 @@ WITH s AS (
            sum(CAST(round(p_retailprice * 100) AS BIGINT)
                * CAST(round(p_retailprice * 100) AS BIGINT)) AS sxx,
            sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS syy
-    FROM part GROUP BY p_brand
+    FROM part
+    WHERE abs(p_retailprice) < 1000000.0 AND abs(p_size) < 10000
+    GROUP BY p_brand
 )
 SELECT p_brand, n,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -1913,3 +1938,18 @@ for _name, _entry in list(QUERIES.items()):
     ):
         QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
 del _name, _entry
+
+
+# round 15: route these oracles through the table-level measure-domain
+# contract (oracles.clean_tables_sql — Spark twin load_table_clean in the
+# matching query fns above; no-op on clean generator data)
+from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
+
+_CLEAN_TABLE_MAP = {'approx_order_quantiles': ('orders',), 'customer_running_spend': ('orders',), 'nation_trade_flows': ('customer', 'lineitem', 'orders', 'supplier'), 'national_market_share': ('customer', 'lineitem', 'orders', 'supplier'), 'price_size_correlation': ('part',), 'promo_revenue': ('lineitem', 'part'), 'skew_safe_event_stats': ('events',), 'small_quantity_revenue': ('lineitem', 'part'), 'special_discount_revenue': ('lineitem', 'part'), 'top_supplier': ('lineitem', 'supplier')}
+for _n, _tabs in _CLEAN_TABLE_MAP.items():
+    QUERIES[_n] = (
+        QUERIES[_n][0],
+        _clean_tables_sql(QUERIES[_n][1], *_tabs),
+        *QUERIES[_n][2:],
+    )
+del _n, _tabs

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators._util import VALID_TS_SQL
-from ..sources.tables import load_table
+from ..sources.tables import load_table, load_table_clean
 from .streaming_queries import SESSION_GAP_SEC
 
 QUERIES: dict = {}
@@ -143,7 +143,7 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (what the skyline's sort-filter-skyline algorithm distributes to:
     per-range local skyline + a cheap prefix-max merge of the range
     boundaries); no shuffle beyond the one sort, no pairwise join."""
-    part = load_table(spark, sf_dir, "part")
+    part = load_table_clean(spark, sf_dir, "part")
     p = part.withColumn(
         "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
     )
@@ -253,7 +253,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxRecordsPerFile does; the ntile quantization would come from an
     approx-quantile sketch of the price column instead of an exact rank at
     real scale (same bucket semantics)."""
-    part = load_table(spark, sf_dir, "part")
+    part = load_table_clean(spark, sf_dir, "part")
     p = part.withColumn(
         "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
     )
@@ -520,7 +520,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, then ONE full outer join co-partitioned on that key (at real
     scale both sides come bucketed by customer, making the join
     shuffle-free); no row-level diff of the raw fact table."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     price_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
 
     def snap(cutoff: str) -> DataFrame:
@@ -883,7 +883,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): one partial-aggregated groupBy on the QID
     columns; the audit output is at most the QID-combination cardinality,
     independent of row count."""
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table_clean(spark, sf_dir, "customer")
     bucket = F.expr(
         "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
         " DIV 100000 AS BIGINT)"
@@ -930,8 +930,8 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): one customer⨝orders join keyed on custkey
     (both bucketable), partial-agg to classes; output bounded by QID
     cardinality."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
+    cust = load_table_clean(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority"
     )
     bucket = F.expr(
@@ -1010,8 +1010,8 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): customer⨝orders custkey join → partial-agg to
     (class, priority) cells; the dense grid and window run over ≤
     |QID classes|·m rows — metadata-sized, independent of fact rows."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
+    cust = load_table_clean(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority"
     )
     bucket = F.expr(
@@ -1346,7 +1346,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): the raw scan partial-aggregates to one row per
     (flag, quantity) — bounded by the quantity domain, not the row count;
     the cumulative window then runs per flag over ≤ |quantities| rows."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_clean(spark, sf_dir, "lineitem")
     grid = (
         li.select(
             "l_returnflag",
@@ -1427,7 +1427,7 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): one scan collapsing to ≤9 rows via partial agg;
     the grand total is a window sum over those 9 rows."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     digit = F.substring(
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
         1,
@@ -1494,7 +1494,7 @@ def q_incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): the refresh touches ONLY the delta partition
     (partition pruning on the date) plus the existing aggregate (one row
     per group), instead of rescanning the full history."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     price_e2 = F.round(F.col("o_totalprice") * 100).cast("long")
 
     def agg_range(lo: str | None, hi: str) -> DataFrame:
@@ -1729,8 +1729,8 @@ def q_incremental_join_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-pinned pushdown shape shared with `incremental_agg_update`) and
     re-joins it against the dimension; the existing view rows are reused
     verbatim — no re-join of the historical fact volume."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
@@ -1922,7 +1922,7 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): one per-customer partial agg, one rank window
     over the aggregate, two scalar sums."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "rev_e2"
@@ -2583,3 +2583,18 @@ for _name, _entry in list(QUERIES.items()):
     ):
         QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
 del _name, _entry
+
+
+# round 15: route these oracles through the table-level measure-domain
+# contract (oracles.clean_tables_sql — Spark twin load_table_clean in the
+# matching query fns above; no-op on clean generator data)
+from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
+
+_CLEAN_TABLE_MAP = {'benford_deviation': ('orders',), 'incremental_agg_update': ('orders',), 'incremental_join_update': ('customer', 'orders'), 'k_anonymity': ('customer',), 'l_diversity': ('customer', 'orders'), 'pareto_frontier': ('part',), 'revenue_concentration': ('orders',), 'snapshot_diff': ('orders',), 't_closeness': ('customer', 'orders'), 'weighted_median': ('lineitem',), 'zorder_layout': ('part',)}
+for _n, _tabs in _CLEAN_TABLE_MAP.items():
+    QUERIES[_n] = (
+        QUERIES[_n][0],
+        _clean_tables_sql(QUERIES[_n][1], *_tabs),
+        *QUERIES[_n][2:],
+    )
+del _n, _tabs

@@ -27,7 +27,7 @@ from ..operators.relational import (
     to_kv_strings,
     top_k,
 )
-from ..sources.tables import load_table, reviews_from_events
+from ..sources.tables import load_table, load_table_clean, reviews_from_events
 
 
 # lineitem/orders store TIMESTAMP(MILLIS) → TIMESTAMP_NTZ in Spark, plain
@@ -670,7 +670,7 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplies out the division (bal_e2 · n > sum_e2, exact BIGINTs)
     instead of comparing against a float average, and the output sum is
     integer cents divided once."""
-    cust = load_table(spark, sf_dir, "customer").withColumn(
+    cust = load_table_clean(spark, sf_dir, "customer").withColumn(
         "bal_e2", F.round(F.col("c_acctbal") * 100).cast("long")
     )
     thr = (
@@ -680,7 +680,7 @@ def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pos"),
         )
     )
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table_clean(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'")
     )
     return (
@@ -737,12 +737,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q2's correlated re-probe, which is the rewrite Catalyst cannot
     derive from a correlated subquery at 100 TB. Dimension joins
     (part/supplier/nation) broadcast."""
-    part = load_table(spark, sf_dir, "part").filter(
+    part = load_table_clean(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 40)
     )
-    sup = load_table(spark, sf_dir, "supplier")
+    sup = load_table_clean(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    li = load_table(spark, sf_dir, "lineitem").join(
+    li = load_table_clean(spark, sf_dir, "lineitem").join(
         F.broadcast(part.select("p_partkey", "p_name")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
@@ -752,9 +752,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the dirty row integrity_report audits — would hijack the
     # per-part minimum (min_price=NULL, best_supp=the NULL row's
     # supplier), while SQL MIN ignores NULLs; align on ignore.
+    # NULL supplier keys are excluded from the WHOLE argmin (round 15):
+    # min(struct) sorts a NULL suppkey FIRST within a price tie — the
+    # argmin would pick an unattributable shipment and the supplier join
+    # would then drop the part entirely, while SQL MIN(l_suppkey) skips
+    # NULLs and keeps it; quarantine the unattributable rows identically
+    # in both engines instead.
     pick = (
         li.select("p_partkey", "p_name", cents.alias("cents"), "l_suppkey")
-        .filter(F.col("cents").isNotNull())
+        .filter(F.col("cents").isNotNull() & F.col("l_suppkey").isNotNull())
         .groupBy("p_partkey", "p_name")
         .agg(F.min(F.struct("cents", "l_suppkey")).alias("best"))
         .select(
@@ -782,6 +788,7 @@ WITH costs AS (
            min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_type = 'STANDARD' AND p_size >= 40
+      AND l_suppkey IS NOT NULL
     GROUP BY l_partkey, l_suppkey
 ),
 best AS (
@@ -818,12 +825,12 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order cannot flip a bit. Per-group sums stay far under
     2^63 (~max 1e9/row x rows-per-nation-year); the nation/part dims
     broadcast and the fact shuffles once on the group key."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    part = load_table_clean(spark, sf_dir, "part").filter(
         F.col("p_name").like("%widget%")
     )
-    orders = load_table(spark, sf_dir, "orders")
-    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    sup = load_table_clean(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
@@ -894,7 +901,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part partial-agg exchange via AQE exchange reuse (pinned in
     tests/test_plan_regressions.py), so at 100 TB the fact is read and
     shuffled ONCE and the threshold join moves one row."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_clean(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     per_part = (
         li.select(F.col("l_partkey").alias("p_partkey"), cents.alias("c"))
@@ -1189,10 +1196,10 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks as conditional counts. Every check is a count over one scan
     + one anti-join/agg; the union of single-row aggregates moves a
     handful of rows regardless of fact volume."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    part = load_table(spark, sf_dir, "part")
+    li = load_table_clean(spark, sf_dir, "lineitem")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
+    part = load_table_clean(spark, sf_dir, "part")
 
     def count_row(name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -1421,7 +1428,7 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import edit_distance_pairs
 
     cust = (
-        load_table(spark, sf_dir, "customer")
+        load_table_clean(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
         .select(
             "c_custkey",
@@ -1561,7 +1568,7 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = G.contracted_components(G.undirected(matches))
     base = (
-        load_table(spark, sf_dir, "customer")
+        load_table_clean(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
         .select("c_custkey")
     )
@@ -1625,3 +1632,18 @@ for _name, _entry in list(QUERIES.items()):
     ):
         QUERIES[_name] = (_entry[0], _canonicalize(_entry[1]), *_entry[2:])
 del _name, _entry
+
+
+# round 15: route these oracles through the table-level measure-domain
+# contract (oracles.clean_tables_sql — Spark twin load_table_clean in the
+# matching query fns above; no-op on clean generator data)
+from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
+
+_CLEAN_TABLE_MAP = {'entity_clusters': ('customer',), 'global_sales_opportunity': ('customer', 'orders'), 'important_parts': ('lineitem',), 'integrity_report': ('customer', 'lineitem', 'orders', 'part'), 'min_cost_supplier': ('lineitem', 'part', 'supplier'), 'nation_profit': ('lineitem', 'orders', 'part', 'supplier'), 'record_linkage_scores': ('customer',)}
+for _n, _tabs in _CLEAN_TABLE_MAP.items():
+    QUERIES[_n] = (
+        QUERIES[_n][0],
+        _clean_tables_sql(QUERIES[_n][1], *_tabs),
+        *QUERIES[_n][2:],
+    )
+del _n, _tabs

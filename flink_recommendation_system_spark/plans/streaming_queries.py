@@ -11,8 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators._util import VALID_TS_SQL
-from ..sources.tables import load_table
+from ..operators._util import VALID_TS_SQL, valid_ts
+from ..sources.tables import load_table, load_table_clean
 from ..streaming.windows import (
     session_window_stats,
     sliding_window_stats,
@@ -28,7 +28,7 @@ SESSION_GAP_SEC = 1800
 
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_stats(
-        load_table(spark, sf_dir, "events"), width_sec=TUMBLE_SEC
+        load_table_clean(spark, sf_dir, "events").filter(valid_ts("ts")), width_sec=TUMBLE_SEC
     )
 
 
@@ -49,7 +49,7 @@ GROUP BY 1, 2
 
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_stats(
-        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "events").filter(valid_ts("ts")),
         width_sec=SLIDE_WIDTH_SEC,
         slide_sec=SLIDE_SEC,
     )
@@ -78,7 +78,7 @@ GROUP BY win_start_sec, event_type
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stats(
-        load_table(spark, sf_dir, "events"), gap_sec=SESSION_GAP_SEC
+        load_table(spark, sf_dir, "events").filter(valid_ts("ts")), gap_sec=SESSION_GAP_SEC
     )
 
 
@@ -118,8 +118,14 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    # NULL user keys excluded (round 15): Spark's window-composition
+    # as-of join PARTITIONS BY user_id, which groups NULLs together and
+    # would match a NULL-user click to a NULL-user purchase, while SQL
+    # ASOF JOIN equality never matches NULL = NULL
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(valid_ts("ts") & F.col("user_id").isNotNull())
+        .withColumn("s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)"))
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "s"
@@ -140,6 +146,7 @@ WITH ev AS (
     SELECT event_id, user_id, event_type, value,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
     FROM events
+    WHERE user_id IS NOT NULL
 ),
 clicks AS (SELECT event_id, user_id, s FROM ev WHERE event_type = 'click'),
 purch AS (
@@ -162,10 +169,19 @@ def q_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.rangejoin import bounded_diff_self_join
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    # distinct on the projected key tuple (round 15): a physically
+    # duplicated event row must not double its pairs — event_id is the
+    # fact's key, so copies are the same event; both engines dedup the
+    # same projection so the pair multiset stays identical
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(valid_ts("ts"))
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+        )
+        .distinct()
     )
     return bounded_diff_self_join(
         ev, key="user_id", ts_col="s", id_col="event_id", delta=3600
@@ -174,7 +190,7 @@ def q_events_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_WITHIN_HOUR_SQL = """
 WITH e AS (
-    SELECT event_id, user_id,
+    SELECT DISTINCT event_id, user_id,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
     FROM events
 )
@@ -197,7 +213,7 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     hourly = tumbling_window_stats(
-        load_table(spark, sf_dir, "events"), width_sec=TUMBLE_SEC
+        load_table_clean(spark, sf_dir, "events").filter(valid_ts("ts")), width_sec=TUMBLE_SEC
     )
     day = (F.col("win_start_sec") - F.col("win_start_sec") % 86400).alias(
         "day_start_sec"
@@ -519,8 +535,11 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").filter(valid_ts("ts"))
+    # event_type joins the sort key (round 15): duplicated fact rows can
+    # share (ts, event_id), and an engine-arbitrary tie order there flips
+    # which transition pair the lag emits; type completes the total order
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "event_type")
     pairs = (
         ev.select(
             "user_id",
@@ -546,7 +565,10 @@ EVENT_TRANSITIONS_SQL = """
 WITH seq AS (
     SELECT user_id,
            lag(event_type) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS from_type,
+                                 ORDER BY ts NULLS FIRST,
+                                          event_id NULLS FIRST,
+                                          event_type NULLS FIRST)
+               AS from_type,
            event_type AS to_type
     FROM events
 ),
@@ -941,7 +963,14 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # untyped events are excluded BEFORE sessionization (round 15): an
+    # all-NULL-type session produced '' in Spark (concat of skipped
+    # NULLs) but NULL in SQL string_agg — a path over typed events only
+    # is identical in both engines; event_type completes the total order
+    # (duplicated fact rows can share (s, event_id))
+    ev = load_table(spark, sf_dir, "events").filter(
+        valid_ts("ts") & F.col("event_type").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         "event_type",
@@ -958,7 +987,9 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    ws = Window.partitionBy("user_id", "sess_id").orderBy("s", "event_id")
+    ws = Window.partitionBy("user_id", "sess_id").orderBy(
+        "s", "event_id", "event_type"
+    )
     paths = (
         flagged.withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= PATH_MAX_EVENTS)
@@ -990,27 +1021,35 @@ WITH e AS (
     SELECT user_id, event_id, event_type,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
     FROM events
+    WHERE event_type IS NOT NULL
 ),
 m AS (
     SELECT *, CASE WHEN lag(s) OVER w IS NULL
                         OR s - lag(s) OVER w >= {SESSION_GAP_SEC}
                    THEN 1 ELSE 0 END AS new_sess
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY s NULLS FIRST, event_id NULLS FIRST)
 ),
 g AS (
-    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY s NULLS FIRST,
+                                           event_id NULLS FIRST
                                   ROWS UNBOUNDED PRECEDING) AS sess_id
     FROM m
 ),
 r AS (
     SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
-                                 ORDER BY s, event_id) AS rn
+                                 ORDER BY s NULLS FIRST,
+                                          event_id NULLS FIRST,
+                                          event_type NULLS FIRST) AS rn
     FROM g
 ),
 paths AS (
     SELECT user_id, sess_id,
-           string_agg(event_type, '>' ORDER BY s, event_id) AS path
+           string_agg(event_type, '>'
+                      ORDER BY s NULLS FIRST, event_id NULLS FIRST,
+                               event_type NULLS FIRST) AS path
     FROM r WHERE rn <= {PATH_MAX_EVENTS}
     GROUP BY 1, 2
 )
@@ -1206,3 +1245,27 @@ QUERIES["click_attribution_pairs"] = (
     q_click_attribution_pairs,
     CLICK_ATTRIBUTION_PAIRS_SQL,
 )
+
+
+# round 15: route these oracles through the valid event-time domain
+# (oracles.valid_events_sql — Spark twin .filter(valid_ts("ts")) in the
+# matching query fns above; no-op on clean generator data). daily_rollup
+# and event_windows also fold in the events measure-domain guard (their
+# Spark side reads load_table_clean). See the adversarial-sweep findings
+# in COVERAGE.md r15.
+from ..oracles import valid_events_sql as _valid_events_sql  # noqa: E402
+
+_VALID_TS_QUERIES = (
+    "sliding_windows", "user_sessions", "asof_click_purchase",
+    "events_within_hour", "session_paths", "event_transitions",
+)
+_VALID_TS_CLEAN_QUERIES = ("daily_rollup", "event_windows")
+for _n in _VALID_TS_QUERIES + _VALID_TS_CLEAN_QUERIES:
+    QUERIES[_n] = (
+        QUERIES[_n][0],
+        _valid_events_sql(
+            QUERIES[_n][1], also_clean=_n in _VALID_TS_CLEAN_QUERIES
+        ),
+        *QUERIES[_n][2:],
+    )
+del _n

@@ -197,3 +197,26 @@ def load_documents_jsonl(
             "long"
         ).alias("n_chars"),
     )
+
+
+def load_table_clean(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` through the table-level measure-domain contract
+    (round 15): every measure column present and ``abs(col) <
+    MEASURE_BOUND`` — the guard that makes exact-integer-cents arithmetic
+    total in BOTH engines (Spark ANSI crashes casting NaN/Inf/1e20 to
+    BIGINT and overflows ±1e18 sum trees; DuckDB errors on the Inf cast
+    but silently promotes sums to HUGEINT). A no-op row-wise on the clean
+    generator data. Oracle twin: ``oracles.clean_tables_sql`` (same
+    column list, ``oracles.MEASURE_GUARD_COLS``)."""
+    from functools import reduce
+
+    from ..operators._util import finite_measure
+    from ..oracles import MEASURE_GUARD_COLS
+
+    df = load_table(spark, sf_dir, name)
+    cols = MEASURE_GUARD_COLS.get(name, ())
+    if not cols:
+        return df
+    return df.filter(
+        reduce(lambda a, b: a & b, (finite_measure(c, b) for c, b in cols))
+    )
