@@ -49,14 +49,39 @@ def quality_features(docs: DataFrame) -> DataFrame:
     DOUBLE, label) with label = 1 iff every rule-based gate passes
     (quality_score == 3) — the weak-supervision target the DCLM shape
     trains against."""
-    qs = quality_stats(docs)
-    return docs.select("doc_id", "n_chars").join(qs, "doc_id").select(
+    # Single-pass projection over docs — NO self-join back on doc_id
+    # (round 15: the join multiplied duplicated doc_id rows 2×2-fold and
+    # silently dropped NULL-id rows, neither of which the oracle's inline
+    # computation does). Unfeaturizable docs (NULL text / NULL n_chars →
+    # NULL features) are excluded: MLlib's VectorAssembler refuses NULL
+    # rows outright, and both engines must drop the same rows.
+    from .text import stopword_count, tokens
+
+    docs = docs.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    mean_tok_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+        )
+        / n_tok,
+        6,
+    )
+    sw = stopword_count("text")
+    score = (
+        F.when(n_tok >= 10, 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 50, 1).otherwise(0)
+        + F.when(sw > 0, 1).otherwise(0)
+    )
+    return docs.select(
         "doc_id",
-        (F.col("n_tokens").cast("double") / F.lit(100.0)).alias("x0"),
-        F.col("mean_token_len").alias("x1"),
-        F.col("stopword_ratio").alias("x2"),
+        (n_tok.cast("double") / F.lit(100.0)).alias("x0"),
+        mean_tok_len.alias("x1"),
+        F.round(sw / n_tok, 6).alias("x2"),
         (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x3"),
-        (F.col("quality_score") == 3).cast("double").alias("label"),
+        (score == 3).cast("double").alias("label"),
     )
 
 

@@ -53,10 +53,16 @@ def good_reviews(
     """Filters F1+F2 (Recommendations.java:153-154): users below the batch
     cutoff who rated the product above the 'good' threshold. Returns the
     distinct (user_id, product_id) bipartite 'liked' relation.
+
+    NULL product ids are excluded (round 15, oracle twin LIKED_CTE):
+    the co-review equi-joins never matched them anyway, but bipartite
+    consumers use product_id AS A VERTEX (kcore/ANF offset ids) where a
+    NULL endpoint corrupted per-vertex HLL register tables.
     """
     return (
         reviews.filter(F.col("user_id") < user_cutoff)
         .filter(F.col("rating") > rating_threshold)
+        .filter(F.col("product_id").isNotNull())
         .select("user_id", "product_id")
         .distinct()
     )

@@ -84,11 +84,14 @@ def quality_stats(docs: DataFrame) -> DataFrame:
         mean_tok_len.alias("mean_token_len"),
         sw_ratio.alias("stopword_ratio"),
         # Quality: long enough, not stopword-soup. Deterministic integer
-        # rules so oracles agree exactly.
+        # rules so oracles agree exactly. Each gate is CASE-shaped
+        # (when/otherwise), NOT a boolean cast: on a NULL input the SQL
+        # CASE falls to ELSE 0 while a cast NULL boolean stays NULL and
+        # poisons the whole score (round-15 adversarial find).
         (
-            (n_tok >= 10).cast("int")
-            + (F.col("n_chars") >= 50).cast("int")
-            + (stopword_count("text") > 0).cast("int")
+            F.when(n_tok >= 10, 1).otherwise(0)
+            + F.when(F.col("n_chars") >= 50, 1).otherwise(0)
+            + F.when(stopword_count("text") > 0, 1).otherwise(0)
         ).alias("quality_score"),
     )
 

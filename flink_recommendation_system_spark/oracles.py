@@ -70,6 +70,7 @@ liked AS (
     SELECT DISTINCT user_id, product_id
     FROM reviews
     WHERE user_id < 1000 AND rating > 3.0
+      AND product_id IS NOT NULL
 )
 """.strip()
 

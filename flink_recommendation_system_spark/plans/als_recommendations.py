@@ -37,7 +37,14 @@ def als_user_recommendations(
     products" semantics, Recommendations.java:74)."""
     from pyspark.ml.recommendation import ALS
 
-    ratings = reviews.select(
+    # MLlib ALS hard-raises on NULL/NaN ratings and NULL ids (round 15):
+    # unusable interaction rows are quarantined at ingest — the same rows
+    # every other consumer of the review fact drops
+    ratings = reviews.filter(
+        F.col("user_id").isNotNull()
+        & F.col("product_id").isNotNull()
+        & F.col("rating").isNotNull()
+    ).select(
         F.col("user_id").cast("int").alias("user"),
         F.col("product_id").cast("int").alias("item"),
         F.col("rating").cast("float").alias("rating"),

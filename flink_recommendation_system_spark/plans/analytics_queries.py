@@ -490,7 +490,12 @@ _GRID = "CAST(274877906944 AS DOUBLE)"
 
 
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    # round 15: events through the measure-domain contract (NaN/Inf values
+    # poison the percentile), and degenerate groups (MAD = 0, >=50% of the
+    # group at the median) are excluded in BOTH engines — the deviation
+    # ratio is undefined there (Spark ANSI raises DIVIDE_BY_ZERO, DuckDB
+    # yields inf)
+    events = load_table_clean(spark, sf_dir, "events")
     grid = float(1 << 38)
 
     def q38(c):
@@ -512,7 +517,10 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         events.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(F.col("value") - F.col("med")) > K_MAD * F.col("mad"))
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > K_MAD * F.col("mad"))
+        )
         .select(
             "event_id",
             "event_type",
@@ -541,7 +549,7 @@ mad AS (
 SELECT event_id, e.event_type, value,
        round(abs(value - med) / mad, 6) AS mad_dev
 FROM events e JOIN mad USING (event_type)
-WHERE abs(value - med) > {K_MAD} * mad
+WHERE mad > 0 AND abs(value - med) > {K_MAD} * mad
 """
 
 
@@ -1801,6 +1809,7 @@ WITH reviews AS (
 liked AS (
     SELECT DISTINCT user_id, product_id FROM reviews
     WHERE user_id < 1000 AND rating > 3.0
+      AND product_id IS NOT NULL
 ),
 pairs AS (
     SELECT DISTINCT a.user_id AS src, b.user_id AS dst
@@ -1945,7 +1954,7 @@ del _name, _entry
 # matching query fns above; no-op on clean generator data)
 from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
 
-_CLEAN_TABLE_MAP = {'approx_order_quantiles': ('orders',), 'customer_running_spend': ('orders',), 'nation_trade_flows': ('customer', 'lineitem', 'orders', 'supplier'), 'national_market_share': ('customer', 'lineitem', 'orders', 'supplier'), 'price_size_correlation': ('part',), 'promo_revenue': ('lineitem', 'part'), 'skew_safe_event_stats': ('events',), 'small_quantity_revenue': ('lineitem', 'part'), 'special_discount_revenue': ('lineitem', 'part'), 'top_supplier': ('lineitem', 'supplier')}
+_CLEAN_TABLE_MAP = {'value_outliers': ('events',), 'approx_order_quantiles': ('orders',), 'customer_running_spend': ('orders',), 'nation_trade_flows': ('customer', 'lineitem', 'orders', 'supplier'), 'national_market_share': ('customer', 'lineitem', 'orders', 'supplier'), 'price_size_correlation': ('part',), 'promo_revenue': ('lineitem', 'part'), 'skew_safe_event_stats': ('events',), 'small_quantity_revenue': ('lineitem', 'part'), 'special_discount_revenue': ('lineitem', 'part'), 'top_supplier': ('lineitem', 'supplier')}
 for _n, _tabs in _CLEAN_TABLE_MAP.items():
     QUERIES[_n] = (
         QUERIES[_n][0],

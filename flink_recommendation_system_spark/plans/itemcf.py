@@ -119,6 +119,7 @@ liked AS (
     SELECT DISTINCT user_id, product_id
     FROM reviews
     WHERE user_id < 1000 AND rating > 3.0
+      AND product_id IS NOT NULL
 ),
 -- mirror of MAX_ITEMS_PER_USER: only the capped relation enters the
 -- co-occurrence build (the Spark side caps inside item_cooccurrence), so
@@ -355,6 +356,7 @@ liked AS (
     SELECT DISTINCT user_id, product_id
     FROM train
     WHERE user_id < 1000 AND rating > 3.0
+      AND product_id IS NOT NULL
 ),
 liked_capped AS (
     SELECT user_id, product_id FROM (

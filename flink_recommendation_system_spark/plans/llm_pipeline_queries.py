@@ -80,7 +80,55 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    """THE embeddings ingest point — applies the vector-validity contract
+    (round 15, adversarial sweep): embedding present, non-empty, no NULL
+    or NaN elements, finite positive squared norm. Malformed vectors made
+    the two engines fail differently (Spark ANSI DIVIDE_BY_ZERO on a
+    zero/empty norm, NULL-element poisoning of dot products) — a vector
+    store quarantines them at ingest, identically in both engines (the
+    oracle twin is VALID_EMB_GUARD_SQL, applied mechanically to every
+    embeddings oracle below). No-op row-wise on the clean generator data
+    (verified unit norms, zero bad elements at every SF)."""
+    e = F.col("embedding")
+    norm_sq = F.aggregate(
+        e,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & e.isNotNull()
+        & (F.size(e) > 0)
+        & ~F.exists(e, lambda x: x.isNull() | F.isnan(x.cast("double")))
+        & (norm_sq > 0)
+        & (norm_sq < F.lit(float("1e308")))
+    )
+
+
+# oracle twin of the _emb vector-validity contract (see its docstring)
+VALID_EMB_GUARD_SQL = (
+    "vec_id IS NOT NULL "
+    "AND embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, "
+    "x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0 "
+    "AND list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0 "
+    "AND list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) < 1e308"
+)
+
+
+def valid_embeddings_sql(sql: str) -> str:
+    """Route an oracle's ``embeddings`` references through the vector
+    validity contract (rename-CTE technique, see oracles.clean_tables_sql)."""
+    import re as _re
+
+    body = _re.sub(r"\bembeddings\b", "embeddings_ok", sql)
+    cte = f"embeddings_ok AS (SELECT * FROM embeddings WHERE {VALID_EMB_GUARD_SQL})"
+    m = _re.match(r"(?is)^(\s*)WITH(\s+RECURSIVE)?\s", body)
+    if m:
+        return body[: m.end()] + cte + ",\n" + body[m.end():]
+    return f"WITH {cte}\n{body}"
 
 
 # --- text analysis ----------------------------------------------------------
@@ -1447,6 +1495,7 @@ WITH t AS (
            string_split(text, ' ') AS toks,
            len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
     FROM documents
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL
 ),
 f AS (
     SELECT doc_id, toks, n_chars,
@@ -3545,6 +3594,7 @@ WITH t AS (
            string_split(text, ' ') AS toks,
            len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
     FROM documents
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL
 ),
 f AS (
     SELECT doc_id, toks, n_chars, sw,
@@ -5209,3 +5259,17 @@ FROM freq
 """
 
 QUERIES["bpe_vocab"] = (q_bpe_vocab, BPE_VOCAB_SQL)
+
+
+# round 15: route every embeddings-reading oracle through the vector
+# validity contract (the Spark twin is the _emb ingest guard above).
+# Mechanical: any registered SQL that references the embeddings table
+# gets the rename-CTE wrap; queries already green on dirty data are
+# unaffected row-wise (the guard is a no-op on valid vectors).
+import re as _re_r15  # noqa: E402
+
+for _n, _entry in list(QUERIES.items()):
+    _sql = _entry[1]
+    if _sql and _re_r15.search(r"\bembeddings\b", _sql):
+        QUERIES[_n] = (_entry[0], valid_embeddings_sql(_sql), *_entry[2:])
+del _n, _entry, _sql

@@ -615,8 +615,19 @@ def q_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): the raw scan partial-aggregates straight to the
     ≤ |types|×4 cell grid; densification and marginals are window sums
-    over that tiny grid (broadcast-scale), never a second scan."""
-    ev = load_table(spark, sf_dir, "events")
+    over that tiny grid (broadcast-scale), never a second scan.
+    Event time is restricted to the valid analytic domain (round 15:
+    pre-epoch timestamps produce NEGATIVE day-modulo buckets outside the
+    densified 0..3 grid, driving a marginal to zero and the E-division
+    with it)."""
+    from ..operators._util import valid_ts
+
+    # untyped (NULL event_type) rows are excluded too: NULL never
+    # equi-joins back from the densified grid, so its marginal is zero
+    # in both engines — undefined cell, not a category
+    ev = load_table(spark, sf_dir, "events").filter(
+        valid_ts("ts") & F.col("event_type").isNotNull()
+    )
     sparse = (
         ev.select(
             "event_type",
@@ -666,7 +677,7 @@ WITH sparse AS (
            CAST((epoch_ns(ts) % {_NS_PER_DAY}) // {6 * _NS_PER_HOUR}
                 AS BIGINT) AS hour_bucket,
            count(*) AS observed
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ),
 grid AS (
     SELECT t.event_type, b.hour_bucket
@@ -698,7 +709,12 @@ SELECT event_type, hour_bucket, observed,
 FROM g
 """
 
-QUERIES["chi_square_cells"] = (q_chi_square_cells, CHI_SQUARE_CELLS_SQL)
+from ..oracles import valid_events_sql as _valid_events_sql  # noqa: E402
+
+QUERIES["chi_square_cells"] = (
+    q_chi_square_cells,
+    _valid_events_sql(CHI_SQUARE_CELLS_SQL),
+)
 
 
 # --- gaps-and-islands activity streaks ------------------------------------------
@@ -1269,7 +1285,15 @@ def q_implicit_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     reviews = reviews_from_events(spark, sf_dir).localCheckpoint()
     liked = good_reviews(reviews)
     users = liked.select("user_id").distinct()
-    catalog = reviews.select("product_id").distinct()
+    # catalog excludes NULL product ids (round 15): a NULL "product" can
+    # never match the interaction anti-join, and Spark's concat_ws SKIPS
+    # the NULL in the sampling hash while SQL || null-propagates — an
+    # unknown item is not a sampleable negative in either engine
+    catalog = (
+        reviews.select("product_id")
+        .filter(F.col("product_id").isNotNull())
+        .distinct()
+    )
     grid = users.join(F.broadcast(catalog), F.lit(True))
     cand = grid.join(
         reviews.select("user_id", "product_id"),
@@ -1302,7 +1326,8 @@ def _implicit_negatives_sql() -> str:
 WITH {REVIEWS_CTE},
 {LIKED_CTE},
 users AS (SELECT DISTINCT user_id FROM liked),
-catalog AS (SELECT DISTINCT product_id FROM reviews),
+catalog AS (SELECT DISTINCT product_id FROM reviews
+            WHERE product_id IS NOT NULL),
 cand AS (
     SELECT u.user_id, c.product_id
     FROM users u CROSS JOIN catalog c
@@ -1426,8 +1451,13 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     division minus a literal, rounded 6 dp.
 
     Scale design (100 TB): one scan collapsing to ≤9 rows via partial agg;
-    the grand total is a window sum over those 9 rows."""
-    orders = load_table_clean(spark, sf_dir, "orders")
+    the grand total is a window sum over those 9 rows. Benford is
+    defined on POSITIVE magnitudes — the domain is explicit (round 15:
+    a 0.00 total produced leading digit 0, an index even try_element_at
+    refuses; a negative total's leading '-' fails the digit cast)."""
+    orders = load_table_clean(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
     digit = F.substring(
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
         1,
@@ -1435,6 +1465,10 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     counts = (
         orders.select(digit.alias("digit"))
+        # a sub-cent positive total still rounds to cents "0" — digit 0
+        # is outside Benford's domain (and outside the 1-indexed
+        # expectation array), so the domain pin is on the DIGIT
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
@@ -1463,7 +1497,8 @@ WITH counts AS (
     SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                             AS VARCHAR), 1, 1) AS BIGINT) AS digit,
            count(*) AS observed
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    HAVING digit BETWEEN 1 AND 9
 )
 SELECT digit, observed,
        round(CAST(observed AS DOUBLE)

@@ -313,8 +313,13 @@ def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     crashed the oracle while Spark silently dropped the row; it now
     TRY_CASTs and filters post-cast, the same domain pin as Spark's
     ``.cast("long").isNotNull()``)."""
+    # rating NULL is excluded like product NULL (round 15): a NULL rating
+    # makes Spark's concat_ws SKIP the field ("12" with no colon — the
+    # parse side then faults on element_at(2)) while DuckDB's concat
+    # renders it as an empty trailing field — neither is a valid wire
+    # member, so both engines drop the row
     reviews = reviews_from_events(spark, sf_dir).filter(
-        F.col("product_id").isNotNull()
+        F.col("product_id").isNotNull() & F.col("rating").isNotNull()
     )
     return parse_kv_strings(to_kv_strings(reviews))
 
@@ -322,16 +327,14 @@ def q_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 KV_ROUNDTRIP_SQL = """
 WITH kv AS (
     SELECT user_id,
-           concat(CAST(k AS VARCHAR),
-                  ':',
-                  CAST(__RATING__ AS VARCHAR)
-           ) AS member
+           concat(CAST(k AS VARCHAR), ':', CAST(r AS VARCHAR)) AS member
     FROM (
         SELECT user_id, value,
-               __PRODUCT_ID__ AS k
+               __PRODUCT_ID__ AS k,
+               __RATING__ AS r
         FROM events
     )
-    WHERE k IS NOT NULL
+    WHERE k IS NOT NULL AND r IS NOT NULL
 )
 SELECT user_id,
        CAST(split_part(member, ':', 1) AS BIGINT) AS product_id,
