@@ -959,16 +959,22 @@ def repeated_spans(
     the only materialized intermediate and is proportional to the
     duplicated volume, not the corpus.
     """
+    # gram construction is ROW-LOCAL (round 15 — see lm._bigrams): the
+    # lead window partitions on a surrogate physical-row id so duplicate
+    # or NULL doc ids cannot interleave two rows' positions; the island
+    # stage below stays doc-keyed, exactly like the oracle
     grams = (
-        docs.select(
+        docs.withColumn("_rid", F.monotonically_increasing_id()).select(
             F.col(id_col).alias("doc_id"),
+            "_rid",
             F.posexplode(tokens(text_col)).alias("pos", "t0"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_row = Window.partitionBy("_rid").orderBy("pos")
     lead_cols = [F.col("t0")] + [
-        F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)
+        F.lead("t0", k).over(w_row).alias(f"t{k}") for k in range(1, n)
     ]
+    w = Window.partitionBy("doc_id").orderBy("pos")
     positioned = (
         grams.select("doc_id", "pos", *lead_cols)
         .filter(F.col(f"t{n - 1}").isNotNull())

@@ -51,10 +51,22 @@ def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     BEFORE pairing, so ``"x  y"`` formed the bigram (x, y) here but not
     in the oracle or the DSIR features — a silent engine-vs-oracle hash
     break waiting for a corpus with consecutive spaces."""
-    pos = _spread(docs).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w1")
+    # pairing is ROW-LOCAL (round 15): the window partitions on a
+    # surrogate physical-row id, NOT id_col — duplicate or NULL document
+    # ids otherwise interleave two rows' positions and the lead() pairs
+    # tokens ACROSS documents (the oracle constructs pairs per row and
+    # can never do that). The rid never reaches the output, so its
+    # partition-dependent values don't affect determinism.
+    pos = (
+        _spread(docs)
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .select(
+            F.col(id_col),
+            "_rid",
+            F.posexplode(tokens(text_col)).alias("pos", "w1"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy("_rid").orderBy("pos")
     return (
         pos.withColumn("w2", F.lead("w1").over(w))
         .filter(

@@ -155,29 +155,36 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     (doc_id, pos) over already-narrow rows; both aggregations after it are
     partial, so shuffle volume is bounded by distinct (doc, bigram).
     """
+    # The whole statistic is PER PHYSICAL ROW (round 15): pairing,
+    # aggregation, and the join back all key on a surrogate row id, never
+    # doc_id — duplicate/NULL doc ids otherwise interleave two rows'
+    # positions in the lead() window AND merge their bigram counts in the
+    # per-doc max, neither of which the oracle's per-row construction does.
     toks = tokens("text")
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    base = docs.select(
+    rows = docs.withColumn("_rid", F.monotonically_increasing_id())
+    base = rows.select(
         "doc_id",
+        "_rid",
         F.round((n_tok - n_distinct).cast("double") / n_tok, 6).alias(
             "dup_token_ratio"
         ),
         n_tok.alias("_n"),
     )
-    pos = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    pos = rows.select("_rid", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("_rid").orderBy("pos")
     top = (
         pos.withColumn("nxt", F.lead("tok").over(w))
         .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
-        .groupBy("doc_id", "bigram")
+        .select("_rid", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy("_rid", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        .groupBy("_rid")
         .agg(F.max("c").alias("_mc"))
     )
     return (
-        base.join(top, "doc_id", "left")
+        base.join(top, "_rid", "left")
         .select(
             "doc_id",
             "dup_token_ratio",
@@ -262,10 +269,13 @@ def token_ngrams(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
     duplicates preserved. Physical shape: posexplode + n-1 ``lead`` columns
     over ONE per-doc window (single sort, all codegen) — the same
     explode-over-HOF lesson as ``repetition_stats``."""
-    pos = _spread(docs).select(
-        id_col, F.posexplode(tokens("text")).alias("pos", "t0")
+    # row-local pairing via surrogate rid (round 15 — see lm._bigrams)
+    pos = (
+        _spread(docs)
+        .withColumn("_rid", F.monotonically_increasing_id())
+        .select(id_col, "_rid", F.posexplode(tokens("text")).alias("pos", "t0"))
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy("_rid").orderBy("pos")
     cols = [F.col("t0")] + [
         F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, n)
     ]

@@ -18,8 +18,8 @@ from ..sources.tables import load_table, load_table_clean
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (nation, order priority): per-pair, per-nation subtotal,
     and grand total in one pass (partial-aggregated grouping sets)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     base = (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -116,8 +116,8 @@ GROUP BY o_orderpriority
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-based conditional aggregation (pivot-style) in one scan: per
     nation, revenue split by high/low order value."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     hi = F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).otherwise(
         F.lit(0.0)
@@ -195,7 +195,7 @@ def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median/p90/p99) of order value per priority —
     Spark `percentile` and DuckDB `quantile_cont` share linear
     interpolation, so values match exactly after rounding."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
@@ -311,8 +311,8 @@ LIMIT 20
 def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (mktsegment, orderpriority): all four grouping-set
     combinations in one pass."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
     return (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .cube("c_mktsegment", "o_orderpriority")
@@ -370,7 +370,7 @@ def q_customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     its value, tie-broken by order key — one aggregation pass, no window
     sort. The oracle states the same result via a row_number window; result
     equality is what the gate checks, not implementation."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     tie = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
     return orders.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", tie).alias("latest_orderkey"),
@@ -383,7 +383,9 @@ CUSTOMER_LATEST_ORDER_SQL = """
 SELECT o_custkey, latest_orderkey, latest_totalprice, n_orders FROM (
     SELECT o_custkey,
            o_orderkey AS latest_orderkey,
-           round(o_totalprice, 2) AS latest_totalprice,
+           -- + 0 folds IEEE -0.0 to +0.0 (Spark round() already
+           -- normalizes the sign; DuckDB preserves it)
+           round(o_totalprice, 2) + 0 AS latest_totalprice,
            count(*) OVER (PARTITION BY o_custkey) AS n_orders,
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate DESC, o_orderkey DESC)
@@ -398,7 +400,7 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the previous order (lag), and running spend (ordered cumulative
     sum — sequential accumulation in BOTH engines, so the double sum is
     order-identical; prices rounded 2 dp before summing)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
@@ -425,11 +427,13 @@ SELECT o_custkey, o_orderkey,
                  CAST(o_orderdate AS DATE)) AS days_since_prev,
        round(sum(round(o_totalprice, 2)) OVER (
            PARTITION BY o_custkey
-           ORDER BY o_orderdate ASC, o_orderkey ASC
+           ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
            AS running_spend
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS FIRST,
+                      o_orderkey ASC NULLS FIRST)
 """
 
 
@@ -445,15 +449,17 @@ def q_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-oracle-checkable."""
     from ..operators.sketches import heavy_hitters_exact
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table_clean(spark, sf_dir, "events")
     return heavy_hitters_exact(
         events, "user_id", HH_SHARE_NUM, HH_SHARE_DEN, key_type="bigint"
     )
 
 
 HEAVY_USERS_SQL = f"""
-WITH n AS (SELECT count(*) AS total FROM events),
-c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+WITH n AS (SELECT count(*) AS total FROM events
+           WHERE user_id IS NOT NULL),
+c AS (SELECT user_id, count(*) AS cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id)
 SELECT user_id, cnt
 FROM c, n
 WHERE cnt >= ({HH_SHARE_NUM} * total + {HH_SHARE_DEN - 1}) // {HH_SHARE_DEN}
@@ -654,7 +660,7 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping_id: revenue by (status), by
     (priority), and the grand total in one pass — the custom-grouping-set
     shape CUBE/ROLLUP can't express (no (status, priority) pair level)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table_clean(spark, sf_dir, "orders")
     gs = orders.groupingSets(
         [["o_orderstatus"], ["o_orderpriority"], []],
         "o_orderstatus",
@@ -1954,7 +1960,7 @@ del _name, _entry
 # matching query fns above; no-op on clean generator data)
 from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
 
-_CLEAN_TABLE_MAP = {'value_outliers': ('events',), 'approx_order_quantiles': ('orders',), 'customer_running_spend': ('orders',), 'nation_trade_flows': ('customer', 'lineitem', 'orders', 'supplier'), 'national_market_share': ('customer', 'lineitem', 'orders', 'supplier'), 'price_size_correlation': ('part',), 'promo_revenue': ('lineitem', 'part'), 'skew_safe_event_stats': ('events',), 'small_quantity_revenue': ('lineitem', 'part'), 'special_discount_revenue': ('lineitem', 'part'), 'top_supplier': ('lineitem', 'supplier')}
+_CLEAN_TABLE_MAP = {'value_outliers': ('events',), 'approx_order_quantiles': ('orders',), 'customer_running_spend': ('orders',), 'nation_trade_flows': ('customer', 'lineitem', 'orders', 'supplier'), 'national_market_share': ('customer', 'lineitem', 'orders', 'supplier'), 'price_size_correlation': ('part',), 'promo_revenue': ('lineitem', 'part'), 'skew_safe_event_stats': ('events',), 'small_quantity_revenue': ('lineitem', 'part'), 'special_discount_revenue': ('lineitem', 'part'), 'top_supplier': ('lineitem', 'supplier'), 'revenue_cube': ('customer', 'orders'), 'revenue_rollup': ('customer', 'orders'), 'revenue_grouping_sets': ('orders',), 'conditional_agg': ('customer', 'orders'), 'order_value_quantiles': ('orders',), 'heavy_users': ('events',), 'customer_latest_order': ('orders',), 'customer_order_gaps': ('orders',)}
 for _n, _tabs in _CLEAN_TABLE_MAP.items():
     QUERIES[_n] = (
         QUERIES[_n][0],

@@ -213,28 +213,35 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REPETITION_STATS_SQL = """
 WITH t AS (
-    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    -- per PHYSICAL ROW (round 15): keying the bigram max on doc_id merged
+    -- duplicated-id rows' counts and dropped NULL-id rows at the join —
+    -- the synthesized rid mirrors the Spark side's surrogate row id (its
+    -- values don't matter; it is only a grouping/join key)
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           row_number() OVER () AS rid
+    FROM documents
 ),
 base AS (
-    SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t
+    SELECT rid, doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd
+    FROM t
 ),
 bg AS (
-    SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+    SELECT rid, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
                AS bigram
     FROM t, unnest(range(1, len(toks))) AS u(i)
 ),
 bgc AS (
-    SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    SELECT rid, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
 ),
 mx AS (
-    SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1
+    SELECT rid, max(c) AS mc FROM bgc GROUP BY 1
 )
 SELECT b.doc_id,
        round(CAST(b.n - b.nd AS DOUBLE) / b.n, 6) AS dup_token_ratio,
        CASE WHEN b.n < 2 THEN 0.0
             ELSE round(CAST(mx.mc AS DOUBLE) / (b.n - 1), 6)
        END AS top_bigram_ratio
-FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id
+FROM base b LEFT JOIN mx ON b.rid = mx.rid
 """
 
 
@@ -3507,17 +3514,20 @@ PHRASE_SEARCH_SQL = """
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
-pos AS (
-    SELECT doc_id, CAST(i AS BIGINT) AS p, toks[CAST(i AS INT)] AS tok
-    FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
-),
 tri AS (
-    SELECT a.doc_id, a.p AS start_pos,
-           a.tok AS w1, b.tok AS w2, c.tok AS w3
-    FROM pos a
-    JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
-    JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2
-    WHERE a.tok != '' AND b.tok != '' AND c.tok != ''
+    -- ROW-LOCAL trigram enumeration via list indexing (round 15): the
+    -- previous positional SELF-JOINS keyed on doc_id multiplied each
+    -- occurrence 2x2-fold for physically duplicated doc ids — the Spark
+    -- side's element_at lookahead never leaves the row, and neither
+    -- does this
+    SELECT doc_id, CAST(i AS BIGINT) AS start_pos,
+           toks[CAST(i AS INT)] AS w1,
+           toks[CAST(i AS INT) + 1] AS w2,
+           toks[CAST(i AS INT) + 2] AS w3
+    FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+    WHERE toks[CAST(i AS INT)] != ''
+      AND toks[CAST(i AS INT) + 1] != ''
+      AND toks[CAST(i AS INT) + 2] != ''
 ),
 top AS (
     SELECT w1, w2, w3 FROM tri
@@ -4120,7 +4130,10 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.
 
     Output: (prefix_docs, vocab_size), 4 rows."""
-    docs = _docs(spark, sf_dir)
+    # a doc without an id has no place in a doc_id-ordered prefix (round
+    # 15: Spark sorts NULL ids first, DuckDB last — the N-th boundary
+    # silently became NULL in the oracle and the full-corpus row vanished)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
     n = docs.count()
     firsts = (
         docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
@@ -4149,14 +4162,15 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HEAPS_LAW_SQL = """
-WITH firsts AS (
+WITH d AS (SELECT * FROM documents WHERE doc_id IS NOT NULL),
+firsts AS (
     SELECT tok AS term, min(doc_id) AS first_doc
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-          FROM documents)
+          FROM d)
     WHERE tok != ''
     GROUP BY tok
 ),
-n AS (SELECT count(*) AS n FROM documents),
+n AS (SELECT count(*) AS n FROM d),
 grid AS (
     SELECT CAST(k AS BIGINT) AS prefix_docs FROM (
         SELECT unnest([ (SELECT n FROM n) // 8,
@@ -4168,7 +4182,7 @@ bounds AS (
     SELECT g.prefix_docs, r.doc_id AS bound
     FROM grid g JOIN (
         SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-        FROM documents
+        FROM d
     ) r ON r.rn = g.prefix_docs
 )
 SELECT b.prefix_docs, count(*) AS vocab_size

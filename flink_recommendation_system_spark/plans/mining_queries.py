@@ -2154,7 +2154,7 @@ def q_zone_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design (100 TB): one partial-agg'd scan → ≤ |30-day blocks| rows;
     this is exactly the statistics pass a writer runs per file at scale.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table_clean(spark, sf_dir, "lineitem").select(
         F.expr("CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)")
         .alias("ship_days"),
         F.expr(
@@ -2625,7 +2625,7 @@ del _name, _entry
 # matching query fns above; no-op on clean generator data)
 from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
 
-_CLEAN_TABLE_MAP = {'benford_deviation': ('orders',), 'incremental_agg_update': ('orders',), 'incremental_join_update': ('customer', 'orders'), 'k_anonymity': ('customer',), 'l_diversity': ('customer', 'orders'), 'pareto_frontier': ('part',), 'revenue_concentration': ('orders',), 'snapshot_diff': ('orders',), 't_closeness': ('customer', 'orders'), 'weighted_median': ('lineitem',), 'zorder_layout': ('part',)}
+_CLEAN_TABLE_MAP = {'benford_deviation': ('orders',), 'incremental_agg_update': ('orders',), 'incremental_join_update': ('customer', 'orders'), 'k_anonymity': ('customer',), 'l_diversity': ('customer', 'orders'), 'pareto_frontier': ('part',), 'revenue_concentration': ('orders',), 'snapshot_diff': ('orders',), 't_closeness': ('customer', 'orders'), 'weighted_median': ('lineitem',), 'zorder_layout': ('part',), 'zone_map_stats': ('lineitem',)}
 for _n, _tabs in _CLEAN_TABLE_MAP.items():
     QUERIES[_n] = (
         QUERIES[_n][0],

@@ -45,7 +45,7 @@ def _ts_ntz(lit: str) -> F.Column:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_clean(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= _ts_ntz(Q1_CUTOFF))
         .groupBy("l_returnflag", "l_linestatus")
@@ -80,13 +80,13 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").filter(
+    cust = load_table_clean(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table_clean(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < _ts_ntz(Q3_DATE)
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table_clean(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > _ts_ntz(Q3_DATE)
     )
     joined = li.join(
@@ -230,8 +230,8 @@ GROUP BY c_custkey
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     return (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -422,11 +422,11 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitems (l_returnflag = 'R'), with nation — fact⨝fact shuffle join
     plus broadcast dims, TakeOrderedAndProject on a deterministic
     (revenue DESC, custkey ASC) key."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table_clean(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table_clean(spark, sf_dir, "orders")
+    cust = load_table_clean(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -1642,7 +1642,7 @@ del _name, _entry
 # matching query fns above; no-op on clean generator data)
 from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
 
-_CLEAN_TABLE_MAP = {'entity_clusters': ('customer',), 'global_sales_opportunity': ('customer', 'orders'), 'important_parts': ('lineitem',), 'integrity_report': ('customer', 'lineitem', 'orders', 'part'), 'min_cost_supplier': ('lineitem', 'part', 'supplier'), 'nation_profit': ('lineitem', 'orders', 'part', 'supplier'), 'record_linkage_scores': ('customer',)}
+_CLEAN_TABLE_MAP = {'entity_clusters': ('customer',), 'global_sales_opportunity': ('customer', 'orders'), 'important_parts': ('lineitem',), 'integrity_report': ('customer', 'lineitem', 'orders', 'part'), 'min_cost_supplier': ('lineitem', 'part', 'supplier'), 'nation_profit': ('lineitem', 'orders', 'part', 'supplier'), 'record_linkage_scores': ('customer',), 'shipping_priority': ('customer', 'lineitem', 'orders'), 'returned_items': ('customer', 'lineitem', 'orders'), 'revenue_by_nation': ('customer', 'orders'), 'pricing_summary': ('lineitem',)}
 for _n, _tabs in _CLEAN_TABLE_MAP.items():
     QUERIES[_n] = (
         QUERIES[_n][0],
