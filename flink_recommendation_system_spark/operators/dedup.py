@@ -75,12 +75,21 @@ def ngram_jaccard_pairs(
     )
     vocab_size = vocab.count()
     if vocab_size <= 64:
+        # masks build per PHYSICAL ROW (round 15): grouping on doc_id
+        # merged duplicated-id rows, re-adding shared bits so sum ≠ OR
+        # (corrupted masks) AND collapsing the per-row pair multiset the
+        # quadratic path and the oracle both produce — the surrogate rid
+        # keeps "bits are unique per GROUP" true by construction
         masks = (
-            toks.select("doc_id", "_block", "sz", F.explode("toks").alias("tok"))
+            toks.withColumn("_rid", F.monotonically_increasing_id())
+            .select(
+                "_rid", "doc_id", "_block", "sz",
+                F.explode("toks").alias("tok"),
+            )
             .join(F.broadcast(vocab), "tok")
-            .groupBy("doc_id", "_block", "sz")
+            .groupBy("_rid", "doc_id", "_block", "sz")
             .agg(
-                # bits are unique per doc (distinct tokens) → sum == OR
+                # bits are unique per row (distinct tokens) → sum == OR
                 F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), bit_id)")).alias(
                     "mask"
                 )
@@ -228,8 +237,16 @@ def minhash_signatures(
     volume is num_hashes longs per doc regardless of document size.
     """
     n = shingle_n
+    # NULL-text docs are unfingerprintable and EXCLUDED (round 15): Spark's
+    # greatest() IGNORES NULLs, so length(NULL)-n+1 fell through to the
+    # 1-shingle floor and every NULL-text doc got an identical all-NULL
+    # signature — one giant spurious bucket in the verification-free
+    # aggressive tier (DuckDB's range over a NULL bound yields no rows, so
+    # the oracle never saw them)
     exploded = (
-        _spread(docs).select(
+        _spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
             "doc_id",
             "text",
             F.explode(
@@ -662,13 +679,15 @@ def simhash(docs: DataFrame, base_hash: str = "portable") -> DataFrame:
     per bit. The previous form — 64 higher-order ``F.aggregate`` folds over
     the token array — is CodegenFallback (interpreted per element per bit);
     this form stays inside whole-stage codegen and ships 64 longs per doc
-    through the shuffle regardless of document size. ``explode_outer`` keeps
-    token-less documents (their contributions are 0 → signature 0, matching
-    the fold-over-empty-array semantics).
+    through the shuffle regardless of document size. NULL-text documents
+    are EXCLUDED (round 15): they have no features to fingerprint — the
+    old ``explode_outer`` assigned them all signature 0, which made every
+    pair of them a spurious Hamming-0 "near-dup" (quadratic junk on a
+    dirty corpus), while the oracle's token unnest never saw them at all.
     """
     toked = _spread(docs).select(
         "doc_id",
-        F.explode_outer(F.array_distinct(tokens("text"))).alias("tok"),
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"),
     ).withColumn("h", _base64(F.col("tok"), base_hash))
 
     def contrib(b: int):

@@ -384,9 +384,16 @@ def pack_documents(
     global ordered stream.
     """
     n_tok = F.size(tokens("text")).cast("long")
+    # n_tokens joins the sort key (round 15): multiple NULL ids within a
+    # group are otherwise order-ambiguous and their prefix sums engine-
+    # arbitrary; equal-length ties that remain are interchangeable (the
+    # output multiset is identical either way)
     w = (
         Window.partitionBy(group_col)
-        .orderBy(id_col)
+        .orderBy(
+            F.col(id_col).asc(),
+            F.size(tokens("text")).cast("long").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(n_tok).over(w)

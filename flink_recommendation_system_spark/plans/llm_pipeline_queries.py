@@ -2226,7 +2226,9 @@ WITH t AS (
 ),
 c AS (
     SELECT doc_id, source, n_tokens,
-           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           sum(n_tokens) OVER (PARTITION BY source
+                               ORDER BY doc_id NULLS FIRST,
+                                        n_tokens
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS cum
     FROM t
@@ -2691,7 +2693,8 @@ WITH ranked AS (
            row_number() OVER (
                PARTITION BY lang
                ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                            1, 8) AS BIGINT), doc_id
+                                            1, 8) AS BIGINT) NULLS FIRST,
+                        doc_id NULLS FIRST
            ) AS r,
            count(*) OVER (PARTITION BY lang) AS n
     FROM documents
@@ -2978,14 +2981,17 @@ WITH toks AS (
 ),
 scored AS (
     SELECT doc_id,
-           CAST((len(tk) >= 10) AS INT)
-           + CAST((n_chars >= 50) AS INT)
-           + CAST((len(list_filter(tk, x -> x IN ({_SW}))) > 0) AS INT)
+           -- CASE gates (not boolean casts): NULL inputs score 0, the
+           -- quality_stats convention both engines share (round 15)
+           (CASE WHEN len(tk) >= 10 THEN 1 ELSE 0 END
+            + CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END
+            + CASE WHEN len(list_filter(tk, x -> x IN ({_SW}))) > 0
+                   THEN 1 ELSE 0 END)
                AS quality_score
     FROM toks
 )
 SELECT row_number() OVER (
-           ORDER BY quality_score DESC, doc_id ASC
+           ORDER BY quality_score DESC, doc_id ASC NULLS FIRST
        ) AS position,
        doc_id, quality_score
 FROM scored
@@ -3261,8 +3267,8 @@ SELECT doc_id, lang, source, n_chars FROM (
                PARTITION BY source
                ORDER BY CAST('0x' || substr(md5('domcap'
                              || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                        ASC,
-                        doc_id ASC
+                        ASC NULLS FIRST,
+                        doc_id ASC NULLS FIRST
            ) AS rn
     FROM documents
 ) WHERE rn <= {DOMAIN_CAP}
