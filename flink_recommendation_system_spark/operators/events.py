@@ -210,7 +210,9 @@ def activity_similarity_topk(
     )
 
 
-def gap_fill_locf(events: DataFrame, width_sec: int = 3600) -> DataFrame:
+def gap_fill_locf(
+    events: DataFrame, width_sec: int = 3600, max_buckets: int = 8784
+) -> DataFrame:
     """Time-series gap filling over a dense bucket spine with
     last-observation-carried-forward (the TimescaleDB
     ``time_bucket_gapfill`` + ``locf`` shape): bucket the stream per
@@ -227,6 +229,13 @@ def gap_fill_locf(events: DataFrame, width_sec: int = 3600) -> DataFrame:
     over that bounded spine, never over raw events, and the bounds row
     broadcasts. Exact-integer bucket arithmetic (epoch-nanos DIV);
     bucket averages round to 6 dp before the carry-forward copies them.
+
+    ``max_buckets`` bounds the spine to the most recent N buckets (round
+    15): even inside the valid-time domain, ONE stray in-window outlier
+    stretched a [min, max] spine to 24 years × |types| ≈ 6M rows (driver
+    OOM collecting what should be a dashboard-sized series). Gap-filling
+    the recent window is the operational semantics anyway; the default
+    (a leap year of hourly buckets) is far above the generator's ~720.
     """
     from pyspark.sql import Window
 
@@ -242,6 +251,12 @@ def gap_fill_locf(events: DataFrame, width_sec: int = 3600) -> DataFrame:
     )
     bounds = per_bucket.agg(
         F.min("bucket_sec").alias("mn"), F.max("bucket_sec").alias("mx")
+    ).select(
+        F.greatest(
+            F.col("mn"),
+            F.col("mx") - F.lit((max_buckets - 1) * width_sec).cast("long"),
+        ).alias("mn"),
+        "mx",
     )
     spine = (
         events.select("event_type")

@@ -1608,49 +1608,84 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data cleaning gate: keep documents passing all three
     quality heuristics, attach predicted language — the filter a corpus
     pipeline applies before tokenization/dedup."""
-    docs = _docs(spark, sf_dir)
-    stats = T.quality_stats(docs).select("doc_id", "quality_score")
-    lang = T.language_id(docs)
+    # per PHYSICAL ROW (round 15): doc_id joins multiplied duplicated-id
+    # rows 2x2-fold and dropped NULL-id rows; the quality gate is an
+    # inline expression and the language argmax keys on a surrogate row
+    # id, exactly like the oracle's row_number()-based twin
+    from ..operators.text import LANG_MARKERS, stopword_count, tokens
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
+    toks = tokens("text")
+    score = (
+        F.when(F.size(toks) >= 10, 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 50, 1).otherwise(0)
+        + F.when(stopword_count("text") > 0, 1).otherwise(0)
+    )
+    markers = spark.createDataFrame(
+        [(lg, m) for lg, ms in LANG_MARKERS.items() for m in ms],
+        ["pred_lang", "marker"],
+    )
+    hits = (
+        docs.select("_rid", F.explode(toks).alias("tok"))
+        .join(F.broadcast(markers), F.col("tok") == F.col("marker"))
+        .groupBy("_rid", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("_rid").orderBy(
+        F.col("hits").desc(), F.col("pred_lang").asc()
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_rid", "pred_lang")
+    )
     return (
-        docs.join(stats, "doc_id")
-        .join(lang, "doc_id")
-        .filter(F.col("quality_score") == 3)
-        .select("doc_id", "lang", "pred_lang", "n_chars")
+        docs.filter(score == 3)
+        .join(best, "_rid", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            "n_chars",
+        )
     )
 
 
 CLEAN_CORPUS_SQL = f"""
-WITH t AS (
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tok,
-           len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS sw
+WITH d AS (
+    -- per PHYSICAL ROW (round 15, mirrors the Spark surrogate row id):
+    -- doc_id joins multiplied duplicated ids and dropped NULL ids
+    SELECT doc_id, lang, n_chars, text,
+           string_split(text, ' ') AS toks,
+           row_number() OVER () AS rid
     FROM documents
 ),
 q AS (
-    SELECT doc_id FROM t
-    JOIN documents USING (doc_id)
-    WHERE n_tok >= 10 AND n_chars >= 50 AND sw > 0
+    SELECT rid FROM d
+    WHERE len(toks) >= 10 AND n_chars >= 50
+      AND len(list_filter(toks, x -> x IN ({_SW}))) > 0
 ),
 markers(pred_lang, marker) AS (VALUES {_MARKER_VALUES}),
 hits AS (
-    SELECT d.doc_id, m.pred_lang, count(*) AS hits
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-          FROM documents) d
-    JOIN markers m ON d.tok = m.marker
-    GROUP BY d.doc_id, m.pred_lang
+    SELECT t.rid, m.pred_lang, count(*) AS hits
+    FROM (SELECT rid, unnest(toks) AS tok FROM d) t
+    JOIN markers m ON t.tok = m.marker
+    GROUP BY t.rid, m.pred_lang
 ),
 best AS (
-    SELECT doc_id, pred_lang FROM (
-        SELECT doc_id, pred_lang,
-               row_number() OVER (PARTITION BY doc_id
+    SELECT rid, pred_lang FROM (
+        SELECT rid, pred_lang,
+               row_number() OVER (PARTITION BY rid
                                   ORDER BY hits DESC, pred_lang ASC) AS rn
         FROM hits
     ) WHERE rn = 1
 )
 SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'und') AS pred_lang, d.n_chars
-FROM documents d
-JOIN q ON d.doc_id = q.doc_id
-LEFT JOIN best b ON d.doc_id = b.doc_id
+FROM d
+JOIN q ON d.rid = q.rid
+LEFT JOIN best b ON d.rid = b.rid
 """
 
 
@@ -2280,7 +2315,11 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LENGTH_HISTOGRAM_SQL = f"""
 WITH t AS (
-    SELECT least(n_chars // {HIST_BUCKET_CHARS}, 19) AS bucket,
+    -- floor division (not //, which truncates toward zero in DuckDB):
+    -- histogram bins are floor-defined, and Spark's F.floor agrees on
+    -- negative metadata values too (round 15)
+    SELECT least(CAST(floor(n_chars / {HIST_BUCKET_CHARS}.0) AS BIGINT), 19)
+               AS bucket,
            len(string_split(text, ' ')) AS nt
     FROM documents
 )

@@ -52,8 +52,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    n_orders = baskets.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # count_distinct skips NULL keys like SQL COUNT(DISTINCT ...) (round
+    # 15: a distinct().count() here counted the NULL-orderkey group as an
+    # order and shifted every lift by one denominator unit)
+    n_orders = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
     )
     marg = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = baskets.alias("a"), baskets.alias("b")
@@ -143,7 +146,15 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (what the skyline's sort-filter-skyline algorithm distributes to:
     per-range local skyline + a cheap prefix-max merge of the range
     boundaries); no shuffle beyond the one sort, no pairwise join."""
-    part = load_table_clean(spark, sf_dir, "part")
+    # skyline dimensions must be present and physical (round 15): a NULL
+    # size can neither dominate nor be dominated coherently, and negative
+    # sizes are metadata corruption, not geometry — excluded identically
+    # in both engines (mirrored in the oracle's WHERE)
+    part = load_table_clean(spark, sf_dir, "part").filter(
+        F.col("p_partkey").isNotNull()
+        & F.col("p_size").isNotNull()
+        & (F.col("p_size") >= 0)
+    )
     p = part.withColumn(
         "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
     )
@@ -187,6 +198,7 @@ WITH p AS (
     SELECT p_partkey, p_name, p_size,
            CAST(round(p_retailprice * 100) AS BIGINT) AS price_e2
     FROM part
+    WHERE p_partkey IS NOT NULL AND p_size IS NOT NULL AND p_size >= 0
 ),
 flagged AS (
     SELECT p_partkey, p_name, p_size, price_e2,
@@ -253,7 +265,16 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxRecordsPerFile does; the ntile quantization would come from an
     approx-quantile sketch of the price column instead of an exact rank at
     real scale (same bucket semantics)."""
-    part = load_table_clean(spark, sf_dir, "part")
+    # z-order coordinates are defined on present, non-negative values
+    # (round 15: interleaving two's-complement bits of a NEGATIVE size
+    # and ranking NULL keys put the engines' bit patterns and NULL
+    # orders at odds); rows outside the coordinate domain are excluded
+    # identically in both engines
+    part = load_table_clean(spark, sf_dir, "part").filter(
+        F.col("p_partkey").isNotNull()
+        & F.col("p_size").isNotNull()
+        & (F.col("p_size") >= 0)
+    )
     p = part.withColumn(
         "price_e2", F.round(F.col("p_retailprice") * 100).cast("long")
     )
@@ -289,6 +310,7 @@ WITH p AS (
     SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
            CAST(round(p_retailprice * 100) AS BIGINT) AS price_e2
     FROM part
+    WHERE p_partkey IS NOT NULL AND p_size IS NOT NULL AND p_size >= 0
 ),
 ranked AS (
     SELECT p_partkey, sz,
@@ -786,7 +808,7 @@ SELECT s.user_id, mx.longest_streak,
        min(CASE WHEN s.len = mx.longest_streak THEN s.start_d END)
            AS longest_start_d,
        count(*) AS n_streaks
-FROM streaks s JOIN mx ON s.user_id = mx.user_id
+FROM streaks s JOIN mx ON s.user_id IS NOT DISTINCT FROM mx.user_id
 GROUP BY 1, 2
 """
 
@@ -947,8 +969,14 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both bucketable), partial-agg to classes; output bounded by QID
     cardinality."""
     cust = load_table_clean(spark, sf_dir, "customer")
-    orders = load_table_clean(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority"
+    # NULL priority is not a sensitive-attribute VALUE (round 15): it can
+    # never equi-join back from the densified grid, but its presence in
+    # the global distribution shifted every class's cumulative EMD terms
+    # by an engine-dependent NULL sort position — quarantine it
+    orders = (
+        load_table_clean(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select("o_custkey", "o_orderpriority")
     )
     bucket = F.expr(
         "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
@@ -1027,8 +1055,14 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (class, priority) cells; the dense grid and window run over ≤
     |QID classes|·m rows — metadata-sized, independent of fact rows."""
     cust = load_table_clean(spark, sf_dir, "customer")
-    orders = load_table_clean(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderpriority"
+    # NULL priority is not a sensitive-attribute VALUE (round 15): it can
+    # never equi-join back from the densified grid, but its presence in
+    # the global distribution shifted every class's cumulative EMD terms
+    # by an engine-dependent NULL sort position — quarantine it
+    orders = (
+        load_table_clean(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select("o_custkey", "o_orderpriority")
     )
     bucket = F.expr(
         "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000000)"
@@ -1118,6 +1152,7 @@ class_cust AS (
 rows_ AS (
     SELECT q.nationkey, q.c_mktsegment, q.bal_bucket, o.o_orderpriority
     FROM cust_q q JOIN orders o ON o.o_custkey = q.c_custkey
+    WHERE o.o_orderpriority IS NOT NULL
 ),
 cells AS (
     SELECT nationkey, c_mktsegment, bal_bucket, o_orderpriority,
@@ -1824,8 +1859,12 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (100 TB): sessionization is the one user_id-partitioned
     window pass; the rollup partial-aggregates to ≤ |days| rows."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    from ..operators._util import valid_ts
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(valid_ts("ts"))
+        .withColumn("s", F.expr("CAST(ts DIV 1000000000 AS BIGINT)"))
     )
     w = Window.partitionBy("user_id").orderBy("s", "event_id")
     sess = ev.select(
@@ -1878,11 +1917,13 @@ flagged AS (
            CASE WHEN s - lag(s) OVER w >= {SESSION_GAP_SEC}
                 THEN 1 ELSE 0 END AS new_sess
     FROM ev
-    WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY s NULLS FIRST, event_id NULLS FIRST)
 ),
 sess AS (
     SELECT user_id, s,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+           sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY s NULLS FIRST, event_id NULLS FIRST
                ROWS UNBOUNDED PRECEDING) AS sess_id
     FROM flagged
 ),
@@ -1903,7 +1944,12 @@ SELECT d, n_sessions, bounces,
 FROM daily
 """
 
-QUERIES["bounce_rate_daily"] = (q_bounce_rate_daily, BOUNCE_RATE_DAILY_SQL)
+from ..oracles import valid_events_sql as _valid_events_sql_b  # noqa: E402
+
+QUERIES["bounce_rate_daily"] = (
+    q_bounce_rate_daily,
+    _valid_events_sql_b(BOUNCE_RATE_DAILY_SQL),
+)
 
 
 def q_lead_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2353,11 +2399,19 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass + a partial-agg to the tiny (from, to) domain; the
     iteration runs on a |scenarios|×|states| relation (tens of rows) —
     metadata-scale regardless of event volume."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+    # untyped (NULL event_type) rows are not journey states (round 15):
+    # Spark's min_by/max_by would pick a NULL first/last channel where
+    # SQL arg_min/arg_max skip NULL values — and a channel that doesn't
+    # exist can't receive attribution anyway
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("CAST(ts DIV 1000000000 AS BIGINT)").alias("s"),
+        )
     )
     return markov_attribution_from_events(ev)
 
@@ -2369,7 +2423,10 @@ def markov_attribution_from_events(ev: DataFrame) -> DataFrame:
     checks the full pipeline; the unit test checks the MATH on a chain
     small enough to solve by hand)."""
     spark = ev.sparkSession
-    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    # event_type completes the total order (round 15): duplicated fact
+    # rows can share (s, event_id) and the journey chain depends on the
+    # tie order; NULLS FIRST mirrored in the oracle
+    w = Window.partitionBy("user_id").orderBy("s", "event_id", "event_type")
     r = ev.withColumn("rn", F.row_number().over(w))
     fp = (
         r.filter(F.col("event_type") == "purchase")
@@ -2500,10 +2557,13 @@ def _markov_sql(k: int = _MARKOV_K) -> str:
     SELECT user_id, event_id, event_type,
            CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s
     FROM events
+    WHERE event_type IS NOT NULL
 ),
 r AS (
     SELECT *, row_number() OVER (PARTITION BY user_id
-                                 ORDER BY s, event_id) AS rn
+                                 ORDER BY s NULLS FIRST,
+                                          event_id NULLS FIRST,
+                                          event_type NULLS FIRST) AS rn
     FROM e
 ),
 fp AS (

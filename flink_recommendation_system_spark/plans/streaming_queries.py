@@ -284,10 +284,13 @@ WITH e AS (
 ),
 hourly AS (
     SELECT event_type, bucket_sec, count(*) AS n,
-           round(avg(value), 6) AS bucket_avg
+           -- + 0 folds IEEE -0.0 to +0.0 (Spark's round normalizes)
+           round(avg(value), 6) + 0 AS bucket_avg
     FROM e GROUP BY 1, 2
 ),
-b AS (SELECT min(bucket_sec) AS mn, max(bucket_sec) AS mx FROM hourly),
+b AS (SELECT greatest(min(bucket_sec),
+                      max(bucket_sec) - 31618800) AS mn,
+             max(bucket_sec) AS mx FROM hourly),
 spine AS (
     SELECT t.event_type, g.bucket_sec
     FROM (SELECT DISTINCT event_type FROM events
@@ -495,7 +498,12 @@ WITH e AS (
     FROM events WHERE user_id < {SIM_USER_CUTOFF}
 ),
 c AS (
-    SELECT user_id, s - (s % {SIM_BUCKET_SEC}) AS bucket, count(*) AS c
+    -- positive modulo mirrors Spark's pmod: pre-epoch seconds bucket by
+    -- FLOOR, not truncation (round 15)
+    SELECT user_id,
+           s - ((s % {SIM_BUCKET_SEC} + {SIM_BUCKET_SEC})
+                % {SIM_BUCKET_SEC}) AS bucket,
+           count(*) AS c
     FROM e GROUP BY user_id, bucket
 ),
 n AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM c GROUP BY user_id),
