@@ -54,6 +54,16 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+    # ASCII-payload contract made explicit (round 15): the fake decoder's
+    # byte statistics are oracle-checked under "one char == one byte";
+    # multi-byte text breaks that premise (DuckDB's ord() sees codepoints
+    # where the Arrow payload carries utf-8 bytes), and a NULL text has
+    # no payload — both excluded identically in both engines via the
+    # byte-length == char-length test (no regex, engine-exact)
+    docs = docs.filter(
+        F.col("doc_id").isNotNull()
+        & (F.octet_length("text") == F.length("text"))
+    )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),

@@ -95,13 +95,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    return load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull()
-        & e.isNotNull()
-        & (F.size(e) > 0)
-        & ~F.exists(e, lambda x: x.isNull() | F.isnan(x.cast("double")))
-        & (norm_sq > 0)
-        & (norm_sq < F.lit(float("1e308")))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("vec_id").isNotNull()
+            & e.isNotNull()
+            & (F.size(e) > 0)
+            & ~F.exists(e, lambda x: x.isNull() | F.isnan(x.cast("double")))
+            & (norm_sq > 0)
+            & (norm_sq < F.lit(float("1e308")))
+        )
+        # ONE deterministic row per vec_id (round 15): vec_id-keyed
+        # consumers otherwise multiply cell/pair multiplicity by the
+        # physical duplication factor — and duplicated rows can differ in
+        # metadata (label), so a full-row distinct is not enough
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("label").asc(), F.col("embedding").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -124,7 +141,13 @@ def valid_embeddings_sql(sql: str) -> str:
     import re as _re
 
     body = _re.sub(r"\bembeddings\b", "embeddings_ok", sql)
-    cte = f"embeddings_ok AS (SELECT * FROM embeddings WHERE {VALID_EMB_GUARD_SQL})"
+    cte = (
+        "embeddings_ok AS (SELECT vec_id, embedding, label FROM ("
+        "SELECT vec_id, embedding, label, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY label NULLS FIRST, "
+        "embedding NULLS FIRST) AS _rn FROM embeddings "
+        f"WHERE {VALID_EMB_GUARD_SQL}) WHERE _rn = 1)"
+    )
     m = _re.match(r"(?is)^(\s*)WITH(\s+RECURSIVE)?\s", body)
     if m:
         return body[: m.end()] + cte + ",\n" + body[m.end():]
@@ -1858,6 +1881,7 @@ WITH b AS (
            list_transform(range(1, strlen(text) + 1),
                           i -> ord(substr(text, i, 1))) AS bytes
     FROM documents
+    WHERE doc_id IS NOT NULL AND strlen(text) = length(text)
 )
 SELECT doc_id AS asset_id,
        (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
@@ -1893,7 +1917,7 @@ SELECT doc_id AS asset_id,
                           i -> ord(substr(text, i, 1)))) % 997
             END AS BIGINT) AS checksum
 FROM documents
-WHERE doc_id % 3 = 0
+WHERE doc_id % 3 = 0 AND strlen(text) = length(text)
 """
 
 
@@ -1911,7 +1935,8 @@ SELECT doc_id AS asset_id,
        unnest(generate_series(0, strlen(text) // 128 - 1, 10))
            AS frame_idx
 FROM documents
-WHERE doc_id % 3 = 2 AND strlen(text) // 128 > 0
+WHERE doc_id % 3 = 2 AND strlen(text) = length(text)
+  AND strlen(text) // 128 > 0
 """
 
 
@@ -1932,7 +1957,8 @@ def q_frame_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_EXTRACTION_SQL = """
 WITH v AS (
     SELECT doc_id AS asset_id, text, strlen(text) // 128 AS n_frames
-    FROM documents WHERE doc_id % 3 = 2
+    FROM documents
+    WHERE doc_id % 3 = 2 AND strlen(text) = length(text)
 ),
 idx AS (
     SELECT asset_id, text,
@@ -3462,7 +3488,21 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 check scale."""
     from ..operators.dedup import prefix_filter_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    # one deterministic row per doc id (round 15): the prefix filter's
+    # size/overlap arithmetic is doc-keyed, so physically duplicated ids
+    # inflated overlaps past the set algebra (jaccard "1.39"); textless
+    # docs have no set to join
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 4 == 0) & F.col("text").isNotNull()
+    )
+    w_rep = Window.partitionBy("doc_id").orderBy(
+        F.col("lang").asc(), F.col("text").asc()
+    )
+    docs = (
+        docs.withColumn("_rn", F.row_number().over(w_rep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return prefix_filter_jaccard_pairs(
         docs,
         threshold_num=PPJOIN_T_NUM,
@@ -3471,10 +3511,20 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PPJOIN_PAIRS_SQL = """
-WITH toks AS (
+WITH rep AS (
+    SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY lang NULLS FIRST,
+                                           text NULLS FIRST) AS rn
+        FROM documents
+        WHERE doc_id % 4 = 0 AND text IS NOT NULL
+    ) WHERE rn = 1
+),
+toks AS (
     SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' ')))
                AS tok
-    FROM documents WHERE doc_id % 4 = 0
+    FROM rep
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
 inter AS (
@@ -3792,8 +3842,8 @@ v{r} AS MATERIALIZED (
         prev = f"v{r}"
     body = ",\n".join(rounds)
     return f"""WITH w0 AS MATERIALIZED (
-    SELECT doc_id, word FROM (
-        SELECT doc_id,
+    SELECT doc_id, lang, word FROM (
+        SELECT doc_id, lang,
                unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
         FROM documents
     ) WHERE word != ''
@@ -4410,8 +4460,10 @@ feats AS (
 tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE is_t GROUP BY 1),
 rc AS (SELECT bucket, count(*) AS cr FROM feats WHERE NOT is_t GROUP BY 1),
 tot AS (SELECT
+    -- NOT is_t (not ELSE): a NULL-source doc is neither target nor raw,
+    -- matching the Spark side's when(~_t, 1).otherwise(0) (round 15)
     sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
-    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr
+    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS nr
     FROM feats),
 docf AS (
     SELECT doc_id, bucket, count(*) AS m
@@ -5249,8 +5301,10 @@ def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_COMPRESSION_STATS_SQL = f"""
 {_bpe_unrolled_with()},
 wl AS (
-    SELECT d.lang, w.doc_id, w.word
-    FROM w0 w JOIN documents d USING (doc_id)
+    -- lang rides the word extraction itself (round 15): a join back to
+    -- documents on doc_id cross-attributed words between duplicated-id
+    -- rows whose lang variants differ, and dropped NULL-id docs
+    SELECT lang, doc_id, word FROM w0
 )
 SELECT wl.lang,
        count(DISTINCT wl.doc_id) AS n_docs,

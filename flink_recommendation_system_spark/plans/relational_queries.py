@@ -1166,10 +1166,18 @@ def q_fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ``ppjoin_pairs`` pattern)."""
     from ..operators.dedup import edit_distance_pairs
 
+    # entity-resolution contract (round 15): keys are unique — duplicated
+    # key rows collapse to ONE deterministic representative (min name) and
+    # nameless entities are excluded, else the pair multiset depends on
+    # physical duplication (the oracle mirrors the same GROUP BY/min)
     cust = (
         load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
-        .select("c_custkey", "c_name")
+        .filter(
+            (F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
+            & F.col("c_name").isNotNull()
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("c_name").alias("c_name"))
     )
     return edit_distance_pairs(
         cust, id_col="c_custkey", text_col="c_name", max_dist=2
@@ -1178,8 +1186,10 @@ def q_fuzzy_name_pairs_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_NAME_PAIRS_D2_SQL = f"""
 WITH c AS (
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey <= {FUZZY_D2_MAX_KEY} AND length(c_name) <= 64
+    SELECT c_custkey, min(c_name) AS c_name FROM customer
+    WHERE c_custkey <= {FUZZY_D2_MAX_KEY} AND c_name IS NOT NULL
+    GROUP BY c_custkey
+    HAVING length(min(c_name)) <= 64
 )
 SELECT a.c_custkey AS id1, b.c_custkey AS id2,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
@@ -1327,8 +1337,16 @@ def q_priority_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, the run collapse (partial agg on (custkey, version)) and the
     valid_to lead — Spark reuses the exchange across the three window/agg
     stages since they share the partitioning key."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # a NULL priority is not a trackable STATE (round 15: lag's NULL
+    # propagation silently merged it into the neighboring run on one
+    # engine's NULL sort order and not the other's); o_orderpriority
+    # completes the total order for duplicated (date, key) rows
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
     prev = F.lag("o_orderpriority").over(w)
     seq = orders.select(
         "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
@@ -1369,11 +1387,18 @@ WITH seq AS (
                      OR lag(o_orderpriority) OVER w <> o_orderpriority
                 THEN 1 ELSE 0 END AS chg
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WHERE o_orderpriority IS NOT NULL
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST,
+                          o_orderkey NULLS FIRST,
+                          o_orderpriority NULLS FIRST)
 ),
 v AS (
     SELECT *, CAST(sum(chg) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST,
+                        o_orderkey NULLS FIRST,
+                        o_orderpriority NULLS FIRST
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
     FROM seq
 ),
@@ -1430,9 +1455,16 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import edit_distance_pairs
 
-    cust = (
+    # entity-resolution contract (round 15, same as fuzzy_name_pairs_d2):
+    # one deterministic representative row per key (duplicated key rows
+    # otherwise multiply the candidate pair multiset), nameless entities
+    # excluded; the oracle's c CTE mirrors the identical row_number pick
+    base = (
         load_table_clean(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
+        .filter(
+            (F.col("c_custkey") <= FUZZY_D2_MAX_KEY)
+            & F.col("c_name").isNotNull()
+        )
         .select(
             "c_custkey",
             "c_name",
@@ -1442,6 +1474,17 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DIV 100000"
             ).alias("bal_bucket"),
         )
+    )
+    w_rep = Window.partitionBy("c_custkey").orderBy(
+        F.col("c_name").asc(),
+        F.col("c_nationkey").asc(),
+        F.col("c_mktsegment").asc(),
+        F.col("bal_bucket").asc(),
+    )
+    cust = (
+        base.withColumn("_rn", F.row_number().over(w_rep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     pairs = edit_distance_pairs(
         cust.select("c_custkey", "c_name"),
@@ -1502,11 +1545,21 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RL_CTES = f"""c AS (
-    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000
-               AS bal_bucket
-    FROM customer
-    WHERE c_custkey <= {FUZZY_D2_MAX_KEY} AND length(c_name) <= 64
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment, bal_bucket FROM (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000
+                   AS bal_bucket,
+               row_number() OVER (
+                   PARTITION BY c_custkey
+                   ORDER BY c_name NULLS FIRST,
+                            c_nationkey NULLS FIRST,
+                            c_mktsegment NULLS FIRST,
+                            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                                // 100000 NULLS FIRST
+               ) AS rn
+        FROM customer
+        WHERE c_custkey <= {FUZZY_D2_MAX_KEY} AND c_name IS NOT NULL
+    ) WHERE rn = 1 AND length(c_name) <= 64
 ),
 pairs AS (
     SELECT a.c_custkey AS id1, b.c_custkey AS id2,
