@@ -704,46 +704,99 @@ _SUITES = [
 # CI coverage (tests/test_entry_queries) and a current sf0.01 signal via
 # tools/local_correctness.py (CORRECTNESS_LOCAL.json).
 _WINDOW_PRIORITY = [
-    # ROUND-14 WINDOW (the driver checks the first 50 entries; rotation
+    # ROUND-15 WINDOW (the driver checks the first 50 entries; rotation
     # targets STALENESS — see the consumer below and COVERAGE.md).
-    # This window executes the rotation staged in commit 2eff452 and
-    # ordered by VERDICT r13 item 1: retire EVERY remaining r6- and
-    # r7-vintage driver row (9 + 31 queries, alphabetical within each
-    # vintage block), then the r8 head (alphabetical) fills to 50.
-    # After this window lands the oldest driver green on record moves
-    # to r8. Changed-this-round re-confirms, if any land, displace the
-    # r8 fillers from the BOTTOM (never the r6/r7 blocks — retiring
-    # those is the round's contract).
+    # This window executes the rotation staged in the r14 header and
+    # ordered by VERDICT r14 item 2: the 34 remaining r8-vintage rows,
+    # the 13 r9 rows, and the r11 head (alphabetical within each
+    # vintage block) — exactly 50. After this window lands, the oldest
+    # driver green on record advances to r11. EVERY entry below is ALSO
+    # a changed-this-round re-confirm: the round-15 adversarial sweep
+    # rewrote the shared reviews derivation and the measure/time-domain
+    # contracts, so nearly the whole surface changed and carries fresh
+    # local evidence (CORRECTNESS_ADVERSARIAL.json 234/234 at the
+    # adversarial sf + CORRECTNESS_LOCAL.json at clean sf0.01).
     #
-    # ROUND-15 STAGING (post-r14 vintage scan, assuming this window
-    # lands green): 34 queries remain r8-vintage (the block minus the 10
-    # fillers below, plus dsir_selected which an r14 re-confirm
-    # displaced: dsir_selected, effective_diameter, entity_clusters,
-    # event_transitions, ewma_event_trend, fuzzy_name_pairs,
-    # gap_filled_hourly, hard_negative_mining_ann, heaps_law,
-    # hits_scores, important_parts, integrity_report, l_diversity,
-    # markov_attribution, mf_scoring_fixed, min_cost_supplier,
-    # minhash_near_dups, nation_profit, near_dup_clusters_lsh,
-    # neighborhood_function, pagerank_weighted, pmi_collocations,
-    # readability_scores, recommender_eval, seasonal_decomposition,
-    # serving_snapshot, similar_documents, supplier_part_variety,
-    # temporal_reachability, user_recommendations,
-    # weighted_corpus_sample, windowed_review_counts, zipf_fit,
-    # zone_map_stats) and 13 r9 (deduped_corpus_quality_artifact,
-    # hybrid_retrieval_rrf, kmeans_one_step, kv_roundtrip,
-    # returned_items, revenue_grouping_sets, simhash_near_dups,
-    # stratified_split, table_profile, user_event_pivot,
-    # user_product_sets, user_running_stats, value_outliers).
-    # Round 15's window = any new/changed entries + those 34 r8 + 13 r9
-    # + the r11 head (alphabetical: activity_similarity, bfs_hops,
-    # butterfly_counts) to fill 50.
-    # 0. CHANGED THIS ROUND (re-confirm): the fitted IVF probe now
-    # selects cells by true L2 distance — the index's own assignment
-    # metric and the fixed twin's probe rule (r14 similarity review) —
-    # so the rows-only ivf_topk output changed; it re-earns its driver
-    # row and displaces the bottom r8 filler per the window contract.
+    # ROUND-16 STAGING (post-r15 vintage scan, assuming this window
+    # lands green): 39 queries remain r11-vintage (clean_corpus,
+    # click_attribution_pairs, community_sizes, connected_components,
+    # contamination_by_source, corpus_mixture, cosine_topk,
+    # curriculum_order, decontamination, embedding_near_dups_lsh,
+    # embedding_stats, exact_dedup_keys, fingerprints,
+    # frame_sample_plan, graph_vertices, hard_negative_mining,
+    # image_resize, language_id, lineitem_measures_unpivot, lsh_topk,
+    # multimodal_features, nation_trade_flows, near_dup_clusters,
+    # near_dup_pipeline, ngram_jaccard_pairs, quality_stats,
+    # repetition_stats, semantic_dedup_ann, semantic_dedup_fixed,
+    # semantic_dedup_sqrt, sliding_chunks, special_discount_revenue,
+    # split_db_part, tfidf_top_terms, token_counts, top_bigrams,
+    # triangle_counts, undirected_edges, user_topk_reviews); round 16's
+    # window = any new/changed entries + those 39 + the r12 head
+    # (alphabetical: asof_click_purchase, bigram_lm_scores,
+    # bloom_decontamination, bm25_topk, boilerplate_chunks,
+    # bpe_compression_stats, cms_part_counts, co_review_edges,
+    # connected_components_star, context_packing, corpus_sample_k) to
+    # fill 50.
+    # 1. r8-VINTAGE BLOCK (34 queries, alphabetical):
+    "dsir_selected",
+    "effective_diameter",
+    "entity_clusters",
+    "event_transitions",
+    "ewma_event_trend",
+    "fuzzy_name_pairs",
+    "gap_filled_hourly",
+    "hard_negative_mining_ann",
+    "heaps_law",
+    "hits_scores",
+    "important_parts",
+    "integrity_report",
+    "l_diversity",
+    "markov_attribution",
+    "mf_scoring_fixed",
+    "min_cost_supplier",
+    "minhash_near_dups",
+    "nation_profit",
+    "near_dup_clusters_lsh",
+    "neighborhood_function",
+    "pagerank_weighted",
+    "pmi_collocations",
+    "readability_scores",
+    "recommender_eval",
+    "seasonal_decomposition",
+    "serving_snapshot",
+    "similar_documents",
+    "supplier_part_variety",
+    "temporal_reachability",
+    "user_recommendations",
+    "weighted_corpus_sample",
+    "windowed_review_counts",
+    "zipf_fit",
+    "zone_map_stats",
+    # 2. r9-VINTAGE BLOCK (13 queries, alphabetical):
+    "deduped_corpus_quality_artifact",
+    "hybrid_retrieval_rrf",
+    "kmeans_one_step",
+    "kv_roundtrip",
+    "returned_items",
+    "revenue_grouping_sets",
+    "simhash_near_dups",
+    "stratified_split",
+    "table_profile",
+    "user_event_pivot",
+    "user_product_sets",
+    "user_running_stats",
+    "value_outliers",
+    # 3. r11 HEAD (alphabetical, fills the window to 50):
+    "activity_similarity",
+    "bfs_hops",
+    "butterfly_counts",
+    # -- past-window from here: previous windows in their prior
+    # relative order (first occurrence kept; uniqueness guarded
+    # by the consumer). All covered every CI run at sf0.001
+    # (tests/test_entry_queries) and by the committed per-round
+    # sf0.01 local sweep (CORRECTNESS_LOCAL) plus the round-15
+    # adversarial sweep (CORRECTNESS_ADVERSARIAL). --
     "ivf_topk",
-    # 1. r6-VINTAGE BLOCK (oldest driver greens on record, 9 queries):
     "shipping_priority",
     "skew_safe_event_stats",
     "sliding_windows",
@@ -753,7 +806,6 @@ _WINDOW_PRIORITY = [
     "top_orders_per_customer",
     "top_supplier",
     "training_pairs",
-    # 2. r7-VINTAGE BLOCK (31 queries, alphabetical):
     "activity_streaks",
     "adamic_adar",
     "basket_lift",
@@ -785,7 +837,6 @@ _WINDOW_PRIORITY = [
     "user_sessions",
     "weighted_median",
     "zorder_layout",
-    # 3. r8 HEAD (alphabetical, fills the window to 50):
     "ab_test_report",
     "betweenness_sampled",
     "bpe_vocab",
@@ -795,12 +846,6 @@ _WINDOW_PRIORITY = [
     "degree_assortativity",
     "dominant_part_suppliers",
     "dsir_sampled",
-    # -- past-window from here: previous windows in their prior
-    # relative order (FIRST occurrence kept — the r13 list had 12
-    # superseded duplicate tails, removed per ADVICE r13 item 1; a
-    # uniqueness check now guards the consumer). All covered every
-    # CI run at sf0.001 (tests/test_entry_queries) and by the
-    # committed per-round sf0.01 local sweep (CORRECTNESS_LOCAL). --
     "ann_recall_report",
     "semantic_dedup_recall",
     "chi_square_cells",
@@ -896,12 +941,8 @@ _WINDOW_PRIORITY = [
     "quality_resample",
     "repeated_spans",
     "retention_cohorts",
-    "returned_items",
-    "revenue_grouping_sets",
-    "simhash_near_dups",
     "user_topk_reviews",
     "semantic_dedup_ann",
-    "butterfly_counts",
     "click_attribution_pairs",
     "split_db_part",
     "fingerprints",
@@ -911,8 +952,6 @@ _WINDOW_PRIORITY = [
     "community_sizes",
     "graph_vertices",
     "undirected_edges",
-    "activity_similarity",
-    "bfs_hops",
     "connected_components",
     "contamination_by_source",
     "corpus_mixture",
@@ -941,50 +980,6 @@ _WINDOW_PRIORITY = [
     "semantic_dedup_fixed",
     "semantic_dedup_sqrt",
     "hard_negative_mining",
-    "stratified_split",
-    "table_profile",
-    "user_event_pivot",
-    "value_outliers",
-    "kv_roundtrip",
-    "user_product_sets",
-    "deduped_corpus_quality_artifact",
-    "kmeans_one_step",
-    "user_running_stats",
-    "hybrid_retrieval_rrf",
-    "ewma_event_trend",
-    "zone_map_stats",
-    "mf_scoring_fixed",
-    "seasonal_decomposition",
-    "user_recommendations",
-    "serving_snapshot",
-    "minhash_near_dups",
-    "near_dup_clusters_lsh",
-    "hard_negative_mining_ann",
-    "windowed_review_counts",
-    "dsir_selected",
-    "neighborhood_function",
-    "similar_documents",
-    "entity_clusters",
-    "readability_scores",
-    "temporal_reachability",
-    "l_diversity",
-    "markov_attribution",
-    "pagerank_weighted",
-    "zipf_fit",
-    "heaps_law",
-    "effective_diameter",
-    "min_cost_supplier",
-    "nation_profit",
-    "important_parts",
-    "supplier_part_variety",
-    "fuzzy_name_pairs",
-    "weighted_corpus_sample",
-    "gap_filled_hourly",
-    "event_transitions",
-    "integrity_report",
-    "recommender_eval",
-    "hits_scores",
-    "pmi_collocations",
 ]
 
 
