@@ -119,6 +119,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # NOT checkpointed here: predicates on vec_id (the window
+        # partition key) still push through this window to the parquet
+        # scan — the recall audit's corpus bound depends on that; heavy
+        # multi-reference consumers pin their own copy instead (see
+        # q_pq_adc_topk)
     )
 
 
@@ -988,7 +993,10 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin, and the ADC reduction runs on a 1e-6 integer grid so the
     m-term sum is order-independent. Value-checks the exact pipeline the
     rows-only fit feeds (VERDICT r05 item 2)."""
-    emb = _emb(spark, sf_dir)
+    # pin ONE copy of the validated store: the subquantizer slices
+    # reference it ~17× and would otherwise replay the per-vec_id
+    # representative window per reference (round 15)
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=False)
     return S.pq_adc_topk(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
     )

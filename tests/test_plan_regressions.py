@@ -20,14 +20,24 @@ from tests.conftest import SF0001
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # widen the metadata display (default 100 chars): the round-15
+    # measure-domain guards legitimately push extra IsNotNull/abs filters
+    # ahead of the query's own predicates, and the truncated PushedFilters
+    # string would otherwise hide the predicate this suite pins
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):
     plan = _plan(q_pricing_summary(spark, SF0001))
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
         "PushedFilters"
-    )[1][:200], plan[:3000]
+    )[1][:2000], plan[:3000]
     # column pruning: the 16-column lineitem scan must not read l_comment
     assert "l_comment" not in plan
 
