@@ -352,7 +352,6 @@ def main() -> None:
                     float(last["durationMs"]["triggerExecution"]) / 1000.0
                 )
                 drain_lag = round(max(0.0, t_done - t_last_drop), 2)
-            inter_arrival_ms = 1000.0 / rate
             p95 = _percentile(durations, 95) if durations else None
             steady_results.append(
                 {
@@ -373,14 +372,17 @@ def main() -> None:
                         if durations else None
                     ),
                     "trigger_p95_ms": round(p95, 1) if p95 else None,
-                    # sustainable at R if the stream drained and the p95
-                    # trigger fits inside a small multiple of the
-                    # inter-arrival gap (micro-batches absorb >1 file, so
-                    # exact 1:1 pacing is not required)
+                    # sustainable at R = the stream STAYED CAUGHT UP: all
+                    # files committed with at most ~a trigger of residual
+                    # backlog after the last drop. (A p95-vs-inter-arrival
+                    # test would be wrong here: micro-batches absorb every
+                    # file that arrived during the previous trigger, so a
+                    # 1.4 s trigger sustains a 125 ms arrival gap fine.)
                     "sustainable": bool(
                         caught_up
+                        and drain_lag is not None
                         and p95 is not None
-                        and p95 <= inter_arrival_ms * 4
+                        and drain_lag * 1000.0 <= 2 * p95
                     ),
                 }
             )
