@@ -86,6 +86,19 @@ def co_review_edges(
     user cutoff, so it never alters reference semantics; pass ``None`` to
     uncap.
     """
+    # Pin the layout on the join key BEFORE the cap window (round 16:
+    # previously the pin came after it, so the plan carried TWO
+    # product_id exchanges — the window's, AQE-coalesced to one
+    # partition, then the pin's — and the window sort itself ran
+    # single-core). One explicit exchange now feeds window, cap and the
+    # pair-expansion self-join (guide §2.4 "two operations keyed the
+    # same way can share one exchange"); AQE never coalesces explicit
+    # repartitions, so the whole chain keeps full parallelism. The pin
+    # also fixes the original hazard: a distinct/window exchange AQE
+    # coalesces to ONE partition serialized the self-join on one core
+    # (measured 2.5 → 0.4 s for the 497 k-pair expansion at sf0.1;
+    # serving/recommendations inherit the win) — see _util.pin_layout
+    liked = _pin(liked, "product_id")
     if max_reviewers_per_product is not None:
         w = Window.partitionBy("product_id").orderBy(F.col("user_id").asc())
         liked = (
@@ -93,13 +106,6 @@ def co_review_edges(
             .filter(F.col("_rn") <= max_reviewers_per_product)
             .drop("_rn")
         )
-    # Pin the pre-join layout on the join key: the liked relation arrives
-    # from a distinct/window exchange that AQE coalesces to ONE partition
-    # at reference scale, which serialized the whole pair-expansion
-    # self-join on one core (measured 2.5 → 0.4 s for the 497 k-pair
-    # expansion at sf0.1; serving/recommendations inherit the win) — see
-    # _util.pin_layout
-    liked = _pin(liked, "product_id")
     a = liked.alias("a")
     b = liked.alias("b")
     return (
@@ -148,7 +154,12 @@ def _truncate_lineage(df: DataFrame, mode: str) -> DataFrame:
     if mode == "reliable":
         return df.checkpoint(eager=True)
     if mode == "local":
-        return df.localCheckpoint()
+        # lazy (round 16): the eager form ran one EXTRA materialization
+        # job per superstep; with eager=False the checkpoint materializes
+        # inside the NEXT superstep's first job (broadcast build /
+        # aggregation) — same lineage truncation, one job per superstep
+        # instead of two (guide §1.2: remove work, then tune)
+        return df.localCheckpoint(eager=False)
     raise ValueError(f"unknown checkpoint mode {mode!r}")
 
 

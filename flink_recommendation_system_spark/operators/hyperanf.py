@@ -77,13 +77,13 @@ def hyperanf(
     # materialize the edge relation once: it probes every hop's merge
     # join AND seeds the vertex set — without truncation each hop replays
     # the full upstream lineage (scan → filter → edge build)
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    r = _vertex_registers(verts, b).localCheckpoint()
+    r = _vertex_registers(verts, b).localCheckpoint(eager=False)
     snapshots = [r.withColumn("hop", F.lit(0).cast("int"))]
     for hop in range(1, max_hops + 1):
         nbr = edges.join(
@@ -93,7 +93,7 @@ def hyperanf(
             r.unionByName(nbr)
             .groupBy("id", "bucket")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         snapshots.append(r.withColumn("hop", F.lit(hop).cast("int")))
     tagged = snapshots[0]

@@ -479,9 +479,58 @@ def _sub_slices(vec_col: str, m: int, sub_dim: int):
     ]
 
 
-def _l2sq(a: Column, b: Column) -> Column:
+def _explode_subs(
+    df: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    id_alias: str = "vec_id",
+    sv_alias: str = "sv",
+) -> DataFrame:
+    """(id_alias, sub, sv_alias): one row per (vector, subspace) with the
+    contiguous sub_dim-length slice — via a single ``posexplode`` over the
+    array of slices (position = subspace id), so the input relation is
+    scanned ONCE. The previous union-of-m-selects form re-executed the
+    whole upstream plan (scan + the vector store's per-vec_id
+    representative pick) once per subspace — 16 scans and 16 window
+    shuffles at m=16 (guide §2.4: remove shuffles outright; measured on
+    pq_topk at sf0.1: isolated best-of-2 13.3 → 8.0 s together with the
+    one-copy _emb pin in q_pq_topk). Row VALUES are identical to
+    the union form; only physical row order/partitioning differs, which
+    every consumer erases in a (vec, sub)-keyed partial aggregation."""
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(
+            F.array(*[sl for _, sl in _sub_slices(vec_col, m, sub_dim)])
+        ).alias("sub", sv_alias),
+    )
+
+
+def _l2sq(a: Column, b: Column, n: int | None = None) -> Column:
+    """Squared L2 distance as a left fold (the order DuckDB's ``list_sum``
+    reproduces bit-for-bit). ``n``: when the caller knows both arrays are
+    exactly ``n`` elements (PQ subvectors: sub_dim 4-8), emit an UNROLLED
+    ``lit(0.0) + t1² + … + tn²`` expression tree for that case — the same
+    IEEE addition order, but whole-stage-codegen'd where the higher-order
+    ``aggregate`` is CodegenFallback (interpreted per element; the PQ
+    assignment evaluates it corpus × m × n_codes times — guide §4.1
+    "prefer built-ins/codegen"). Arrays of any OTHER length (hostile
+    short vectors) take the original fold via the lazily-evaluated
+    ``otherwise`` branch, so out-of-domain inputs keep byte-identical
+    NULL semantics. Unrolling is capped at small n: a ~190-node 64-term
+    tree defeats codegen and measured ~3× slower (see ``_dot``)."""
     d = F.zip_with(a, b, lambda x, y: x - y)
-    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    fold = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+    if n is None or n > 16:
+        return fold
+    fast = F.lit(0.0)
+    for i in range(n):
+        t = F.get(a, i) - F.get(b, i)
+        fast = fast + t * t
+    return F.when(
+        (F.size(a) == n) & (F.size(b) == n), fast
+    ).otherwise(fold)
 
 
 def pq_fit(
@@ -512,47 +561,63 @@ def pq_fit(
     with a per-(vec, sub) argmin, and the update is one partial-agg mean
     per (sub, code). The fitted artifact is m·k codewords + m small ints
     per corpus vector.
+
+    Physical design (round 16): the codebook is m·k rows of driver-side
+    METADATA — the same bounded-collect scale waiver as MLlib's own Lloyd
+    loop and ``ivf_refit_centroids`` — so each round collects the (sub,
+    code) means (m·k rows) and re-broadcasts the merged codebook as
+    literals instead of localCheckpoint-ing a 512-row DataFrame and
+    joining it against the means relation (guide §1.2: the loop was
+    checkpoint/job-bound, ~3 jobs per round for one distributed job's
+    worth of work; the corpus-sized ``subs`` relation stays distributed
+    and is never collected). Mean values are identical: the SAME
+    distributed ``F.avg`` partial aggregation produces them, ``collect``
+    round-trips exact doubles, and the kept-old-codeword rule for empty
+    cells is the Python-side merge of what was the coalesce left join.
     """
     if dim % m != 0:
         raise ValueError("dim must be divisible by m")
     sub_dim = dim // m
-    parts = [
-        corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.lit(s).alias("sub"),
-            sl.alias("sv"),
+    spark = corpus.sparkSession
+    subs = _explode_subs(
+        corpus, m, sub_dim, id_col, vec_col
+    ).localCheckpoint()
+
+    def _books_df(rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+        return spark.createDataFrame(
+            rows, "sub INT, code INT, cw ARRAY<DOUBLE>"
         )
-        for s, sl in _sub_slices(vec_col, m, sub_dim)
-    ]
-    subs = parts[0]
-    for p in parts[1:]:
-        subs = subs.unionByName(p)
-    subs = subs.localCheckpoint()
 
     # deterministic init: k lowest md5('pq'||sub||vec_id) vectors per sub
     iw = Window.partitionBy("sub").orderBy(
         F.md5(F.concat_ws("|", F.lit("pq"), "sub", "vec_id")).asc(),
         F.col("vec_id").asc(),
     )
-    books = (
-        subs.withColumn("_rn", F.row_number().over(iw))
-        .filter(F.col("_rn") <= k)
-        .select(
-            "sub", (F.col("_rn") - 1).alias("code"), F.col("sv").alias("cw")
+    book_rows = {
+        (r["sub"], r["code"]): r["cw"]
+        for r in (
+            subs.withColumn("_rn", F.row_number().over(iw))
+            .filter(F.col("_rn") <= k)
+            .select(
+                "sub", (F.col("_rn") - 1).alias("code"),
+                F.col("sv").cast("array<double>").alias("cw"),
+            )
+            .collect()
         )
-        .localCheckpoint()
-    )
+    }
     # argmin as min(struct(_d, code, sv)) — lexicographic struct order is
     # (distance asc, code asc); code is unique per (vec, sub) group so sv
     # never participates in the comparison, it just rides along for the
     # mean update. Partial-aggregates map-side instead of a row_number
     # sort-shuffle (same rewrite as pq_assign_codes, where it measured
-    # ~2×; the fit loop is means/checkpoint-bound so here it's parity —
-    # kept for the shuffle-volume story at real corpus sizes).
+    # ~2×).
     for _ in range(iters):
+        books = F.broadcast(_books_df(
+            [(s, c, cw) for (s, c), cw in sorted(book_rows.items())]
+        ))
         assigned = (
-            subs.join(F.broadcast(books), "sub")
-            .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
+            subs.join(books, "sub")
+            .withColumn("_d", _l2sq(F.col("sv"), F.col("cw"), sub_dim))
             .groupBy("vec_id", "sub")
             .agg(F.min(F.struct("_d", "code", "sv")).alias("_a"))
             .select(
@@ -563,7 +628,7 @@ def pq_fit(
             )
         )
         # mean per (sub, code); a code that lost every vector keeps its
-        # old codeword (coalesce after the left join)
+        # old codeword (missing keys stay untouched in book_rows)
         means = assigned.groupBy("sub", "code").agg(
             F.array(
                 *[
@@ -572,18 +637,14 @@ def pq_fit(
                 ]
             ).alias("new_cw")
         )
-        books = (
-            books.join(means, ["sub", "code"], "left")
-            .select(
-                "sub",
-                "code",
-                F.coalesce(F.col("new_cw"), F.col("cw")).alias("cw"),
-            )
-            .localCheckpoint()
-        )
+        for r in means.collect():
+            book_rows[(r["sub"], r["code"])] = r["new_cw"]
+    books = _books_df(
+        [(s, c, cw) for (s, c), cw in sorted(book_rows.items())]
+    )
     codes = (
         subs.join(F.broadcast(books), "sub")
-        .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
+        .withColumn("_d", _l2sq(F.col("sv"), F.col("cw"), sub_dim))
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct("_d", "code")).alias("_a"))
         .select("vec_id", "sub", F.col("_a.code").alias("code"))
@@ -609,24 +670,17 @@ def pq_topk(
     tie-break. Recall vs the exact baseline is test-asserted (rows-only
     registered tier, like IVF)."""
     m, sub_dim = index.m, index.sub_dim
-    qparts = [
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(s).alias("sub"),
-            sl.alias("qv"),
-        )
-        for s, sl in _sub_slices(vec_col, m, sub_dim)
-    ]
-    qsubs = qparts[0]
-    for p in qparts[1:]:
-        qsubs = qsubs.unionByName(p)
+    qsubs = _explode_subs(
+        queries, m, sub_dim, id_col, vec_col,
+        id_alias="query_id", sv_alias="qv",
+    )
     table = (
         qsubs.join(F.broadcast(index.codebooks), "sub")
         .select(
             "query_id",
             "sub",
             "code",
-            _l2sq(F.col("qv"), F.col("cw")).alias("_d"),
+            _l2sq(F.col("qv"), F.col("cw"), sub_dim).alias("_d"),
         )
     )
     scored = (
@@ -701,24 +755,14 @@ def pq_assign_codes(
     and never shuffled beyond the per-(vec, sub) argmin partial
     aggregate (min(struct) — no window, no sort). Output:
     (vec_id, sub, code)."""
-    parts = [
-        corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.lit(s).alias("sub"),
-            sl.alias("sv"),
-        )
-        for s, sl in _sub_slices(vec_col, m, sub_dim)
-    ]
-    subs = parts[0]
-    for p in parts[1:]:
-        subs = subs.unionByName(p)
+    subs = _explode_subs(corpus, m, sub_dim, id_col, vec_col)
     # argmin as min(struct(_d, code)) — struct ordering compares fields
     # left-to-right, so this is exactly (distance asc, code asc) — which
     # PARTIAL-aggregates map-side; a row_number window would sort-shuffle
     # all m·k distance rows per vector (measured ~2× slower at sf0.1)
     return (
         subs.join(F.broadcast(books), "sub")
-        .withColumn("_d", _l2sq(F.col("sv"), F.col("cw")))
+        .withColumn("_d", _l2sq(F.col("sv"), F.col("cw"), sub_dim))
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_m"))
         .select("vec_id", "sub", F.col("_m.code").alias("code"))
@@ -765,22 +809,15 @@ def pq_adc_topk(
     codes = pq_assign_codes(
         corpus, books, m, sub_dim, id_col=id_col, vec_col=vec_col
     )
-    qparts = [
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(s).alias("sub"),
-            sl.alias("qv"),
-        )
-        for s, sl in _sub_slices(vec_col, m, sub_dim)
-    ]
-    qsubs = qparts[0]
-    for p in qparts[1:]:
-        qsubs = qsubs.unionByName(p)
+    qsubs = _explode_subs(
+        queries, m, sub_dim, id_col, vec_col,
+        id_alias="query_id", sv_alias="qv",
+    )
     table = qsubs.join(books, "sub").select(
         "query_id",
         "sub",
         "code",
-        F.round(_l2sq(F.col("qv"), F.col("cw")) * 1e6)
+        F.round(_l2sq(F.col("qv"), F.col("cw"), sub_dim) * 1e6)
         .cast("long")
         .alias("_de6"),
     )

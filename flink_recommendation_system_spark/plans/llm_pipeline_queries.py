@@ -79,6 +79,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _pin_emb(emb: DataFrame) -> DataFrame:
+    """Pin ONE materialized copy of a validated embeddings relation for
+    multi-reference consumers (round 16, VERDICT r15 item 5): the
+    representative-pick aggregation in ``_emb`` otherwise re-executes per
+    reference (the PQ fit + query side referenced it ~17×). The
+    ``pin_layout`` repartition comes FIRST: a lazily-checkpointed tiny
+    relation otherwise materializes at AQE's coalesced ONE partition and
+    serializes every downstream per-row-heavy stage (signature
+    projections, all-pairs scoring) on one core — the _util.pin_layout
+    lesson. At real scale the relation exceeds the advisory size and the
+    exchange is one narrow pass."""
+    from ..operators._util import pin_layout
+
+    return pin_layout(emb, "vec_id").localCheckpoint(eager=False)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE embeddings ingest point — applies the vector-validity contract
     (round 15, adversarial sweep): embedding present, non-empty, no NULL
@@ -108,20 +124,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE deterministic row per vec_id (round 15): vec_id-keyed
         # consumers otherwise multiply cell/pair multiplicity by the
         # physical duplication factor — and duplicated rows can differ in
-        # metadata (label), so a full-row distinct is not enough
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("label").asc(), F.col("embedding").asc()
-                )
-            ),
+        # metadata (label), so a full-row distinct is not enough.
+        # Round 16: the pick is min(struct(label, embedding)) — struct
+        # ordering is (label ASC NULLS FIRST, embedding ASC NULLS FIRST),
+        # exactly the row_number window this replaces (parity pinned by
+        # test_emb_representative_pick_matches_window) — because the
+        # aggregation PARTIAL-aggregates map-side where the window
+        # sort-shuffled every embedding array (guide §2.3 "aggregate
+        # before you shuffle"); a no-op pass-through on clean data where
+        # vec_id is already unique.
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("label", "embedding")).alias("_m"))
+        .select(
+            "vec_id",
+            F.col("_m.embedding").alias("embedding"),
+            F.col("_m.label").alias("label"),
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        # NOT checkpointed here: predicates on vec_id (the window
-        # partition key) still push through this window to the parquet
-        # scan — the recall audit's corpus bound depends on that; heavy
+        # NOT checkpointed here: predicates on vec_id (the grouping key)
+        # still push through this aggregation to the parquet scan — the
+        # recall audit's corpus bound depends on that; heavy
         # multi-reference consumers pin their own copy instead (see
         # q_pq_adc_topk)
     )
@@ -867,7 +888,8 @@ SIMHASH_NEAR_DUPS_SQL = _simhash_sql(3)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # pin ONE copy of the validated store (round 16): query + corpus side
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.cosine_topk(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
     )
@@ -913,7 +935,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_sum(list_transform(...))`` reproduces the fold bit-for-bit, so
     the bucket assignment, candidate join, and re-rank are all
     engine-exact. Recall vs cosine_topk additionally asserted in tests."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.lsh_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
 
 
@@ -971,7 +993,7 @@ LSH_TOPK_SQL = _lsh_topk_sql()
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans coarse quantizer, probe 4/16 cells) approximate top-k —
     rows-only; recall vs the exact baseline asserted in tests."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.ivf_topk(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
 
 
@@ -982,7 +1004,11 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance = sum of m lookups. Rows-only (the Lloyd fit is iterative —
     deterministic but not SQL-expressible); recall vs the exact baseline
     asserted in tests like IVF."""
-    emb = _emb(spark, sf_dir)
+    # pin ONE copy of the validated store (round 16, same move as
+    # q_pq_adc_topk): the Lloyd fit + query side reference it repeatedly
+    # and would otherwise replay the per-vec_id representative pick each
+    # time
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.pq_topk_oneshot(emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5)
 
 
@@ -996,7 +1022,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin ONE copy of the validated store: the subquantizer slices
     # reference it ~17× and would otherwise replay the per-vec_id
     # representative window per reference (round 15)
-    emb = _emb(spark, sf_dir).localCheckpoint(eager=False)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.pq_adc_topk(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
     )
@@ -1066,7 +1092,7 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (the hash-exact twin of the KMeans-fitted ``ivf_topk``):
     argmin-L2 cell assignment, 4-of-16 cell probe, exact cosine re-rank
     within the probed cells."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.ivf_probe_fixed(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, k=5
     )
@@ -1148,8 +1174,8 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost grew with every tier and SF bump (VERDICT r12 item 4). Tiers
     are invoked at operator level on the same sampled corpus the
     oracle's emb_audit CTE holds."""
-    emb = _emb(spark, sf_dir).filter(
-        F.col("vec_id") < RECALL_AUDIT_MAX_VECS
+    emb = _pin_emb(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < RECALL_AUDIT_MAX_VECS)
     )
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     exact_cos = (
@@ -1197,16 +1223,22 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ("srp_lsh", "cosine", lambda: S.lsh_topk(qs, emb, k=5), exact_cos),
     ]
-    out = None
-    for name, baseline, fn, exact in tiers:
+    # independent tier index builds evaluated concurrently (guide §2.6,
+    # same move as q_semantic_dedup_recall) — the checkpoints and the
+    # output union order are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tier_result(fn):
         # checkpoint the (≤ k × n_queries)-row tier result: n_ann and
         # n_hits both read it, and without truncation each tier's full
         # index pipeline executes twice (halved the report's wall-clock)
-        ann = (
-            fn()
-            .select("query_id", "neighbor_id")
-            .localCheckpoint()
-        )
+        return fn().select("query_id", "neighbor_id").localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=len(tiers)) as _pool:
+        anns = list(_pool.map(lambda t: _tier_result(t[2]), tiers))
+
+    out = None
+    for (name, baseline, fn, exact), ann in zip(tiers, anns):
         row = (
             ann.agg(F.count(F.lit(1)).alias("n_ann"))
             .crossJoin(
@@ -1249,8 +1281,8 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     4); bounding the sample pins it while the adaptive tiers (cells,
     band bits) re-derive their parameters from the same sampled count on
     both engines."""
-    emb = _emb(spark, sf_dir).filter(
-        F.col("vec_id") < RECALL_AUDIT_MAX_VECS
+    emb = _pin_emb(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < RECALL_AUDIT_MAX_VECS)
     )
     from ..operators.similarity import _dot as _dotc, _norm as _normc
 
@@ -1329,12 +1361,25 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    out = None
-    for name, fn in dedup_tiers:
-        kept = fn().select("vec_id")
+    # The four tiers are INDEPENDENT jobs whose tiny stages leave most
+    # cores idle — evaluate their drop sets from a small thread pool so
+    # the next tier's tasks back-fill the current tier's stragglers
+    # (guide §2.6 "overlap independent jobs"); each drop set is the same
+    # eager localCheckpoint as before, just submitted concurrently, and
+    # the output union keeps the deterministic tier order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _drop_set(fn):
         # checkpoint: the drop set (≤ N ids) feeds n_ann AND n_hits —
         # without truncation the whole dedup tier runs twice
-        drop = all_ids.join(kept, "vec_id", "left_anti").localCheckpoint()
+        kept = fn().select("vec_id")
+        return all_ids.join(kept, "vec_id", "left_anti").localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=len(dedup_tiers)) as _pool:
+        drops = list(_pool.map(lambda t: _drop_set(t[1]), dedup_tiers))
+
+    out = None
+    for (name, _fn), drop in zip(dedup_tiers, drops):
         row = (
             drop.agg(F.count(F.lit(1)).alias("n_ann"))
             .crossJoin(
@@ -1731,7 +1776,7 @@ def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ EMB_DUP_THRESHOLD) — the
     oracle-checked baseline for the LSH variant. Threshold low enough to
     yield rows on random synthetic embeddings."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     v = emb.select(
         "vec_id", "embedding", S._norm(F.col("embedding")).alias("nrm")
     )
@@ -1777,7 +1822,7 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes are plan constants DuckDB reproduces bit-for-bit (same
     recipe as lsh_topk), so bucket assignment AND the verified pair set
     are engine-exact."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.embedding_near_dups(
         emb, threshold=EMB_LSH_THRESHOLD, n_planes=EMB_LSH_PLANES
     )
@@ -2098,7 +2143,7 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
     docs = _docs(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     queries = docs.filter(F.col("doc_id") < N_QUERY_VECS).select(
         F.col("doc_id").alias("query_id"),
         F.col("text").alias("query_text"),
@@ -2370,7 +2415,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.45, not the paper's 0.99: the round-4 synthetic
     # embeddings' max pairwise cosine is ~0.51, so 0.99 would drop nothing
     # and the dedup would be a no-op on this corpus
-    return S.semantic_dedup(_emb(spark, sf_dir), n_clusters=16, threshold=0.45)
+    return S.semantic_dedup(
+        _pin_emb(_emb(spark, sf_dir)),
+        n_clusters=16,
+        threshold=0.45,
+    )
 
 
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3906,7 +3955,8 @@ def q_semantic_dedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     `semantic_dedup_ivf_refit` (occupancy-law cells, linear candidate
     volume)."""
     return S.semantic_dedup_fixed(
-        _emb(spark, sf_dir), n_clusters=16, threshold=0.45
+        _pin_emb(_emb(spark, sf_dir)),
+        n_clusters=16, threshold=0.45
     )
 
 
@@ -4005,7 +4055,7 @@ def q_semantic_dedup_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     `semantic_dedup_ivf_refit`."""
     import math
 
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     n_cells = int(math.sqrt(emb.count()))
     return S.semantic_dedup_fixed(
         emb, n_clusters=n_cells, threshold=0.45
@@ -4557,7 +4607,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (vec_id < N_QUERY_VECS), nearest same-label positive and the
     3 nearest different-label hard negatives by exact cosine. FULL value
     oracle (deterministic arithmetic end to end)."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.hard_negative_mining(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), emb, n_pos=1, n_neg=3
     )
@@ -4611,7 +4661,7 @@ def q_hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the identical exact-cosine scoring/ranking contract. FULL value
     oracle — the hyperplanes are seeded Python-float constants on both
     engines and the candidate set is deterministic integer banding."""
-    emb = _emb(spark, sf_dir)
+    emb = _pin_emb(_emb(spark, sf_dir))
     return S.hard_negative_mining_ann(
         emb.filter(F.col("vec_id") < N_QUERY_VECS),
         emb,
@@ -4708,7 +4758,7 @@ def q_semantic_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane table is the same seeded-LCG literal set on both engines and
     the adaptive bits formula is one shared metadata-sized count()."""
     return S.semantic_dedup_ann(
-        _emb(spark, sf_dir),
+        _pin_emb(_emb(spark, sf_dir)),
         threshold=SDA_THRESHOLD,
         n_bands=SDA_BANDS,
         target_bucket=SDA_TARGET_BUCKET,
@@ -4812,7 +4862,7 @@ def q_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     value oracle: prefix-stable LCG unit-centroid literals, IEEE
     left-fold L2, (d asc, cell asc) tie-break, 6-dp cosine."""
     return S.semantic_dedup_ivf(
-        _emb(spark, sf_dir),
+        _pin_emb(_emb(spark, sf_dir)),
         threshold=SDA_THRESHOLD,
         target_occ=SDI_TARGET_OCC,
         n_probe=SDI_N_PROBE,
@@ -4963,7 +5013,7 @@ def q_semantic_dedup_ivf_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid multiples + one IEEE division, re-snapped to the grid so the
     probe-16 assignment's BLAS decomposition stays bit-exact."""
     return S.semantic_dedup_ivf_refit(
-        _emb(spark, sf_dir),
+        _pin_emb(_emb(spark, sf_dir)),
         threshold=SDA_THRESHOLD,
         target_occ=SDI_TARGET_OCC,
         n_probe=SDR_N_PROBE,
@@ -5067,7 +5117,7 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins against the live file-source stream)."""
     from ..operators.similarity import ivf_cell_assignments
 
-    emb = _emb(spark, sf_dir).localCheckpoint()
+    emb = _pin_emb(_emb(spark, sf_dir))
     dropped = None
     store_assign = None
     store_vecs = None

@@ -1135,3 +1135,71 @@ def test_dataset_card_separates_exact_and_normalized_dups(spark):
         }
         assert card[("dedup", "exact_dup_docs")] == 1.0
         assert card[("dedup", "normalized_dup_docs")] == 2.0
+
+
+def test_emb_representative_pick_matches_window(spark):
+    """Round-16 rewrite parity: _emb's per-vec_id representative pick is
+    now min(struct(label, embedding)) — it must select EXACTLY the row the
+    round-15 row_number window (ORDER BY label ASC NULLS FIRST, embedding
+    ASC NULLS FIRST) selected, including on duplicated keys with NULL
+    labels and differing embeddings."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from flink_recommendation_system_spark.plans.llm_pipeline_queries import (
+        _emb,
+    )
+
+    rows = [
+        (1, [1.0, 2.0], 3),
+        (1, [0.5, 2.0], None),   # NULL label sorts FIRST → representative
+        (1, [0.5, 1.0], 2),
+        (2, [3.0, 1.0], 7),
+        (2, [2.0, 1.0], 7),      # equal labels → smaller embedding wins
+        (3, [9.0, 9.0], None),
+        (None, [1.0], 1),        # NULL key → quarantined
+        (4, [float("nan"), 1.0], 1),  # NaN element → quarantined
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.repartition(3).write.parquet(f"{d}/embeddings.parquet")
+        got = sorted(
+            tuple(r) for r in _emb(spark, d).collect()
+        )
+        # reference: the round-15 window formulation over the same guard
+        raw = spark.read.parquet(f"{d}/embeddings.parquet")
+        e = F.col("embedding")
+        norm_sq = F.aggregate(
+            e, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("label").asc(), F.col("embedding").asc()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in (
+                raw.filter(
+                    F.col("vec_id").isNotNull()
+                    & e.isNotNull()
+                    & (F.size(e) > 0)
+                    & ~F.exists(
+                        e, lambda x: x.isNull() | F.isnan(x.cast("double"))
+                    )
+                    & (norm_sq > 0)
+                    & (norm_sq < F.lit(float("1e308")))
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .select("vec_id", "embedding", "label")
+                .collect()
+            )
+        )
+    assert got == ref
+    assert [g[0] for g in got] == [1, 2, 3]
+    assert got[0][2] is None and got[0][1] == [0.5, 2.0]
+    assert got[1][1] == [2.0, 1.0]
