@@ -85,6 +85,11 @@ SHUFFLE_CANARY_PARTS = 32
 # not comparable to fresh-ref artifacts); the 1.93-based 210.8 value
 # appears only in the r14 BENCH_r14.json driver artifact produced
 # before the 3.21 constant landed. Neither is comparable to r15+.
+# SANITY BAND (round 16): normalized_total_shuffle is emitted only when
+# fresh/ref ∈ [1/3, 3] — outside that band the fresh canary measured a
+# host anomaly (the r15 closing artifact recorded a 10.3× transient and
+# published a meaningless 37.4 s "normalized" total), so the value is
+# suppressed exactly like the cpus≠32 case rather than published.
 SHUFFLE_CANARY_REF_SEC = 1.93
 
 
@@ -316,10 +321,22 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if cpus == 32:
         normalized_total = round(total * (CANARY_REF_SEC / canary_sec), 1)
+        # Sanity band (round 16, VERDICT r15 what's-wrong #1): the r15
+        # closing artifact carried normalized_total_shuffle=37.4 because
+        # the fresh canary read 19.977 s — a 10.3× transient vs the
+        # 1.93 s reference — and the suppression logic only fired when
+        # the subprocess FAILED, not when it succeeded absurdly. A
+        # fresh/ref ratio outside [1/3, 3] means the canary measured a
+        # host anomaly, not throughput; suppress exactly like cpus≠32.
+        ratio = (
+            shuffle_canary_fresh_sec / SHUFFLE_CANARY_REF_SEC
+            if shuffle_canary_fresh_sec
+            else None
+        )
         normalized_total_shuffle = (
             round(total * (SHUFFLE_CANARY_REF_SEC / shuffle_canary_fresh_sec), 1)
-            if shuffle_canary_fresh_sec
-            else None  # fresh subprocess failed → suppress, don't mislead
+            if ratio is not None and (1 / 3) <= ratio <= 3.0
+            else None  # subprocess failed OR outlier → suppress
         )
     else:
         normalized_total = None

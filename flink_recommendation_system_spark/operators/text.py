@@ -163,7 +163,16 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     toks = tokens("text")
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    rows = docs.withColumn("_rid", F.monotonically_increasing_id())
+    # PIN the surrogate row ids (round 16, ADVICE r15 item 5):
+    # monotonically_increasing_id is nondeterministic, and the token-stat
+    # and bigram branches below recompute this relation independently —
+    # a task retry or split-planning change between the two recomputed
+    # branches could assign different rids and silently mispair per-row
+    # stats. The checkpoint materializes ONE rid assignment both branches
+    # read (and saves the second scan).
+    rows = docs.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     base = rows.select(
         "doc_id",
         "_rid",

@@ -284,7 +284,12 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reviews
         GROUP BY product_id
         HAVING count(*) > 10
-        ORDER BY avg_rating DESC, product_id ASC
+        -- explicit NULL placement (round 16, ADVICE r15 item 3): Spark
+        -- DESC defaults to NULLS LAST / ASC to NULLS FIRST while DuckDB
+        -- defaults both to NULLS-LAST-for-ASC semantics, so a NULL
+        -- product_id group (possible on hostile data) at the LIMIT
+        -- boundary diverged; both sides now pin the same placement
+        ORDER BY avg_rating DESC NULLS LAST, product_id ASC NULLS FIRST
         LIMIT 20
         """
     )
@@ -303,7 +308,7 @@ SELECT product_id,
 FROM reviews
 GROUP BY product_id
 HAVING count(*) > 10
-ORDER BY avg_rating DESC, product_id ASC
+ORDER BY avg_rating DESC NULLS LAST, product_id ASC NULLS FIRST
 LIMIT 20
 """
 

@@ -27,6 +27,7 @@ from ..operators.relational import (
     to_kv_strings,
     top_k,
 )
+from ..operators._util import finite_measure
 from ..sources.tables import load_table, load_table_clean, reviews_from_events
 
 
@@ -1208,11 +1209,22 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     key sets, primary-key duplicate counts via a grouped HAVING, NULL
     checks as conditional counts. Every check is a count over one scan
     + one anti-join/agg; the union of single-row aggregates moves a
-    handful of rows regardless of fact volume."""
-    li = load_table_clean(spark, sf_dir, "lineitem")
-    orders = load_table_clean(spark, sf_dir, "orders")
-    cust = load_table_clean(spark, sf_dir, "customer")
-    part = load_table_clean(spark, sf_dir, "part")
+    handful of rows regardless of fact volume.
+
+    RAW tables BY DESIGN (round 16, ADVICE r15 item 1): this audit is
+    the one consumer that must SEE dirty rows — routed through the
+    measure-domain cleaner it could no longer report what it audits
+    (lineitem_null_extendedprice was always 0 because NULL fails
+    abs(col) < bound; NaN/Inf/extreme rows vanished from every check; a
+    parent order dropped by the cleaner turned its lineitems into false
+    orphans). Only the arithmetic-sensitive totalprice check carries an
+    explicit per-check domain predicate (finite_measure on both price
+    columns, mirrored in the oracle) so the exact-cents cast stays total
+    under ANSI on hostile data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
 
     def count_row(name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -1257,14 +1269,22 @@ def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         li["l_orderkey"] == F.col("o_orderkey"),
     ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
     li_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # per-check domain guard (NOT a table-level cleaner): the exact-cents
+    # cast/sum must only see finite in-range prices — out-of-domain rows
+    # are reported by the NULL/orphan checks above, not silently dropped
+    # from the whole audit
     order_sum = (
-        li.groupBy("l_orderkey").agg(F.sum(li_cents).alias("li_total_e2"))
+        li.filter(finite_measure("l_extendedprice"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(li_cents).alias("li_total_e2"))
     )
-    totalprice_mismatch = orders.join(
-        order_sum, orders["o_orderkey"] == F.col("l_orderkey")
-    ).filter(
-        F.round(F.col("o_totalprice") * 100).cast("long")
-        != F.col("li_total_e2")
+    totalprice_mismatch = (
+        orders.filter(finite_measure("o_totalprice"))
+        .join(order_sum, orders["o_orderkey"] == F.col("l_orderkey"))
+        .filter(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            != F.col("li_total_e2")
+        )
     )
     checks = [
         ("lineitem_orphan_orderkey", orphan_li_orders),
@@ -1312,8 +1332,10 @@ SELECT 'orders_totalprice_mismatch', count(*)
 FROM orders
 JOIN (SELECT l_orderkey,
              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_total_e2
-      FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
-WHERE CAST(round(o_totalprice * 100) AS BIGINT) != li_total_e2
+      FROM lineitem WHERE abs(l_extendedprice) < 1000000000000.0
+      GROUP BY 1) li ON o_orderkey = l_orderkey
+WHERE abs(o_totalprice) < 1000000000000.0
+  AND CAST(round(o_totalprice * 100) AS BIGINT) != li_total_e2
 """
 
 QUERIES["integrity_report"] = (q_integrity_report, INTEGRITY_REPORT_SQL)
@@ -1695,7 +1717,10 @@ del _name, _entry
 # matching query fns above; no-op on clean generator data)
 from ..oracles import clean_tables_sql as _clean_tables_sql  # noqa: E402
 
-_CLEAN_TABLE_MAP = {'entity_clusters': ('customer',), 'global_sales_opportunity': ('customer', 'orders'), 'important_parts': ('lineitem',), 'integrity_report': ('customer', 'lineitem', 'orders', 'part'), 'min_cost_supplier': ('lineitem', 'part', 'supplier'), 'nation_profit': ('lineitem', 'orders', 'part', 'supplier'), 'record_linkage_scores': ('customer',), 'shipping_priority': ('customer', 'lineitem', 'orders'), 'returned_items': ('customer', 'lineitem', 'orders'), 'revenue_by_nation': ('customer', 'orders'), 'pricing_summary': ('lineitem',)}
+# integrity_report deliberately ABSENT (round 16, ADVICE r15 item 1): the
+# data-quality audit must see raw rows; its one arithmetic-sensitive check
+# carries its own per-check domain predicate instead.
+_CLEAN_TABLE_MAP = {'entity_clusters': ('customer',), 'global_sales_opportunity': ('customer', 'orders'), 'important_parts': ('lineitem',), 'min_cost_supplier': ('lineitem', 'part', 'supplier'), 'nation_profit': ('lineitem', 'orders', 'part', 'supplier'), 'record_linkage_scores': ('customer',), 'shipping_priority': ('customer', 'lineitem', 'orders'), 'returned_items': ('customer', 'lineitem', 'orders'), 'revenue_by_nation': ('customer', 'orders'), 'pricing_summary': ('lineitem',)}
 for _n, _tabs in _CLEAN_TABLE_MAP.items():
     QUERIES[_n] = (
         QUERIES[_n][0],

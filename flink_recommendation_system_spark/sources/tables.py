@@ -32,10 +32,22 @@ RATING_VALUE_BOUND = 1e15
 # Spark's get_json_object AND from_json both accept trailing garbage
 # ('{"k":54}~dup' → 54) while DuckDB's json parser rejects it, and
 # DuckDB's TRY_CAST rounds '1.5' to 2 where Spark yields NULL — so the
-# extraction is defined as a STRICT full-document regex match (Java
-# regex and RE2 agree exactly on this pattern; 17-case cross-engine
-# parity pinned in tests). Anything else → NULL product_id.
-PRODUCT_KEY_PATTERN = r'^\s*\{\s*"k"\s*:\s*(-?\d+)\s*\}\s*$'
+# extraction is defined as a STRICT full-document regex match (21-case
+# cross-engine parity pinned in tests). Anything else → NULL product_id.
+# The whitespace class is the EXPLICIT engine-identical [ \t\r\n], not
+# \s (round 16, ADVICE r15 item 2): Java's \s includes \x0B (vertical
+# tab) while RE2's does not, so '{"k":5}\x0b' extracted 5 in Spark but
+# NULL in DuckDB — a latent divergence in the canonical product_id
+# derivation. JSON itself allows only space/\t/\r/\n as insignificant
+# whitespace, so the explicit class is also the wire-correct one. The
+# anchor is \z (end of INPUT — identical in Java and RE2), not $: Java's
+# $ also matches before a FINAL LINE TERMINATOR (\n, \r, U+0085,
+# U+2028, U+2029) while RE2's does not, so a payload ending in U+0085
+# matched in Spark but not DuckDB under the old anchor.
+PRODUCT_KEY_PATTERN = (
+    r'^[ \t\r\n]*\{[ \t\r\n]*"k"[ \t\r\n]*:[ \t\r\n]*'
+    r'(-?\d+)[ \t\r\n]*\}[ \t\r\n]*\z'
+)
 
 
 # Spark-SQL-dialect twins of the canonical expressions (for queries whose

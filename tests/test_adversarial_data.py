@@ -104,7 +104,7 @@ def test_generator_is_seeded_and_hostile(tmp_path):
 
 
 def test_strict_product_id_matrix(spark):
-    """The 17-case dirty-props matrix: Spark's strict-regex extraction and
+    """The 21-case dirty-props matrix: Spark's strict-regex extraction and
     the DuckDB oracle fragment agree CELL-FOR-CELL (get_json_object /
     from_json / json_valid all disagree on parts of this matrix — the
     round-15 derivation contract exists because of it)."""
@@ -118,6 +118,11 @@ def test_strict_product_id_matrix(spark):
         '{"k": 1.5}', '{"k": null}', "[1,2]", '{"k": 54} ',
         '{"k":54}{"k":55}', '{"k":54}', '{ "k" : 7 }', "line1\nline2",
         '{"k": -3}', None, '{"k": 999999999999999999999}',
+        # round 16 (ADVICE r15 item 2): whitespace classes where Java \s
+        # and RE2 \s disagree (\x0b, \f) and final line terminators
+        # where Java $ and RE2 $ disagree (U+0085, U+2028) — the explicit
+        # [ \t\r\n] class + \z anchor must yield NULL identically
+        '{"k":5}\x0b', '{"k":5}\f', '{"k":5}\x85', '{"k":5}\u2028',
     ]
     df = spark.createDataFrame([(c,) for c in cases], "props string")
     got = [r[0] for r in df.select(product_id_col()).collect()]

@@ -18,10 +18,13 @@ Both modes collect per-trigger progress through a
 retains only the last ``spark.sql.streaming.numRecentProgressUpdates``
 = 100 updates, which silently dropped the first trigger of the
 maxFilesPerTrigger=1 sweep point — the listener sees every event), and
-count processed rows EXACTLY by reading the output sink back
-(one enriched output row per input event; VERDICT r14 item 5 — replaces
-the ``numInputRows`` workaround, which 3×-overcounts under foreachBatch
-because each sink action re-scans the micro-batch's files).
+count processed rows EXACTLY as the known replay-corpus size under
+the Trigger.AvailableNow drain contract (every file present at start is
+committed before the query stops; VERDICT r14 item 5 / ADVICE r15 item
+4 — the output sink CANNOT serve as the counter because enrichment
+emits one row per DISTINCT batch user, a different grain, and the
+``numInputRows`` workaround 3×-overcounts under foreachBatch because
+each sink action re-scans the micro-batch's files).
 
 What each micro-batch pays is the FULL production body (both sinks: the
 SADD-idempotent ratings append with its anti-join screen, and the
@@ -400,7 +403,7 @@ def main() -> None:
             "n_events": N_EVENTS,
             "n_files": N_FILES,
             "reference_design_rate_events_per_sec": 1,
-            "row_count_source": "output-sink readback (exact)",
+            "row_count_source": "known replay corpus (AvailableNow drain contract)",
             "progress_source": "StreamingQueryListener (uncapped)",
             "sweep": drain_results,
             "steady": steady_results,
