@@ -2427,18 +2427,24 @@ def markov_attribution_from_events(ev: DataFrame) -> DataFrame:
     # rows can share (s, event_id) and the journey chain depends on the
     # tie order; NULLS FIRST mirrored in the oracle
     w = Window.partitionBy("user_id").orderBy("s", "event_id", "event_type")
-    r = ev.withColumn("rn", F.row_number().over(w))
+    # Pin the SEQUENCED relation once (round 16, revisits the r14 "don't
+    # pin" measurement): r14 pinned kept+fp eagerly at AQE's coalesced
+    # 1-partition layout and lost (5.8 → 6.3 s); pinning r with the
+    # pin_layout-first pattern (user_id-hashed, full parallelism, lazy)
+    # wins instead — the window sort runs ONCE where the four downstream
+    # journey consumers each replayed it (A/B at sf0.1: prefix 1.5 →
+    # 1.2 s, full query 5.5 → 3.5 s together with the driver-side
+    # iteration below).
+    from ..operators._util import pin_layout as _pin
+
+    r = _pin(
+        ev.withColumn("rn", F.row_number().over(w)), "user_id"
+    ).localCheckpoint(eager=False)
     fp = (
         r.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("rn").alias("fp"))
     )
-    # NOT checkpointed (r14 measured): kept feeds four consumers and fp
-    # three, but pinning them (fp + the events-sized kept) measured 5.8
-    # -> 6.3 s at sf0.1 — the replayed window passes are pipelined
-    # codegen over a cached scan, cheaper than materializing ~|events|
-    # rows through the block manager. The journey build is simply the
-    # query's cost; the metadata-scale iteration below IS checkpointed.
     j = r.join(fp, "user_id", "left")
     kept = j.filter(F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
 
@@ -2478,62 +2484,67 @@ def markov_attribution_from_events(ev: DataFrame) -> DataFrame:
     ).localCheckpoint()
     states = T.select(F.col("f").alias("state")).distinct().localCheckpoint()
 
-    def quant(c):
-        return (
-            F.floor(c * F.lit(_MK_GRID) + F.lit(0.5)).cast("double")
-            / F.lit(_MK_GRID)
-        )
+    # DRIVER-SIDE power iteration (round 16): the K=12 absorption loop
+    # runs on a |scenarios| × |states| relation of TENS of rows — pure
+    # metadata after the distributed journey/transition build above, the
+    # same bounded-collect scale waiver as ``ivf_refit_centroids`` and
+    # MLlib's Lloyd loop. The previous DataFrame loop spent 12 rounds of
+    # broadcast-join jobs (+3 lineage checkpoints) on it; solving the
+    # tiny absorbing chain on the driver is one collect of the
+    # checkpointed T/scen/states relations (guide §1.2: fix the
+    # algorithm's job shape before per-task tuning). BIT-IDENTICAL by
+    # the query's own exactness contract: every per-step term is
+    # quantized to the 2^-38 grid, so state vectors are exact dyadic
+    # rationals and summation order (Python accumulation here, partial
+    # aggregation before) cannot change a single bit; floor/× / ÷2^38
+    # are the same IEEE ops in Python and in both engines.
+    import math
 
-    base = (
-        scen.crossJoin(T.filter(F.col("t") == "CONV"))
-        .select("scenario", F.col("f").alias("state"), quant(F.col("prob")).alias("bq"))
-    ).localCheckpoint()
-    edges = (
-        scen.crossJoin(T)
-        .join(states.withColumnRenamed("state", "t"), "t")
-        .filter(F.col("t") != F.col("scenario"))
-        .select("scenario", "f", "t", "prob")
-    ).localCheckpoint()
+    t_rows = [(r["f"], r["t"], r["prob"]) for r in T.collect()]
+    scenarios = [r["scenario"] for r in scen.collect()]
+    state_list = [r["state"] for r in states.collect()]
+    state_set = set(state_list)
 
-    grid = scen.crossJoin(states).localCheckpoint()
-    p = grid.withColumn("p", F.lit(0.0))
-    # metadata-scale iteration (|scenarios| x |states| = tens of rows):
-    # broadcast every loop relation so no step shuffles, and truncate
-    # lineage every 4 steps instead of every step (12 -> 3 checkpoint
-    # jobs; measured 14.3 -> ~3 s at sf0.001)
-    for i in range(_MARKOV_K):
-        terms = (
-            F.broadcast(edges)
-            .join(
-                p.select("scenario", F.col("state").alias("t"), "p"),
-                ["scenario", "t"],
-            )
-            .groupBy("scenario", F.col("f").alias("state"))
-            .agg(F.sum(quant(F.col("prob") * F.col("p"))).alias("ts"))
-        )
-        p = (
-            grid.join(F.broadcast(base), ["scenario", "state"], "left")
-            .join(F.broadcast(terms), ["scenario", "state"], "left")
-            .select(
-                "scenario",
-                "state",
-                (
-                    F.coalesce("bq", F.lit(0.0))
-                    + F.coalesce("ts", F.lit(0.0))
-                ).alias("p"),
-            )
-        )
-        if (i + 1) % 4 == 0:
-            p = p.localCheckpoint()
+    def _q(x: float) -> float:
+        return math.floor(x * _MK_GRID + 0.5) / _MK_GRID
 
-    at_start = p.filter(F.col("state") == "START")
-    full = at_start.filter(F.col("scenario") == "FULL").select(
-        F.col("p").alias("p_full")
-    )
-    rem = at_start.filter(F.col("scenario") != "FULL").select(
-        F.col("scenario").alias("channel"), F.col("p").alias("p_removed")
-    )
-    eff = rem.crossJoin(F.broadcast(full)).select(
+    conv = {f: prob for (f, t, prob) in t_rows if t == "CONV"}
+    base = {
+        (s, f): _q(prob) for s in scenarios for f, prob in conv.items()
+    }
+    edges = {
+        s: [
+            (f, t, prob)
+            for (f, t, prob) in t_rows
+            if t in state_set and t != s
+        ]
+        for s in scenarios
+    }
+    p = {(s, st): 0.0 for s in scenarios for st in state_list}
+    for _ in range(_MARKOV_K):
+        terms: dict[tuple, float] = {}
+        for s in scenarios:
+            for f, t, prob in edges[s]:
+                terms[(s, f)] = terms.get((s, f), 0.0) + _q(
+                    prob * p[(s, t)]
+                )
+        p = {
+            (s, st): base.get((s, st), 0.0) + terms.get((s, st), 0.0)
+            for s in scenarios
+            for st in state_list
+        }
+
+    rows = []
+    if ("FULL", "START") in p:
+        pf = p[("FULL", "START")]
+        rows = [
+            (s, pf, p[(s, "START")])
+            for s in scenarios
+            if s != "FULL" and (s, "START") in p
+        ]
+    eff = spark.createDataFrame(
+        rows, "channel STRING, p_full DOUBLE, p_removed DOUBLE"
+    ).select(
         "channel",
         "p_full",
         "p_removed",
