@@ -86,19 +86,20 @@ def co_review_edges(
     user cutoff, so it never alters reference semantics; pass ``None`` to
     uncap.
     """
-    # Pin the layout on the join key BEFORE the cap window (round 16:
-    # previously the pin came after it, so the plan carried TWO
-    # product_id exchanges — the window's, AQE-coalesced to one
-    # partition, then the pin's — and the window sort itself ran
-    # single-core). One explicit exchange now feeds window, cap and the
-    # pair-expansion self-join (guide §2.4 "two operations keyed the
-    # same way can share one exchange"); AQE never coalesces explicit
-    # repartitions, so the whole chain keeps full parallelism. The pin
-    # also fixes the original hazard: a distinct/window exchange AQE
-    # coalesces to ONE partition serialized the self-join on one core
-    # (measured 2.5 → 0.4 s for the 497 k-pair expansion at sf0.1;
-    # serving/recommendations inherit the win) — see _util.pin_layout
-    liked = _pin(liked, "product_id")
+    # Pin the pre-join layout on the join key: the liked relation arrives
+    # from a distinct/window exchange that AQE coalesces to ONE partition
+    # at reference scale, which serialized the whole pair-expansion
+    # self-join on one core (measured 2.5 → 0.4 s for the 497 k-pair
+    # expansion at sf0.1; serving/recommendations inherit the win) — see
+    # _util.pin_layout. Round-16 note: hoisting the pin ABOVE the cap
+    # window (to share one exchange across window+cap+join, guide §2.4)
+    # was tried and MEASURED WORSE downstream (user_recommendations best
+    # 3.6 → 5.1 s, connected_components 3.2 → 5.1 s at sf0.1): the
+    # window over the pinned 32-partition layout leaves 32 sorted
+    # partitions whose self-join then plans as a sort-merge over the
+    # wide pair expansion, where the post-window re-pin feeds AQE a
+    # fresh exchange it can hash-join and skew-split. Kept in the
+    # measured (pin-after) order.
     if max_reviewers_per_product is not None:
         w = Window.partitionBy("product_id").orderBy(F.col("user_id").asc())
         liked = (
@@ -106,6 +107,7 @@ def co_review_edges(
             .filter(F.col("_rn") <= max_reviewers_per_product)
             .drop("_rn")
         )
+    liked = _pin(liked, "product_id")
     a = liked.alias("a")
     b = liked.alias("b")
     return (
