@@ -493,7 +493,7 @@ def contracted_components(
         if label0.count() <= BROADCAST_LABELS_MAX
         else label0
     )
-    residual = (
+    residual = _truncate_lineage(
         edges.join(lab, edges["src"] == lab["id"])
         .select(F.col("l0").alias("src"), "dst")
         .join(
@@ -502,8 +502,18 @@ def contracted_components(
         )
         .select("src", F.col("_ld").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .distinct(),
+        checkpoint,
     )
+    # Fast path (round 16): on near-clique inputs — exactly the LSH
+    # near-dup graphs this operator exists for — the fused contraction
+    # consumes EVERY edge and the residual is empty, yet star-CC still
+    # paid its base/E checkpoints, fingerprints and one full round of
+    # empty-relation jobs (~8 driver rounds). One take(1) on the
+    # materialized residual skips all of it; with an empty residual the
+    # star-CC mapping is empty and the final coalesce reduces to l0.
+    if not residual.take(1):
+        return label0.select("id", F.col("l0").alias("component"))
     comp = connected_components_star(
         residual,
         checkpoint=checkpoint,

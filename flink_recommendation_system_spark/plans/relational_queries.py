@@ -1497,17 +1497,33 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bal_bucket"),
         )
     )
-    w_rep = Window.partitionBy("c_custkey").orderBy(
-        F.col("c_name").asc(),
-        F.col("c_nationkey").asc(),
-        F.col("c_mktsegment").asc(),
-        F.col("bal_bucket").asc(),
-    )
-    cust = (
-        base.withColumn("_rn", F.row_number().over(w_rep))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # round 16: the representative pick is min(struct(...)) — identical
+    # selection to the previous row_number window (struct ordering is
+    # field-by-field ASC NULLS FIRST, the same total order; the oracle's
+    # row_number CTE is unchanged) but it PARTIAL-aggregates map-side
+    # instead of sort-shuffling, and the picked relation is pinned ONCE —
+    # the blocking join, both enrichment sides, and the scorer otherwise
+    # replayed scan+window per reference (the _emb lesson; isolated
+    # record_linkage_scores best 2.7 → 1.8 s at sf0.1; entity_clusters'
+    # residual cost is the closure, not the scorer).
+    from ..operators._util import pin_layout as _pin_layout
+
+    cust = _pin_layout(
+        base.groupBy("c_custkey")
+        .agg(
+            F.min(
+                F.struct("c_name", "c_nationkey", "c_mktsegment", "bal_bucket")
+            ).alias("_m")
+        )
+        .select(
+            "c_custkey",
+            F.col("_m.c_name").alias("c_name"),
+            F.col("_m.c_nationkey").alias("c_nationkey"),
+            F.col("_m.c_mktsegment").alias("c_mktsegment"),
+            F.col("_m.bal_bucket").alias("bal_bucket"),
+        ),
+        "c_custkey",
+    ).localCheckpoint(eager=False)
     pairs = edit_distance_pairs(
         cust.select("c_custkey", "c_name"),
         id_col="c_custkey",
