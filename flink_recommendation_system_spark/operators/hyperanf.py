@@ -85,16 +85,35 @@ def hyperanf(
     )
     r = _vertex_registers(verts, b).localCheckpoint(eager=False)
     snapshots = [r.withColumn("hop", F.lit(0).cast("int"))]
+    # Delta propagation (round 16, the HyperANF paper's own "systolic"
+    # refinement): a neighbor register that did not change at hop h−1 was
+    # already folded into B(v, h−1), so re-sending it through the
+    # edges ⨝ registers join is a no-op under the max-merge — only the
+    # CHANGED (id, bucket, rho) rows need to travel. The delta is
+    # computed with one |r|-sized anti-ish join (strictly cheaper than
+    # the |E|-multiplied neighbor volume it saves); hop 1's delta is the
+    # full singleton table. Exactness: max-merge is idempotent, so
+    # dropping already-delivered registers cannot change any snapshot.
+    delta = r
     for hop in range(1, max_hops + 1):
         nbr = edges.join(
-            r.withColumnRenamed("id", "dst"), "dst"
+            delta.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "bucket", "rho")
-        r = (
+        new_r = (
             r.unionByName(nbr)
             .groupBy("id", "bucket")
             .agg(F.max("rho").alias("rho"))
             .localCheckpoint(eager=False)
         )
+        if hop < max_hops:
+            prev = r.select(
+                "id", "bucket", F.col("rho").alias("_prev_rho")
+            )
+            delta = new_r.join(prev, ["id", "bucket"], "left").filter(
+                F.col("_prev_rho").isNull()
+                | (F.col("rho") > F.col("_prev_rho"))
+            ).select("id", "bucket", "rho")
+        r = new_r
         snapshots.append(r.withColumn("hop", F.lit(hop).cast("int")))
     tagged = snapshots[0]
     for s in snapshots[1:]:

@@ -537,8 +537,14 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster would elect."""
     docs = _docs(spark, sf_dir)
     from ..operators import graph as G
+    from ..operators._util import pin_layout as _pin_layout
 
-    survivors = D.exact_dedup(docs)
+    # pin the exact-dedup survivor set once (round 16): the signature
+    # build and the representative semi-join otherwise each replay the
+    # sha2 groupBy + semi-join over the corpus
+    survivors = _pin_layout(
+        D.exact_dedup(docs).select("doc_id", "text"), "doc_id"
+    ).localCheckpoint(eager=False)
     pairs = D.minhash_lsh_pairs(survivors, threshold=0.5)
     edges = G.undirected(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
