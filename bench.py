@@ -320,7 +320,17 @@ def main() -> None:
     # canary-run arrays when the interval is wide.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if cpus == 32:
-        normalized_total = round(total * (CANARY_REF_SEC / canary_sec), 1)
+        # Round 17 (ADVICE r16): the CPU-canary normalization gets the
+        # SAME [1/3, 3] sanity band as the shuffle canary below — the
+        # same host transient that produced the bogus r15 37.4 s shuffle
+        # value would otherwise still publish a meaningless
+        # normalized_total. Raw canary_runs stay the primary signal.
+        cpu_ratio = canary_sec / CANARY_REF_SEC if canary_sec else None
+        normalized_total = (
+            round(total * (CANARY_REF_SEC / canary_sec), 1)
+            if cpu_ratio is not None and (1 / 3) <= cpu_ratio <= 3.0
+            else None  # canary measured a host anomaly → suppress
+        )
         # Sanity band (round 16, VERDICT r15 what's-wrong #1): the r15
         # closing artifact carried normalized_total_shuffle=37.4 because
         # the fresh canary read 19.977 s — a 10.3× transient vs the

@@ -69,6 +69,51 @@ def _adjacent_pairs(toks: Column) -> Column:
     return F.zip_with(left, right, lambda x, y: F.struct(x.alias("x"), y.alias("y")))
 
 
+# Driver-side fit gate (round 17): vocabularies at or below this row
+# count are collected once and the merge loop runs in pure Python —
+# 1 Spark job total instead of one distributed argmax job per round.
+# Above it (a 100 TB crawl's typo-heavy open vocabulary is NOT
+# metadata-bounded) the fit stays fully distributed, unchanged.
+BPE_DRIVER_FIT_MAX_VOCAB = 500_000
+
+
+def _bpe_fit_driver(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The merge loop on a collected vocabulary — BIT-IDENTICAL to the
+    distributed rounds: exact integer pair counts (Python int == Spark
+    BIGINT sum), the same (count DESC, x ASC, y ASC) argmax (tokens are
+    [a-z]+ substrings, so Python's code-point ordering == Spark's UTF-8
+    byte ordering), and the same greedy left-to-right literal replace
+    (``str.replace`` is literal, non-overlapping, left-to-right — the
+    exact ``F.replace`` semantics the module docstring proves out).
+    This is how reference BPE trainers run the loop (Sennrich et al.
+    2016 release: vocabulary in memory, merges sequential)."""
+    toks_list = [([c for c in w], int(c)) for w, c in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, cnt in toks_list:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (x, y), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((x, y))
+        merged = x + y
+        for toks, _cnt in toks_list:
+            i = 0
+            while i < len(toks) - 1:
+                if toks[i] == x and toks[i + 1] == y:
+                    toks[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
 def bpe_fit(
     vocab: DataFrame,
     n_merges: int = 12,
@@ -80,16 +125,27 @@ def bpe_fit(
     shorter than ``n_merges`` if the vocabulary runs out of adjacent
     pairs (every word fully merged).
 
-    Each round's argmax is ONE row collected for loop control (the
-    winning pair must become a literal in the next round's replace — the
-    same metadata-sized driver scalar as ``bloom.py``'s bit indices);
-    all counting stays distributed and partial-aggregated.
+    Round 17 (guide §1.2, the ``markov_attribution``/``pq_fit``
+    bounded-collect pattern): when the vocabulary is metadata-sized
+    (≤ ``BPE_DRIVER_FIT_MAX_VOCAB`` rows — decided by one cheap count
+    over the checkpointed vocab) it is collected ONCE and the merge loop
+    runs on the driver, replacing ``n_merges`` distributed argmax jobs
+    (each of which re-evaluated the growing replace chain over the vocab)
+    with pure Python over the same exact integers — bit-identical merges
+    (see ``_bpe_fit_driver``). Past the gate the fit stays distributed:
+    each round's argmax is ONE row collected for loop control, all
+    counting partial-aggregated.
     """
     v = vocab.select(
         F.col(word_col).alias("word"),
         F.col(count_col).cast("long").alias("cnt"),
         wrap_chars(F.col(word_col)).alias("s"),
     ).localCheckpoint()
+    if v.count() <= BPE_DRIVER_FIT_MAX_VOCAB:
+        rows = v.select("word", "cnt").collect()
+        return _bpe_fit_driver(
+            [(r["word"], r["cnt"]) for r in rows], n_merges
+        )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         toks = F.split(

@@ -146,8 +146,19 @@ def score_with_model(
 ) -> DataFrame:
     """Fit-then-score in one call (the registered-query shape; production
     fits once on a sample and reuses the constants): per-doc logit from
-    the learned model plus the weak label it was trained on."""
-    feats = quality_features(docs)
+    the learned model plus the weak label it was trained on.
+
+    Round 17 (guide §2.4): the feature relation feeds THREE consumers —
+    the iterative MLlib fit, the scoring projection, and the weak-label
+    join — and each otherwise replays the tokenization/feature extraction
+    over the corpus. Pin one materialized copy (layout first, hashed on
+    the join key, so the scoring↔label self-join shares the pinned
+    exchange and downstream stages keep their parallelism)."""
+    from ._util import pin_layout
+
+    feats = pin_layout(quality_features(docs), "doc_id").localCheckpoint(
+        eager=False
+    )
     weights, bias = fit_quality_classifier(
         feats, max_iter=max_iter, reg_param=reg_param
     )

@@ -399,7 +399,15 @@ def connected_components_star(
         # no lineage truncation between the two half-steps: the large-star
         # edge set is consumed once, immediately, by small-star — only the
         # per-ROUND result needs materializing (measured: halves the job
-        # count of the loop; same fixpoint)
+        # count of the loop; same fixpoint).
+        # Round 17 negative result (A/B'd, kept the faster): REMOVING
+        # this distinct (small-star's min-agg is multiplicity-insensitive
+        # and its canonical() re-dedups, so the per-round edge SET is
+        # unchanged) measured ~10% SLOWER on the dense co-review graph —
+        # large-star output is duplicate-heavy there, and the distinct's
+        # map-side partial dedup shrinks the small-star join's shuffle by
+        # more than the saved exchange costs. Same trade at 100 TB: LSH
+        # near-clique graphs duplicate even harder.
         E = canonical(large)
 
         # small-star: orient edges toward the larger endpoint; m = min of

@@ -110,27 +110,36 @@ def dsir_log_weights(
     log_weight). Docs with zero features are excluded — there is nothing
     to score them on (callers keep or drop them by policy)."""
     flagged = docs.withColumn("_t", is_target)
-    # the feature stream feeds the model agg AND the per-doc agg — two
-    # codegen explode scans of the corpus (the BPE "corpus touched twice"
-    # stance); deliberately NOT checkpointed, because materializing a
-    # token-count-sized relation costs more than re-running the explode
+    # Round 17 (guide §2.3 "aggregate before you shuffle"): ONE explode
+    # scan of the corpus feeds BOTH the bucket model and the per-doc
+    # multiplicities. The feature stream partial-aggregates straight to
+    # (id, _t, bucket, m) — the finest grain any consumer needs — and the
+    # bucket model re-aggregates that (sum of per-doc multiplicities ==
+    # count of occurrences, exactly). Previously the token-sized explode
+    # ran twice (model agg + per-doc agg); the shared grain is pinned
+    # once (it is orders of magnitude smaller than the raw feature
+    # stream — ≤ n_buckets rows per doc vs one row per token occurrence).
     feats = hashed_ngram_features(
         flagged, text_col, id_col, n_buckets, carry_cols=("_t",)
     )
+    from ._util import pin_layout
 
-    models = feats.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("_t"), 1).otherwise(0)).alias("cr"),
+    grain = pin_layout(
+        feats.groupBy(id_col, "_t", "bucket").agg(
+            F.count(F.lit(1)).alias("m")
+        ),
+        "bucket",
+    ).localCheckpoint(eager=False)
+
+    models = grain.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), F.col("m")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("_t"), F.col("m")).otherwise(0)).alias("cr"),
     )
     totals = models.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
     )
 
-    doc_feats = (
-        feats.filter(~F.col("_t"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    doc_feats = grain.filter(~F.col("_t")).select(id_col, "bucket", "m")
     term = _quant(
         F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
         - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1)

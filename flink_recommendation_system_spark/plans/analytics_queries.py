@@ -873,14 +873,28 @@ def q_hll_part_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-private HLL++ hash keeps it rows-only). Register table and
     estimator arithmetic are reproduced bit-for-bit by the DuckDB oracle;
     the register sum is exact in doubles (dyadic rationals), so the
-    estimate is deterministic. Fixed 256-cell state at any cardinality."""
+    estimate is deterministic. Fixed 256-cell state at any cardinality.
+
+    Round 17 (guide §2.3/§2.4): the query carries an EXACT distinct
+    audit, which already pays a full distinct-key shuffle — so the
+    sketch is now derived from that same distinct pass instead of a
+    second scan (registers over the distinct key set are identical to
+    registers over the raw rows: same hash per key, max-merge is
+    idempotent). One lineitem scan instead of two, and the md5 register
+    hash runs once per DISTINCT key instead of once per row. The pure
+    fixed-state-off-the-scan shape (no exact audit, no distinct shuffle)
+    remains exactly what ``hll_brand_distinct`` exercises."""
     from ..operators.sketches import hll_estimate, hll_registers
 
     li = load_table(spark, sf_dir, "lineitem")
-    est = hll_estimate(hll_registers(li, "l_partkey"))
-    exact = li.select(
-        F.countDistinct("l_partkey").alias("exact_distinct")
+    keys = (
+        li.select("l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    est = hll_estimate(hll_registers(keys, "l_partkey"))
+    exact = keys.agg(F.count(F.lit(1)).alias("exact_distinct"))
     return est.crossJoin(exact)
 
 
@@ -1017,8 +1031,20 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair"),
         )
     )
-    clicks = ev.filter(F.col("event_type") == "click")
-    purch = ev.filter(F.col("event_type") == "purchase")
+    # Round 17 (guide §2.3/§2.4): the exact-pair audit already pays a
+    # full distinct shuffle of the (event_type, pair) space, so ONE
+    # distinct pass now feeds the sketches AND the exact counts —
+    # registers over the distinct pair set equal registers over the raw
+    # stream (same hash per key, max-merge idempotent). Events is
+    # scanned once instead of three times, and the md5 register hash
+    # runs per DISTINCT pair instead of per event row.
+    dk = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    clicks = dk.filter(F.col("event_type") == "click")
+    purch = dk.filter(F.col("event_type") == "purchase")
     ra = hll_registers(clicks, "pair").localCheckpoint()
     rb = hll_registers(purch, "pair").localCheckpoint()
     ea = hll_estimate(ra).select(F.col("est").alias("est_click_pairs"))
@@ -1026,12 +1052,16 @@ def q_hll_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = hll_estimate(hll_merge(ra, rb)).select(
         F.col("est").alias("est_union")
     )
-    exact = ev.agg(
-        F.countDistinct(
-            F.when(F.col("event_type") == "click", F.col("pair"))
+    # coalesce: agg over an EMPTY distinct relation yields NULL sums
+    # where countDistinct yielded 0 — keep the 0
+    exact = dk.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(0).cast("long"),
         ).alias("exact_click_pairs"),
-        F.countDistinct(
-            F.when(F.col("event_type") == "purchase", F.col("pair"))
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)),
+            F.lit(0).cast("long"),
         ).alias("exact_purchase_pairs"),
     )
     return (

@@ -79,6 +79,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _run_tiers_concurrently(labeled_thunks):
+    """Evaluate independent audit-tier thunks from a thread pool (guide
+    §2.6 "overlap independent jobs") with per-tier error attribution
+    (ADVICE r16): ``submit()`` per tier instead of ``map()``, so a failing
+    tier is re-raised NAMING the tier, and siblings that have not started
+    yet are cancelled instead of continuing to submit Spark jobs during
+    the unwind. Results come back in submission order — the callers'
+    deterministic tier/union order is unchanged."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(labeled_thunks)) as pool:
+        futures = [(name, pool.submit(fn)) for name, fn in labeled_thunks]
+        results = []
+        failure: Exception | None = None
+        for name, fut in futures:
+            if failure is not None:
+                fut.cancel()
+                continue
+            try:
+                results.append(fut.result())
+            except Exception as exc:
+                failure = RuntimeError(
+                    f"audit tier {name!r} failed: {exc}"
+                )
+                failure.__cause__ = exc
+        if failure is not None:
+            raise failure
+    return results
+
+
 def _pin_emb(emb: DataFrame) -> DataFrame:
     """Pin ONE materialized copy of a validated embeddings relation for
     multi-reference consumers (round 16, VERDICT r15 item 5): the
@@ -1231,17 +1261,17 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # independent tier index builds evaluated concurrently (guide §2.6,
     # same move as q_semantic_dedup_recall) — the checkpoints and the
-    # output union order are unchanged
-    from concurrent.futures import ThreadPoolExecutor
-
+    # output union order are unchanged; submit()-per-tier so a failure
+    # names its tier (ADVICE r16)
     def _tier_result(fn):
         # checkpoint the (≤ k × n_queries)-row tier result: n_ann and
         # n_hits both read it, and without truncation each tier's full
         # index pipeline executes twice (halved the report's wall-clock)
         return fn().select("query_id", "neighbor_id").localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=len(tiers)) as _pool:
-        anns = list(_pool.map(lambda t: _tier_result(t[2]), tiers))
+    anns = _run_tiers_concurrently(
+        [(t[0], (lambda fn=t[2]: _tier_result(fn))) for t in tiers]
+    )
 
     out = None
     for (name, baseline, fn, exact), ann in zip(tiers, anns):
@@ -1372,17 +1402,17 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the next tier's tasks back-fill the current tier's stragglers
     # (guide §2.6 "overlap independent jobs"); each drop set is the same
     # eager localCheckpoint as before, just submitted concurrently, and
-    # the output union keeps the deterministic tier order.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # the output union keeps the deterministic tier order. submit()-per-
+    # tier so a failure names its tier (ADVICE r16).
     def _drop_set(fn):
         # checkpoint: the drop set (≤ N ids) feeds n_ann AND n_hits —
         # without truncation the whole dedup tier runs twice
         kept = fn().select("vec_id")
         return all_ids.join(kept, "vec_id", "left_anti").localCheckpoint()
 
-    with ThreadPoolExecutor(max_workers=len(dedup_tiers)) as _pool:
-        drops = list(_pool.map(lambda t: _drop_set(t[1]), dedup_tiers))
+    drops = _run_tiers_concurrently(
+        [(t[0], (lambda fn=t[1]: _drop_set(fn))) for t in dedup_tiers]
+    )
 
     out = None
     for (name, _fn), drop in zip(dedup_tiers, drops):
@@ -3221,7 +3251,11 @@ def q_deduped_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_score DESC, n_chars DESC, doc_id ASC), the FineWeb-style "keep
     the best copy" policy. One max_by partial aggregation over the cluster
     map; no extra shuffle beyond the clustering itself. Fully
-    value-checked (recursive-CTE closure + window argmax oracle)."""
+    value-checked (recursive-CTE closure + window argmax oracle).
+
+    Round 17: the singleton-cluster bypass (score + argmax only clusters
+    with ≥ 2 members) lives in ``quality_representatives`` itself, so the
+    artifact twin and the corpus publisher inherit it too."""
     docs = _docs(spark, sf_dir)
     clusters = q_near_dup_clusters_lsh(spark, sf_dir)
     keep = D.quality_representatives(clusters, docs)

@@ -132,6 +132,40 @@ def _query_idle(q, checks: int = 3, gap: float = 0.3) -> bool:
     return True
 
 
+def _assert_drain_complete(ckpt_dir: str, expect_files: int) -> int:
+    """Drain-completeness cross-check (ADVICE r16): the replay row count
+    is reported under the AvailableNow drain contract (every file present
+    at start is committed before the query stops), so VERIFY that
+    contract from the query's own checkpoint instead of assuming it —
+    the file source's commit log (``sources/0``) enumerates every file
+    each committed batch ingested. Distinct paths across the log (compact
+    files re-list everything, so distinct-ness handles them) must equal
+    the replay corpus's file count; fail loudly on mismatch (a source
+    misconfig, a swallowed foreachBatch error, or late-landing files
+    would otherwise silently overstate throughput)."""
+    src_log = os.path.join(ckpt_dir, "sources", "0")
+    paths: set[str] = set()
+    for fname in os.listdir(src_log):
+        fpath = os.path.join(src_log, fname)
+        if not os.path.isfile(fpath):
+            continue
+        with open(fpath) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue  # version header / non-entry lines
+                entry = json.loads(line)
+                if "path" in entry:
+                    paths.add(entry["path"])
+    if len(paths) != expect_files:
+        raise RuntimeError(
+            f"drain incomplete: source commit log lists {len(paths)} "
+            f"files, replay corpus has {expect_files} — reported "
+            "throughput would overstate; refusing to emit"
+        )
+    return len(paths)
+
+
 def _trigger_durations(progress: list[dict]) -> list[float]:
     return [
         float(p["durationMs"]["triggerExecution"])
@@ -267,6 +301,9 @@ def main() -> None:
             # one row per DISTINCT batch user, a different grain; and
             # numInputRows 3×-overcounts under foreachBatch because each
             # sink action re-scans the batch — reported for honesty only.)
+            # Round 17 (ADVICE r16): the contract is now VERIFIED from
+            # the query's own source commit log, not assumed.
+            _assert_drain_complete(f"{run_dir}/ckpt", len(replay_files))
             rows = corpus_rows
             durations = _trigger_durations(progress)
             drain_results.append(
@@ -403,7 +440,10 @@ def main() -> None:
             "n_events": N_EVENTS,
             "n_files": N_FILES,
             "reference_design_rate_events_per_sec": 1,
-            "row_count_source": "known replay corpus (AvailableNow drain contract)",
+            "row_count_source": (
+                "known replay corpus (AvailableNow drain contract, "
+                "verified against the source commit log per run)"
+            ),
             "progress_source": "StreamingQueryListener (uncapped)",
             "sweep": drain_results,
             "steady": steady_results,
